@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver testdata star schema (TESTDATA.md).
+  *
+  * All serving/analytical queries read through here so that scan-level
+  * optimizations (predicate pushdown, column pruning, partition coalescing)
+  * apply uniformly. At cluster scale these would be catalog tables backed by
+  * partitioned/bucketed storage; `local[*]` reads single parquet files.
+  */
+object Tables {
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. Read it as raw nanos (legacy conf) and floor-convert to
+    * microsecond TimestampType — the same truncation DuckDB applies, so oracle
+    * comparisons agree. The conf is runtime-settable and scoped to the session.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame       = spark.read.parquet(s"$dir/part.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame     = spark.read.parquet(s"$dir/region.parquet")
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference consumer's four analytical queries, as pure
+  * `DataFrame => DataFrame` operators (batch form; streaming forms in
+  * [[graft.streaming.Pipeline]] reuse these same plan fragments).
+  *
+  * Reference: consumer/src/main/java/com/citystream/consumer/SparkDynamoDBConsumer.java
+  *   - raw-event passthrough            :100-108  → [[rawEvents]]
+  *   - 5-min tumbling windowed agg      :119-154  → [[windowedAggregate]]  (A1)
+  *   - high-severity alert filter       :160-170  → [[alerts]]             (F1)
+  *   - console monitoring agg           :182-190  → [[globalCounts]]       (A2)
+  *
+  * Scale notes: A1/A2 are single-shuffle hash aggregations with map-side
+  * partial aggregation (count/max combine; collect_list partials append) —
+  * the canonical Spark shape that scales linearly with executors. The alert
+  * filter is shuffle-free and pushes `severity IN (...)`'s inputs down to the
+  * parquet scan.
+  */
+object StreamAggregates {
+
+  /** Raw-event projection with the derived record key (P5/P6).
+    * Sink semantics in the reference are putItem-upsert by (event_id, timestamp)
+    * — last-writer-wins dedup; batch analog keeps one row per key.
+    */
+  def rawEvents(normalized: DataFrame): DataFrame =
+    normalized.select("rec_id", "ts_str", "city", "event_type", "severity", "description")
+
+  /** A1 — the centerpiece: 5-minute tumbling window × city × event_type with
+    * count / collect_list(severity) / max(ts), plus the composite
+    * `partition_key` (consumer/...:123-147). `collect_list` output is sorted
+    * for determinism (DynamoDB list order was arrival-order-undefined anyway).
+    *
+    * At scale: one shuffle on (window, city, event_type); the window
+    * assignment is a codegen'd projection, not a blowup. collect_list state is
+    * bounded by events-per-group-per-window — at 100 TB a per-severity
+    * count-map would replace the raw list; kept for reference fidelity.
+    */
+  def windowedAggregate(normalized: DataFrame): DataFrame = {
+    val w = window(col("ts"), "5 minutes")
+    normalized
+      .groupBy(w.as("win"), col("city"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sort_array(collect_list(col("severity"))).as("severities"),
+        max(col("ts")).as("last_updated")
+      )
+      .select(
+        concat_ws("#", col("city"), col("event_type"),
+          date_format(col("win.start"), "yyyy-MM-dd'T'HH:mm:ss")).as("partition_key"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("city"), col("event_type"), col("event_count"), col("severities"),
+        date_format(col("last_updated"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_updated")
+      )
+  }
+
+  /** F1 — alert stream: severity ∈ {high, critical} (consumer/...:161-170). */
+  def alerts(normalized: DataFrame): DataFrame =
+    normalized
+      .filter(col("severity").isin("high", "critical"))
+      .select("city", "ts", "ts_str", "event_type", "severity", "description", "rec_id")
+
+  /** A2 — global monitoring counts by city × event_type × severity
+    * (consumer/...:182-190; complete-mode console sink in streaming form).
+    */
+  def globalCounts(normalized: DataFrame): DataFrame =
+    normalized
+      .groupBy("city", "event_type", "severity")
+      .agg(count(lit(1)).as("event_count"))
+}

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Dev-only helper: run a graft main class directly (skips sbt startup).
+# Usage: tools/run.sh graft.Verify /root/testdata/sf0.001 /tmp/verify_out
+set -e
+CLS="$1"; shift
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CP" "$CLS" "$@"
