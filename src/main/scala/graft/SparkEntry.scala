@@ -23,34 +23,146 @@ object SparkEntry {
   private def norm(spark: SparkSession, dir: String): DataFrame =
     CityEvents.normalize(Tables.events(spark, dir))
 
+  private def agg(spark: SparkSession, dir: String): DataFrame =
+    StreamAggregates.windowedAggregate(norm(spark, dir))
+
+  private def alertsOf(spark: SparkSession, dir: String): DataFrame =
+    StreamAggregates.alerts(norm(spark, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's centerpiece A1 windowed aggregation (SURVEY.md §7.1).
     */
   def entry(spark: SparkSession): DataFrame =
     StreamAggregates.windowedAggregate(norm(spark, "/root/testdata/sf0.001"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_windowed_agg" -> ((s, dir) =>
-      StreamAggregates.windowedAggregate(norm(s, dir)).orderBy("partition_key"))
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared DuckDB CTE bodies mirroring the Spark operators. */
+  private val NORM   = CityEvents.Sql.normalized
+  private val AGG =
+    """SELECT city || '#' || event_type || '#' || strftime(ws, '%Y-%m-%dT%H:%M:%S') AS partition_key,
+      |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  strftime(ws + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+      |  city, event_type, count(*) AS event_count,
+      |  list_sort(list(severity)) AS severities,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_updated
+      |FROM (SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS ws FROM norm)
+      |GROUP BY ws, city, event_type""".stripMargin
+  private val WITH_NORM        = s"WITH norm AS ($NORM)"
+  private val WITH_NORM_AGG    = s"WITH norm AS ($NORM), agg AS ($AGG)"
+  private val WITH_NORM_ALERTS =
+    s"WITH norm AS ($NORM), alerts AS (SELECT * FROM norm WHERE severity IN ('high','critical'))"
+
+  // ---------------------------------------------------------------- registry
+
+  /** (name, spark query, optional DuckDB oracle). Single source of truth. */
+  private lazy val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- consumer streaming queries, batch form (SURVEY.md §2.1-2.5, 2.9)
+    ("q_windowed_agg",
+      (s, d) => agg(s, d).orderBy("partition_key"),
+      Some(s"""$WITH_NORM_AGG SELECT * FROM agg ORDER BY partition_key""")),
+
+    ("q_raw_events",
+      (s, d) => StreamAggregates.rawEvents(norm(s, d)).orderBy("rec_id", "severity"),
+      Some(s"""$WITH_NORM
+        |SELECT rec_id, ts_str, city, event_type, severity, description
+        |FROM norm ORDER BY rec_id, severity""".stripMargin)),
+
+    ("q_alerts",
+      (s, d) => alertsOf(s, d)
+        .select("event_id", "city", "ts_str", "event_type", "severity", "description", "rec_id")
+        .orderBy("event_id"),
+      Some(s"""$WITH_NORM_ALERTS
+        |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
+        |FROM alerts ORDER BY event_id""".stripMargin)),
+
+    ("q_global_counts",
+      (s, d) => StreamAggregates.globalCounts(norm(s, d))
+        .orderBy("city", "event_type", "severity"),
+      Some(s"""$WITH_NORM
+        |SELECT city, event_type, severity, count(*) AS event_count
+        |FROM norm GROUP BY city, event_type, severity
+        |ORDER BY city, event_type, severity""".stripMargin)),
+
+    // ---- serving layer: the 7 REST endpoints (SURVEY.md §2.11)
+    ("q_health",
+      (s, d) => Serving.health(norm(s, d)),
+      Some(s"""$WITH_NORM SELECT 'healthy' AS status, count(*) AS events_seen FROM norm""")),
+
+    ("q_events_by_city",
+      (s, d) => Serving.eventsByCity(norm(s, d), "NYC", 20),
+      Some(s"""$WITH_NORM
+        |SELECT event_id, rec_id, ts_str, city, event_type, severity, description
+        |FROM norm WHERE city = 'NYC'
+        |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin)),
+
+    ("q_summary_city",
+      (s, d) => Serving.summary(agg(s, d), "LA").orderBy("event_type"),
+      Some(s"""$WITH_NORM_AGG
+        |SELECT event_type, sum(event_count) AS total_events
+        |FROM agg WHERE city = 'LA' GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    ("q_cities",
+      (s, d) => Serving.cities(agg(s, d)),
+      Some(s"""$WITH_NORM_AGG
+        |SELECT city, sum(event_count) AS total_events
+        |FROM agg GROUP BY city ORDER BY total_events DESC, city""".stripMargin)),
+
+    ("q_alerts_recent",
+      (s, d) => Serving.alertsRecent(alertsOf(s, d), None, 24),
+      Some(s"""$WITH_NORM_ALERTS
+        |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
+        |FROM alerts
+        |WHERE ts >= (SELECT max(ts) FROM alerts) - INTERVAL '24 hours'
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)),
+
+    ("q_alerts_city_recent",
+      (s, d) => Serving.alertsRecent(alertsOf(s, d), Some("Chicago"), 48),
+      Some(s"""$WITH_NORM_ALERTS
+        |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
+        |FROM alerts
+        |WHERE city = 'Chicago'
+        |  AND ts >= (SELECT max(ts) FROM alerts) - INTERVAL '48 hours'
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)),
+
+    ("q_aggregations_recent",
+      (s, d) => Serving.aggregationsFor(agg(s, d), "NYC", "error", 10),
+      Some(s"""$WITH_NORM_AGG
+        |SELECT * FROM agg WHERE city = 'NYC' AND event_type = 'error'
+        |ORDER BY window_start DESC LIMIT 10""".stripMargin)),
+
+    ("q_stats_total",
+      (s, d) => Serving.statsTotal(agg(s, d)),
+      Some(s"""$WITH_NORM_AGG SELECT sum(event_count) AS total_events FROM agg""")),
+
+    ("q_alert_severity_counts",
+      (s, d) => Serving.alertSeverityCounts(alertsOf(s, d), s).orderBy("severity"),
+      Some(s"""$WITH_NORM_ALERTS
+        |SELECT s.severity, coalesce(c.alert_count, 0) AS alert_count
+        |FROM (VALUES ('high'), ('critical')) s(severity)
+        |LEFT JOIN (SELECT severity, count(*) AS alert_count FROM alerts GROUP BY severity) c
+        |  USING (severity)
+        |ORDER BY severity""".stripMargin)),
+
+    ("q_producer_metrics",
+      (s, d) => Serving.producerMetrics(norm(s, d)),
+      Some(s"""$WITH_NORM
+        |SELECT count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  min(value) AS value_min, max(value) AS value_max,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS value_avg,
+        |  count(*) / ((epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6) AS events_per_sec
+        |FROM norm""".stripMargin))
   )
 
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q_windowed_agg" ->
-      s"""WITH norm AS (${CityEvents.Sql.normalized}),
-         |b AS (SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS ws FROM norm)
-         |SELECT city || '#' || event_type || '#' || strftime(ws, '%Y-%m-%dT%H:%M:%S') AS partition_key,
-         |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
-         |  strftime(ws + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
-         |  city, event_type,
-         |  count(*) AS event_count,
-         |  list_sort(list(severity)) AS severities,
-         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_updated
-         |FROM b
-         |GROUP BY ws, city, event_type
-         |ORDER BY partition_key""".stripMargin
-  )
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

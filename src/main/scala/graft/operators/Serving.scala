@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's serving layer — 7 REST endpoints re-implementing
+  * filter/aggregate/sort/limit over DynamoDB items in ~300 lines of Java
+  * (api/src/main/java/com/citystream/api/CityStreamApiApplication.java:52-336)
+  * — re-expressed as one-line declarative plans Catalyst owns (SURVEY.md §2.11).
+  *
+  * The serving queries consume the materialized outputs of
+  * [[StreamAggregates]] (the reference's "DynamoDB tables"): serving-side
+  * re-aggregation runs over pre-aggregated rows, not raw events — the
+  * materialized-view shape of SURVEY.md §4.3. At scale these frames would be
+  * keyed tables maintained by the streaming upsert sink
+  * ([[graft.sources.KeyedUpsertSink]]); here they are computed inline and
+  * Catalyst collapses the whole pipeline into one plan.
+  *
+  * Time-range endpoints pin "now" to the data's `max(ts)` via a broadcast
+  * scalar frame instead of `current_timestamp()` (FIXTURES.md §5 determinism;
+  * the reference's `Instant.now()` at CityStreamApiApplication.java:150-152) —
+  * a single cheap pre-pass at any scale, and the filter still pushes down.
+  *
+  * `orderBy(...).limit(k)` pairs compile to `TakeOrderedAndProject` — a
+  * per-partition top-k + driver merge, NOT a global sort; this is the plan
+  * shape that survives 100 TB.
+  */
+object Serving {
+
+  /** GET /health (api/...:52-59): constant status row + a liveness count. */
+  def health(normalized: DataFrame): DataFrame =
+    normalized.agg(count(lit(1)).as("events_seen"))
+      .select(lit("healthy").as("status"), col("events_seen"))
+
+  /** GET /events/{city}?limit= (api/...:65-98, O1+F2+O5):
+    * recent-first listing for one city. Tie-broken on event_id for a
+    * deterministic top-k.
+    */
+  def eventsByCity(normalized: DataFrame, city: String, limit: Int): DataFrame =
+    normalized
+      .filter(col("city") === city)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select("event_id", "rec_id", "ts_str", "city", "event_type", "severity", "description")
+      .limit(limit)
+
+  /** GET /summary/{city} (api/...:104-137, A3): per-type totals from the
+    * pre-aggregated frame — SUM-regroup of a materialized view.
+    */
+  def summary(windowedAgg: DataFrame, city: String): DataFrame =
+    windowedAgg
+      .filter(col("city") === city)
+      .groupBy("event_type")
+      .agg(sum("event_count").as("total_events"))
+
+  /** GET /cities (api/...:206-244, A4+O4): top-k cities by total events. */
+  def cities(windowedAgg: DataFrame): DataFrame =
+    windowedAgg
+      .groupBy("city")
+      .agg(sum("event_count").as("total_events"))
+      .orderBy(col("total_events").desc, col("city"))
+
+  /** GET /alerts?city&hours= (api/...:143-200, F4/F5/F6 + O2 + O5):
+    * time-ranged alert retrieval, optionally per-city, recent-first, top 50.
+    * `now` is pinned to max(ts) over the alert frame (broadcast scalar).
+    */
+  def alertsRecent(alerts: DataFrame, city: Option[String], hours: Int, limit: Int = 50): DataFrame = {
+    val cutoff = alerts.agg(max(col("ts")).as("now_ts"))
+    val base   = city.fold(alerts)(c => alerts.filter(col("city") === c))
+    base
+      .crossJoin(broadcast(cutoff))
+      .filter(col("ts") >= col("now_ts") - expr(s"INTERVAL $hours HOURS"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .select("event_id", "city", "ts_str", "event_type", "severity", "description", "rec_id")
+      .limit(limit)
+  }
+
+  /** GET /aggregations?city&eventType&limit= (api/...:250-288, F3 + O3 + O5):
+    * recent windows for one (city, event_type). window_start strings sort
+    * chronologically (ISO format), mirroring the reference's string-timestamp
+    * ordering (SURVEY.md §2.6).
+    */
+  def aggregationsFor(windowedAgg: DataFrame, city: String, eventType: String, limit: Int): DataFrame =
+    windowedAgg
+      .filter(col("city") === city && col("event_type") === eventType)
+      .orderBy(col("window_start").desc)
+      .limit(limit)
+
+  /** GET /stats, part 1 (api/...:294-306, A5): global scalar SUM. */
+  def statsTotal(windowedAgg: DataFrame): DataFrame =
+    windowedAgg.agg(sum("event_count").as("total_events"))
+
+  /** GET /stats, part 2 (api/...:308-322, A6): alert counts by severity,
+    * zero-seeded for high/critical exactly as the reference's HashMap seed.
+    */
+  def alertSeverityCounts(alerts: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val seed = Seq("high", "critical").toDF("severity")
+    val counts = alerts.groupBy("severity").agg(count(lit(1)).as("alert_count"))
+    seed.join(counts, Seq("severity"), "left")
+      .select(col("severity"), coalesce(col("alert_count"), lit(0L)).as("alert_count"))
+  }
+
+  /** GET /metrics/producer (producer/.../KafkaProducerService.java:100-145,
+    * A7): running count/sum/min/max/avg over the value stream plus a
+    * throughput rate — the producer's LongAdder metrics as one aggregation.
+    * Sum goes through DECIMAL(18,2) so the result is order-independent.
+    */
+  def producerMetrics(normalized: DataFrame): DataFrame =
+    normalized.agg(
+      count(lit(1)).as("event_count"),
+      sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+      min(col("value")).as("value_min"),
+      max(col("value")).as("value_max"),
+      (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("value_avg"),
+      (count(lit(1)) /
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1e6)))
+        .as("events_per_sec")
+    )
+}

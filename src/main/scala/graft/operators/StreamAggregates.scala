@@ -61,7 +61,7 @@ object StreamAggregates {
   def alerts(normalized: DataFrame): DataFrame =
     normalized
       .filter(col("severity").isin("high", "critical"))
-      .select("city", "ts", "ts_str", "event_type", "severity", "description", "rec_id")
+      .select("event_id", "city", "ts", "ts_str", "event_type", "severity", "description", "rec_id")
 
   /** A2 — global monitoring counts by city × event_type × severity
     * (consumer/...:182-190; complete-mode console sink in streaming form).

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Operator specs for the CityStream-parity surface (SURVEY.md §2). */
+class CityStreamSpec extends SparkSpec {
+
+  private lazy val norm   = CityEvents.normalize(Tables.events(spark, sf)).cache()
+  private lazy val agg    = StreamAggregates.windowedAggregate(norm)
+  private lazy val alerts = StreamAggregates.alerts(norm)
+
+  test("normalize derives city/severity domains and unique rec ids per event") {
+    val n = norm.count()
+    assert(n == 1000)
+    val cities = norm.select("city").distinct().collect().map(_.getString(0)).toSet
+    assert(cities.subsetOf(CityEvents.Cities.toSet))
+    val sevs = norm.select("severity").distinct().collect().map(_.getString(0)).toSet
+    assert(sevs.subsetOf(CityEvents.Severities.toSet))
+    assert(norm.filter(col("prop_k").isNull).count() == 0)
+  }
+
+  test("windowed aggregate partitions counts exactly (A1)") {
+    val total = agg.agg(sum("event_count")).head().getLong(0)
+    assert(total == 1000)
+    // severities list length == event_count for every group
+    val bad = agg.filter(size(col("severities")) =!= col("event_count")).count()
+    assert(bad == 0)
+    // partition_key is unique (window × city × type)
+    assert(agg.select("partition_key").distinct().count() == agg.count())
+  }
+
+  test("windowed aggregate buckets are 5-minute aligned") {
+    val misaligned = agg.filter(
+      minute(to_timestamp(col("window_start"))) % 5 =!= 0 ||
+      second(to_timestamp(col("window_start"))) =!= 0).count()
+    assert(misaligned == 0)
+  }
+
+  test("alert filter keeps exactly high/critical (F1)") {
+    val sevs = alerts.select("severity").distinct().collect().map(_.getString(0)).toSet
+    assert(sevs.subsetOf(Set("high", "critical")))
+    val expected = norm.filter(col("severity").isin("high", "critical")).count()
+    assert(alerts.count() == expected)
+  }
+
+  test("global counts roll up to total (A2)") {
+    val gc = StreamAggregates.globalCounts(norm)
+    assert(gc.agg(sum("event_count")).head().getLong(0) == 1000)
+  }
+
+  test("serving: summary equals direct regroup (A3)") {
+    val la = Serving.summary(agg, "LA").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = norm.filter(col("city") === "LA").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(la == direct)
+  }
+
+  test("serving: cities are ordered by total desc and cover all traffic (A4/O4)") {
+    val rows = Serving.cities(agg).collect()
+    val totals = rows.map(_.getLong(1))
+    assert(totals.sameElements(totals.sortBy(-_)))
+    assert(totals.sum == 1000)
+  }
+
+  test("serving: alertsRecent respects cutoff, ordering and limit (F4-F6/O2/O5)") {
+    val r = Serving.alertsRecent(alerts, None, 24, limit = 10).collect()
+    assert(r.length <= 10)
+    val ids = r.map(_.getLong(0))
+    // recent-first: strictly decreasing event_id within equal ts is allowed;
+    // check ts_str non-increasing
+    val ts = r.map(_.getString(2))
+    assert(ts.sameElements(ts.sorted(Ordering[String].reverse)))
+  }
+
+  test("serving: alert severity counts zero-seed missing severities (A6)") {
+    val only = alerts.filter(col("severity") === "high") // drop critical
+    val m = Serving.alertSeverityCounts(only, spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("high", "critical"))
+    assert(m("critical") == 0)
+    assert(m("high") > 0)
+  }
+
+  test("serving: producer metrics are consistent (A7)") {
+    val r = Serving.producerMetrics(norm).head()
+    val n = r.getAs[Long]("event_count")
+    assert(n == 1000)
+    val avg = r.getAs[Double]("value_avg")
+    val s = r.getAs[Double]("value_sum")
+    assert(math.abs(avg - s / n) < 1e-9)
+    assert(r.getAs[Double]("value_min") <= avg && avg <= r.getAs[Double]("value_max"))
+    assert(r.getAs[Double]("events_per_sec") > 0)
+  }
+
+  test("serving: eventsByCity filters and caps (F2/O1/O5)") {
+    val r = Serving.eventsByCity(norm, "SF", 5).collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[String]("city") == "SF"))
+  }
+}
