@@ -145,6 +145,143 @@ object SparkEntry {
         |  USING (severity)
         |ORDER BY severity""".stripMargin)),
 
+    // ---- window variants (SURVEY.md T2 extensions)
+    ("q_sliding_window",
+      (s, d) => StreamAggregates.slidingCounts(norm(s, d))
+        .orderBy("window_start", "event_type"),
+      Some(s"""$WITH_NORM,
+        |b AS (SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS b5 FROM norm),
+        |w AS (SELECT event_type, unnest([b5, b5 - INTERVAL '5 minutes']) AS ws FROM b)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, count(*) AS event_count
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY window_start, event_type""".stripMargin)),
+
+    ("q_session_window",
+      (s, d) => StreamAggregates.userSessions(norm(s, d))
+        .orderBy("user_id", "session_start"),
+      Some(s"""$WITH_NORM,
+        |o AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM norm WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS event_count
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- relational extension surface (SURVEY.md §2.4/§2.7, §7.2 M4)
+    ("q_pricing_summary",
+      (s, d) => Relational.pricingSummary(Tables.lineitem(s, d)),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    ("q_events_enriched",
+      (s, d) => Relational.eventsEnriched(Tables.events(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d)),
+      Some("""SELECT r_name AS region_name, n_name AS nation_name,
+        |  count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region_name, nation_name""".stripMargin)),
+
+    ("q_top_customers",
+      (s, d) => Relational.topCustomers(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d)),
+      Some("""SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    ("q_semi_join",
+      (s, d) => Relational.customersWithBigOrders(Tables.customer(s, d),
+        Tables.orders(s, d), 100000.0),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    ("q_anti_join",
+      (s, d) => Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d)),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    ("q_topk_per_group",
+      (s, d) => Relational.topTypesPerCity(norm(s, d)),
+      Some(s"""$WITH_NORM,
+        |counts AS (SELECT city, event_type, count(*) AS event_count
+        |  FROM norm GROUP BY city, event_type)
+        |SELECT * FROM (
+        |  SELECT city, event_type, event_count,
+        |    row_number() OVER (PARTITION BY city ORDER BY event_count DESC, event_type) AS rank
+        |  FROM counts)
+        |WHERE rank <= 2 ORDER BY city, rank""".stripMargin)),
+
+    ("q_rollup",
+      (s, d) => Relational.cityTypeRollup(norm(s, d)),
+      Some(s"""$WITH_NORM
+        |SELECT coalesce(city, 'ALL') AS city, coalesce(event_type, 'ALL') AS event_type,
+        |  count(*) AS event_count
+        |FROM norm GROUP BY ROLLUP(city, event_type)
+        |ORDER BY city, event_type""".stripMargin)),
+
+    ("q_distinct_users",
+      (s, d) => Relational.distinctUsers(Tables.events(s, d)),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        |  count(*) AS event_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // HLL estimates are engine-specific — rows-only check (no oracle).
+    ("q_approx_distinct",
+      (s, d) => Relational.approxDistinctUsers(Tables.events(s, d)),
+      None),
+
+    ("q_intersect_users",
+      (s, d) => Relational.usersIntersect(Tables.events(s, d), "purchase", "error"),
+      Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin)),
+
+    ("q_except_users",
+      (s, d) => Relational.usersExcept(Tables.events(s, d), "purchase", "view"),
+      Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin)),
+
+    ("q_union_users",
+      (s, d) => Relational.usersUnion(Tables.events(s, d), "signup", "click"),
+      Some("""SELECT DISTINCT user_id FROM events
+        |WHERE event_type IN ('signup', 'click') ORDER BY user_id""".stripMargin)),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational extension surface (SURVEY.md §2.4/§2.7/§7.2 M4): the reference
+  * has no joins, set ops, SQL window functions, or distinct aggregation — the
+  * rebuild exercises them over the TPC-H-ish dimension tables so the engine
+  * covers a full analytical surface.
+  *
+  * Scale notes:
+  *  - Dimension joins carry explicit `broadcast()` hints (customer/nation/
+  *    region are classic broadcast dims; the fact side never shuffles).
+  *  - Fact-fact joins (orders⨝lineitem) shuffle on the join key once; AQE
+  *    handles skew/coalescing at runtime.
+  *  - Top-k per group uses a rank-window which shuffles once on the
+  *    partition key; global top-k compiles to TakeOrderedAndProject.
+  */
+object Relational {
+
+  /** Decimal-exact sum of a double expression, returned as double —
+    * order-independent across partitions and identical across engines.
+    */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Price×discount×tax products computed natively in decimal: the operand
+    * columns are 2-decimal-clean, so decimal multiplication is EXACT — no
+    * double→decimal rounding of half-boundary products (which Spark and
+    * DuckDB round differently). The exact decimal sum casts back to double.
+    */
+  private val one = expr("CAST(1.00 AS DECIMAL(3,2))")
+  private def discPrice =
+    col("l_extendedprice").cast("decimal(10,2)") * (one - col("l_discount").cast("decimal(3,2)"))
+  private def chargePrice = discPrice * (one + col("l_tax").cast("decimal(3,2)"))
+
+  /** TPC-H Q1-flavored pricing summary over lineitem: the canonical
+    * single-shuffle partial-agg rollup (6 aggregates, 2 group keys).
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val disc   = discPrice
+    val charge = chargePrice
+    lineitem
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Events enriched with the customer→nation→region dimension chain —
+    * the stream-static enrichment join the reference lacks (SURVEY.md §2.4).
+    * All three dims are broadcast: zero shuffle on the fact side.
+    */
+  def eventsEnriched(events: DataFrame, customer: DataFrame,
+                     nation: DataFrame, region: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer), events("user_id") === customer("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("event_count"), dsum(col("value")).as("value_sum"))
+      .orderBy("region_name", "nation_name")
+
+  /** TPC-H Q3-flavored: top-10 customers by revenue in a segment/date slice.
+    * customer is broadcast; orders⨝lineitem is the one real shuffle.
+    */
+  def topCustomers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                   segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    val revenue = discPrice
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Customers with at least one order above a price threshold — left-semi
+    * (EXISTS) join; the build side is the filtered orders key set.
+    */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame,
+                             minTotal: Double): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Customers with no orders at all — left-anti (NOT EXISTS) join. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Top-k event types per city — the per-group variant of O4 via a rank
+    * window (SURVEY.md §2.6 notes the reference only has global top-k).
+    */
+  def topTypesPerCity(normalized: DataFrame, k: Int = 2): DataFrame = {
+    val counts = normalized.groupBy("city", "event_type").agg(count(lit(1)).as("event_count"))
+    val w = Window.partitionBy("city").orderBy(col("event_count").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("city", "rank")
+  }
+
+  /** Hierarchical totals via ROLLUP(city, event_type); subtotal rows surface
+    * as 'ALL' (cities/types are never null, so coalesce is unambiguous).
+    */
+  def cityTypeRollup(normalized: DataFrame): DataFrame =
+    normalized
+      .rollup("city", "event_type")
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        coalesce(col("city"), lit("ALL")).as("city"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("event_count"))
+      .orderBy("city", "event_type")
+
+  /** Exact + total distinct-user counts per event type (SURVEY.md §2.5 notes
+    * the reference has no distinct aggregation).
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("event_count"))
+      .orderBy("event_type")
+
+  /** Approximate distinct (HLL) per event type — the scale path for
+    * count-distinct at 100 TB. No SQL oracle (estimator-specific); verified
+    * rows-only + bounds-checked in ScalaTest.
+    */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  private def usersOf(events: DataFrame, eventType: String): DataFrame =
+    events.filter(col("event_type") === eventType).select("user_id").distinct()
+
+  /** Set operations (SURVEY.md §2.7: none in the reference). */
+  def usersIntersect(events: DataFrame, t1: String, t2: String): DataFrame =
+    usersOf(events, t1).intersect(usersOf(events, t2)).orderBy("user_id")
+
+  def usersExcept(events: DataFrame, t1: String, t2: String): DataFrame =
+    usersOf(events, t1).except(usersOf(events, t2)).orderBy("user_id")
+
+  def usersUnion(events: DataFrame, t1: String, t2: String): DataFrame =
+    usersOf(events, t1).union(usersOf(events, t2)).distinct().orderBy("user_id")
+}

@@ -70,4 +70,35 @@ object StreamAggregates {
     normalized
       .groupBy("city", "event_type", "severity")
       .agg(count(lit(1)).as("event_count"))
+
+  /** Sliding-window counts (10-minute window, 5-minute slide) per event
+    * type — the README-adjacent window variant (SURVEY.md T2). Each event
+    * lands in exactly two overlapping windows; the window assignment is a
+    * projection (2-row explode), then one shuffle on (window, event_type).
+    */
+  def slidingCounts(normalized: DataFrame): DataFrame = {
+    val w = window(col("ts"), "10 minutes", "5 minutes")
+    normalized
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"), col("event_count"))
+  }
+
+  /** Session windows (30-minute inactivity gap) per user — gaps-and-islands
+    * semantics via Spark's native session_window (SURVEY.md T2). In streaming
+    * form this is watermark-backed session state; in batch it is one shuffle
+    * on user_id.
+    */
+  def userSessions(normalized: DataFrame): DataFrame =
+    normalized
+      .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        col("user_id"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("event_count"))
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the relational extension surface + window variants. */
+class RelationalSpec extends SparkSpec {
+
+  private lazy val events   = Tables.events(spark, sf).cache()
+  private lazy val norm     = CityEvents.normalize(events)
+  private lazy val customer = Tables.customer(spark, sf)
+  private lazy val orders   = Tables.orders(spark, sf)
+  private lazy val lineitem = Tables.lineitem(spark, sf)
+
+  test("pricing summary covers all lineitem rows below cutoff") {
+    val r = Relational.pricingSummary(lineitem)
+    val total = r.agg(sum("count_order")).head().getLong(0)
+    val expected = lineitem
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .count()
+    assert(total == expected)
+    val row = r.head()
+    assert(math.abs(row.getAs[Double]("avg_qty") -
+      row.getAs[Double]("sum_qty") / row.getAs[Long]("count_order")) < 1e-9)
+  }
+
+  test("events enrichment loses no rows (every user_id has a customer)") {
+    val r = Relational.eventsEnriched(events, customer,
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    assert(r.agg(sum("event_count")).head().getLong(0) == events.count())
+  }
+
+  test("enrichment join is broadcast (no shuffle on the fact side)") {
+    val r = Relational.eventsEnriched(events, customer,
+      Tables.nation(spark, sf), Tables.region(spark, sf))
+    val physical = r.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"))
+    assert(!physical.contains("SortMergeJoin"))
+  }
+
+  test("semi ∪ anti partitions the customer table") {
+    val semi = Relational.customersWithBigOrders(customer, orders, -1.0).count()
+    val anti = Relational.customersWithoutOrders(customer, orders).count()
+    assert(semi + anti == customer.count())
+  }
+
+  test("top-k per group emits at most k rows per city with correct ranking") {
+    val r = Relational.topTypesPerCity(norm, 2).collect()
+    val byCity = r.groupBy(_.getString(0))
+    assert(byCity.values.forall(_.length <= 2))
+    byCity.values.foreach { rows =>
+      val counts = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("event_count"))
+      assert(counts.sameElements(counts.sortBy(-_)))
+    }
+  }
+
+  test("rollup grand total equals event count") {
+    val r = Relational.cityTypeRollup(norm)
+    val grand = r.filter(col("city") === "ALL" && col("event_type") === "ALL")
+      .head().getAs[Long]("event_count")
+    assert(grand == events.count())
+  }
+
+  test("approx distinct is within 10% of exact") {
+    val exact = Relational.distinctUsers(events).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("distinct_users")).toMap
+    Relational.approxDistinctUsers(events).collect().foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getAs[Long]("approx_users") - e) / e < 0.1)
+    }
+  }
+
+  test("set ops are consistent: |A∩B| + |A∖B| = |A|") {
+    val inter = Relational.usersIntersect(events, "purchase", "error").count()
+    val exc   = Relational.usersExcept(events, "purchase", "error").count()
+    val a = events.filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    assert(inter + exc == a)
+  }
+
+  test("sliding windows double-count each event exactly twice") {
+    val r = StreamAggregates.slidingCounts(norm)
+    assert(r.agg(sum("event_count")).head().getLong(0) == 2 * events.count())
+  }
+
+  test("session windows partition each user's events; gaps ≥ 30m split") {
+    val r = StreamAggregates.userSessions(norm)
+    assert(r.agg(sum("event_count")).head().getLong(0) == events.count())
+    // session bounds: end = last event + 30m ⇒ end - start ≥ 30m
+    val bad = r.filter(
+      to_timestamp(col("session_end")) < to_timestamp(col("session_start")) + expr("INTERVAL 30 MINUTES")
+    ).count()
+    assert(bad == 0)
+  }
+}
