@@ -282,6 +282,68 @@ object SparkEntry {
       Some("""SELECT DISTINCT user_id FROM events
         |WHERE event_type IN ('signup', 'click') ORDER BY user_id""".stripMargin)),
 
+    // ---- LLM-data pipeline: text analysis over `documents` (north star)
+    ("q_token_stats",
+      (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_bpe_tokens", col("n_bpe_tokens").cast("long"))
+        .withColumn("text_len", col("text_len").cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, length(text) AS text_len,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q_quality_score",
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH q AS (
+        |  SELECT doc_id,
+        |    ${TextAnalysis.Sql.stopHits} / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+        |    len(regexp_extract_all(text, '[^a-z0-9 ]')) / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id, stopword_ratio, unique_ratio, punct_ratio,
+        |  least(stopword_ratio * 5.0, 1.0) * 0.3 + unique_ratio * 0.5
+        |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
+    ("q_lang_id",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang AS declared_lang,
+        |  ${TextAnalysis.Sql.langNames}[CAST(list_position(${TextAnalysis.Sql.langScores},
+        |    list_max(${TextAnalysis.Sql.langScores})) AS INT)] AS predicted_lang
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${TextAnalysis.Sql.fingerprint} AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- LLM-data pipeline: deduplication (north star)
+    ("q_dedup_exact",
+      (s, d) => Dedup.exactDuplicates(Tables.documents(s, d)),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    ("q_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5),
+      Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty)
+        |SELECT doc_id1, doc_id2,
+        |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN sz s1 ON doc_id1 = s1.doc_id
+        |JOIN sz s2 ON doc_id2 = s2.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
+        |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

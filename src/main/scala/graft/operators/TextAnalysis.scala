@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table (north-star extension surface, SURVEY.md §7.2 M4):
+  * token counting, quality scoring, language identification, and document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd/native Catalyst expressions (split,
+  * higher-order array functions, regexp) — no UDFs — so the operators stay
+  * inside WholeStageCodegen and scale as pure narrow projections: at 100 TB
+  * these run at scan speed with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Order defines the argmax tie-break (first wins).
+    */
+  val LangSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("的", "是", "在", "有", "了"))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "is", "of", "and", "to", "in", "it", "on", "for")
+
+  private def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace + BPE-ish regex token counts, text length, average token
+    * length — the basic size statistics of a quality filter.
+    */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).as("text_len"),
+      size(toks).as("n_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_bpe_tokens"),
+      ((length(col("text")) - size(toks) + 1).cast("double") / size(toks)).as("avg_token_len"))
+  }
+
+  /** Quality scoring: stopword ratio, unique-token ratio, punctuation ratio
+    * and a composite [0,1] score — the length/punct/stopword heuristics of a
+    * training-data quality filter, as pure array expressions.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks   = tokens(col("text"))
+    val n      = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    val uniq     = size(array_distinct(toks))
+    val punct    = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+    val stopRatio = stopHits / n
+    val uniqRatio = uniq / n
+    val punctRatio = punct / length(col("text")).cast("double")
+    // No rounding anywhere: IEEE double ops on identical inputs are
+    // bit-identical across engines, while round() half-boundary semantics
+    // are not. The oracle mirrors the exact expression tree.
+    documents.select(
+      col("doc_id"),
+      stopRatio.as("stopword_ratio"),
+      uniqRatio.as("unique_ratio"),
+      punctRatio.as("punct_ratio"),
+      // composite: reward moderate stopword rate + lexical diversity, punish punctuation noise
+      (least(stopRatio * lit(5.0), lit(1.0)) * lit(0.3)
+        + uniqRatio * lit(0.5)
+        + (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)).as("quality"))
+  }
+
+  /** Stopword-set language identification: score each language by stopword
+    * hits, argmax with first-language tie-break. A real pipeline would use
+    * character n-gram profiles; the plumbing (per-language scoring + argmax,
+    * all inside one projection) is identical.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = array(LangSets.map { case (_, ws) =>
+      size(filter(toks, t => t.isin(ws: _*)))
+    }: _*)
+    val langs = array(LangSets.map(l => lit(l._1)): _*)
+    documents.select(
+      col("doc_id"),
+      col("lang").as("declared_lang"),
+      element_at(langs, array_position(scores, array_max(scores)).cast("int")).as("predicted_lang"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the character stream:
+    * acc = (acc*31 + codepoint) mod 1e9+7. One pass, bounded intermediate
+    * (< 2^35, exact in Long for Spark and BIGINT for the DuckDB oracle).
+    * Used as the document content fingerprint and as the token hash for
+    * [[Dedup]] sketches.
+    */
+  def fingerprintCol(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= "")
+    val codes = transform(chars, c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
+
+  /** DuckDB oracle fragments mirroring the Scala derivations. */
+  object Sql {
+    private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+    val fingerprint: String =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+    val langScores: String = LangSets.map { case (_, ws) =>
+      s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
+    }.mkString("[", ", ", "]")
+    val langNames: String = LangSets.map(l => s"'${l._1}'").mkString("[", ", ", "]")
+    val stopHits: String =
+      s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(EnStopwords)}))"
+  }
+}
