@@ -344,6 +344,33 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
 
+    // ---- LLM-data pipeline: similarity search over `embeddings` (north star)
+    ("q_cosine_topk",
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))
+        .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id, ${Similarity.Sql.cosine("qv", "v")} AS cosine
+        |  FROM d CROSS JOIN q WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    ("q_cosine_pairs",
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |p AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |  ${Similarity.Sql.cosine("a.v", "b.v")} AS cosine
+        |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+        |SELECT * FROM p WHERE cosine >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin)),
+
+    // IVF probing is approximate — recall vs brute force asserted in ScalaTest.
+    ("q_ann_ivf_topk",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
+      None),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

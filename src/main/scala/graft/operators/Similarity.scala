@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (north-star extension
+  * surface): exact brute-force cosine top-k as the correctness baseline, an
+  * exact all-pairs near-duplicate detector for validation scale, and an
+  * IVF-bucketed approximate variant as the 100 TB scale path.
+  *
+  * Scale design:
+  *  - Brute-force top-k broadcasts the (small) query set against the corpus
+  *    scan: embarrassingly parallel, one shuffle only for the final
+  *    per-query top-k (TakeOrdered-style via rank window on query_id).
+  *  - The IVF variant replaces the full scan with centroid-bucketed probing:
+  *    corpus partitioned by nearest centroid (one broadcast argmax pass),
+  *    queries probe their `nprobe` nearest centroids — candidate set shrinks
+  *    by ~nprobe/C while the plan shape (broadcast joins + one window)
+  *    stays identical at any corpus size.
+  *  - Exact all-pairs (O(n²)) is kept for oracle validation only; at scale
+  *    the IVF/LSH bucket join replaces it.
+  */
+object Similarity {
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+
+  /** Exact brute-force cosine top-k: for each query vector (vec_id <
+    * numQueries), the k nearest corpus vectors by cosine, ties broken by
+    * vec_id.
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus  = prepared(embeddings)
+    val queries = prepared(embeddings)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact all-pairs cosine near-duplicates (cosine ≥ threshold,
+    * vec_id1 < vec_id2). O(n²) — validation scale; see [[ivfTopK]] for the
+    * bucketed scale path.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = prepared(embeddings).select(col("vec_id").as("vec_id1"), col("v").as("v1"))
+    val b = prepared(embeddings).select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+    a.join(b, col("vec_id1") < col("vec_id2"))
+      .select(col("vec_id1"), col("vec_id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_id1", "vec_id2")
+  }
+
+  /** IVF-style approximate top-k: corpus vectors are assigned to their
+    * nearest of C pseudo-centroids (every (n/C)-th corpus vector — a
+    * deterministic stand-in for trained k-means centroids); each query
+    * probes its `nprobe` nearest centroids and ranks exact cosine within
+    * the probed cells. Approximate (no oracle); recall vs [[bruteForceTopK]]
+    * is asserted in ScalaTest.
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+              numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = prepared(embeddings)
+    // deterministic centroid sample: rank by vec_id, take every (n/C)-th
+    val n = corpus.count()
+    val stride = math.max(1L, n / numCentroids)
+    val centroids = corpus
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * numCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+
+    // corpus assignment: nearest centroid by cosine (broadcast argmax pass)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"), cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+
+    // queries probe their nprobe nearest centroids
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("centroid_id"), cosine(col("qv"), col("cv")).as("csim"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+
+    // exact cosine within probed cells only
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB oracle fragments: double-cast vectors + explicit sequential
+    * left-fold dot product matching [[graft.functions.VectorFunctions]].
+    */
+  object Sql {
+    val prepared: String =
+      "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    def cosine(a: String, b: String): String =
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+}

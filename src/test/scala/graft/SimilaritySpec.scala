@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Specs for similarity search: exact baseline invariants + IVF recall. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("brute-force top-k: k rows per query, descending cosine, no self-match") {
+    val r = Similarity.bruteForceTopK(emb, numQueries = 3, k = 10).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      assert(!rows.exists(_.getLong(1) == q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("cosine near-dup pairs are thresholded and ordered") {
+    val r = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+    assert(r.forall(x => x.getLong(0) < x.getLong(1)))
+    assert(r.forall(x => x.getDouble(2) >= 0.4))
+    // a duplicated vector must surface with cosine ~1
+    val dup = emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000L)
+    val planted = Similarity.cosineNearDupPairs(emb.union(dup), 0.999)
+      .filter(col("vec_id2") === col("vec_id1") + 1000000L)
+    assert(planted.count() == 1)
+  }
+
+  test("IVF top-k: correct shape and usable recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, numQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // every IVF hit must carry the true cosine (exact scoring within cells)
+    val bf = Similarity.bruteForceTopK(emb, numQueries = 5, k = 500).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    Similarity.ivfTopK(emb, numQueries = 5, k = 10).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
+    }
+  }
+}
