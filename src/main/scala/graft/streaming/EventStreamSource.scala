@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming event sources mirroring the reference's ingestion edge.
+  *
+  * The reference consumes a Kafka topic of JSON CityEvents
+  * (consumer/.../SparkDynamoDBConsumer.java:73-96) produced by a scheduled
+  * random generator (producer/.../EventGeneratorService.java:23-43). Here:
+  *
+  *  - [[kafkaJsonStream]] is the identical Kafka path (S1 + P1-P3) — built
+  *    against the Kafka connector options; exercised only where a broker
+  *    exists (none in this sandbox).
+  *  - [[rateStream]] is the producer analog (S2) on Spark's rate source:
+  *    deterministic pseudo-random attribute picks derived from the rate
+  *    value (seeded hash), so tests can assert exact contents.
+  *  - [[parseJson]] is the wire-format decode stage shared by all sources.
+  */
+object EventStreamSource {
+
+  /** The reference's fixed all-string wire schema
+    * (consumer/.../SparkDynamoDBConsumer.java:65-70) plus the testdata
+    * `events` field shapes (TESTDATA.md).
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Kafka source → parsed event columns (S1, P1-P3). */
+  def kafkaJsonStream(spark: SparkSession, bootstrap: String, topic: String,
+                      startingOffsets: String = "earliest"): DataFrame =
+    parseJson(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS json"))
+
+  /** JSON decode stage: string value → typed event columns (P1-P3). */
+  def parseJson(jsonDf: DataFrame): DataFrame =
+    jsonDf
+      .select(from_json(col("json"), wireSchema).as("data"))
+      .select("data.*")
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Rate-source synthetic generator — the producer analog (S2): one row per
+    * tick, attributes derived deterministically from the tick value by
+    * hashing, values shaped to the testdata domains.
+    */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int = 10): DataFrame = {
+    val v = col("value")
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        v.as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(xxhash64(v, lit(1)), lit(150)).as("user_id"),
+        element_at(array(eventTypes.map(lit): _*),
+          (pmod(xxhash64(v, lit(2)), lit(eventTypes.size)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(v, lit(3)), lit(49000)) / 100.0 + 0.01).as("value"),
+        concat(lit("""{"k": """), pmod(xxhash64(v, lit(4)), lit(100)), lit("}")).as("props"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{CityEvents, StreamAggregates}
+import graft.sources.KeyedUpsertSink
+
+/** The reference's streaming topology: FOUR concurrent Structured Streaming
+  * queries over one parsed event stream
+  * (consumer/.../SparkDynamoDBConsumer.java:98-196), re-expressed with
+  * `foreachBatch` + [[KeyedUpsertSink]] replacing the hand-rolled DynamoDB
+  * `ForeachWriter`:
+  *
+  *   1. raw-event passthrough — append mode, upsert by (rec_id, ts_str)
+  *      (reference :100-115, T3/T7)
+  *   2. windowed aggregation — 10-minute watermark, update mode, upsert by
+  *      partition_key (reference :119-154, T1/T3)
+  *   3. high-severity alerts — append mode, upsert by (city, ts_str)
+  *      (reference :160-177)
+  *   4. monitoring counts — complete mode to an in-memory/console sink
+  *      (reference :182-190)
+  *
+  * Each query gets its own checkpoint dir under a shared root (T4:
+  * reference :37-38,55) and the runner blocks in `awaitAnyTermination`
+  * (T5: reference :196).
+  *
+  * Watermarking: the reference watermarks PROCESSING time (its events are
+  * stamped on arrival — late data cannot exist, SURVEY.md T1). The rebuild
+  * defaults to true event-time watermarks on `ts`; `processingTimeMode`
+  * reproduces the reference's behavior for fidelity.
+  */
+class Pipeline(
+    spark: SparkSession,
+    storeRoot: String,
+    checkpointRoot: String,
+    watermarkDelay: String = "10 minutes",
+    processingTimeMode: Boolean = false) {
+
+  def rawStorePath: String    = s"$storeRoot/raw_events"
+  def aggStorePath: String    = s"$storeRoot/aggregations"
+  def alertsStorePath: String = s"$storeRoot/alerts"
+
+  /** Normalize + (optionally) re-stamp event time with processing time,
+    * mirroring the reference's `current_timestamp()` column (P4).
+    */
+  private def normalized(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = if (processingTimeMode) events.withColumn("ts", current_timestamp()) else events
+    CityEvents.normalize(base)
+  }
+
+  private def upsertBatch(path: String, keys: Seq[String])(df: DataFrame, epochId: Long): Unit =
+    KeyedUpsertSink.upsert(df.sparkSession, path, keys, df)
+
+  /** Query 1: raw events, append mode, keyed upsert (reference :100-115). */
+  def startRawEvents(events: DataFrame): StreamingQuery =
+    StreamAggregates.rawEvents(normalized(events))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/raw-events")
+      .foreachBatch(upsertBatch(rawStorePath, Seq("rec_id", "ts_str")) _)
+      .start()
+
+  /** Query 2: watermarked 5-minute windowed aggregation, update mode,
+    * upsert by partition_key (reference :119-154).
+    */
+  def startWindowedAgg(events: DataFrame): StreamingQuery =
+    StreamAggregates.windowedAggregate(
+        normalized(events).withWatermark("ts", watermarkDelay))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/aggregations")
+      .foreachBatch(upsertBatch(aggStorePath, Seq("partition_key")) _)
+      .start()
+
+  /** Query 3: high-severity alerts, append mode (reference :160-177). */
+  def startAlerts(events: DataFrame): StreamingQuery =
+    StreamAggregates.alerts(normalized(events))
+      .drop("ts") // store the wire-format string, as the reference's sink did
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/alerts")
+      .foreachBatch(upsertBatch(alertsStorePath, Seq("city", "ts_str")) _)
+      .start()
+
+  /** Query 4: global monitoring counts, complete mode, named in-memory sink
+    * (the testable stand-in for the reference's console sink :182-190).
+    */
+  def startMonitoring(events: DataFrame, queryName: String = "monitoring"): StreamingQuery =
+    StreamAggregates.globalCounts(normalized(events))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointRoot/console")
+      .start()
+
+  /** Start all four queries (T5) and return them; callers block with
+    * `spark.streams.awaitAnyTermination()` exactly as the reference does.
+    */
+  def startAll(events: DataFrame): Seq[StreamingQuery] =
+    Seq(startRawEvents(events), startWindowedAgg(events),
+      startAlerts(events), startMonitoring(events))
+
+  def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
+}
+
+object Pipeline {
+  /** Production entry: rate-source (or Kafka via [[EventStreamSource]])
+    * pipeline with default trigger — batches fire as data arrives (T9).
+    */
+  def rateDriven(spark: SparkSession, storeRoot: String, checkpointRoot: String,
+                 rowsPerSecond: Int = 10): (Pipeline, Seq[StreamingQuery]) = {
+    val p = new Pipeline(spark, storeRoot, checkpointRoot)
+    (p, p.startAll(EventStreamSource.rateStream(spark, rowsPerSecond)))
+  }
+}

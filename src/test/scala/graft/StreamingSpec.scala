@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.KeyedUpsertSink
+import graft.streaming.Pipeline
+
+case class EventRec(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Streaming semantics specs (SURVEY.md §2.9 T1-T8) via MemoryStream —
+  * no DuckDB oracle exists for streaming, so state is asserted directly.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1, typ: String = "click",
+                 v: Double = 50.0): EventRec =
+    EventRec(id, ts(t), user, typ, v, s"""{"k": $id}""")
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("windowed agg stream: upsert by partition_key across epochs (T3/T7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startWindowedAgg(input.toDF())
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val s1 = KeyedUpsertSink.read(spark, p.aggStorePath)
+        .filter(col("window_start") === "2024-01-01 10:00:00").head()
+      assert(s1.getAs[Long]("event_count") == 2)
+
+      // same window, next epoch: the keyed row must be REPLACED (count 2→3)
+      input.addData(ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val s2 = KeyedUpsertSink.read(spark, p.aggStorePath)
+        .filter(col("window_start") === "2024-01-01 10:00:00").collect()
+      assert(s2.length == 1)
+      assert(s2.head.getAs[Long]("event_count") == 3)
+      assert(s2.head.getAs[scala.collection.Seq[String]]("severities").length == 3)
+    } finally q.stop()
+  }
+
+  test("watermark drops data later than 10 minutes (T1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startWindowedAgg(input.toDF())
+    try {
+      input.addData(ev(1, "2024-01-01 12:00:00"))
+      q.processAllAvailable() // watermark advances to 11:50
+      input.addData(ev(2, "2024-01-01 12:00:30")) // on time, same window
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 11:30:00")) // 30 min late: beyond watermark
+      q.processAllAvailable()
+      val store = KeyedUpsertSink.read(spark, p.aggStorePath).collect()
+      // late event's window [11:30,11:35) must never materialize
+      assert(!store.exists(_.getAs[String]("window_start") == "2024-01-01 11:30:00"))
+      val w12 = store.filter(_.getAs[String]("window_start") == "2024-01-01 12:00:00")
+      assert(w12.length == 1 && w12.head.getAs[Long]("event_count") == 2)
+    } finally q.stop()
+  }
+
+  test("raw events + alerts streams: append mode, keyed stores (T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    // value 420 → severity critical; value 50 → low (only critical alerts)
+    val qs = Seq(p.startRawEvents(input.toDF()), p.startAlerts(input.toDF()))
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", v = 50.0),
+        ev(2, "2024-01-01 10:00:01", v = 420.0))
+      qs.foreach(_.processAllAvailable())
+      assert(KeyedUpsertSink.read(spark, p.rawStorePath).count() == 2)
+      val alerts = KeyedUpsertSink.read(spark, p.alertsStorePath).collect()
+      assert(alerts.length == 1)
+      assert(alerts.head.getAs[String]("severity") == "critical")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("monitoring stream: complete mode to memory sink (A2/T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startMonitoring(input.toDF(), queryName = "mon_test")
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      val total = spark.table("mon_test").agg(sum("event_count")).head().getLong(0)
+      assert(total == 2)
+    } finally q.stop()
+  }
+
+  test("keyed upsert sink: last-writer-wins and batch-internal dedup") {
+    import spark.implicits._
+    val store = tmp("kv") + "/t"
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("b", 9), ("c", 3), ("c", 3)).toDF("k", "v"))
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 1, "b" -> 9, "c" -> 3))
+  }
+
+  test("rate-source generator produces schema-complete events (S2)") {
+    val df = graft.streaming.EventStreamSource.rateStream(spark)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("json parse stage decodes the wire format (P1-P3)") {
+    import spark.implicits._
+    val json = Seq("""{"event_id":7,"ts":"2024-01-01T10:00:00","user_id":3,"event_type":"view","value":9.5,"props":"{\"k\":1}"}""")
+      .toDF("json")
+    val r = graft.streaming.EventStreamSource.parseJson(json).head()
+    assert(r.getAs[Long]("event_id") == 7)
+    assert(r.getAs[String]("event_type") == "view")
+    assert(r.getAs[Double]("value") == 9.5)
+  }
+}
