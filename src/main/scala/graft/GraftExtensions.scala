@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashSignature, SimHash}
+
+/** Session extension registering graft's custom Catalyst expressions as SQL
+  * functions — the public, spark-submit-friendly injection point:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   // then: SELECT simhash(token_hashes, 30) FROM ...
+  * }}}
+  *
+  * The Column API in [[graft.functions.Sketches]] resolves through the same
+  * registry via `call_function`, so Scala and SQL users share one definition.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal BIGINT, got $other")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => MinHashSignature(child, 128, 42L)
+        case Seq(child, k) => MinHashSignature(child, intArg(k, "numHashes"), 42L)
+        case Seq(child, k, s) =>
+          MinHashSignature(child, intArg(k, "numHashes"), longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(array<bigint>[, numHashes[, seed]])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => SimHash(child, 30)
+        case Seq(child, b) => SimHash(child, intArg(b, "bits"))
+        case _ => throw new IllegalArgumentException("simhash(array<bigint>[, bits])")
+      }))
+  }
+}

@@ -344,6 +344,46 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
 
+    // MinHash-LSH candidates verified with exact Jaccard: output equals the
+    // exact j≥0.8 pairs (miss probability ≈ 5e-8 at 32 bands × 4 rows), so
+    // the exact-pairs SQL is a valid oracle.
+    ("q_minhash_pairs",
+      (s, d) => Dedup.minhashPairs(Tables.documents(s, d), 0.8),
+      Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty)
+        |SELECT doc_id1, doc_id2,
+        |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+        |FROM inter
+        |JOIN sz s1 ON doc_id1 = s1.doc_id
+        |JOIN sz s2 ON doc_id2 = s2.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8
+        |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
+    // SimHash with pigeonhole block join is EXACT for hamming ≤ 2; the
+    // oracle recomputes the identical integer-only simhash in SQL.
+    ("q_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), 2),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS h FROM toks),
+        |bits AS (SELECT doc_id, j,
+        |  CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |       THEN 1 ELSE 0 END AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS j)
+        |  GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
     // ---- LLM-data pipeline: similarity search over `embeddings` (north star)
     ("q_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))

@@ -76,6 +76,102 @@ object Dedup {
       .orderBy("doc_id1", "doc_id2")
   }
 
+  /** Per-token polynomial hashes — same scheme as
+    * [[TextAnalysis.fingerprintCol]] ((acc*31+code) mod 1e9+7), applied per
+    * token, so the DuckDB oracle can reproduce the values exactly.
+    */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t =>
+      aggregate(
+        transform(filter(split(t, ""), c => c =!= ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
+
+  /** 64-bit shingle hashes for MinHash (xxhash64 — sketch-internal, no
+    * oracle dependency on the hash values themselves).
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** MinHash + LSH banding near-dup pairs, verified exactly.
+    *
+    * shingle→minhash→band→bucket-join (the classic pipeline): a k-hash
+    * signature per doc (one-pass custom expression
+    * [[graft.functions.MinHashSignature]]), banded into `bands` buckets;
+    * docs sharing any band bucket become candidates; candidates are verified
+    * with EXACT shingle-set Jaccard and filtered at `threshold`, so false
+    * positives are impossible and the miss probability at j ≥ 0.8 with
+    * 32 bands × 4 rows is (1-0.8⁴)³² ≈ 5e-8 — the output equals the exact
+    * Jaccard pairs for practical purposes (the oracle asserts exactly that).
+    *
+    * Scale: candidate generation shuffles (band, bucket) pairs — k·n rows of
+    * a few bytes — instead of the full shingle inverted index; verification
+    * touches only candidate pairs. This is the 100 TB path where the exact
+    * inverted-index join of [[jaccardPairs]] becomes too wide.
+    */
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
+                   numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sets = documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sets.select(col("doc_id"),
+      graft.functions.Sketches.minhashSignature(
+        transform(col("sh"), s => xxhash64(s)), numHashes, 42L).as("sig"))
+    // rotate-xor fold: overflow-free under ANSI mode (shift/xor only)
+    val bandHashes = array((0 until bands).map(b =>
+      aggregate(slice(col("sig"), b * rows + 1, rows), lit(17L),
+        (acc, x) => shiftleft(acc, 1).bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(x))): _*)
+    val banded = sigs
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .distinct()
+    val s1 = sets.select(col("doc_id").as("doc_id1"), col("sh").as("sh1"))
+    val s2 = sets.select(col("doc_id").as("doc_id2"), col("sh").as("sh2"))
+    candidates
+      .join(s1, "doc_id1").join(s2, "doc_id2")
+      .select(col("doc_id1"), col("doc_id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          (size(col("sh1")) + size(col("sh2")) -
+            size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_id1", "doc_id2")
+  }
+
+  /** SimHash near-dup pairs with EXACT hamming-≤-k semantics.
+    *
+    * 30-bit SimHash over token polynomial hashes (one-pass custom expression
+    * [[graft.functions.SimHash]]); candidate pairs via the pigeonhole block
+    * join — 3 blocks of 10 bits, so any pair within hamming distance 2 shares
+    * at least one exact block (no recall loss) — then verified with
+    * bit_count(xor). Fully deterministic, integer-only, hence oracle-checked.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 2, bits: Int = 30,
+                   blocks: Int = 3): DataFrame = {
+    require(blocks > maxHamming, "need more blocks than allowed hamming distance")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    val sigs = documents.select(col("doc_id"),
+      graft.functions.Sketches.simhash(tokenHashes(col("text")), bits).as("simhash"))
+    val blockCols = array((0 until blocks).map(b =>
+      shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask))): _*)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(blockCols).as(Seq("block", "bval")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_id1", "doc_id2")
+  }
+
   /** DuckDB oracle fragments. */
   object Sql {
     /** Shingle-set CTE body over `documents` (mirrors [[shingles]], n=3). */

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+import graft.operators.Dedup
+
+/** Specs for the custom sketch expressions and sketch-based dedup. */
+class SketchSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("minhash signature: k values, deterministic, permutation-min semantics") {
+    import spark.implicits._
+    val df = Seq((1L, Array(10L, 20L, 30L)), (2L, Array(10L, 20L, 30L)), (3L, Array(99L)))
+      .toDF("id", "hashes")
+    val r = df.select(col("id"), Sketches.minhashSignature(col("hashes"), 16, 7L).as("sig"))
+      .collect().map(x => x.getLong(0) -> x.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    assert(r(1L).length == 16)
+    assert(r(1L) == r(2L))            // same input -> same signature
+    assert(r(1L) != r(3L))
+    // signature of a superset is elementwise <= (min over more values)
+    val sup = Seq((4L, Array(10L, 20L, 30L, 99L))).toDF("id", "hashes")
+      .select(Sketches.minhashSignature(col("hashes"), 16, 7L)).head()
+      .getAs[scala.collection.Seq[Long]](0)
+    r(1L).zip(sup).foreach { case (a, b) => assert(b <= a) }
+  }
+
+  test("minhash codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, Array.tabulate(20)(j => (i * 31 + j).toLong)))
+      .toDF("id", "hashes")
+    val viaCodegen = df.select(col("id"), Sketches.minhashSignature(col("hashes")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("s")).toMap
+    // force interpreted evaluation
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("id"), Sketches.minhashSignature(col("hashes")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("s")).toMap
+      assert(viaCodegen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("simhash: identical inputs collide, disjoint inputs differ, SQL path works") {
+    import spark.implicits._
+    val df = Seq((1L, Array(5L, 9L, 5L)), (2L, Array(5L, 9L, 5L)), (3L, Array(1024L, 2048L)))
+      .toDF("id", "hashes")
+    val r = df.select(col("id"), Sketches.simhash(col("hashes")).as("s"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L))
+    assert(r(1L) != r(3L))
+    // SQL registration via GraftExtensions
+    df.createOrReplaceTempView("simhash_in")
+    val viaSql = spark.sql("SELECT id, simhash(hashes, 30) AS s FROM simhash_in")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaSql == r)
+  }
+
+  test("minhash pairs equal exact jaccard pairs at threshold 0.8") {
+    val exact = Dedup.jaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("simhash pairs: hamming bounded and include exact duplicates") {
+    import spark.implicits._
+    val withDup = docs.union(
+      docs.limit(1).withColumn("doc_id", col("doc_id") + 1000000L))
+    val pairs = Dedup.simhashPairs(withDup, 2).collect()
+    assert(pairs.forall(_.getLong(2) <= 2))
+    // identical text -> identical simhash -> hamming 0 pair present
+    assert(pairs.exists(r => r.getLong(1) == r.getLong(0) + 1000000L && r.getLong(2) == 0))
+  }
+}
