@@ -411,6 +411,35 @@ object SparkEntry {
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
       None),
 
+    // ---- LLM-data pipeline: multimodal binary-column plumbing (north star).
+    // Decode is a deterministic stub (no codecs in-container); the payload is
+    // ASCII text bytes, so the oracle recomputes features from char codes.
+    ("q_media_features",
+      (s, d) => Multimodal.features(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy("media_id"),
+      Some("""WITH codes AS (SELECT doc_id,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
+        |  list_transform(generate_series(0, 15),
+        |    b -> CAST(len(list_filter(cs, c -> (c >> 4) = b)) AS BIGINT)) AS hist16
+        |FROM codes ORDER BY media_id""".stripMargin)),
+
+    ("q_frame_sample",
+      (s, d) => Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 5)
+        .orderBy("media_id", "frame_idx"),
+      Some("""SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, CAST(floor(n_chars / 10) AS INT) - 1, 5)) AS frame_idx
+        |FROM documents WHERE CAST(floor(n_chars / 10) AS INT) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // hash-seeded embedding stub — engine-specific hash, rows-only check
+    ("q_media_embed",
+      (s, d) => Multimodal.embedStub(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy("media_id"),
+      None),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded media record: opaque binary payload + typed metadata — the
+  * multimodal column model (north-star extension surface). Image/audio/video
+  * travel as `binary` columns; metadata is a typed struct; decode/featurize
+  * run per-partition with bounded memory.
+  */
+case class MediaRecord(
+    media_id: Long,
+    kind: String,           // image | audio | video
+    payload: Array[Byte],   // opaque encoded bytes
+    n_frames: Int,          // video/audio frame count (metadata)
+    width: Int, height: Int)
+
+case class MediaFeatures(
+    media_id: Long,
+    n_bytes: Long,
+    mean_byte: Double,
+    hist16: Array[Long])    // 16-bucket byte histogram (byte >> 4)
+
+/** Multimodal operators over binary media columns.
+  *
+  * The decode step is a clearly-marked deterministic STUB (this container has
+  * no image/audio codecs); everything Spark-side is real and load-bearing:
+  * the binary+metadata schema, `mapPartitions` batch shape (iterator-lazy,
+  * bounded memory — the Scala analog of `mapInPandas` batches), partitioning
+  * behavior (narrow, no shuffle), and the explode-based frame sampling.
+  * Swapping [[decodeStub]] for a JNI/javacv codec changes no plan shape.
+  */
+object Multimodal {
+
+  /** Documents→media adapter used by tests and the registered query: treats
+    * the UTF-8 text bytes as an opaque payload so the plumbing runs on the
+    * provided testdata without codecs.
+    */
+  def mediaFromDocuments(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      col("text").cast("binary").as("payload"),
+      floor(col("n_chars") / 10).cast("int").as("n_frames"),
+      lit(64).as("width"), lit(64).as("height"))
+
+  /** STUB decode+featurize: consumes the encoded payload bytes and emits
+    * deterministic per-media features (byte count, mean byte value, 16-bucket
+    * histogram of the high nibble). A real implementation would decode
+    * pixels/samples here; the iterator-per-partition shape is the real one.
+    */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        // ??? real codec goes here; deterministic fake below
+        val bytes = m.payload
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          hist(b >> 4) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(m.media_id, bytes.length.toLong,
+          if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length, hist)
+      }
+    }
+  }
+
+  /** Typed entry: DataFrame → Dataset[MediaRecord] → features. */
+  def features(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    decodeStub(media.as[MediaRecord]).toDF()
+  }
+
+  /** Frame sampling plumbing: every `stride`-th frame index per media row —
+    * a pure explode (narrow); the downstream per-frame decode would hang off
+    * the exploded rows.
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .filter(col("n_frames") > 0) // sequence(0, -1) is illegal — guard first
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Deterministic embedding stub from payload bytes (hash-seeded floats) —
+    * the shape a real vision encoder would produce; feeds [[Similarity]].
+    */
+  def embedStub(media: DataFrame, dims: Int = 16): DataFrame =
+    media.select(col("media_id"),
+      array((0 until dims).map(d =>
+        (pmod(xxhash64(col("payload"), lit(d)), lit(2000001)) / 1000000.0 - 1.0)): _*)
+        .as("embedding"))
+}
