@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSignature, SimHash}
+import graft.functions.{MinHashSignature, SimHash, VecDot}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => SimHash(child, 30)
         case Seq(child, b) => SimHash(child, intArg(b, "bits"))
         case _ => throw new IllegalArgumentException("simhash(array<bigint>[, bits])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => VecDot(a, b)
+        case _ => throw new IllegalArgumentException("vec_dot(array<double>, array<double>)")
       }))
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.call_function
 
 /** Vector math over `array<float>` embedding columns as native higher-order
   * Catalyst expressions (`zip_with` / `aggregate`) — no UDFs, no
@@ -17,9 +18,12 @@ object VectorFunctions {
   /** Cast an array<float> column to array<double> (exact widening). */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Dot product of two array<double> columns (sequential left fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — the codegen'd
+    * [[VecDot]] expression (same sequential left fold as the HOF
+    * formulation `aggregate(zip_with(...))`, bit-identical results, no
+    * per-row allocation). Requires [[graft.GraftExtensions]] on the session.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

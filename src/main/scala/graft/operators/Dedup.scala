@@ -22,16 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Token 3-gram shingle set (distinct) of the `text` column. Spark's
-    * `sequence(0, k)` turns DESCENDING for k < 0, so short texts (< n tokens)
-    * are guarded to an empty set explicitly.
+  /** Token n-gram shingle set (distinct) of the `text` column.
+    *
+    * Built as chained `zip_with`s of the token array against its shifted
+    * slices: expressions in HOF *argument* position evaluate once per row,
+    * whereas an expression referenced inside a lambda body re-evaluates per
+    * ELEMENT — the naive `transform(sequence(...), i -> element_at(toks, i))`
+    * formulation re-splits the text ~3·|tokens| times per row (measured 10×
+    * slower at sf0.1). `concat` (not concat_ws) propagates the null tail of
+    * the shorter slice, which [[filter]] then drops — also covering texts
+    * with fewer than n tokens (empty result).
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    var cur = toks
+    // NB: slice length must not overflow (start+length); Int.MaxValue yields
+    // an all-null array — size(toks) is always enough to take the whole tail.
+    for (j <- 1 until n)
+      cur = zip_with(cur, slice(toks, lit(j + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    array_distinct(filter(cur, s => s.isNotNull))
   }
 
   /** Exact duplicate groups: one representative (min doc_id) per distinct
@@ -56,22 +66,29 @@ object Dedup {
     * jaccard ≥ threshold) via the inverted-index candidate join.
     */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sets = documents
+    // Set size rides along with each exploded shingle (it is functionally
+    // dependent on doc_id), so no extra join against a sizes frame — and the
+    // shingle set is computed exactly once per document.
+    // The repartition on the join key is a deliberate materialization
+    // barrier: it stops CollapseProject from inlining the (expensive)
+    // shingle expression into downstream consumers, pre-partitions BOTH
+    // sides of the self-join (one exchange, reused), and computes each
+    // document's shingle set exactly once.
+    val ex = documents
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .repartition(col("shingle"))
     val inter = ex.as("a")
       .join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        col("a.n_sh").as("n_sh1"), col("b.n_sh").as("n_sh2"))
       .agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.as("s1"), col("doc_id1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("doc_id2") === col("s2.doc_id"))
       .select(col("doc_id1"), col("doc_id2"),
         (col("n_common").cast("double") /
-          (col("s1.n_sh") + col("s2.n_sh") - col("n_common"))).as("jaccard"))
+          (col("n_sh1") + col("n_sh2") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_id1", "doc_id2")
   }
@@ -112,12 +129,18 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // Materialization barriers (repartition): without them CollapseProject
+    // inlines the shingle/minhash expressions into every one of the `bands`
+    // band-hash expressions AND into both self-join branches — a bands×2
+    // recompute of the whole sketch pipeline per row.
     val sets = documents
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+      .repartition(col("doc_id"))
     val sigs = sets.select(col("doc_id"),
       graft.functions.Sketches.minhashSignature(
         transform(col("sh"), s => xxhash64(s)), numHashes, 42L).as("sig"))
+      .repartition(col("doc_id"))
     // rotate-xor fold: overflow-free under ANSI mode (shift/xor only)
     val bandHashes = array((0 until bands).map(b =>
       aggregate(slice(col("sig"), b * rows + 1, rows), lit(17L),
@@ -155,8 +178,10 @@ object Dedup {
     require(blocks > maxHamming, "need more blocks than allowed hamming distance")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
+    // barrier: materialize the simhash once (see minhashPairs note)
     val sigs = documents.select(col("doc_id"),
       graft.functions.Sketches.simhash(tokenHashes(col("text")), bits).as("simhash"))
+      .repartition(col("doc_id"))
     val blockCols = array((0 until blocks).map(b =>
       shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask))): _*)
     val banded = sigs.select(col("doc_id"), col("simhash"),

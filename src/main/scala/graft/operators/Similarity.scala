@@ -24,8 +24,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+  /** Double-cast vector plus its precomputed L2 norm: every similarity
+    * operator computes each row's norm ONCE here instead of once per
+    * candidate pair (cosine = dot/(nrm_a*nrm_b) is value-identical to the
+    * per-pair formulation, so oracles are unaffected).
+    */
+  private def prepared(embeddings: DataFrame): DataFrame = {
+    val v = toDoubleVec(col("embedding"))
+    embeddings.select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+  }
 
   /** Exact brute-force cosine top-k: for each query vector (vec_id <
     * numQueries), the k nearest corpus vectors by cosine, ties broken by
@@ -35,10 +43,11 @@ object Similarity {
     val corpus  = prepared(embeddings)
     val queries = prepared(embeddings)
       .filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = corpus
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cosine"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -51,10 +60,13 @@ object Similarity {
     * bucketed scale path.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = prepared(embeddings).select(col("vec_id").as("vec_id1"), col("v").as("v1"))
-    val b = prepared(embeddings).select(col("vec_id").as("vec_id2"), col("v").as("v2"))
+    val a = prepared(embeddings)
+      .select(col("vec_id").as("vec_id1"), col("v").as("v1"), col("nrm").as("nrm1"))
+    val b = prepared(embeddings)
+      .select(col("vec_id").as("vec_id2"), col("v").as("v2"), col("nrm").as("nrm2"))
     a.join(b, col("vec_id1") < col("vec_id2"))
-      .select(col("vec_id1"), col("vec_id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .select(col("vec_id1"), col("vec_id2"),
+        (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_id1", "vec_id2")
   }
@@ -74,31 +86,34 @@ object Similarity {
     val stride = math.max(1L, n / numCentroids)
     val centroids = corpus
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * numCentroids)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
     // corpus assignment: nearest centroid by cosine (broadcast argmax pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
     val assigned = corpus.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("centroid_id"), cosine(col("v"), col("cv")).as("csim"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
 
     // queries probe their nprobe nearest centroids
     val queries = corpus.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))
     val probes = queries.join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("centroid_id"), cosine(col("qv"), col("cv")).as("csim"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("centroid_id"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("csim"))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("centroid_id"))
 
     // exact cosine within probed cells only
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cosine"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
