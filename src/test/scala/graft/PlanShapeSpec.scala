@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Physical-plan shape assertions — the scale-critical plan properties the
+  * build brief calls out: top-k compiles to TakeOrderedAndProject (not a
+  * global sort), filters push into the parquet scan, small dims broadcast.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("orderBy+limit compiles to TakeOrderedAndProject (O1/O5)") {
+    val norm = CityEvents.normalize(Tables.events(spark, sf))
+    val p = physical(Serving.eventsByCity(norm, "NYC", 20))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalLimit")) // no global-sort-then-limit shape
+  }
+
+  test("direct-column predicates push into the parquet scan (S6/F2)") {
+    val r = Relational.customersWithBigOrders(
+      Tables.customer(spark, sf), Tables.orders(spark, sf), 100000.0)
+    val scans = r.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scans.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)"),
+      s"expected totalprice pushdown in:\n$scans")
+  }
+
+  test("column pruning reaches the scan: unused props column is not read (P8)") {
+    // other suites cache the normalized frame; a cached InMemoryRelation
+    // carries the full schema and would mask scan-level pruning
+    spark.catalog.clearCache()
+    val norm = CityEvents.normalize(Tables.events(spark, sf))
+    val counts = StreamAggregates.globalCounts(norm)
+    val scans = counts.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!scans.contains("props"), "props should be pruned from ReadSchema")
+  }
+
+  test("windowed aggregation is two-phase (map-side partial aggregation)") {
+    val agg = StreamAggregates.windowedAggregate(
+      CityEvents.normalize(Tables.events(spark, sf)))
+    val p = physical(agg)
+    // partial + final pairs around one exchange
+    assert("(ObjectHashAggregate|HashAggregate)".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{EventStreamSource, Stateful}
+import graft.operators.CityEvents
+
+/** Specs for the custom-state operator and the Kafka sink stage. */
+class StatefulSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  // user_id 0 -> city SF; value >= 250 -> high/critical, < 100 -> low
+  private def ev(id: Long, t: String, v: Double) =
+    EventRec(id, ts(t), 0, "click", v, s"""{"k": $id}""")
+
+  test("severity streaks persist across micro-batches and reset on low") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val q = Stateful.severityStreaks(CityEvents.normalize(input.toDF()), minStreak = 3)
+      .writeStream.outputMode("append").format("memory").queryName("streaks").start()
+    try {
+      // batch 1: two highs -> streak 2, no alert yet
+      input.addData(ev(1, "2024-01-01 10:00:00", 300), ev(2, "2024-01-01 10:00:10", 300))
+      q.processAllAvailable()
+      assert(spark.table("streaks").count() == 0)
+      // batch 2: third high crosses the threshold -> exactly one alert
+      input.addData(ev(3, "2024-01-01 10:00:20", 300))
+      q.processAllAvailable()
+      val alerts = spark.table("streaks").collect()
+      assert(alerts.length == 1)
+      assert(alerts.head.getAs[String]("city") == "SF")
+      assert(alerts.head.getAs[Int]("streak") == 3)
+      // batch 3: low resets; two highs again -> still no second alert
+      input.addData(ev(4, "2024-01-01 10:00:30", 50),
+        ev(5, "2024-01-01 10:00:40", 300), ev(6, "2024-01-01 10:00:50", 300))
+      q.processAllAvailable()
+      assert(spark.table("streaks").count() == 1)
+      // batch 4: next high completes a NEW streak of 3
+      input.addData(ev(7, "2024-01-01 10:01:00", 300))
+      q.processAllAvailable()
+      assert(spark.table("streaks").count() == 2)
+    } finally q.stop()
+  }
+
+  test("observe() metrics surface per-batch producer telemetry (A7 streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new graft.streaming.Pipeline(spark,
+      java.nio.file.Files.createTempDirectory("store").toString,
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    val q = p.startRawEvents(input.toDF())
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 300), ev(2, "2024-01-01 10:00:10", 50))
+      q.processAllAvailable()
+      val obs = q.recentProgress.flatMap(pr =>
+        Option(pr.observedMetrics.get("producer_metrics"))).lastOption
+      assert(obs.nonEmpty, "expected observed metrics on the raw-events query")
+      assert(obs.get.getAs[Long]("event_count") == 2)
+    } finally q.stop()
+  }
+
+  test("processing-time mode pipeline runs and stamps arrival time (T1 fidelity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new graft.streaming.Pipeline(spark,
+      java.nio.file.Files.createTempDirectory("store").toString,
+      java.nio.file.Files.createTempDirectory("ckpt").toString,
+      processingTimeMode = true)
+    val q = p.startWindowedAgg(input.toDF())
+    try {
+      input.addData(ev(1, "1999-01-01 00:00:00", 300)) // ancient event time
+      q.processAllAvailable()
+      val store = graft.sources.KeyedUpsertSink.read(spark, p.aggStorePath).collect()
+      assert(store.length == 1)
+      // stamped on arrival: the window is from current wall time, not 1999
+      assert(store.head.getAs[String]("window_start").startsWith("20") &&
+        !store.head.getAs[String]("window_start").startsWith("1999"))
+    } finally q.stop()
+  }
+
+  test("kafka record stage: key=city, value=full-row JSON (S3)") {
+    val norm = CityEvents.normalize(Tables.events(spark, sf))
+    val recs = EventStreamSource.toKafkaRecords(norm)
+    assert(recs.schema.fieldNames.toSeq == Seq("key", "value"))
+    val r = recs.limit(1).collect().head
+    assert(CityEvents.Cities.contains(r.getString(0)))
+    val v = r.getString(1)
+    assert(v.startsWith("{") && v.contains("\"rec_id\"") && v.contains("\"severity\""))
+  }
+}
