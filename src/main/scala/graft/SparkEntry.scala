@@ -252,6 +252,35 @@ object SparkEntry {
         |FROM norm GROUP BY ROLLUP(city, event_type)
         |ORDER BY city, event_type""".stripMargin)),
 
+    ("q_cube",
+      (s, d) => Relational.cityTypeCube(norm(s, d)),
+      Some(s"""$WITH_NORM
+        |SELECT coalesce(city, 'ALL') AS city, coalesce(event_type, 'ALL') AS event_type,
+        |  count(*) AS event_count
+        |FROM norm GROUP BY CUBE(city, event_type)
+        |ORDER BY city, event_type""".stripMargin)),
+
+    ("q_city_trends",
+      (s, d) => Relational.cityWindowTrends(agg(s, d)),
+      Some(s"""$WITH_NORM_AGG,
+        |cw AS (SELECT city, window_start, sum(event_count) AS event_count
+        |  FROM agg GROUP BY city, window_start)
+        |SELECT city, window_start, event_count,
+        |  event_count - lag(event_count) OVER w AS delta,
+        |  avg(event_count) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+        |FROM cw WINDOW w AS (PARTITION BY city ORDER BY window_start)
+        |ORDER BY city, window_start""".stripMargin)),
+
+    // salted two-phase aggregation: results are EXACTLY the plain groupBy —
+    // the oracle is the direct SQL; the salt only reshapes the shuffle.
+    ("q_salted_counts",
+      (s, d) => Skew.saltedCount(norm(s, d), Seq("city", "event_type", "severity"),
+        spread = col("event_id")).orderBy("city", "event_type", "severity"),
+      Some(s"""$WITH_NORM
+        |SELECT city, event_type, severity, count(*) AS event_count
+        |FROM norm GROUP BY city, event_type, severity
+        |ORDER BY city, event_type, severity""".stripMargin)),
+
     ("q_distinct_users",
       (s, d) => Relational.distinctUsers(Tables.events(s, d)),
       Some("""SELECT event_type, count(DISTINCT user_id) AS distinct_users,

@@ -150,6 +150,36 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** CUBE over (city, event_type) — all grouping-set combinations
+    * (extension of the ROLLUP surface; §2.5 notes the reference has none).
+    */
+  def cityTypeCube(normalized: DataFrame): DataFrame =
+    normalized
+      .cube("city", "event_type")
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        coalesce(col("city"), lit("ALL")).as("city"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("event_count"))
+      .orderBy("city", "event_type")
+
+  /** Analytic window functions over the materialized aggregation: per-city
+    * window-over-window delta (lag) and 4-window moving average — the
+    * rank/lag/frame surface the reference lacks (SURVEY.md §2.6).
+    * One shuffle on city; frames evaluated in a single sorted pass.
+    */
+  def cityWindowTrends(windowedAgg: DataFrame): DataFrame = {
+    val perWindow = windowedAgg
+      .groupBy("city", "window_start")
+      .agg(sum("event_count").as("event_count"))
+    val w = Window.partitionBy("city").orderBy("window_start")
+    perWindow.select(
+      col("city"), col("window_start"), col("event_count"),
+      (col("event_count") - lag(col("event_count"), 1).over(w)).as("delta"),
+      avg(col("event_count")).over(w.rowsBetween(-3, 0)).as("moving_avg"))
+      .orderBy("city", "window_start")
+  }
+
   private def usersOf(events: DataFrame, eventType: String): DataFrame =
     events.filter(col("event_type") === eventType).select("user_id").distinct()
 

@@ -95,6 +95,23 @@ class Pipeline(
       .foreachBatch(upsertBatch(alertsStorePath, Seq("city", "ts_str")) _)
       .start()
 
+  /** Stream-static enrichment join (SURVEY.md §2.4 extension): the live
+    * event stream joined against a broadcast customer dimension — the
+    * canonical dimension-enrichment shape (no stream-side shuffle; the dim
+    * is broadcast to every micro-batch).
+    */
+  def startEnriched(events: DataFrame, customer: DataFrame): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    normalized(events)
+      .join(broadcast(customer), col("user_id") === customer("c_custkey"))
+      .select("rec_id", "ts_str", "city", "event_type", "severity", "c_name", "c_mktsegment")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/enriched")
+      .foreachBatch(upsertBatch(s"$storeRoot/enriched", Seq("rec_id", "ts_str")) _)
+      .start()
+  }
+
   /** Query 4: global monitoring counts, complete mode, named in-memory sink
     * (the testable stand-in for the reference's console sink :182-190).
     */

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{CityEvents, Relational, Skew}
+import graft.sources.ServingStore
+
+/** Specs for the scale-path utilities: salting, partitioned serving store,
+  * stream-static enrichment, cube, analytic windows.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  private lazy val norm = CityEvents.normalize(Tables.events(spark, sf))
+
+  test("salted count equals direct groupBy exactly") {
+    val direct = norm.groupBy("city", "event_type").agg(count(lit(1)).as("event_count"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val salted = Skew.saltedCount(norm, Seq("city", "event_type"), col("event_id"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(salted == direct)
+  }
+
+  test("partitioned serving store prunes to one city partition") {
+    val path = Files.createTempDirectory("store").toString + "/alerts"
+    ServingStore.writePartitioned(
+      norm.select("rec_id", "ts_str", "event_type", "severity", "city"), path, Seq("city"))
+    val read = ServingStore.read(spark, path).filter(col("city") === "SF")
+    val scan = read.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("city"),
+      s"expected city partition filter in scan:\n$scan")
+    // pruned read returns exactly the SF slice
+    assert(read.count() == norm.filter(col("city") === "SF").count())
+  }
+
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new graft.streaming.Pipeline(spark,
+      Files.createTempDirectory("store").toString,
+      Files.createTempDirectory("ckpt").toString)
+    val customer = Tables.customer(spark, sf)
+    val q = p.startEnriched(input.toDF(), customer)
+    try {
+      input.addData(
+        EventRec(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 50.0, "{}"),
+        EventRec(2, java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 9, "view", 300.0, "{}"))
+      q.processAllAvailable()
+      val rows = graft.sources.KeyedUpsertSink.read(spark, p.rawStorePath.replace("raw_events", "enriched"))
+      assert(rows.count() == 2)
+      assert(rows.filter(col("c_name").isNull).count() == 0)
+    } finally q.stop()
+  }
+
+  test("cube emits all grouping-set combinations with a consistent grand total") {
+    val r = Relational.cityTypeCube(norm).collect()
+    val grand = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
+    assert(grand.length == 1 && grand.head.getLong(2) == norm.count())
+    // cube ⊇ rollup: type-only subtotals exist (city=ALL, type!=ALL)
+    assert(r.exists(x => x.getString(0) == "ALL" && x.getString(1) != "ALL"))
+  }
+
+  test("window trends: delta null on first row, moving_avg bounded by min/max") {
+    val agg = graft.operators.StreamAggregates.windowedAggregate(norm)
+    val t = Relational.cityWindowTrends(agg).filter(col("city") === "SF").collect()
+    assert(t.head.isNullAt(3)) // first window has no lag
+    val counts = t.map(_.getLong(2))
+    val (mn, mx) = (counts.min.toDouble, counts.max.toDouble)
+    assert(t.forall(r => r.getDouble(4) >= mn && r.getDouble(4) <= mx))
+  }
+}
