@@ -287,6 +287,17 @@ object SparkEntry {
         |  count(*) AS event_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // exact interpolated percentiles (both engines: linear interpolation at
+    // rank (n-1)*q over the sorted values)
+    ("q_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("qty_quantiles"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, [0.25, 0.5, 0.9]) AS qty_quantiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // HLL estimates are engine-specific — rows-only check (no oracle).
     ("q_approx_distinct",
       (s, d) => Relational.approxDistinctUsers(Tables.events(s, d)),
