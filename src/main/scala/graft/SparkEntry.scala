@@ -252,6 +252,23 @@ object SparkEntry {
         |FROM norm GROUP BY ROLLUP(city, event_type)
         |ORDER BY city, event_type""".stripMargin)),
 
+    // as-of join composed from union+window; DuckDB's native ASOF JOIN is
+    // the oracle (orders pre-deduped per (user, date) on both sides so ties
+    // resolve identically)
+    ("q_asof_join",
+      (s, d) => Relational.asOfJoinOrders(Tables.events(s, d), Tables.orders(s, d)),
+      Some("""WITH dedup AS (
+        |  SELECT o.* FROM (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |    FROM orders GROUP BY o_custkey, o_orderdate) k
+        |  JOIN orders o USING (o_custkey, o_orderdate, o_orderkey))
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN dedup o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin)),
+
     ("q_cube",
       (s, d) => Relational.cityTypeCube(norm(s, d)),
       Some(s"""$WITH_NORM

@@ -150,6 +150,48 @@ object Relational {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type")
 
+  /** As-of join: for each event, the user's most recent order at or before
+    * the event time — the canonical time-series operator Spark lacks as a
+    * built-in. Composed from existing operators (preference (a) of the build
+    * brief): tag-and-union both sides, one window pass per user carrying the
+    * last non-null order forward, keep event rows. ONE shuffle on user_id —
+    * the same cost as the sort-merge as-of a native operator would run, so a
+    * custom SparkPlan is not warranted.
+    *
+    * Orders are first deduped to one per (user, date) — max orderkey wins —
+    * so ties at equal timestamps are deterministic (mirrors the oracle's
+    * ASOF JOIN tie handling). Events with no prior order keep nulls
+    * (left-join semantics).
+    */
+  def asOfJoinOrders(events: DataFrame, orders: DataFrame): DataFrame = {
+    val dedupedOrders = orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .join(orders, Seq("o_custkey", "o_orderdate", "o_orderkey"))
+    val e = events.select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(1).as("tag"))
+    val o = dedupedOrders.select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"), col("o_totalprice"), lit(0).as("tag"))
+    // orders sort before events at the same instant -> "at or before" matches
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.unionByName(o)
+      .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("last_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("last_orderkey").as("o_orderkey"),
+        col("last_totalprice").as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** CUBE over (city, event_type) — all grouping-set combinations
     * (extension of the ROLLUP surface; §2.5 notes the reference has none).
     */

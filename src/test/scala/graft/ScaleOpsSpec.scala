@@ -53,6 +53,25 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of join picks the latest order at-or-before each event, null when none") {
+    import spark.implicits._
+    val ts = (x: String) => java.sql.Timestamp.valueOf(x)
+    val ev = Seq(
+      (10L, ts("2024-01-05 00:00:00"), 1L),  // after both orders -> order 2
+      (11L, ts("2024-01-02 12:00:00"), 1L),  // between -> order 1
+      (12L, ts("2024-01-01 00:00:00"), 1L),  // exactly at order 1 -> order 1
+      (13L, ts("2023-12-31 00:00:00"), 1L),  // before all -> null
+      (14L, ts("2024-01-05 00:00:00"), 2L))  // user with no orders -> null
+      .toDF("event_id", "ts", "user_id")
+    val ords = Seq(
+      (101L, 1L, ts("2024-01-01 00:00:00"), 50.0),
+      (102L, 1L, ts("2024-01-03 00:00:00"), 70.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = graft.operators.Relational.asOfJoinOrders(ev, ords).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(r == Map(10L -> 102L, 11L -> 101L, 12L -> 101L, 13L -> -1L, 14L -> -1L))
+  }
+
   test("cube emits all grouping-set combinations with a consistent grand total") {
     val r = Relational.cityTypeCube(norm).collect()
     val grand = r.filter(x => x.getString(0) == "ALL" && x.getString(1) == "ALL")
