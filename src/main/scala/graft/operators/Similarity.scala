@@ -79,7 +79,7 @@ object Similarity {
     * is asserted in ScalaTest.
     */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-              numCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+              numCentroids: Int = 16, nprobe: Int = 6): DataFrame = {
     val corpus = prepared(embeddings)
     // deterministic centroid sample: rank by vec_id, take every (n/C)-th
     val n = corpus.count()

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.CityEvents
+
+/** Property tests (SURVEY.md §5): window-bucket math, record-id
+  * construction, severity thresholds — generated inputs (scalacheck Gen,
+  * fixed seed for reproducibility) checked against the Spark expressions.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val tsGen: Gen[Long] = // 2020..2030, microsecond precision
+    Gen.choose(1577836800000000L, 1893456000000000L)
+
+  test("5-minute window assignment floors to 300s epoch buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val micros = sample(Gen.listOfN(200, tsGen), 42L)
+    val got = micros.toDF("us")
+      .select(timestamp_micros(col("us")).as("ts"))
+      .select(unix_timestamp(window(col("ts"), "5 minutes")("start")).as("ws"), col("ts"))
+      .collect()
+    got.foreach { r =>
+      val expected = (r.getTimestamp(1).getTime / 1000) / 300 * 300
+      assert(r.getLong(0) == expected)
+    }
+  }
+
+  test("severity thresholds partition the value domain exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vs = sample(Gen.listOfN(500, Gen.choose(0.0, 500.0)), 7L)
+    vs.toDF("value")
+      .select(col("value"), CityEvents.severityOf(col("value")).as("sev"))
+      .collect()
+      .foreach { r =>
+        val v = r.getDouble(0)
+        val expected =
+          if (v < 100) "low" else if (v < 250) "medium"
+          else if (v < 400) "high" else "critical"
+        assert(r.getString(1) == expected)
+      }
+  }
+
+  test("rec_id embeds city, type and the wire-format timestamp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = sample(Gen.listOfN(100, for {
+      u <- Gen.choose(0L, 1000L); t <- tsGen
+      ty <- Gen.oneOf("click", "view", "error")
+    } yield (u, t, ty)), 99L)
+    val df = rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), lit(1L).as("event_id"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+    CityEvents.normalize(df).collect().foreach { r =>
+      val parts = r.getAs[String]("rec_id").split("-", 3)
+      assert(parts(0) == r.getAs[String]("city"))
+      assert(parts(1) == r.getAs[String]("event_type"))
+      assert(parts(2) == r.getAs[String]("ts_str"))
+      assert(parts(2).endsWith("Z"))
+    }
+  }
+}

@@ -99,6 +99,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startAll runs the full 4-query topology concurrently (T5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val qs = p.startAll(input.toDF())
+    try {
+      assert(qs.length == 4)
+      input.addData(ev(1, "2024-01-01 10:00:00", v = 420.0),
+        ev(2, "2024-01-01 10:01:00", v = 50.0))
+      qs.foreach(_.processAllAvailable())
+      assert(KeyedUpsertSink.read(spark, p.rawStorePath).count() == 2)
+      assert(KeyedUpsertSink.read(spark, p.aggStorePath).count() >= 1)
+      assert(KeyedUpsertSink.read(spark, p.alertsStorePath).count() == 1)
+      assert(spark.table("monitoring").count() >= 1)
+      assert(qs.forall(_.isActive))
+    } finally qs.foreach(_.stop())
+  }
+
   test("keyed upsert sink: last-writer-wins and batch-internal dedup") {
     import spark.implicits._
     val store = tmp("kv") + "/t"
