@@ -145,6 +145,22 @@ object SparkEntry {
         |  USING (severity)
         |ORDER BY severity""".stripMargin)),
 
+    ("q_funnel",
+      (s, d) => Serving.conversionFunnel(Tables.events(s, d)),
+      Some("""WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT DISTINCT e.user_id FROM events e
+        |  JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts)
+        |SELECT (SELECT count(*) FROM s) AS signed_up,
+        |       (SELECT count(*) FROM c) AS converted""".stripMargin)),
+
+    ("q_daily_active",
+      (s, d) => Serving.dailyActive(Tables.events(s, d)),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS active_users, count(*) AS event_count
+        |FROM events GROUP BY day ORDER BY day""".stripMargin)),
+
     // ---- window variants (SURVEY.md T2 extensions)
     ("q_sliding_window",
       (s, d) => StreamAggregates.slidingCounts(norm(s, d))

@@ -100,6 +100,33 @@ object Serving {
       .select(col("severity"), coalesce(col("alert_count"), lit(0L)).as("alert_count"))
   }
 
+  /** Signup→purchase conversion funnel: users who signed up, and of those,
+    * users whose first purchase strictly follows their first signup —
+    * a join+aggregate composition typical of the serving analytics the
+    * reference's API layer approximates with hand loops. Two shuffles
+    * (min-per-user, then a broadcastable join of the small signup set).
+    */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val converted = events.filter(col("event_type") === "purchase").as("e")
+      .join(broadcast(signups).as("s"), col("e.user_id") === col("s.user_id"))
+      .filter(col("e.ts") > col("signup_ts"))
+      .select(col("e.user_id")).distinct()
+    signups.agg(count(lit(1)).as("signed_up"))
+      .crossJoin(converted.agg(count(lit(1)).as("converted")))
+  }
+
+  /** Daily active users + event volume — the per-day rollup every serving
+    * dashboard needs; one shuffle, distinct-per-group.
+    */
+  def dailyActive(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("event_count"))
+      .orderBy("day")
+
   /** GET /metrics/producer (producer/.../KafkaProducerService.java:100-145,
     * A7): running count/sum/min/max/avg over the value stream plus a
     * throughput rate — the producer's LongAdder metrics as one aggregation.
