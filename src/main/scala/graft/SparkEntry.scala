@@ -26,6 +26,16 @@ object SparkEntry {
   private def agg(spark: SparkSession, dir: String): DataFrame =
     StreamAggregates.windowedAggregate(norm(spark, dir))
 
+  /** Driver-facing variant of [[agg]]: the `severities` list is flattened to
+    * a comma-joined string because the driver's pandas compare cannot hash
+    * array-typed cells (round-1 lesson: every array column in the output
+    * surface crashed the gate with `unhashable numpy.ndarray`). The operator
+    * itself keeps the list (reference fidelity); only the registry output is
+    * stringified, identically on the DuckDB side.
+    */
+  private def aggFlat(spark: SparkSession, dir: String): DataFrame =
+    agg(spark, dir).withColumn("severities", array_join(col("severities"), ","))
+
   private def alertsOf(spark: SparkSession, dir: String): DataFrame =
     StreamAggregates.alerts(norm(spark, dir))
 
@@ -44,7 +54,7 @@ object SparkEntry {
       |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
       |  strftime(ws + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
       |  city, event_type, count(*) AS event_count,
-      |  list_sort(list(severity)) AS severities,
+      |  array_to_string(list_sort(list(severity)), ',') AS severities,
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_updated
       |FROM (SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS ws FROM norm)
       |GROUP BY ws, city, event_type""".stripMargin
@@ -60,7 +70,7 @@ object SparkEntry {
 
     // ---- consumer streaming queries, batch form (SURVEY.md §2.1-2.5, 2.9)
     ("q_windowed_agg",
-      (s, d) => agg(s, d).orderBy("partition_key"),
+      (s, d) => aggFlat(s, d).orderBy("partition_key"),
       Some(s"""$WITH_NORM_AGG SELECT * FROM agg ORDER BY partition_key""")),
 
     ("q_raw_events",
@@ -100,13 +110,13 @@ object SparkEntry {
     ("q_summary_city",
       (s, d) => Serving.summary(agg(s, d), "LA").orderBy("event_type"),
       Some(s"""$WITH_NORM_AGG
-        |SELECT event_type, sum(event_count) AS total_events
+        |SELECT event_type, CAST(sum(event_count) AS BIGINT) AS total_events
         |FROM agg WHERE city = 'LA' GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     ("q_cities",
       (s, d) => Serving.cities(agg(s, d)),
       Some(s"""$WITH_NORM_AGG
-        |SELECT city, sum(event_count) AS total_events
+        |SELECT city, CAST(sum(event_count) AS BIGINT) AS total_events
         |FROM agg GROUP BY city ORDER BY total_events DESC, city""".stripMargin)),
 
     ("q_alerts_recent",
@@ -127,14 +137,14 @@ object SparkEntry {
         |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)),
 
     ("q_aggregations_recent",
-      (s, d) => Serving.aggregationsFor(agg(s, d), "NYC", "error", 10),
+      (s, d) => Serving.aggregationsFor(aggFlat(s, d), "NYC", "error", 10),
       Some(s"""$WITH_NORM_AGG
         |SELECT * FROM agg WHERE city = 'NYC' AND event_type = 'error'
         |ORDER BY window_start DESC LIMIT 10""".stripMargin)),
 
     ("q_stats_total",
       (s, d) => Serving.statsTotal(agg(s, d)),
-      Some(s"""$WITH_NORM_AGG SELECT sum(event_count) AS total_events FROM agg""")),
+      Some(s"""$WITH_NORM_AGG SELECT CAST(sum(event_count) AS BIGINT) AS total_events FROM agg""")),
 
     ("q_alert_severity_counts",
       (s, d) => Serving.alertSeverityCounts(alertsOf(s, d), s).orderBy("severity"),
@@ -296,7 +306,7 @@ object SparkEntry {
     ("q_city_trends",
       (s, d) => Relational.cityWindowTrends(agg(s, d)),
       Some(s"""$WITH_NORM_AGG,
-        |cw AS (SELECT city, window_start, sum(event_count) AS event_count
+        |cw AS (SELECT city, window_start, CAST(sum(event_count) AS BIGINT) AS event_count
         |  FROM agg GROUP BY city, window_start)
         |SELECT city, window_start, event_count,
         |  event_count - lag(event_count) OVER w AS delta,
@@ -321,14 +331,21 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // exact interpolated percentiles (both engines: linear interpolation at
-    // rank (n-1)*q over the sorted values)
+    // rank (n-1)*q over the sorted values). Emitted as three scalar double
+    // columns — array-typed outputs crash the driver's pandas compare.
     ("q_percentiles",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("qty_quantiles"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.9D))").as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p90"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-        |  quantile_cont(l_quantity, [0.25, 0.5, 0.9]) AS qty_quantiles
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.90) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // HLL estimates are engine-specific — rows-only check (no oracle).
@@ -489,14 +506,16 @@ object SparkEntry {
     // ASCII text bytes, so the oracle recomputes features from char codes.
     ("q_media_features",
       (s, d) => Multimodal.features(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .withColumn("hist16",
+          array_join(transform(col("hist16"), _.cast("string")), ","))
         .orderBy("media_id"),
       Some("""WITH codes AS (SELECT doc_id,
         |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
         |  FROM documents)
         |SELECT doc_id AS media_id, CAST(len(cs) AS BIGINT) AS n_bytes,
         |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
-        |  list_transform(generate_series(0, 15),
-        |    b -> CAST(len(list_filter(cs, c -> (c >> 4) = b)) AS BIGINT)) AS hist16
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    b -> CAST(len(list_filter(cs, c -> (c >> 4) = b)) AS BIGINT)), ',') AS hist16
         |FROM codes ORDER BY media_id""".stripMargin)),
 
     ("q_frame_sample",
@@ -507,9 +526,13 @@ object SparkEntry {
         |FROM documents WHERE CAST(floor(n_chars / 10) AS INT) > 0
         |ORDER BY media_id, frame_idx""".stripMargin)),
 
-    // hash-seeded embedding stub — engine-specific hash, rows-only check
+    // hash-seeded embedding stub — engine-specific hash, rows-only check.
+    // Stringified: even rows-only results go through the driver's pandas
+    // sort, which cannot handle array cells.
     ("q_media_embed",
       (s, d) => Multimodal.embedStub(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .withColumn("embedding",
+          array_join(transform(col("embedding"), _.cast("string")), ","))
         .orderBy("media_id"),
       None),
 
