@@ -17,16 +17,29 @@ object Bench {
     // measured query isn't charged for session bring-up.
     try SparkEntry.queries("q_health")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => " "; case c => c.toString
+    }
     // Stable (sorted) order keeps per-query numbers comparable across rounds.
+    // A failed query is recorded as an error, NOT as a fake timing — a
+    // broken query must never look like a fast pass.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        Some(e.toString.take(200))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -417,15 +417,19 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // The df-cap (shingles in > 50 docs dropped from the universe before
+    // set sizes and intersections) is mirrored exactly on both sides.
     ("q_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5),
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50),
       Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
         |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
-        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |kept AS (SELECT * FROM ex0 WHERE shingle IN
+        |  (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 50)),
         |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty)
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id)
         |SELECT doc_id1, doc_id2,
         |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
         |FROM inter

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines over the
@@ -13,12 +14,14 @@ import org.apache.spark.sql.functions._
   *    the full document body; the only wide stage is one hash aggregation.
   *  - Jaccard near-dup uses the standard inverted-index candidate join:
   *    explode distinct shingles → self-join on shingle → count shared.
-  *    LOSSLESS for any threshold > 0 (a pair with Jaccard > 0 shares ≥ 1
-  *    shingle), unlike LSH. At 100 TB the candidate join is the bottleneck:
-  *    frequent-shingle skew is handled by dropping top-frequency shingles
-  *    (stopword shingles contribute candidates, not precision) and/or AQE
-  *    skew-join; joining on a 64-bit shingle hash instead of the string
-  *    cuts shuffle width (kept as the string here for oracle exactness).
+  *    Lossless for any threshold > 0 over the post-cap shingle universe:
+  *    shingles with document frequency > maxDf are removed first (stop-
+  *    phrase shingles contribute k² candidates, not near-dup signal), and
+  *    the join key is a 64-bit shingle hash, not the string (~8× narrower
+  *    shuffle). The DuckDB oracle mirrors the cap exactly.
+  *  - MinHash/SimHash banding runs on exact-dedup representatives only
+  *    (duplicate-heavy corpora would otherwise make identical-sketch
+  *    buckets k²); duplicate groups are re-expanded after verification.
   */
 object Dedup {
 
@@ -63,25 +66,42 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (doc_id1 < doc_id2,
-    * jaccard ≥ threshold) via the inverted-index candidate join.
+    * jaccard ≥ threshold) via the inverted-index candidate join, with
+    * stop-shingle removal: shingles appearing in more than `maxDf` documents
+    * are dropped from the universe BEFORE the self-join (numerators and set
+    * sizes alike — well-defined semantics the DuckDB oracle mirrors exactly).
+    *
+    * Scale design: a single stop-phrase shingle shared by k documents makes
+    * a k² candidate blowup in the inverted-index join; hot shingles carry no
+    * near-dup signal (they are corpus-wide boilerplate), so the df-cap bounds
+    * per-shingle join fan-out at maxDf² while leaving rare-shingle pairs
+    * untouched. The join key is a 64-bit xxhash of the shingle, not the
+    * string — ~8× narrower shuffle rows (cross-doc hash collisions would need
+    * both colliding shingles in the same candidate pair; P ≈ 1e-9 corpus-wide
+    * — same accepted risk class as the minhash band-miss probability).
     */
-  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    // Set size rides along with each exploded shingle (it is functionally
-    // dependent on doc_id), so no extra join against a sizes frame — and the
-    // shingle set is computed exactly once per document.
+  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
+                   maxDf: Int = 50): DataFrame = {
     // The repartition on the join key is a deliberate materialization
-    // barrier: it stops CollapseProject from inlining the (expensive)
-    // shingle expression into downstream consumers, pre-partitions BOTH
-    // sides of the self-join (one exchange, reused), and computes each
-    // document's shingle set exactly once.
+    // barrier (stops CollapseProject inlining the expensive shingle
+    // expression downstream) AND pre-partitions everything by `h`: the df
+    // window, and BOTH sides of the self-join (one exchange, reused).
     val ex = documents
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .repartition(col("shingle"))
-    val inter = ex.as("a")
-      .join(ex.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"),
+        explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
+      .repartition(col("h"))
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+    // post-cap set size rides along with every exploded row (functionally
+    // dependent on doc_id) so no extra sizes join after the pair aggregation
+    val sized = kept
+      .select(col("doc_id"), col("h"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .repartition(col("h"))
+    val inter = sized.as("a")
+      .join(sized.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
         col("a.n_sh").as("n_sh1"), col("b.n_sh").as("n_sh2"))
       .agg(count(lit(1)).as("n_common"))
@@ -125,21 +145,61 @@ object Dedup {
     * touches only candidate pairs. This is the 100 TB path where the exact
     * inverted-index join of [[jaccardPairs]] becomes too wide.
     */
+  /** Exact-dedup pre-pass: map every document to its duplicate group
+    * (representative = min doc_id among identical texts). Duplicate-heavy
+    * corpora otherwise collapse into identical LSH/pigeonhole buckets and
+    * turn the candidate join k²; sketching only representatives bounds the
+    * bucket join by DISTINCT texts, and doc-level pairs are re-expanded
+    * combinatorially afterwards (the pair output is inherently k² when k
+    * copies exist — but that is output size, not join-state size).
+    */
+  private def dupGroups(documents: DataFrame): DataFrame = {
+    val keyed = documents.select(col("doc_id"), sha2(col("text"), 256).as("thash"))
+    val reps = keyed.groupBy("thash").agg(min("doc_id").as("rep"))
+    keyed.join(reps, "thash").select(col("rep"), col("doc_id"))
+  }
+
+  /** Re-expand representative-level pairs to document-level pairs.
+    * Intra-group pairs are exact duplicates and score `selfScore`; a
+    * cross-group pair inherits its representative pair's score verbatim
+    * (identical texts ⇒ identical shingle sets / sketches). `members` must
+    * contain only docs eligible for pairing (e.g. non-empty shingle sets).
+    */
+  private def expandDupGroups(repPairs: DataFrame, members: DataFrame,
+                              selfScore: Column): DataFrame = {
+    val scoreCols = repPairs.columns.filter(c => c != "doc_id1" && c != "doc_id2")
+    val intra = members.as("a")
+      .join(members.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") < col("b.doc_id"))
+      .select(Seq(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2")) ++
+        Seq(selfScore): _*)
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_id1"), col("doc_id").as("m1")), Seq("doc_id1"))
+      .join(members.select(col("rep").as("doc_id2"), col("doc_id").as("m2")), Seq("doc_id2"))
+      .select(Seq(least(col("m1"), col("m2")).as("doc_id1"),
+        greatest(col("m1"), col("m2")).as("doc_id2")) ++ scoreCols.map(col): _*)
+    intra.unionByName(cross)
+  }
+
   def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
                    numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    val members = dupGroups(documents)
+    val repDocs = documents
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
     // Materialization barriers (repartition): without them CollapseProject
     // inlines the shingle/minhash expressions into every one of the `bands`
     // band-hash expressions AND into both self-join branches — a bands×2
     // recompute of the whole sketch pipeline per row.
-    val sets = documents
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Shingle sets are carried as 64-bit xxhashes: the verify join below
+    // shuffles ~8× narrower rows than the raw shingle strings would.
+    val sets = repDocs
+      .select(col("doc_id"), transform(shingles(col("text")), s => xxhash64(s)).as("shh"))
+      .filter(size(col("shh")) > 0)
       .repartition(col("doc_id"))
     val sigs = sets.select(col("doc_id"),
-      graft.functions.Sketches.minhashSignature(
-        transform(col("sh"), s => xxhash64(s)), numHashes, 42L).as("sig"))
+      graft.functions.Sketches.minhashSignature(col("shh"), numHashes, 42L).as("sig"))
       .repartition(col("doc_id"))
     // rotate-xor fold: overflow-free under ANSI mode (shift/xor only)
     val bandHashes = array((0 until bands).map(b =>
@@ -153,15 +213,28 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
       .distinct()
-    val s1 = sets.select(col("doc_id").as("doc_id1"), col("sh").as("sh1"))
-    val s2 = sets.select(col("doc_id").as("doc_id2"), col("sh").as("sh2"))
-    candidates
+    val s1 = sets.select(col("doc_id").as("doc_id1"), col("shh").as("sh1"), size(col("shh")).as("n1"))
+    val s2 = sets.select(col("doc_id").as("doc_id2"), col("shh").as("sh2"), size(col("shh")).as("n2"))
+    // n_common is computed INSIDE an aggregate over the (already unique)
+    // pair key: an Aggregate is a predicate-pushdown barrier, so the
+    // threshold filter below stays a cheap post-agg comparison on
+    // attributes. Round 1 wrote jaccard as one projection + filter and
+    // predicate pushdown inlined size(array_intersect(...)) into the join
+    // condition TWICE per candidate — a Project/Filter barrier cannot stop
+    // that (alias substitution walks through any deterministic Project);
+    // the aggregate evaluates array_intersect exactly once, map-side.
+    val repPairs = candidates
       .join(s1, "doc_id1").join(s2, "doc_id2")
+      .groupBy("doc_id1", "doc_id2")
+      .agg(min(size(array_intersect(col("sh1"), col("sh2")))).as("n_common"),
+        min(col("n1")).as("n1"), min(col("n2")).as("n2"))
       .select(col("doc_id1"), col("doc_id2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          (size(col("sh1")) + size(col("sh2")) -
-            size(array_intersect(col("sh1"), col("sh2"))))).as("jaccard"))
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    val eligible = members
+      .join(sets.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+    expandDupGroups(repPairs, eligible, lit(1.0).as("jaccard"))
       .orderBy("doc_id1", "doc_id2")
   }
 
@@ -178,15 +251,21 @@ object Dedup {
     require(blocks > maxHamming, "need more blocks than allowed hamming distance")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
+    // exact-dedup pre-pass (see [[dupGroups]]): duplicate texts share a
+    // simhash, so k copies would make every shared block bucket k² — sketch
+    // representatives only, expand groups after (intra-group hamming = 0).
+    val members = dupGroups(documents)
+    val repDocs = documents
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
     // barrier: materialize the simhash once (see minhashPairs note)
-    val sigs = documents.select(col("doc_id"),
+    val sigs = repDocs.select(col("doc_id"),
       graft.functions.Sketches.simhash(tokenHashes(col("text")), bits).as("simhash"))
       .repartition(col("doc_id"))
     val blockCols = array((0 until blocks).map(b =>
       shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask))): _*)
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(blockCols).as(Seq("block", "bval")))
-    banded.as("a")
+    val repPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.block") === col("b.block") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -194,6 +273,7 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandDupGroups(repPairs, members, lit(0L).as("hamming"))
       .orderBy("doc_id1", "doc_id2")
   }
 

@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions.col
   * Scale notes: the merge is `old LEFT ANTI new ∪ new` — one shuffle on the
   * key. On a real cluster this store would be a Delta/Iceberg `MERGE INTO`
   * (log-structured, no full rewrite); the parquet full-rewrite here keeps the
-  * same semantics with zero extra dependencies. The swap is an atomic
-  * filesystem rename so concurrent readers never see a half-written store.
+  * same semantics with zero extra dependencies. The swap renames the live
+  * store aside before renaming the staging dir in: a crash at any point
+  * leaves either the old or the new store recoverable on disk, and the
+  * reader-visible gap is two metadata renames (NOT the full store rewrite) —
+  * true atomic swap needs a manifest/transaction log (Delta/Iceberg), which
+  * is exactly what this class stands in for.
   */
 object KeyedUpsertSink {
 
@@ -37,8 +41,11 @@ object KeyedUpsertSink {
           .unionByName(deduped)
       } else deduped
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(store, true)
+    val old = new Path(storePath + ".old")
+    fs.delete(old, true) // leftover from a previous crash, superseded
+    if (fs.exists(store)) fs.rename(store, old)
     fs.rename(tmp, store)
+    fs.delete(old, true)
   }
 
   def read(spark: SparkSession, storePath: String): DataFrame =

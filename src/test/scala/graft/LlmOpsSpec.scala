@@ -65,4 +65,63 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("doc_id2") === col("doc_id1") + 1000000L)
     assert(planted.count() == 1)
   }
+
+  test("jaccard df-cap: a hot shingle shared by every doc no longer pairs the corpus quadratically") {
+    import spark.implicits._
+    // 100 docs sharing one boilerplate shingle ("common boiler plate") plus a
+    // unique 3-gram each: every pair shares exactly the hot shingle.
+    val hot = (0 until 100)
+      .map(i => (i.toLong, s"common boiler plate unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    // threshold 0 surfaces EVERY candidate pair that survives the cap
+    val uncapped = Dedup.jaccardPairs(hot, 0.0, maxDf = 1000).count()
+    val capped   = Dedup.jaccardPairs(hot, 0.0, maxDf = 50).count()
+    assert(uncapped == 100L * 99 / 2) // quadratic without the cap
+    assert(capped == 0)               // hot shingles carry no near-dup signal
+    // and the cap leaves rare-shingle pairs untouched: real corpus max df is
+    // ~7 at this sf, so capped == uncapped there
+    assert(Dedup.jaccardPairs(docs, 0.5, maxDf = 50).count() ==
+      Dedup.jaccardPairs(docs, 0.5, maxDf = 1000000).count())
+  }
+
+  test("minhash dup-group expansion: planted exact copies pair at jaccard 1.0, base pairs unchanged") {
+    val base = Dedup.minhashPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withDups = docs
+      .union(docs.limit(1).withColumn("doc_id", col("doc_id") + 1000000L))
+      .union(docs.limit(1).withColumn("doc_id", col("doc_id") + 2000000L))
+    val expanded = Dedup.minhashPairs(withDups, 0.8).collect()
+    val small = expanded.filter(r => r.getLong(0) < 1000000L && r.getLong(1) < 1000000L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == base) // expansion does not disturb rep-level pairs
+    val intra = expanded.filter(r => r.getLong(1) >= 1000000L)
+    // doc0 + two copies → 3 intra-group pairs, all exact duplicates…
+    assert(intra.count(r => r.getDouble(2) == 1.0) >= 3)
+    // …and every copy inherits the rep's cross-group partners verbatim
+    val doc0 = docs.limit(1).collect()(0).getLong(0)
+    val partners = base.collect {
+      case (a, b) if a == doc0 => b
+      case (a, b) if b == doc0 => a
+    }
+    val copyPartners = expanded
+      .filter(r => r.getLong(1) == doc0 + 1000000L && r.getLong(0) != doc0 &&
+        r.getLong(0) != doc0 + 2000000L)
+      .map(_.getLong(0)).toSet
+    assert(partners.toSet == copyPartners)
+  }
+
+  test("simhash dup-group expansion: planted exact copies pair at hamming 0") {
+    val base = Dedup.simhashPairs(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withDups = docs
+      .union(docs.limit(1).withColumn("doc_id", col("doc_id") + 1000000L))
+    val expanded = Dedup.simhashPairs(withDups, 2).collect()
+    val small = expanded.filter(r => r.getLong(0) < 1000000L && r.getLong(1) < 1000000L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small == base)
+    val doc0 = docs.limit(1).collect()(0).getLong(0)
+    val intra = expanded.filter(r =>
+      r.getLong(0) == doc0 && r.getLong(1) == doc0 + 1000000L)
+    assert(intra.length == 1 && intra(0).getLong(2) == 0L)
+  }
 }
