@@ -56,36 +56,63 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine near-duplicates (cosine ≥ threshold,
-    * vec_id1 < vec_id2). O(n²) — validation scale; see [[ivfTopK]] for the
-    * bucketed scale path.
+    * vec_id1 < vec_id2) via a block-bucketed self-join.
+    *
+    * Exact all-pairs is inherently O(n²) COMPUTE, but it must not be a
+    * BroadcastNestedLoopJoin (round 1's non-equi `vec_id1 < vec_id2` join
+    * was one — a driver-broadcast single-node bottleneck). The classic
+    * distributed shape: assign each vector a block `b = vec_id % B`; each
+    * unordered block pair (i ≤ j) is one bucket; a vector replicates to
+    * its ~B bucket keys split into an anchor side (its block is the
+    * bucket's low block) and a partner side (high block). The join is then
+    * a plain shuffled EQUI-join on the bucket key — every executor gets
+    * (n/B)² of the pairwise work, nothing is broadcast, and every
+    * unordered pair is examined exactly once (cross-block pairs meet in
+    * exactly one bucket with fixed roles; intra-block buckets order by
+    * vec_id). Output is identical to the naive formulation.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = prepared(embeddings)
-      .select(col("vec_id").as("vec_id1"), col("v").as("v1"), col("nrm").as("nrm1"))
-    val b = prepared(embeddings)
-      .select(col("vec_id").as("vec_id2"), col("v").as("v2"), col("nrm").as("nrm2"))
-    a.join(b, col("vec_id1") < col("vec_id2"))
-      .select(col("vec_id1"), col("vec_id2"),
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         blocks: Int = 8): DataFrame = {
+    val p = prepared(embeddings)
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+      .withColumn("j", explode(sequence(lit(0), lit(blocks - 1))))
+    val aSide = p.filter(col("j") >= col("blk"))
+      .select(col("vec_id").as("vec_id_a"), col("v").as("v1"), col("nrm").as("nrm1"),
+        col("blk").as("blk_a"), (col("blk") * blocks + col("j")).as("bkey"))
+    val bSide = p.filter(col("j") <= col("blk"))
+      .select(col("vec_id").as("vec_id_b"), col("v").as("v2"), col("nrm").as("nrm2"),
+        col("blk").as("blk_b"), (col("j") * blocks + col("blk")).as("bkey"))
+    aSide.join(bSide, Seq("bkey"))
+      // intra-block buckets would otherwise see each pair in both role
+      // assignments; cross-block buckets have fixed roles already
+      .filter(col("blk_a") =!= col("blk_b") || col("vec_id_a") < col("vec_id_b"))
+      .select(
+        least(col("vec_id_a"), col("vec_id_b")).as("vec_id1"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id2"),
         (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_id1", "vec_id2")
   }
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
-    * nearest of C pseudo-centroids (every (n/C)-th corpus vector — a
-    * deterministic stand-in for trained k-means centroids); each query
-    * probes its `nprobe` nearest centroids and ranks exact cosine within
-    * the probed cells. Approximate (no oracle); recall vs [[bruteForceTopK]]
-    * is asserted in ScalaTest.
+    * nearest pseudo-centroid (a deterministic hash sample of the corpus —
+    * a stand-in for trained k-means centroids); each query probes its
+    * `nprobe` nearest centroids and ranks exact cosine within the probed
+    * cells. Approximate (no oracle); recall vs [[bruteForceTopK]] is
+    * asserted in ScalaTest.
+    *
+    * Centroid selection is `xxhash64(vec_id) % cellSize == 0` — expected
+    * one centroid per `cellSize` corpus vectors, entirely inside the plan:
+    * no driver-side `count()` (round 1 ran an eager full-scan job in the
+    * operator BUILDER), and the expected cell population stays ~`cellSize`
+    * at any corpus size — cells grow in number, not size, as data scales,
+    * which is the property a 100 TB IVF needs.
     */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-              numCentroids: Int = 16, nprobe: Int = 6): DataFrame = {
+              cellSize: Int = 128, nprobe: Int = 6): DataFrame = {
     val corpus = prepared(embeddings)
-    // deterministic centroid sample: rank by vec_id, take every (n/C)-th
-    val n = corpus.count()
-    val stride = math.max(1L, n / numCentroids)
     val centroids = corpus
-      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * numCentroids)
+      .filter(pmod(xxhash64(col("vec_id")), lit(cellSize.toLong)) === 0L)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
 
     // corpus assignment: nearest centroid by cosine (broadcast argmax pass)

@@ -37,6 +37,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!scans.contains("props"), "props should be pruned from ReadSchema")
   }
 
+  test("cosine all-pairs is a shuffled equi-join on bucket keys, not a nested-loop broadcast") {
+    val p = physical(Similarity.cosineNearDupPairs(Tables.embeddings(spark, sf), 0.4))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "exact all-pairs must distribute via block buckets, not a driver broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("windowed aggregation is two-phase (map-side partial aggregation)") {
     val agg = StreamAggregates.windowedAggregate(
       CityEvents.normalize(Tables.events(spark, sf)))

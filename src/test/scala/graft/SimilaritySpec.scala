@@ -39,7 +39,7 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     info(f"IVF recall@10 = $recall%.2f")
-    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
     // every IVF hit must carry the true cosine (exact scoring within cells)
     val bf = Similarity.bruteForceTopK(emb, numQueries = 5, k = 500).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
@@ -47,5 +47,24 @@ class SimilaritySpec extends SparkSpec {
       val key = (r.getLong(0), r.getLong(1))
       bf.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cosine")) < 1e-12))
     }
+  }
+
+  test("ivfTopK plans lazily: building + optimizing the query runs zero jobs") {
+    // round-1 regression guard: the operator builder ran an eager
+    // corpus.count() — a full extra scan job per invocation, before the
+    // plan even executed
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val df = Similarity.ivfTopK(emb, numQueries = 5, k = 10)
+      df.queryExecution.optimizedPlan // force full analysis + optimization
+      Thread.sleep(500)               // listener bus drains asynchronously
+    } finally sc.removeSparkListener(listener)
+    assert(jobs == 0, s"ivfTopK triggered $jobs eager job(s) during planning")
   }
 }
