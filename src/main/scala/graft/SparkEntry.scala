@@ -79,6 +79,22 @@ object SparkEntry {
         |SELECT rec_id, ts_str, city, event_type, severity, description
         |FROM norm ORDER BY rec_id, severity""".stripMargin)),
 
+    // S4 TTL/retention: raw events carry ttl = ts + 15 days; the read-time
+    // retention filter (pinned now = max ts) drops expired rows — the
+    // reference's DynamoDB TTL expiry as a scan predicate.
+    ("q_raw_events_live",
+      (s, d) => Retention.retainedAtMaxTs(Retention.withTtl(norm(s, d), "15 days"))
+        .select(col("rec_id"), col("ts_str"), col("city"), col("event_type"),
+          col("severity"), col("description"),
+          date_format(col("ttl"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ttl_str"))
+        .orderBy("rec_id", "severity"),
+      Some(s"""$WITH_NORM
+        |SELECT rec_id, ts_str, city, event_type, severity, description,
+        |  strftime(ts + INTERVAL '15 days', '%Y-%m-%d %H:%M:%S.%f') AS ttl_str
+        |FROM norm
+        |WHERE ts + INTERVAL '15 days' > (SELECT max(ts) FROM norm)
+        |ORDER BY rec_id, severity""".stripMargin)),
+
     ("q_alerts",
       (s, d) => alertsOf(s, d)
         .select("event_id", "city", "ts_str", "event_type", "severity", "description", "rec_id")
@@ -141,6 +157,43 @@ object SparkEntry {
       Some(s"""$WITH_NORM_AGG
         |SELECT * FROM agg WHERE city = 'NYC' AND event_type = 'error'
         |ORDER BY window_start DESC LIMIT 10""".stripMargin)),
+
+    // ---- serving parameter matrix (reference test-api.sh:23-58 probes each
+    // endpoint at several (city, eventType, hours, limit) combos; one extra
+    // fixture per endpoint family keeps the parameterization honest)
+    ("q_events_by_city_sf",
+      (s, d) => Serving.eventsByCity(norm(s, d), "SF", 3),
+      Some(s"""$WITH_NORM
+        |SELECT event_id, rec_id, ts_str, city, event_type, severity, description
+        |FROM norm WHERE city = 'SF'
+        |ORDER BY ts DESC, event_id DESC LIMIT 3""".stripMargin)),
+
+    ("q_summary_city_boston",
+      (s, d) => Serving.summary(agg(s, d), "Boston").orderBy("event_type"),
+      Some(s"""$WITH_NORM_AGG
+        |SELECT event_type, CAST(sum(event_count) AS BIGINT) AS total_events
+        |FROM agg WHERE city = 'Boston' GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    ("q_alerts_seattle_12h",
+      (s, d) => Serving.alertsRecent(alertsOf(s, d), Some("Seattle"), 12),
+      Some(s"""$WITH_NORM_ALERTS
+        |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
+        |FROM alerts
+        |WHERE city = 'Seattle'
+        |  AND ts >= (SELECT max(ts) FROM alerts) - INTERVAL '12 hours'
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)),
+
+    ("q_aggregations_sf_view",
+      (s, d) => Serving.aggregationsFor(aggFlat(s, d), "SF", "view", 3),
+      Some(s"""$WITH_NORM_AGG
+        |SELECT * FROM agg WHERE city = 'SF' AND event_type = 'view'
+        |ORDER BY window_start DESC LIMIT 3""".stripMargin)),
+
+    ("q_aggregations_chicago_purchase",
+      (s, d) => Serving.aggregationsFor(aggFlat(s, d), "Chicago", "purchase", 5),
+      Some(s"""$WITH_NORM_AGG
+        |SELECT * FROM agg WHERE city = 'Chicago' AND event_type = 'purchase'
+        |ORDER BY window_start DESC LIMIT 5""".stripMargin)),
 
     ("q_stats_total",
       (s, d) => Serving.statsTotal(agg(s, d)),

@@ -44,10 +44,18 @@ object EventStreamSource {
       .load()
       .selectExpr("CAST(value AS STRING) AS json"))
 
+  /** Wire timestamp format: microsecond-precision ISO-8601 with offset.
+    * Spark's to_json default truncates to milliseconds — the explicit
+    * pattern pins the contract so serialize→parse round-trips losslessly
+    * (PropertySpec asserts parseJson ∘ toKafkaRecords ≡ id on wire fields).
+    */
+  val wireOptions: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
   /** JSON decode stage: string value → typed event columns (P1-P3). */
   def parseJson(jsonDf: DataFrame): DataFrame =
     jsonDf
-      .select(from_json(col("json"), wireSchema).as("data"))
+      .select(from_json(col("json"), wireSchema, wireOptions).as("data"))
       .select("data.*")
 
   /** Kafka producer sink stage (S3): key = city for per-city partition
@@ -58,7 +66,7 @@ object EventStreamSource {
   def toKafkaRecords(normalized: DataFrame): DataFrame =
     normalized.select(
       col("city").cast(StringType).as("key"),
-      to_json(struct(normalized.columns.map(col): _*)).as("value"))
+      to_json(struct(normalized.columns.map(col): _*), wireOptions).as("value"))
 
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
 

@@ -6,6 +6,8 @@ import graft.operators._
 /** Operator specs for the CityStream-parity surface (SURVEY.md §2). */
 class CityStreamSpec extends SparkSpec {
 
+  import java.sql.Timestamp
+
   private lazy val norm   = CityEvents.normalize(Tables.events(spark, sf)).cache()
   private lazy val agg    = StreamAggregates.windowedAggregate(norm)
   private lazy val alerts = StreamAggregates.alerts(norm)
@@ -92,6 +94,25 @@ class CityStreamSpec extends SparkSpec {
     assert(math.abs(avg - s / n) < 1e-9)
     assert(r.getAs[Double]("value_min") <= avg && avg <= r.getAs[Double]("value_max"))
     assert(r.getAs[Double]("events_per_sec") > 0)
+  }
+
+  test("ttl retention ages events across the expiry boundary (S4)") {
+    import spark.implicits._
+    // three events: 40 days old, 10 days old, and "now" — a 30-day ttl
+    // must expire exactly the first when now is pinned to max(ts)
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, Timestamp.valueOf("2024-01-31 00:00:00")),
+      (3L, Timestamp.valueOf("2024-02-10 00:00:00"))
+    ).toDF("event_id", "ts")
+    val live = Retention.retainedAtMaxTs(Retention.withTtl(df, "30 days"))
+    assert(live.select("event_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // explicit clock: advance now past every ttl -> empty store
+    val later = Retention.retained(Retention.withTtl(df, "30 days"),
+      lit(Timestamp.valueOf("2024-12-01 00:00:00")))
+    assert(later.count() == 0)
+    // ttl is write-side state: it rides along as a column
+    assert(Retention.withTtl(df).columns.contains("ttl"))
   }
 
   test("serving: eventsByCity filters and caps (F2/O1/O5)") {

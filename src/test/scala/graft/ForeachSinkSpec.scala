@@ -1,0 +1,83 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.operators.CityEvents
+import graft.sources.KeyedForeachWriter
+import graft.streaming.EventStreamSource
+
+/** Row-level ForeachWriter sink contract (T8 + T7 replay half): lifecycle,
+  * failure atomicity, open=false partition skip, last-writer-wins reads.
+  */
+class ForeachSinkSpec extends SparkSpec {
+
+  private val rowSchema = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType)))
+  private def row(k: String, v: String): Row =
+    new GenericRowWithSchema(Array[Any](k, v), rowSchema)
+
+  test("failed attempt commits nothing; retry commits; replay is skipped via open=false") {
+    val dir = Files.createTempDirectory("fw").toString
+    val w = new KeyedForeachWriter(dir)
+    // attempt 1: the task dies mid-partition — close receives the error
+    assert(w.open(0, 0), "first attempt must open")
+    w.process(row("a", "v1"))
+    w.close(new RuntimeException("injected executor failure"))
+    assert(!new File(s"$dir/commits/0-0").exists(), "aborted attempt must not commit")
+    assert(!new File(s"$dir/data/0-0.log").exists(), "aborted attempt must leave no data")
+    // attempt 2: Spark's task retry re-opens the SAME (partition, epoch)
+    assert(w.open(0, 0), "retry of an uncommitted attempt must open")
+    w.process(row("a", "v1"))
+    w.process(row("b", "v2"))
+    w.close(null)
+    assert(new File(s"$dir/commits/0-0").exists())
+    // attempt 3: checkpoint replay of a committed epoch — skip the partition
+    assert(!w.open(0, 0), "committed (partition, epoch) must be skipped")
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "v1", "b" -> "v2"))
+  }
+
+  test("last-writer-wins across epochs and within a batch") {
+    val dir = Files.createTempDirectory("fw").toString
+    val w = new KeyedForeachWriter(dir)
+    assert(w.open(0, 0))
+    w.process(row("k", "old"))
+    w.process(row("k", "mid")) // same key twice in one batch: latest seq wins
+    w.close(null)
+    assert(w.open(0, 1))
+    w.process(row("k", "new"))
+    w.close(null)
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+    assert(got.length == 1 && got.head.getString(1) == "new")
+  }
+
+  test("streaming foreach sink lands wire records end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("fw").toString
+    val input = MemoryStream[EventRec]
+    val wire = EventStreamSource.toKafkaRecords(
+      CityEvents.normalize(input.toDF()))
+    val q = wire.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .foreach(new KeyedForeachWriter(dir))
+      .start()
+    try {
+      input.addData(
+        EventRec(1, Timestamp.valueOf("2024-01-01 10:00:00"), 0, "click", 300, "{}"),
+        EventRec(2, Timestamp.valueOf("2024-01-01 10:00:10"), 1, "view", 50, "{}"))
+      q.processAllAvailable()
+      val got = KeyedForeachWriter.read(spark, dir).collect()
+      // key = city: two users → two cities → two live keys
+      assert(got.length == 2)
+      assert(got.forall(r => CityEvents.Cities.contains(r.getString(0))))
+      assert(got.forall(_.getString(1).contains("\"rec_id\"")))
+    } finally q.stop()
+  }
+}

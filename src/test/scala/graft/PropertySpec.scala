@@ -46,6 +46,40 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("kafka wire format round-trips: parseJson(toKafkaRecords(df)) recovers the wire fields (S3/P1-P3)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // generated raw wire frames: id, ts (µs precision), user, type, value, props
+    val rows = sample(Gen.listOfN(200, for {
+      id <- Gen.choose(0L, 1000000L); t <- tsGen
+      u  <- Gen.choose(0L, 5000L)
+      ty <- Gen.oneOf("click", "view", "purchase", "signup", "error")
+      v  <- Gen.choose(0.0, 500.0)
+      k  <- Gen.choose(0, 99)
+    } yield (id, t, u, ty, v, s"""{"k": $k}""")), 1234L)
+    val raw = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val normalized = CityEvents.normalize(raw)
+    val wire = graft.streaming.EventStreamSource.toKafkaRecords(normalized)
+    val back = graft.streaming.EventStreamSource.parseJson(
+      wire.select(col("value").as("json")))
+    // the producer serializes the normalized row; the consumer's wire schema
+    // recovers exactly the reference's CityEvent fields
+    val sent = normalized
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(_.toSeq).toSet
+    val got = back
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(_.toSeq).toSet
+    assert(got == sent)
+    // and the record key is the partition-ordering city, matching each row
+    val keyed = wire.select(col("key"),
+      get_json_object(col("value"), "$.city").as("city")).collect()
+    assert(keyed.forall(r => r.getString(0) == r.getString(1)))
+    assert(keyed.map(_.getString(0)).toSet.subsetOf(CityEvents.Cities.toSet))
+  }
+
   test("rec_id embeds city, type and the wire-format timestamp") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
