@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSignature, SimHash, VecDot}
+import graft.functions.{MinHashBands, MinHashSignature, SimHash, VecDot}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MinHashSignature(child, intArg(k, "numHashes"), longArg(s, "seed"))
         case _ => throw new IllegalArgumentException(
           "minhash_signature(array<bigint>[, numHashes[, seed]])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => MinHashBands(child, 128, 32, 42L)
+        case Seq(child, k, b) =>
+          MinHashBands(child, intArg(k, "numHashes"), intArg(b, "bands"), 42L)
+        case Seq(child, k, b, s) =>
+          MinHashBands(child, intArg(k, "numHashes"), intArg(b, "bands"),
+            longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_bands(array<bigint>[, numHashes, bands[, seed]])")
       }))
     e.injectFunction((
       new FunctionIdentifier("simhash"),

@@ -13,14 +13,20 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    def time[T](label: String)(f: => T): Unit = {
+    def timeOnce[T](f: => T): Double = {
       val t0 = System.nanoTime(); f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      (System.nanoTime() - t0) / 1e9
     }
-    time("minhashPairs")(Dedup.minhashPairs(Tables.documents(spark, d), 0.8).count())
-    time("jaccardPairs")(Dedup.jaccardPairs(Tables.documents(spark, d), 0.5).count())
-    time("simhashPairs")(Dedup.simhashPairs(Tables.documents(spark, d), 2).count())
-    time("cosinePairs")(Similarity.cosineNearDupPairs(Tables.embeddings(spark, d), 0.4).count())
+    // warmup
+    Tables.documents(spark, d).count(); Tables.embeddings(spark, d).count()
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q_minhash_pairs", "q_jaccard_pairs", "q_simhash_pairs",
+      "q_cosine_pairs", "q_ann_ivf_topk", "q_aggregations_recent")
+    names.foreach { n =>
+      val ts = (1 to 4).map(_ => timeOnce(SparkEntry.queries(n)(spark, d).count()))
+      println(f"$n: first ${ts.head}%.2f s, min ${ts.min}%.2f s " +
+        f"(all: ${ts.map(t => f"$t%.2f").mkString(", ")})")
+    }
     spark.stop()
   }
 }

@@ -156,7 +156,12 @@ object Dedup {
   private def dupGroups(documents: DataFrame): DataFrame = {
     val keyed = documents.select(col("doc_id"), sha2(col("text"), 256).as("thash"))
     val reps = keyed.groupBy("thash").agg(min("doc_id").as("rep"))
+    // barrier: the membership frame is consumed 3-4 times downstream
+    // (rep filter, eligibility semi-join, both expansion joins); the
+    // repartition makes those consumers ReusedExchange readers instead of
+    // re-running the sha2 + groupBy + join pipeline per reference
     keyed.join(reps, "thash").select(col("rep"), col("doc_id"))
+      .repartition(col("rep"))
   }
 
   /** Re-expand representative-level pairs to document-level pairs.
@@ -184,7 +189,6 @@ object Dedup {
   def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
                    numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
     val members = dupGroups(documents)
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
@@ -198,15 +202,14 @@ object Dedup {
       .select(col("doc_id"), transform(shingles(col("text")), s => xxhash64(s)).as("shh"))
       .filter(size(col("shh")) > 0)
       .repartition(col("doc_id"))
-    val sigs = sets.select(col("doc_id"),
-      graft.functions.Sketches.minhashSignature(col("shh"), numHashes, 42L).as("sig"))
-      .repartition(col("doc_id"))
-    // rotate-xor fold: overflow-free under ANSI mode (shift/xor only)
-    val bandHashes = array((0 until bands).map(b =>
-      aggregate(slice(col("sig"), b * rows + 1, rows), lit(17L),
-        (acc, x) => shiftleft(acc, 1).bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(x))): _*)
-    val banded = sigs
-      .select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
+    // signature + band folding fused into ONE codegen'd pass
+    // ([[graft.functions.MinHashBands]]); round 1 materialized a signature
+    // array and folded it with `bands` interpreted aggregate() HOF lambdas
+    val banded = sets
+      .select(col("doc_id"),
+        posexplode(graft.functions.Sketches.minhashBands(
+          col("shh"), numHashes, bands, 42L)).as(Seq("band", "bucket")))
+      .repartition(col("band"), col("bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

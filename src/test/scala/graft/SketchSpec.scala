@@ -44,6 +44,34 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("minhash_bands equals the rotate-xor fold of the signature, codegen and interpreted") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, Array.tabulate(20)(j => (i * 31 + j).toLong)))
+      .toDF("id", "hashes")
+    def rotlFold(sig: Seq[Long], bands: Int): Seq[Long] = {
+      val rows = sig.length / bands
+      (0 until bands).map { b =>
+        sig.slice(b * rows, (b + 1) * rows)
+          .foldLeft(17L)((acc, x) => java.lang.Long.rotateLeft(acc, 1) ^ x)
+      }
+    }
+    val sig = df.select(col("id"), Sketches.minhashSignature(col("hashes"), 128, 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("s").toSeq).toMap
+    def bandsOf(): Map[Long, Seq[Long]] =
+      df.select(col("id"), Sketches.minhashBands(col("hashes"), 128, 32, 42L).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("b").toSeq).toMap
+    val fused = bandsOf()
+    assert(fused.forall { case (id, b) => b == rotlFold(sig(id), 32) })
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(bandsOf() == fused)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("simhash: identical inputs collide, disjoint inputs differ, SQL path works") {
     import spark.implicits._
     val df = Seq((1L, Array(5L, 9L, 5L)), (2L, Array(5L, 9L, 5L)), (3L, Array(1024L, 2048L)))
