@@ -464,6 +464,55 @@ object SparkEntry {
       Some(s"""SELECT doc_id, ${TextAnalysis.Sql.fingerprint} AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    ("q_repetition",
+      (s, d) => TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH g AS (SELECT doc_id,
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS ngrams_total,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS ngrams_distinct,
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS repetition
+        |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin)),
+
+    ("q_quality_filter",
+      (s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS unique_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, unique_ratio, punct_ratio,
+        |  n_tokens >= 20 AS len_ok,
+        |  punct_ratio < 0.1 AS punct_ok,
+        |  unique_ratio > 0.3 AS unique_ok,
+        |  n_tokens >= 20 AND punct_ratio < 0.1 AND unique_ratio > 0.3 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // deterministic stratified sample: explicit modular hash (NOT an engine
+    // hash function) so any engine reproduces the selection bit-for-bit
+    ("q_stratified_sample",
+      (s, d) => Corpus.stratifiedSample(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source,
+        |  ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+        |FROM documents
+        |WHERE ((doc_id % 1000003) * 2654435761) % 100 <
+        |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 WHEN 'de' THEN 20
+        |            WHEN 'fr' THEN 20 WHEN 'es' THEN 20 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("q_pack_sequences",
+      (s, d) => Corpus.packSequences(Tables.documents(s, d)).orderBy("lang", "doc_id"),
+      Some("""SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(floor(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 512) AS BIGINT) AS pack_id
+        |FROM documents ORDER BY lang, doc_id""".stripMargin)),
+
     // ---- LLM-data pipeline: deduplication (north star)
     ("q_dedup_exact",
       (s, d) => Dedup.exactDuplicates(Tables.documents(s, d)),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for LLM training-data pipelines: domain
+  * mixing via deterministic stratified sampling, and token-budget sequence
+  * packing. Both are the shapes a 100 TB pre-training data build needs:
+  * sampling is a pure scan-side predicate (no shuffle, pushes down), and
+  * packing is one window per stratum (shuffle on the stratum key only).
+  */
+object Corpus {
+
+  /** Default per-language keep rates (percent) — the "domain mixing" knob:
+    * upsample English, downsample the rest. Any map works; rates are
+    * percentages in [0, 100].
+    */
+  val DefaultRates: Map[String, Int] =
+    Map("en" -> 50, "zh" -> 20, "de" -> 20, "fr" -> 20, "es" -> 20)
+
+  /** Deterministic stratified sample: keep a document iff
+    * `((doc_id % 1000003) * 2654435761) % 100 < rate(lang)`.
+    *
+    * The hash is explicit modular arithmetic (Knuth's 2654435761
+    * multiplicative constant; the pre-mod by the prime 1000003 keeps the
+    * product < 2^52, exact in BIGINT/Long under ANSI mode) rather than an
+    * engine hash function, so ANY engine reproduces the same sample — the
+    * property that makes a training corpus auditable. Seedless but
+    * id-stable: re-running over a grown corpus keeps previously-selected
+    * documents selected.
+    *
+    * Scale: a scan-side predicate on (doc_id, lang) — no shuffle, no state;
+    * the sample rate is exact in expectation per stratum.
+    */
+  def stratifiedSample(documents: DataFrame,
+                       rates: Map[String, Int] = DefaultRates): DataFrame = {
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(100L))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .filter(col("bucket") < coalesce(element_at(rateMap, col("lang")), lit(0)))
+  }
+
+  /** Token-budget sequence packing: within each `lang` stratum, documents
+    * (in doc_id order) are laid head-to-tail and assigned
+    * `pack_id = floor(exclusive_prefix_tokens / budget)` — the contiguous
+    * greedy packing a sequence-building pipeline uses to batch documents
+    * into fixed token windows.
+    *
+    * Scale: one window aggregation per stratum — shuffle on `lang` (in a
+    * real build the stratum key would be (lang, shard) to bound partition
+    * size); everything else is a narrow projection.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
+  }
+}

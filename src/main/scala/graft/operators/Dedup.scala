@@ -36,7 +36,13 @@ object Dedup {
     * the shorter slice, which [[filter]] then drops — also covering texts
     * with fewer than n tokens (empty result).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(shinglesRaw(text, n))
+
+  /** Non-distinct token n-grams in document order (the multiset variant of
+    * [[shingles]] — [[TextAnalysis.repetition]] needs duplicates counted).
+    */
+  def shinglesRaw(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
     var cur = toks
     // NB: slice length must not overflow (start+length); Int.MaxValue yields
@@ -44,7 +50,7 @@ object Dedup {
     for (j <- 1 until n)
       cur = zip_with(cur, slice(toks, lit(j + 1), size(toks)),
         (a, b) => concat(a, lit(" "), b))
-    array_distinct(filter(cur, s => s.isNotNull))
+    filter(cur, s => s.isNotNull)
   }
 
   /** Exact duplicate groups: one representative (min doc_id) per distinct

@@ -88,6 +88,47 @@ object TextAnalysis {
       element_at(langs, array_position(scores, array_max(scores)).cast("int")).as("predicted_lang"))
   }
 
+  /** Repetition ratio (Gopher/C4-style quality signal): the fraction of
+    * n-gram OCCURRENCES that are repeats of an earlier n-gram in the same
+    * document — `1 - distinct/total`. High values flag boilerplate loops
+    * and degenerate generations. Pure narrow projection; documents with
+    * fewer than n tokens (no n-grams) are excluded on both sides.
+    */
+  def repetition(documents: DataFrame, n: Int = 3): DataFrame = {
+    val grams = Dedup.shinglesRaw(col("text"), n)
+    documents
+      .select(col("doc_id"), size(grams).as("ngrams_total"),
+        size(array_distinct(grams)).as("ngrams_distinct"))
+      .filter(col("ngrams_total") > 0)
+      .select(col("doc_id"), col("ngrams_total").cast("long").as("ngrams_total"),
+        col("ngrams_distinct").cast("long").as("ngrams_distinct"),
+        (lit(1.0) - col("ngrams_distinct").cast("double") / col("ngrams_total"))
+          .as("repetition"))
+  }
+
+  /** Composite C4-style keep/drop filter: minimum length, punctuation cap,
+    * lexical-diversity floor — emitted as per-rule flags plus the composite
+    * `keep`, so a pipeline can audit WHY a document dropped (filtering
+    * silently is how corpora rot).
+    */
+  def qualityFilter(documents: DataFrame, minTokens: Int = 20,
+                    maxPunct: Double = 0.1, minUnique: Double = 0.3): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast("double") / n.cast("double")
+    val punctRatio = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+      .cast("double") / length(col("text")).cast("double")
+    documents.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      uniqRatio.as("unique_ratio"),
+      punctRatio.as("punct_ratio"),
+      (n >= minTokens).as("len_ok"),
+      (punctRatio < maxPunct).as("punct_ok"),
+      (uniqRatio > minUnique).as("unique_ok"),
+      (n >= minTokens && punctRatio < maxPunct && uniqRatio > minUnique).as("keep"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the character stream:
     * acc = (acc*31 + codepoint) mod 1e9+7. One pass, bounded intermediate
     * (< 2^35, exact in Long for Spark and BIGINT for the DuckDB oracle).

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, TextAnalysis}
+
+/** Specs for corpus-construction operators (stratified sampling, sequence
+  * packing) and the repetition/quality-filter text signals.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("stratified sample: deterministic, subset, rates approximately honored") {
+    val s1 = Corpus.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.stratifiedSample(docs).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must be reproducible")
+    val all = docs.count().toDouble
+    assert(s1.nonEmpty && s1.size < all)
+    // en rate 50%: kept fraction within a loose tolerance of the target
+    val enAll = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = Corpus.stratifiedSample(docs)
+      .filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / enAll - 0.5) < 0.15,
+      s"en keep rate ${enKept / enAll} far from 0.5")
+    // unknown stratum -> dropped entirely
+    val zeroed = Corpus.stratifiedSample(docs, Map("xx" -> 100))
+    assert(zeroed.count() == 0)
+  }
+
+  test("pack sequences: contiguous monotone packs that fill the token budget") {
+    val budget = 512
+    val rows = Corpus.packSequences(docs, budget).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      // pack_id recomputes from the exclusive running token count
+      var cum = 0L
+      sorted.foreach { case (_, _, n, pack) =>
+        assert(pack == cum / budget)
+        cum += n
+      }
+      // monotone, contiguous from 0
+      val packs = sorted.map(_._4)
+      assert(packs.head == 0L)
+      assert(packs.zip(packs.tail).forall { case (a, b) => b == a || b == a + 1 })
+    }
+  }
+
+  test("repetition: bounded in [0,1), high for looping text, low for diverse text") {
+    import spark.implicits._
+    val r = TextAnalysis.repetition(docs).collect()
+    assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) < 1.0))
+    val planted = Seq(
+      (1L, Array.fill(30)("spam ham").mkString(" ")),   // 2 distinct 3-grams
+      (2L, (1 to 60).map(i => s"tok$i").mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.repetition(planted).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(p(1L) > 0.9)
+    assert(p(2L) == 0.0)
+  }
+
+  test("quality filter: keep is exactly the conjunction of its rule flags") {
+    val r = TextAnalysis.qualityFilter(docs).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val expected = x.getBoolean(4) && x.getBoolean(5) && x.getBoolean(6)
+      assert(x.getBoolean(7) == expected)
+    }
+    // rules are live: at least one doc on each side at these thresholds
+    assert(r.exists(_.getBoolean(7)))
+  }
+}
