@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.{CityEvents, StreamAggregates}
-import graft.sources.KeyedUpsertSink
+import graft.sources.{KeyedForeachWriter, KeyedUpsertSink}
 
 /** The reference's streaming topology: FOUR concurrent Structured Streaming
   * queries over one parsed event stream
@@ -93,6 +93,23 @@ class Pipeline(
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/alerts")
       .foreachBatch(upsertBatch(alertsStorePath, Seq("city", "ts_str")) _)
+      .start()
+
+  /** Query 3 variant with ROW-LEVEL sink fidelity (T8): the wire records
+    * stream through [[KeyedForeachWriter]] — the open/process/close
+    * lifecycle of the reference's DynamoDB `ForeachWriter` (consumer
+    * :202-283), with per-(partition, epoch) commit markers giving the same
+    * effectively-once guarantee the foreachBatch path gets from its keyed
+    * merge. Use when a row-oriented store (DynamoDB, HBase, Redis) is the
+    * target; foreachBatch + [[KeyedUpsertSink]] remains the columnar path.
+    */
+  def startAlertsForeach(events: DataFrame): StreamingQuery =
+    EventStreamSource.toKafkaRecords(
+        StreamAggregates.alerts(normalized(events)).drop("ts"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/alerts-foreach")
+      .foreach(new KeyedForeachWriter(s"$storeRoot/alerts_rows"))
       .start()
 
   /** Stream-static enrichment join (SURVEY.md §2.4 extension): the live

@@ -57,6 +57,28 @@ class ForeachSinkSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getString(1) == "new")
   }
 
+  test("pipeline row-level alerts sink: only high-severity events reach the row store (T8 topology)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("store").toString
+    val p = new graft.streaming.Pipeline(spark, storeRoot,
+      Files.createTempDirectory("ckpt").toString)
+    val input = MemoryStream[EventRec]
+    val q = p.startAlertsForeach(input.toDF())
+    try {
+      input.addData(
+        EventRec(1, Timestamp.valueOf("2024-01-01 10:00:00"), 0, "click", 450, "{}"), // critical
+        EventRec(2, Timestamp.valueOf("2024-01-01 10:00:10"), 1, "view", 50, "{}"),   // low: filtered
+        EventRec(3, Timestamp.valueOf("2024-01-01 10:00:20"), 2, "error", 300, "{}")) // high
+      q.processAllAvailable()
+      val got = KeyedForeachWriter.read(spark, s"$storeRoot/alerts_rows").collect()
+      assert(got.length == 2)
+      assert(got.forall(r =>
+        r.getString(1).contains("\"severity\":\"critical\"") ||
+          r.getString(1).contains("\"severity\":\"high\"")))
+    } finally q.stop()
+  }
+
   test("streaming foreach sink lands wire records end-to-end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
