@@ -44,6 +44,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("every registered query plans cleanly; nested-loop joins only where a tiny broadcast is intended") {
+    // registry-wide scale guard: an UNLISTED BroadcastNestedLoopJoin or any
+    // CartesianProduct is a 100 TB regression (round 1 shipped one in
+    // q_cosine_pairs); also catches queries that fail analysis before the
+    // driver gate does. The allowlist names the deliberate tiny-broadcast
+    // patterns: pinned-now 1-row scalar crossJoins, and small query-set /
+    // centroid-set scoring where the nested loop IS the work.
+    val bnljIntended = Set(
+      "q_alerts_recent", "q_alerts_city_recent", "q_alerts_seattle_12h", // 1-row max(ts) scalar
+      "q_raw_events_live",                                               // 1-row retention cutoff
+      "q_funnel",                                                        // two 1-row counts
+      "q_cosine_topk",                                                   // 5-row broadcast query set
+      "q_ann_ivf_topk")                                                  // centroid-set scoring
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      val bad = (if (bnljIntended(name)) Seq("CartesianProduct")
+                 else Seq("BroadcastNestedLoopJoin", "CartesianProduct")).filter(p.contains)
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty, s"nested-loop/cartesian plans: $offenders")
+  }
+
   test("windowed aggregation is two-phase (map-side partial aggregation)") {
     val agg = StreamAggregates.windowedAggregate(
       CityEvents.normalize(Tables.events(spark, sf)))
