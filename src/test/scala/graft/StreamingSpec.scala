@@ -46,6 +46,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-batch parity: windowed agg store equals the batch operator on the same events (A1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 90 events over ~30 minutes of event time, several cities/types/
+    // severities; fed in event-time order so the watermark drops nothing
+    val events = (1 to 90).map { i =>
+      ev(i, f"2024-01-01 10:${i % 30}%02d:${(i * 7) % 60}%02d", user = i % 7,
+        typ = Seq("click", "view", "error")(i % 3), v = (i * 37 % 500).toDouble)
+    }.sortBy(_.ts.getTime)
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startWindowedAgg(input.toDF())
+    val cols = Seq("partition_key", "window_start", "window_end", "city",
+      "event_type", "event_count", "severities", "last_updated")
+    def canon(rows: Array[org.apache.spark.sql.Row]): Set[Seq[Any]] =
+      rows.map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      }).toSet
+    try {
+      events.grouped(30).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = canon(KeyedUpsertSink.read(spark, p.aggStorePath)
+        .select(cols.map(col): _*).collect())
+      val batch = canon(graft.operators.StreamAggregates.windowedAggregate(
+          graft.operators.CityEvents.normalize(events.toDF()))
+        .select(cols.map(col): _*).collect())
+      assert(streamed == batch,
+        s"stream/batch diverged: only-stream=${(streamed -- batch).take(2)} " +
+          s"only-batch=${(batch -- streamed).take(2)}")
+    } finally q.stop()
+  }
+
   test("watermark drops data later than 10 minutes (T1)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
