@@ -348,6 +348,30 @@ object SparkEntry {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin)),
 
+    // bucketed range join (equi-join on (user, time bucket) + residual
+    // range predicate — never a nested-loop); oracle is the plain range join
+    ("q_range_join",
+      (s, d) => Relational.eventsNearAnchors(Tables.events(s, d)),
+      Some("""SELECT a.event_id, count(*) AS n_nearby,
+        |  max(e.event_id) AS last_event
+        |FROM events a JOIN events e
+        |  ON a.user_id = e.user_id
+        | AND e.event_id <> a.event_id
+        | AND e.ts >= a.ts - INTERVAL '1 hour'
+        | AND e.ts < a.ts + INTERVAL '1 hour'
+        |WHERE a.value >= 250
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)),
+
+    ("q_user_quartiles",
+      (s, d) => Relational.userActivityQuartiles(Tables.events(s, d)),
+      Some("""WITH c AS (SELECT user_id, count(*) AS event_count
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, event_count,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM c WINDOW w AS (ORDER BY event_count DESC, user_id)
+        |ORDER BY user_id""".stripMargin)),
+
     ("q_cube",
       (s, d) => Relational.cityTypeCube(norm(s, d)),
       Some(s"""$WITH_NORM

@@ -222,6 +222,62 @@ object Relational {
       .orderBy("city", "window_start")
   }
 
+  /** Bucketed interval/range join: for each high-value "anchor" event,
+    * the other events of the SAME user inside `[ts - hours, ts + hours)`
+    * — aggregated per anchor (neighbor count + latest neighbor id) so the
+    * output is compact and deterministic. The burst-correlation query a
+    * monitoring surface asks ("what else did this user do around the
+    * alert?").
+    *
+    * The naive formulation (`user equi + ts range` non-equi condition)
+    * degenerates to a BroadcastNestedLoopJoin. The scale shape is the
+    * classic bucketed range join: bucket width = the full range width
+    * (2·hours), each anchor interval spans at most two buckets (exploded
+    * to both), each candidate event falls in exactly one — so a pair
+    * meets in EXACTLY one bucket and the join is a plain shuffled
+    * equi-join on (user, bucket) with the exact range predicate as a
+    * residual filter. Work scales with events per (user, bucket), not
+    * |anchors| × |events|.
+    */
+  def eventsNearAnchors(events: DataFrame, hours: Int = 1,
+                        minValue: Double = 250.0): DataFrame = {
+    val w = 2L * hours * 3600L
+    val cand = events.select(col("event_id"), col("user_id"), col("ts"),
+      expr(s"unix_seconds(ts) div $w").as("bucket"))
+    val anchors = events.filter(col("value") >= minValue)
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"),
+        explode(array_distinct(array(
+          expr(s"unix_seconds(ts - INTERVAL $hours HOURS) div $w"),
+          expr(s"(unix_seconds(ts + INTERVAL $hours HOURS) - 1) div $w")))).as("bucket"))
+    anchors.join(cand,
+        col("a_user") === col("user_id") && anchors("bucket") === cand("bucket") &&
+          col("event_id") =!= col("anchor_id") &&
+          col("ts") >= col("a_ts") - expr(s"INTERVAL $hours HOURS") &&
+          col("ts") < col("a_ts") + expr(s"INTERVAL $hours HOURS"))
+      .groupBy("anchor_id")
+      .agg(count(lit(1)).as("n_nearby"), max(col("event_id")).as("last_event"))
+      .withColumnRenamed("anchor_id", "event_id")
+      .orderBy("event_id")
+  }
+
+  /** Percentile-rank analytics over per-user activity: quartile (ntile)
+    * and percent_rank of each user's event count. The window is global by
+    * construction (ranking IS a total order) but runs over the per-user
+    * AGGREGATE — cardinality |users| ≪ |events|, the standard shape for
+    * exact ranking; at extreme user counts the approximate path is
+    * `percentile_approx` over the same aggregate.
+    */
+  def userActivityQuartiles(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("event_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_count").desc, col("user_id"))
+    counts
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("user_id")
+  }
+
   private def usersOf(events: DataFrame, eventType: String): DataFrame =
     events.filter(col("event_type") === eventType).select("user_id").distinct()
 
