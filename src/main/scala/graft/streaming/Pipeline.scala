@@ -112,6 +112,35 @@ class Pipeline(
       .foreach(new KeyedForeachWriter(s"$storeRoot/alerts_rows"))
       .start()
 
+  /** Stream-STREAM interval join (SURVEY.md §2.4 extension): each alert
+    * joined to the events of the same city in the 5 minutes before it —
+    * the burst-context query, as the canonical watermarked stream-stream
+    * join. Both sides carry watermarks and the join condition bounds the
+    * event time range, so state for closed windows is evicted (the
+    * requirement for unbounded stream-stream joins to run at all).
+    */
+  def startAlertContext(events: DataFrame, queryName: String = "alert_context"): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val evts = normalized(events).withWatermark("ts", watermarkDelay)
+      .select(col("ts").as("e_ts"), col("city").as("e_city"),
+        col("rec_id").as("e_rec_id"), col("event_type").as("e_type"))
+    val alerts = StreamAggregates.alerts(normalized(events))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("alert_id"), col("city"), col("ts"),
+        col("severity"))
+    alerts.join(evts,
+        col("city") === col("e_city") &&
+          col("e_ts") >= col("ts") - expr("INTERVAL 5 MINUTES") &&
+          col("e_ts") <= col("ts"))
+      .select("alert_id", "city", "severity", "e_rec_id", "e_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointRoot/alert-context")
+      .start()
+  }
+
   /** Stream-static enrichment join (SURVEY.md §2.4 extension): the live
     * event stream joined against a broadcast customer dimension — the
     * canonical dimension-enrichment shape (no stream-side shuffle; the dim

@@ -150,6 +150,30 @@ class StreamingSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("stream-stream interval join: alerts pick up same-city events within 5 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startAlertContext(input.toDF(), "alert_ctx_test")
+    try {
+      // user 0 -> SF, user 1 -> NYC; value >= 250 -> alert severity
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", user = 0, v = 50),   // SF context event
+        ev(2, "2024-01-01 10:02:00", user = 1, v = 50),   // NYC: wrong city
+        ev(3, "2024-01-01 10:03:00", user = 6, v = 450))  // SF alert (user 6 -> SF)
+      q.processAllAvailable()
+      val rows = spark.table("alert_ctx_test").collect()
+      // the alert joins the SF context event AND itself (alerts are events)
+      val forAlert = rows.filter(_.getAs[Long]("alert_id") == 3L)
+      val recs = forAlert.map(_.getAs[String]("e_rec_id")).toSet
+      assert(forAlert.nonEmpty, "alert must pick up same-city context")
+      assert(forAlert.forall(_.getAs[String]("city") == "SF"))
+      assert(!recs.exists(_.contains("NYC")), "cross-city events must not join")
+      assert(recs.size == 2, s"expected SF context + self, got $recs")
+    } finally q.stop()
+  }
+
   test("keyed upsert sink: last-writer-wins and batch-internal dedup") {
     import spark.implicits._
     val store = tmp("kv") + "/t"
