@@ -52,11 +52,23 @@ object EventStreamSource {
   val wireOptions: Map[String, String] =
     Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
 
-  /** JSON decode stage: string value → typed event columns (P1-P3). */
+  /** JSON decode stage: string value → typed event columns (P1-P3).
+    * Corrupt payloads decode to an all-null struct and SURVIVE as null
+    * rows (PERMISSIVE semantics — a poison message must not kill the
+    * stream the way it would crash the reference's schema-assuming
+    * consumer); [[parseJsonValid]] drops them when the pipeline wants
+    * only well-formed events.
+    */
   def parseJson(jsonDf: DataFrame): DataFrame =
     jsonDf
       .select(from_json(col("json"), wireSchema, wireOptions).as("data"))
       .select("data.*")
+
+  /** [[parseJson]] minus undecodable rows (struct is null, or the
+    * non-nullable event key fields are missing).
+    */
+  def parseJsonValid(jsonDf: DataFrame): DataFrame =
+    parseJson(jsonDf).filter(col("event_id").isNotNull && col("ts").isNotNull)
 
   /** Kafka producer sink stage (S3): key = city for per-city partition
     * ordering, value = JSON of the full row — exactly the reference

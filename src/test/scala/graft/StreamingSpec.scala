@@ -193,6 +193,20 @@ class StreamingSpec extends SparkSpec {
       Set("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
 
+  test("corrupt wire payloads survive as null rows; parseJsonValid drops them") {
+    import spark.implicits._
+    val wire = Seq(
+      """{"event_id": 7, "ts": "2024-01-01T10:00:00.000000Z", "user_id": 1, "event_type": "click", "value": 1.5, "props": "{}"}""",
+      """not json at all""",
+      """{"event_id": null}""").toDF("json")
+    val parsed = graft.streaming.EventStreamSource.parseJson(wire)
+    assert(parsed.count() == 3, "poison messages must not kill the stream")
+    assert(parsed.filter(col("event_id").isNull).count() == 2)
+    val valid = graft.streaming.EventStreamSource.parseJsonValid(wire)
+    val rows = valid.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("event_id") == 7L)
+  }
+
   test("json parse stage decodes the wire format (P1-P3)") {
     import spark.implicits._
     val json = Seq("""{"event_id":7,"ts":"2024-01-01T10:00:00","user_id":3,"event_type":"view","value":9.5,"props":"{\"k\":1}"}""")
