@@ -20,4 +20,21 @@ object ServingStore {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed + sorted table write: rows are pre-shuffled into a fixed
+    * number of hash buckets on the join key and sorted within each bucket.
+    * Two tables bucketed identically on their join key then join with
+    * ZERO runtime exchange (and zero sort) — the shuffle is paid once at
+    * write time and amortized over every subsequent join, the bucketing
+    * pattern the 100 TB fact-fact join depends on. Catalog tables are
+    * required (bucket metadata lives in the metastore), hence
+    * `saveAsTable` rather than a path write.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

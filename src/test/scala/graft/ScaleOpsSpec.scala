@@ -33,6 +33,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(read.count() == norm.filter(col("city") === "SF").count())
   }
 
+  test("co-bucketed tables join with zero runtime exchange") {
+    val orders   = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    ServingStore.writeBucketed(orders, "orders_b", "o_orderkey")
+    ServingStore.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey")
+    // disable broadcast so the join exercises the bucketed SMJ path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ServingStore.readTable(spark, "orders_b")
+        .join(ServingStore.readTable(spark, "lineitem_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and the join is still correct
+      assert(joined.count() ==
+        orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("stream-static enrichment joins the broadcast dim per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
