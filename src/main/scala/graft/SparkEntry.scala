@@ -380,6 +380,26 @@ object SparkEntry {
         |FROM norm GROUP BY CUBE(city, event_type)
         |ORDER BY city, event_type""".stripMargin)),
 
+    // explicit grouping sets — the (city),(event_type),() subtotal family
+    // without the full cube; SQL-only surface in Spark, hence spark.sql
+    ("q_grouping_sets",
+      (s, d) => {
+        norm(s, d).createOrReplaceTempView("norm_gs")
+        s.sql("""SELECT coalesce(city, 'ALL') AS city,
+                |  coalesce(event_type, 'ALL') AS event_type,
+                |  count(*) AS event_count
+                |FROM norm_gs
+                |GROUP BY GROUPING SETS ((city), (event_type), ())
+                |ORDER BY city, event_type""".stripMargin)
+      },
+      Some(s"""$WITH_NORM
+        |SELECT coalesce(city, 'ALL') AS city,
+        |  coalesce(event_type, 'ALL') AS event_type,
+        |  count(*) AS event_count
+        |FROM norm
+        |GROUP BY GROUPING SETS ((city), (event_type), ())
+        |ORDER BY city, event_type""".stripMargin)),
+
     ("q_city_trends",
       (s, d) => Relational.cityWindowTrends(agg(s, d)),
       Some(s"""$WITH_NORM_AGG,
@@ -647,6 +667,22 @@ object SparkEntry {
         |  array_to_string(list_transform(generate_series(0, 15),
         |    b -> CAST(len(list_filter(cs, c -> (c >> 4) = b)) AS BIGINT)), ',') AS hist16
         |FROM codes ORDER BY media_id""".stripMargin)),
+
+    // stub resize: deterministic byte subsample to a 16x16 target; the
+    // payload is the UTF-8 text bytes so the oracle recomputes the
+    // checksum from character codes
+    ("q_media_resize",
+      (s, d) => Multimodal.resizeStub(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), 16, 16)
+        .orderBy("media_id"),
+      Some("""WITH p AS (SELECT doc_id, text, length(text) AS len FROM documents)
+        |SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+        |  CAST(least(256, len) AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    generate_series(0, CAST(least(256, len) AS INT) - 1),
+        |    i -> ord(text[CAST(i * (len // least(256, len)) AS INT) + 1]))), 0) AS BIGINT)
+        |    AS byte_sum
+        |FROM p ORDER BY media_id""".stripMargin)),
 
     ("q_frame_sample",
       (s, d) => Multimodal.sampleFrames(Multimodal.mediaFromDocuments(Tables.documents(s, d)), 5)

@@ -76,6 +76,35 @@ object Multimodal {
     decodeStub(media.as[MediaRecord]).toDF()
   }
 
+  /** STUB resize: downsample the payload to a `w × h` target by taking
+    * every `stride`-th byte (stride = len div target, no upsampling) — the
+    * per-partition batch shape of a real `cv2.resize`/`PIL.thumbnail`
+    * step, with a deterministic fake kernel. Emits the resized dimensions,
+    * output size, and a checksum of the sampled bytes so the plumbing is
+    * oracle-comparable end-to-end.
+    */
+  def resizeStub(mediaDf: DataFrame, w: Int, h: Int): DataFrame = {
+    import mediaDf.sparkSession.implicits._
+    val media = mediaDf.as[MediaRecord]
+    media.mapPartitions { it =>
+      it.map { m =>
+        // ??? real resample kernel goes here; deterministic subsample below
+        val target = w * h
+        val n = math.min(target, m.payload.length)
+        var sum = 0L
+        if (n > 0) {
+          val stride = m.payload.length / n
+          var i = 0
+          while (i < n) {
+            sum += (m.payload(i * stride) & 0xff)
+            i += 1
+          }
+        }
+        (m.media_id, w, h, n.toLong, sum)
+      }
+    }.toDF("media_id", "width", "height", "n_bytes", "byte_sum")
+  }
+
   /** Frame sampling plumbing: every `stride`-th frame index per media row —
     * a pure explode (narrow); the downstream per-frame decode would hang off
     * the exploded rows.

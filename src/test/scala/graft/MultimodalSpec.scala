@@ -27,6 +27,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub: output bounded by target, deterministic, checksum consistent") {
+    val r1 = Multimodal.resizeStub(media, 16, 16).collect()
+    assert(r1.forall(_.getLong(3) <= 256L))          // n_bytes <= w*h
+    assert(r1.forall(x => x.getInt(1) == 16 && x.getInt(2) == 16))
+    // checksum bounded by 255 * n_bytes and positive for non-empty payloads
+    assert(r1.forall(x => x.getLong(4) <= 255L * x.getLong(3)))
+    assert(r1.forall(x => x.getLong(3) == 0 || x.getLong(4) > 0))
+    val r2 = Multimodal.resizeStub(media, 16, 16).collect()
+    assert(r1.map(_.toSeq).toSet == r2.map(_.toSeq).toSet)
+    // payload shorter than the target is kept whole (no upsampling)
+    val small = Multimodal.resizeStub(media, 1000, 1000).collect()
+    val lens = media.select(col("media_id"), length(col("payload")).cast("long").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(small.forall(x => x.getLong(3) == math.min(1000000L, lens(x.getLong(0)))))
+  }
+
   test("frame sampling: stride-spaced indices within bounds") {
     val s = Multimodal.sampleFrames(media, 5)
     val joined = s.join(media, "media_id")
