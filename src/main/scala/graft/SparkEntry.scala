@@ -421,6 +421,21 @@ object SparkEntry {
         |FROM norm GROUP BY city, event_type, severity
         |ORDER BY city, event_type, severity""".stripMargin)),
 
+    // salted fact-side join ≡ the plain equi-join (salt only reshapes the
+    // shuffle); aggregated per segment for a compact deterministic output
+    ("q_salted_join",
+      (s, d) => Skew.saltedJoin(
+          Tables.events(s, d).withColumnRenamed("user_id", "c_custkey"),
+          Tables.customer(s, d), "c_custkey", col("event_id"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("event_count"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS event_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     ("q_distinct_users",
       (s, d) => Relational.distinctUsers(Tables.events(s, d)),
       Some("""SELECT event_type, count(DISTINCT user_id) AS distinct_users,

@@ -32,4 +32,24 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum("_partial").as("event_count"))
   }
+
+  /** Salted equi-join for a skewed FACT side: the fact rows get a
+    * deterministic salt in [0, saltBuckets); the (smaller, but too big to
+    * broadcast) build side is replicated once per salt value; the join key
+    * becomes (key, salt) — a hot fact key spreads over `saltBuckets`
+    * reducers instead of landing on one. Join results are EXACTLY those of
+    * the plain equi-join (each fact row still meets each matching build
+    * row exactly once, at its own salt), so the salted form is
+    * oracle-checkable against plain SQL. When the build side fits in
+    * memory, `broadcast()` beats this; when AQE's runtime skew split
+    * applies, prefer that — this is the explicit fallback for the
+    * deterministic-plan case.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+                 spread: Column, saltBuckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt", salt(spread, saltBuckets))
+    val replicated = build
+      .withColumn("_salt", explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

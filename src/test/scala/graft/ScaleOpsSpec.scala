@@ -33,6 +33,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(read.count() == norm.filter(col("city") === "SF").count())
   }
 
+  test("salted join equals the plain equi-join exactly") {
+    val fact = Tables.events(spark, sf).withColumnRenamed("user_id", "c_custkey")
+    val build = Tables.customer(spark, sf)
+    val plain = fact.join(build, "c_custkey")
+      .select("event_id", "c_custkey", "c_name")
+      .collect().map(_.toSeq).toSet
+    // force the shuffled path so salting is actually exercised
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(fact, build, "c_custkey", col("event_id"), 8)
+        .select("event_id", "c_custkey", "c_name")
+        .collect().map(_.toSeq).toSet
+      assert(salted == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("co-bucketed tables join with zero runtime exchange") {
     val orders   = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)
