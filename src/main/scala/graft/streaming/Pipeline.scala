@@ -158,6 +158,22 @@ class Pipeline(
       .start()
   }
 
+  /** Session-window streaming variant (T2): per-user 30-minute-gap
+    * sessions in append mode — a session is emitted exactly once, when the
+    * watermark passes its close (the state-clean-up contract streaming
+    * sessionization needs; the batch form is oracle-checked as
+    * `q_session_window`).
+    */
+  def startUserSessions(events: DataFrame, queryName: String = "sessions"): StreamingQuery =
+    StreamAggregates.userSessions(
+        normalized(events).withWatermark("ts", watermarkDelay))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointRoot/sessions")
+      .start()
+
   /** Query 4: global monitoring counts, complete mode, named in-memory sink
     * (the testable stand-in for the reference's console sink :182-190).
     */

@@ -150,6 +150,29 @@ class StreamingSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("streaming session windows: a session closes and emits once the watermark passes its gap (T2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startUserSessions(input.toDF(), "sessions_test")
+    try {
+      // burst: two events 10 minutes apart -> one open session
+      input.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:10:00", user = 1))
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0, "open sessions must not emit in append mode")
+      // a much later event advances the watermark past the session close
+      input.addData(ev(3, "2024-01-01 12:00:00", user = 1))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_test").collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("event_count") == 2)
+      assert(closed.head.getAs[String]("session_start").startsWith("2024-01-01 10:00:00"))
+      assert(closed.head.getAs[String]("session_end").startsWith("2024-01-01 10:40:00"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: alerts pick up same-city events within 5 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
