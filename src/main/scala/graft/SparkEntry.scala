@@ -578,25 +578,41 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
-    // The df-cap (shingles in > 50 docs dropped from the universe before
-    // set sizes and intersections) is mirrored exactly on both sides.
+    // Mirrors the Spark pipeline exactly: exact-dedup representatives,
+    // df-cap (> 50 distinct texts) over reps, rep-level pairs, then
+    // duplicate-group re-expansion (intra-group jaccard 1.0).
     ("q_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50),
-      Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
+      Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+        |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
+        |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
+        |sets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs)),
         |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
         |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
         |kept AS (SELECT * FROM ex0 WHERE shingle IN
         |  (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 50)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id)
-        |SELECT doc_id1, doc_id2,
+        |rp AS (SELECT doc_id1, doc_id2,
         |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
-        |FROM inter
-        |JOIN sz s1 ON doc_id1 = s1.doc_id
-        |JOIN sz s2 ON doc_id2 = s2.doc_id
-        |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5
+        |  FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
+        |elig AS (SELECT * FROM members WHERE rep IN (SELECT doc_id FROM sz)),
+        |intra AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM elig a JOIN elig b ON a.rep = b.rep AND a.doc_id < b.doc_id),
+        |xg AS (SELECT least(m1.doc_id, m2.doc_id) AS doc_id1,
+        |  greatest(m1.doc_id, m2.doc_id) AS doc_id2, rp.jaccard
+        |  FROM rp JOIN members m1 ON rp.doc_id1 = m1.rep
+        |           JOIN members m2 ON rp.doc_id2 = m2.rep)
+        |SELECT * FROM intra UNION ALL SELECT * FROM xg
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
 
     // MinHash-LSH candidates verified with exact Jaccard: output equals the
@@ -618,6 +634,34 @@ object SparkEntry {
         |JOIN sz s2 ON doc_id2 = s2.doc_id
         |WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
+    // greedy near-dedup: drop the higher id of every minhash pair; oracle
+    // recomputes the drop set from the exact pairs (≡ LSH output, see
+    // q_minhash_pairs)
+    ("q_neardedup_corpus",
+      (s, d) => Dedup.nearDedupCorpus(Tables.documents(s, d), 0.8)
+        .select("doc_id", "lang", "source").orderBy("doc_id"),
+      Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |dropset AS (SELECT DISTINCT doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)
+        |ORDER BY doc_id""".stripMargin)),
+
+    ("q_normalize_text",
+      (s, d) => TextAnalysis.normalizeText(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')
+        |    AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // SimHash with pigeonhole block join is EXACT for hamming ≤ 2; the
     // oracle recomputes the identical integer-only simhash in SQL.

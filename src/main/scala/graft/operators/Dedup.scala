@@ -72,27 +72,37 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (doc_id1 < doc_id2,
-    * jaccard ≥ threshold) via the inverted-index candidate join, with
-    * stop-shingle removal: shingles appearing in more than `maxDf` documents
-    * are dropped from the universe BEFORE the self-join (numerators and set
-    * sizes alike — well-defined semantics the DuckDB oracle mirrors exactly).
+    * jaccard ≥ threshold) via the inverted-index candidate join over
+    * exact-dedup REPRESENTATIVES, with stop-shingle removal: shingles
+    * appearing in more than `maxDf` distinct texts are dropped from the
+    * universe BEFORE the self-join (numerators and set sizes alike —
+    * well-defined semantics the DuckDB oracle mirrors exactly), and
+    * duplicate groups are re-expanded afterwards (intra-group jaccard 1.0).
     *
-    * Scale design: a single stop-phrase shingle shared by k documents makes
-    * a k² candidate blowup in the inverted-index join; hot shingles carry no
-    * near-dup signal (they are corpus-wide boilerplate), so the df-cap bounds
-    * per-shingle join fan-out at maxDf² while leaving rare-shingle pairs
-    * untouched. The join key is a 64-bit xxhash of the shingle, not the
-    * string — ~8× narrower shuffle rows (cross-doc hash collisions would need
-    * both colliding shingles in the same candidate pair; P ≈ 1e-9 corpus-wide
-    * — same accepted risk class as the minhash band-miss probability).
+    * Scale design: a single stop-phrase shingle shared by k texts makes a
+    * k² candidate blowup in the inverted-index join; hot shingles carry no
+    * near-dup signal (they are corpus-wide boilerplate), so the df-cap
+    * bounds per-shingle join fan-out at maxDf² while leaving rare-shingle
+    * pairs untouched. Counting df over DISTINCT texts (the dedup pre-pass)
+    * rather than raw documents matters for correctness too: a text
+    * duplicated more than maxDf times would otherwise push its own
+    * shingles over the cap and silently lose exactly the duplicate pairs
+    * a dedup pipeline exists to find. The join key is a 64-bit xxhash of
+    * the shingle, not the string — ~8× narrower shuffle rows (cross-doc
+    * hash collisions would need both colliding shingles in the same
+    * candidate pair; P ≈ 1e-9 corpus-wide — same accepted risk class as
+    * the minhash band-miss probability).
     */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
                    maxDf: Int = 50): DataFrame = {
+    val members = dupGroups(documents)
+    val repDocs = documents
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
     // The repartition on the join key is a deliberate materialization
     // barrier (stops CollapseProject inlining the expensive shingle
     // expression downstream) AND pre-partitions everything by `h`: the df
     // window, and BOTH sides of the self-join (one exchange, reused).
-    val ex = documents
+    val ex = repDocs
       .select(col("doc_id"),
         explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
       .repartition(col("h"))
@@ -111,11 +121,15 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
         col("a.n_sh").as("n_sh1"), col("b.n_sh").as("n_sh2"))
       .agg(count(lit(1)).as("n_common"))
-    inter
+    val repPairs = inter
       .select(col("doc_id1"), col("doc_id2"),
         (col("n_common").cast("double") /
           (col("n_sh1") + col("n_sh2") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // pairing eligibility = rep has ≥ 1 post-cap shingle (per-text property)
+    val eligible = members
+      .join(sized.select(col("doc_id").as("rep")).distinct(), Seq("rep"), "left_semi")
+    expandDupGroups(repPairs, eligible, lit(1.0).as("jaccard"))
       .orderBy("doc_id1", "doc_id2")
   }
 
@@ -245,6 +259,19 @@ object Dedup {
       .join(sets.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
     expandDupGroups(repPairs, eligible, lit(1.0).as("jaccard"))
       .orderBy("doc_id1", "doc_id2")
+  }
+
+  /** Near-dedup'd corpus: documents minus the higher-id member of every
+    * near-duplicate pair (MinHash-LSH at `threshold`). The one-pass greedy
+    * policy every large-scale dedup pipeline ships: each duplicate clique
+    * keeps at least its minimum doc_id (a clique minimum never appears as
+    * a pair's doc_id2), transitive chains may drop conservatively more —
+    * the deterministic, join-only alternative to connected components.
+    */
+  def nearDedupCorpus(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val drop = minhashPairs(documents, threshold)
+      .select(col("doc_id2").as("doc_id")).distinct()
+    documents.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** SimHash near-dup pairs with EXACT hamming-≤-k semantics.

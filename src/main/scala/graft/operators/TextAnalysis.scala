@@ -88,6 +88,16 @@ object TextAnalysis {
       element_at(langs, array_position(scores, array_max(scores)).cast("int")).as("predicted_lang"))
   }
 
+  /** Text normalization for dedup/fingerprint robustness: digit runs
+    * collapse to a `<num>` placeholder and whitespace runs to one space —
+    * so documents differing only in ids/counters/timestamps dedup
+    * together. Pure codegen'd regexp projection, zero shuffle.
+    */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), "[0-9]+", "<num>"), " +", " ")
+        .as("norm_text"))
+
   /** Repetition ratio (Gopher/C4-style quality signal): the fraction of
     * n-gram OCCURRENCES that are repeats of an earlier n-gram in the same
     * document — `1 - distinct/total`. High values flag boilerplate loops

@@ -84,6 +84,20 @@ class LlmOpsSpec extends SparkSpec {
       Dedup.jaccardPairs(docs, 0.5, maxDf = 1000000).count())
   }
 
+  test("jaccard survives mass duplication: copies beyond the df-cap still pair at 1.0") {
+    import spark.implicits._
+    // 60 identical copies: without the exact-dedup pre-pass, their own
+    // shingles hit df = 60 > maxDf = 50 and every duplicate pair vanishes
+    val copies = (0 until 60)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(copies, 0.99, maxDf = 50).collect()
+    assert(pairs.length == 60 * 59 / 2)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+    // near-dedup keeps exactly one survivor of the clique
+    assert(Dedup.nearDedupCorpus(copies, 0.8).count() == 1)
+  }
+
   test("minhash dup-group expansion: planted exact copies pair at jaccard 1.0, base pairs unchanged") {
     val base = Dedup.minhashPairs(docs, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
