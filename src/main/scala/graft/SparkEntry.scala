@@ -143,13 +143,15 @@ object SparkEntry {
         |WHERE ts >= (SELECT max(ts) FROM alerts) - INTERVAL '24 hours'
         |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)),
 
+    // 96h window: wide enough to return rows at the sf0.01 gate (a 0-row
+    // pass verifies nothing)
     ("q_alerts_city_recent",
-      (s, d) => Serving.alertsRecent(alertsOf(s, d), Some("Chicago"), 48),
+      (s, d) => Serving.alertsRecent(alertsOf(s, d), Some("Chicago"), 96),
       Some(s"""$WITH_NORM_ALERTS
         |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
         |FROM alerts
         |WHERE city = 'Chicago'
-        |  AND ts >= (SELECT max(ts) FROM alerts) - INTERVAL '48 hours'
+        |  AND ts >= (SELECT max(ts) FROM alerts) - INTERVAL '96 hours'
         |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)),
 
     ("q_aggregations_recent",
@@ -310,6 +312,18 @@ object SparkEntry {
       (s, d) => Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d)),
       Some("""SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // non-vacuous anti-join twin of q_anti_join (which is legitimately
+    // empty at test scale: every customer has orders): customers who never
+    // produced a purchase event
+    ("q_anti_join_events",
+      (s, d) => Relational.customersWithoutOrders(Tables.customer(s, d),
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("o_custkey"))),
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY c_custkey""".stripMargin)),
 
     ("q_topk_per_group",
@@ -478,6 +492,18 @@ object SparkEntry {
         |EXCEPT
         |SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
         |ORDER BY user_id""".stripMargin)),
+
+    // set ops at (user, day) granularity, where this corpus is non-trivial
+    // (user-level sets saturate: every user does every event type)
+    ("q_except_user_days",
+      (s, d) => Relational.userDaysExcept(Tables.events(s, d), "purchase", "view"),
+      Some("""SELECT user_id,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY user_id, day""".stripMargin)),
 
     ("q_union_users",
       (s, d) => Relational.usersUnion(Tables.events(s, d), "signup", "click"),

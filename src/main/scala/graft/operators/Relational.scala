@@ -278,6 +278,21 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** (user, day) activity pairs for one event type — the granularity at
+    * which set operations over this corpus are non-trivial (every user
+    * eventually does every event type, but not every day).
+    */
+  private def userDaysOf(events: DataFrame, eventType: String): DataFrame =
+    events.filter(col("event_type") === eventType)
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+
+  /** User-days with `t1` activity but no `t2` activity. */
+  def userDaysExcept(events: DataFrame, t1: String, t2: String): DataFrame =
+    userDaysOf(events, t1).except(userDaysOf(events, t2))
+      .orderBy("user_id", "day")
+
   private def usersOf(events: DataFrame, eventType: String): DataFrame =
     events.filter(col("event_type") === eventType).select("user_id").distinct()
 
