@@ -262,19 +262,59 @@ object Relational {
   }
 
   /** Percentile-rank analytics over per-user activity: quartile (ntile)
-    * and percent_rank of each user's event count. The window is global by
-    * construction (ranking IS a total order) but runs over the per-user
-    * AGGREGATE — cardinality |users| ≪ |events|, the standard shape for
-    * exact ranking; at extreme user counts the approximate path is
-    * `percentile_approx` over the same aggregate.
+    * and percent_rank of each user's event count — EXACT, via two-phase
+    * distributed ranking instead of a partition-less window.
+    *
+    * A bare `Window.orderBy(...)` (round 2's shape) is a single-reducer
+    * total sort: correct at |users| ≈ 150, a one-machine bottleneck at a
+    * billion users. The two-phase shape every distributed ORDER BY uses:
+    *
+    *  1. '''Range-bucket''' rows by `rangeBuckets` approximate percentile
+    *     splits of the sort key (one tiny aggregate row, broadcast). The
+    *     bucketing only needs to be MONOTONE w.r.t. the sort order — split
+    *     inaccuracy skews bucket sizes, never ranks.
+    *  2. '''Rank within buckets''' (row_number partitioned by bucket —
+    *     every reducer carries ~1/rangeBuckets of the rows), then add each
+    *     bucket's global offset, computed from the per-bucket counts folded
+    *     into ONE broadcast row. global_rank = bucket_offset + local_rank,
+    *     exact because bucketing is monotone and the intra-bucket order
+    *     (event_count DESC, user_id) is total.
+    *
+    * ntile/percent_rank are then closed-form in (rank, n): SQL-standard
+    * NTILE gives the first n mod k tiles ⌈n/k⌉ rows and the rest ⌊n/k⌋;
+    * percent_rank = (rank-1)/(n-1) (no sort-key ties here — user_id is
+    * unique — so rank = row_number). Output is bit-identical to the
+    * single-window formulation, which stays the test oracle.
     */
-  def userActivityQuartiles(events: DataFrame): DataFrame = {
+  def userActivityQuartiles(events: DataFrame, rangeBuckets: Int = 32): DataFrame = {
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("event_count"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("event_count").desc, col("user_id"))
-    counts
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", percent_rank().over(w))
+    val pcts = array((1 until rangeBuckets).map(i => lit(i.toDouble / rangeBuckets)): _*)
+    val splits = counts.agg(
+      percentile_approx(col("event_count"), pcts, lit(1000)).as("splits"))
+    // bkt = #splits strictly above my key — monotone: higher count ⇒ lower
+    // bucket id, equal counts land together (ties resolved intra-bucket)
+    val bucketed = counts.crossJoin(broadcast(splits))
+      .withColumn("bkt", size(filter(col("splits"), s => s > col("event_count"))))
+      .drop("splits")
+    val wb = Window.partitionBy("bkt").orderBy(col("event_count").desc, col("user_id"))
+    val ranked = bucketed.withColumn("lr", row_number().over(wb))
+    // per-bucket counts folded into one broadcast row: offsets + total n
+    val offsets = ranked.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct(col("bkt"), col("c"))).as("bc"), sum(col("c")).as("n"))
+    val qq  = floor(col("n") / 4).cast("long")  // small-tile size
+    val rem = (col("n") % 4).cast("long")       // number of large tiles
+    ranked.crossJoin(broadcast(offsets))
+      .withColumn("off",
+        aggregate(filter(col("bc"), x => x("bkt") < col("bkt")), lit(0L), (a, x) => a + x("c")))
+      .withColumn("rk", col("off") + col("lr"))
+      .withColumn("quartile",
+        when(col("rk") <= rem * (qq + 1), floor((col("rk") - 1) / (qq + 1)) + 1)
+          .otherwise(rem + floor((col("rk") - rem * (qq + 1) - 1) / qq) + 1)
+          .cast("long"))
+      .withColumn("pct_rank",
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("rk") - 1).cast("double") / (col("n") - 1)))
+      .select("user_id", "event_count", "quartile", "pct_rank")
       .orderBy("user_id")
   }
 

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.KeyedUpsertSink
+
+/** Log-structured keyed store semantics (T7 + the round-2 scale fix):
+  * per-batch write volume is O(batch) not O(store), replay of a committed
+  * epoch is a no-op, compaction folds segments without changing the
+  * last-writer-wins view.
+  */
+class LogStoreSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("logstore").toString + "/t"
+
+  test("per-batch write volume scales with the batch, not the store") {
+    import spark.implicits._
+    val store = tmp()
+    // epoch 0: a large base; epochs 1..3: tiny deltas
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      (1 to 1000).map(i => (s"k$i", i)).toDF("k", "v"), 0L)
+    (1 to 3).foreach { e =>
+      KeyedUpsertSink.upsert(spark, store, Seq("k"),
+        Seq((s"k$e", e * 100), ("fresh", e)).toDF("k", "v"), e.toLong)
+    }
+    // each delta segment persisted exactly its own 2 rows — the O(store)
+    // full rewrite would have made every segment ~1001 rows
+    (1 to 3).foreach { e =>
+      assert(KeyedUpsertSink.segmentRows(spark, store, e.toLong) == 2L,
+        s"epoch $e segment must contain only its batch")
+    }
+    assert(KeyedUpsertSink.segmentRows(spark, store, 0L) == 1000L)
+    // LWW view: k1..k3 replaced, fresh keeps the last write
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m.size == 1001)
+    assert(m("k1") == 100 && m("k2") == 200 && m("k3") == 300)
+    assert(m("fresh") == 3 && m("k999") == 999)
+  }
+
+  test("replaying a committed epoch is a no-op (T7)") {
+    import spark.implicits._
+    val store = tmp()
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a", 1)).toDF("k", "v"), 5L)
+    // foreachBatch re-delivers the same epoch after recovery
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a", 1)).toDF("k", "v"), 5L)
+    assert(KeyedUpsertSink.segmentCount(spark, store) == 1)
+    assert(KeyedUpsertSink.read(spark, store).count() == 1)
+  }
+
+  test("compaction folds segments to per-key winners without changing the view") {
+    import spark.implicits._
+    val store = tmp()
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0L)
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("b", 9), ("c", 3)).toDF("k", "v"), 1L)
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("c", 7)).toDF("k", "v"), 2L)
+    val before = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    KeyedUpsertSink.compact(spark, store)
+    assert(KeyedUpsertSink.segmentCount(spark, store) == 1)
+    val after = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(after == before && after == Map("a" -> 1, "b" -> 9, "c" -> 7))
+    // appends after compaction still win over compacted rows
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a", 42)).toDF("k", "v"))
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 42, "b" -> 9, "c" -> 7))
+  }
+
+  test("composite keys and epoch-less allocation keep LWW semantics") {
+    import spark.implicits._
+    val store = tmp()
+    KeyedUpsertSink.upsert(spark, store, Seq("k1", "k2"),
+      Seq(("a", "x", 1), ("a", "y", 2)).toDF("k1", "k2", "v"))
+    KeyedUpsertSink.upsert(spark, store, Seq("k1", "k2"),
+      Seq(("a", "x", 10), ("a", "x", 10)).toDF("k1", "k2", "v")) // batch-internal dup
+    val rows = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(rows == Map(("a", "x") -> 10, ("a", "y") -> 2))
+  }
+}

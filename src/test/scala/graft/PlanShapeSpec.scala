@@ -56,7 +56,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_raw_events_live",                                               // 1-row retention cutoff
       "q_funnel",                                                        // two 1-row counts
       "q_cosine_topk",                                                   // 5-row broadcast query set
-      "q_ann_ivf_topk")                                                  // centroid-set scoring
+      "q_ann_ivf_topk",                                                  // centroid-set scoring
+      "q_user_quartiles")                                                // 1-row splits + offsets rows
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
@@ -65,6 +66,23 @@ class PlanShapeSpec extends SparkSpec {
       if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
     }
     assert(offenders.isEmpty, s"nested-loop/cartesian plans: $offenders")
+  }
+
+  test("no registered query contains a partition-less Window (single-reducer total sort)") {
+    // a Window with an empty partitionSpec funnels the whole input through
+    // ONE reducer — the 100 TB anti-pattern round 2's q_user_quartiles
+    // carried; exact ranking must be two-phase (range-bucketed) instead.
+    // (final presentation-only orderBy/limit shapes are Sort/TakeOrdered,
+    // not Window, so they don't trip this.)
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val globals = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globals.isEmpty) None else Some(name)
+    }
+    assert(offenders.isEmpty, s"partition-less Window in: $offenders")
   }
 
   test("windowed aggregation is two-phase (map-side partial aggregation)") {

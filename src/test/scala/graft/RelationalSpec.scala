@@ -91,4 +91,39 @@ class RelationalSpec extends SparkSpec {
     ).count()
     assert(bad == 0)
   }
+
+  test("two-phase exact ranking ≡ the single-window ntile/percent_rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // reference = the shape the two-phase operator replaced (fine as a TEST
+    // oracle at this scale; a single-reducer anti-pattern in production)
+    def naive(ev: org.apache.spark.sql.DataFrame) = {
+      val counts = ev.groupBy("user_id").agg(count(lit(1)).as("event_count"))
+      val w = Window.orderBy(col("event_count").desc, col("user_id"))
+      counts.withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+    }
+    val got = Relational.userActivityQuartiles(events).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = naive(events).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want) // exact, including bit-identical pct_rank doubles
+  }
+
+  test("two-phase ranking closed-form ntile handles n < tiles and uneven tails") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // n = 1 (pct_rank guard), n = 3 (< 4 tiles), n = 5, n = 7 (uneven tiles)
+    for (n <- Seq(1, 3, 5, 7)) {
+      val ev = (1 to n).flatMap(u => Seq.fill(u)((u.toLong, "click")))
+        .toDF("user_id", "event_type")
+      val got = Relational.userActivityQuartiles(ev, rangeBuckets = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      val w = Window.orderBy(col("event_count").desc, col("user_id"))
+      val want = ev.groupBy("user_id").agg(count(lit(1)).as("event_count"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w)).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"n=$n")
+    }
+  }
 }
