@@ -79,6 +79,16 @@ object SparkEntry {
         |SELECT rec_id, ts_str, city, event_type, severity, description
         |FROM norm ORDER BY rec_id, severity""".stripMargin)),
 
+    // last-writer-wins dedup of colliding rec_ids (same city+type+second,
+    // SURVEY.md §1.2): max event_id wins, mirroring putItem arrival order
+    ("q_raw_events_dedup",
+      (s, d) => StreamAggregates.rawEventsDeduped(norm(s, d)).orderBy("rec_id"),
+      Some(s"""$WITH_NORM,
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rec_id ORDER BY event_id DESC) AS rn
+        |  FROM norm)
+        |SELECT rec_id, ts_str, city, event_type, severity, description
+        |FROM r WHERE rn = 1 ORDER BY rec_id""".stripMargin)),
+
     // S4 TTL/retention: raw events carry ttl = ts + 15 days; the read-time
     // retention filter (pinned now = max ts) drops expired rows — the
     // reference's DynamoDB TTL expiry as a scan predicate.
@@ -588,15 +598,17 @@ object SparkEntry {
         |            WHEN 'fr' THEN 20 WHEN 'es' THEN 20 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // packing strata are (lang, shard = doc_id mod 8): per-shard budget
+    // accounting bounds every reducer at corpus/(|langs|·shards) rows
     ("q_pack_sequences",
-      (s, d) => Corpus.packSequences(Tables.documents(s, d)).orderBy("lang", "doc_id"),
-      Some("""SELECT doc_id, lang,
+      (s, d) => Corpus.packSequences(Tables.documents(s, d)).orderBy("lang", "shard", "doc_id"),
+      Some("""SELECT doc_id, lang, doc_id % 8 AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(floor(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
-        |    OVER (PARTITION BY lang ORDER BY doc_id
+        |    OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 512) AS BIGINT) AS pack_id
-        |FROM documents ORDER BY lang, doc_id""".stripMargin)),
+        |FROM documents ORDER BY lang, shard, doc_id""".stripMargin)),
 
     // ---- LLM-data pipeline: deduplication (north star)
     ("q_dedup_exact",

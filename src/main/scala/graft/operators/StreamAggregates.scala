@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference consumer's four analytical queries, as pure
@@ -27,6 +28,28 @@ object StreamAggregates {
     */
   def rawEvents(normalized: DataFrame): DataFrame =
     normalized.select("rec_id", "ts_str", "city", "event_type", "severity", "description")
+
+  /** Batch analog of the in-stream id-collision dedup: one row per `rec_id`,
+    * the highest `event_id` winning. The reference's `rec_id` collides
+    * whenever two events of the same type hit the same city in the same
+    * second (SURVEY.md §1.2; consumer/.../SparkDynamoDBConsumer.java:90-96
+    * builds the key), and DynamoDB putItem makes the effective semantics
+    * last-writer-wins — event_id order is the batch stand-in for arrival
+    * order. The streaming half is `dropDuplicatesWithinWatermark` in
+    * [[graft.streaming.Pipeline.startRawEventsDeduped]]: it stops colliding
+    * ids from ever REACHING a non-idempotent sink, where this operator (and
+    * the keyed store) resolve them at rest.
+    *
+    * Scale: one shuffle on rec_id; row_number is evaluated per group with
+    * no global ordering anywhere.
+    */
+  def rawEventsDeduped(normalized: DataFrame): DataFrame = {
+    val w = Window.partitionBy("rec_id").orderBy(col("event_id").desc)
+    normalized
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("rec_id", "ts_str", "city", "event_type", "severity", "description")
+  }
 
   /** A1 — the centerpiece: 5-minute tumbling window × city × event_type with
     * count / collect_list(severity) / max(ts), plus the composite

@@ -50,7 +50,7 @@ class Pipeline(
   }
 
   private def upsertBatch(path: String, keys: Seq[String])(df: DataFrame, epochId: Long): Unit =
-    KeyedUpsertSink.upsert(df.sparkSession, path, keys, df)
+    KeyedUpsertSink.upsert(df.sparkSession, path, keys, df, epochId)
 
   /** Query 1: raw events, append mode, keyed upsert (reference :100-115).
     * Carries an `observe()` metrics contract — the streaming analog of the
@@ -72,6 +72,31 @@ class Pipeline(
       .foreachBatch(upsertBatch(rawStorePath, Seq("rec_id", "ts_str")) _)
       .start()
   }
+
+  /** Query 1 variant with IN-STREAM id-collision dedup (the streaming half
+    * of the reference's last-writer-wins semantics, SURVEY.md §1.2): the
+    * reference's `rec_id` collides for same-city/same-type events in the
+    * same second, and its DynamoDB putItem silently resolved that at rest.
+    * `dropDuplicatesWithinWatermark` resolves it IN the stream — colliding
+    * ids arriving within the watermark delay of each other emit exactly
+    * once, so they never reach a non-idempotent sink — while keeping
+    * dedup state bounded: a key's state is evicted once the watermark
+    * passes its event time plus the delay (unbounded-state dedup is the
+    * alternative, and it does not survive an unbounded stream). Eviction
+    * cannot re-emit here: a colliding rec_id shares the original's event
+    * second, so any post-eviction duplicate is older than the watermark
+    * and the late-row filter drops it first — at-most-once emission per
+    * rec_id (asserted by spec).
+    */
+  def startRawEventsDeduped(events: DataFrame): StreamingQuery =
+    StreamAggregates.rawEvents(
+        normalized(events).withWatermark("ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark("rec_id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$checkpointRoot/raw-events-dedup")
+      .foreachBatch(upsertBatch(s"$storeRoot/raw_events_dedup", Seq("rec_id")) _)
+      .start()
 
   /** Query 2: watermarked 5-minute windowed aggregation, update mode,
     * upsert by partition_key (reference :119-154).

@@ -27,13 +27,16 @@ class CorpusSpec extends SparkSpec {
     assert(zeroed.count() == 0)
   }
 
-  test("pack sequences: contiguous monotone packs that fill the token budget") {
+  test("pack sequences: contiguous monotone packs that fill the token budget per (lang, shard)") {
     val budget = 512
     val rows = Corpus.packSequences(docs, budget).collect()
-      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
-    rows.groupBy(_._1).foreach { case (_, g) =>
+      .map(r => ((r.getString(1), r.getLong(2)), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1._2).distinct.length > 1, "multiple shards must exist")
+    rows.groupBy(_._1).foreach { case ((_, shard), g) =>
+      // shard assignment is the documented modular rule
+      g.foreach { case (_, docId, _, _) => assert(docId % 8 == shard) }
       val sorted = g.sortBy(_._2)
-      // pack_id recomputes from the exclusive running token count
+      // pack_id recomputes from the exclusive running token count IN-SHARD
       var cum = 0L
       sorted.foreach { case (_, _, n, pack) =>
         assert(pack == cum / budget)
