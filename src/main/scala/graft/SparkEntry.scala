@@ -694,6 +694,68 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)
         |ORDER BY doc_id""".stripMargin)),
 
+    // connected-component min-labels over the near-dup pairs graph; the
+    // oracle walks the same (exact ≡ LSH) pairs with a recursive CTE
+    ("q_dup_clusters",
+      (s, d) => Dedup.duplicateClusters(Tables.documents(s, d), 0.8),
+      Some(s"""WITH RECURSIVE sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |edges AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+        |  UNION SELECT doc_id2, doc_id1 FROM pairs),
+        |reach(doc_id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id)
+        |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    // incremental dedup: the 20% "new crawl" (doc_id mod 5 = 4) against the
+    // 80% corpus, corpus side driven entirely by the signature index
+    ("q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
+        val delta  = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        Dedup.dedupDelta(Dedup.buildDedupIndex(corpus), delta)
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 < 4),
+        |delta AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+        |exact AS (SELECT c.doc_id AS corpus_id, d.doc_id AS delta_id,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM corpus c JOIN delta d ON c.text = d.text),
+        |csets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
+        |dsets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM delta)),
+        |cex AS (SELECT doc_id, unnest(sh) AS shingle FROM csets WHERE len(sh) > 0),
+        |dex AS (SELECT doc_id, unnest(sh) AS shingle FROM dsets WHERE len(sh) > 0),
+        |inter AS (SELECT c.doc_id AS corpus_id, d.doc_id AS delta_id, count(*) AS n_common
+        |  FROM cex c JOIN dex d ON c.shingle = d.shingle GROUP BY 1, 2),
+        |near AS (SELECT corpus_id, delta_id,
+        |  CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+        |  FROM inter
+        |  JOIN (SELECT doc_id, len(sh) AS n FROM csets) s1 ON corpus_id = s1.doc_id
+        |  JOIN (SELECT doc_id, len(sh) AS n FROM dsets) s2 ON delta_id = s2.doc_id
+        |  JOIN corpus c ON corpus_id = c.doc_id
+        |  JOIN delta dd ON delta_id = dd.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.8
+        |    AND c.text <> dd.text)
+        |SELECT * FROM exact UNION ALL SELECT * FROM near
+        |ORDER BY corpus_id, delta_id""".stripMargin)),
+
     ("q_normalize_text",
       (s, d) => TextAnalysis.normalizeText(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id,

@@ -274,6 +274,152 @@ object Dedup {
     documents.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Duplicate clusters over the near-dup pairs graph: every document that
+    * appears in any [[minhashPairs]] pair gets
+    * `cluster_id = min(doc_id reachable through pairs)` — connected-component
+    * min-labels, computed as `rounds` rounds of min-label propagation with
+    * pointer jumping. Join-only and deterministic: no driver-side iteration
+    * state, no graph library.
+    *
+    * This is the exact-clustering complement to [[nearDedupCorpus]]'s greedy
+    * higher-id drop, which over-keeps on transitive chains: pairs (A,C),(B,C)
+    * never list B as a doc_id2, so greedy keeps both A and B even though
+    * B~C~A puts them in one duplicate cluster (spec'd fixture). Cluster-then-
+    * keep-one is the policy that drops them.
+    *
+    * Scale: each round is two shuffles on ids (neighbor-min aggregate +
+    * label-of-label jump). The jump halves chain depth per round, so
+    * `rounds` = r covers components of diameter ≈ 2^r; near-dup clusters are
+    * short chains in practice (similarity is nearly transitive), and r is a
+    * knob, not a correctness cliff — under-iteration leaves a chain split,
+    * never mislabeled. Each round's label frame is materialized via
+    * `localCheckpoint` (rows stay distributed; NOT a driver collect):
+    * every iterative DataFrame graph algorithm needs lineage truncation —
+    * a round references its predecessor ~4×, so the un-truncated logical
+    * plan re-embeds the whole upstream pipeline 4^r times and analysis
+    * alone goes exponential (measured: minutes at r = 5 on a 3-row
+    * fixture). The checkpoint is what GraphFrames/GraphX do per Pregel
+    * superstep, with the same recovery trade-off (recompute-from-source
+    * on executor loss).
+    */
+  def duplicateClusters(documents: DataFrame, threshold: Double = 0.8,
+                        rounds: Int = 5): DataFrame =
+    clustersFromPairs(minhashPairs(documents, threshold)
+      .select("doc_id1", "doc_id2"), rounds)
+
+  /** Min-label propagation + pointer jumping over an undirected pairs frame
+    * (doc_id1, doc_id2). Exposed separately so a materialized pairs table
+    * can be clustered without re-running the sketch pipeline.
+    */
+  def clustersFromPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
+      .unionByName(pairs.select(col("doc_id2").as("src"), col("doc_id1").as("dst")))
+      .localCheckpoint() // materialized once: consumed by every round
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // lbl(v) := min(lbl(v), min over neighbors u of lbl(u))
+      val nbr = edges.join(labels.toDF("dst", "dlbl"), "dst")
+        .groupBy("src").agg(min("dlbl").as("nlbl"))
+        .withColumnRenamed("src", "doc_id")
+      val propagated = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // truncate lineage before the self-join below
+      // pointer jump: lbl(v) := lbl(lbl(v)) — doubles effective reach
+      labels = propagated.join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
+        .select(col("doc_id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+  }
+
+  /** Pre-sketched corpus signature index for incremental dedup: one row per
+    * corpus document — (doc_id, content_hash, rep) — with the rep rows
+    * carrying their 64-bit shingle-hash set (`shh`, null on non-reps).
+    * Persist this once (parquet); daily crawls then dedup against it via
+    * [[dedupDelta]] WITHOUT touching the corpus text again — the raw corpus
+    * is never re-read, re-shingled, or re-sketched.
+    */
+  def buildDedupIndex(corpus: DataFrame, n: Int = 3): DataFrame = {
+    val keyed = corpus.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"),
+      col("text"))
+    val reps = keyed.groupBy("content_hash").agg(min("doc_id").as("rep"))
+    keyed.join(reps, "content_hash")
+      .withColumn("shh", when(col("doc_id") === col("rep"),
+        transform(shingles(col("text"), n), s => xxhash64(s))))
+      .select("doc_id", "content_hash", "rep", "shh")
+  }
+
+  /** Incremental (delta-vs-corpus) dedup: all (corpus_id, delta_id, jaccard)
+    * duplicate pairs between a new `delta` batch and the corpus represented
+    * ONLY by its [[buildDedupIndex]] signature index —
+    *
+    *  - exact: content-hash equi-join (jaccard 1.0 by definition);
+    *  - near: LSH band join of the delta reps' sketches against the index
+    *    reps' sketches (band buckets recomputed from the STORED shingle-hash
+    *    sets — a few ns per row against re-reading and re-shingling corpus
+    *    text), verified with exact set Jaccard behind an aggregate barrier,
+    *    restricted to differing content (the exact branch owns equality),
+    *    then expanded through both sides' duplicate-group memberships.
+    *
+    * The operation a production training-data pipeline runs daily — the
+    * whole-corpus operators ([[jaccardPairs]]/[[minhashPairs]]) re-sketch
+    * everything and are the wrong tool once the corpus dwarfs the delta.
+    * Corpus-side cost here scales with |index|, delta-side with |delta|;
+    * nothing rescans corpus text (spec asserts the only file scan is the
+    * index itself).
+    */
+  def dedupDelta(index: DataFrame, delta: DataFrame, threshold: Double = 0.8,
+                 numHashes: Int = 128, bands: Int = 32, n: Int = 3): DataFrame = {
+    val dKeyed = delta.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"),
+      col("text"))
+    // exact cross-side matches: any corpus doc with identical content
+    val exact = index.select(col("doc_id").as("corpus_id"), col("content_hash"))
+      .join(dKeyed.select(col("doc_id").as("delta_id"), col("content_hash")), "content_hash")
+      .select(col("corpus_id"), col("delta_id")).withColumn("jaccard", lit(1.0))
+    // near matches: delta reps sketched fresh; corpus reps from the index
+    val dReps = dKeyed.groupBy("content_hash").agg(min("doc_id").as("rep"))
+    val dMembers = dKeyed.join(dReps, "content_hash").select(col("rep"), col("doc_id"))
+    val dSets = dKeyed.as("k")
+      .join(dReps.select(col("rep")).as("r"), col("k.doc_id") === col("r.rep"), "left_semi")
+      .select(col("k.doc_id").as("doc_id"), col("k.content_hash").as("content_hash"),
+        transform(shingles(col("k.text"), n), s => xxhash64(s)).as("shh"))
+      .filter(size(col("shh")) > 0)
+      .repartition(col("doc_id")) // barrier: shh feeds bands AND verify join
+    val cSets = index.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("content_hash"), col("shh"))
+      .filter(col("shh").isNotNull && size(col("shh")) > 0)
+      .repartition(col("doc_id"))
+    def banded(sets: DataFrame) = sets.select(col("doc_id"),
+      posexplode(graft.functions.Sketches.minhashBands(
+        col("shh"), numHashes, bands, 42L)).as(Seq("band", "bucket")))
+    val candidates = banded(cSets).as("c")
+      .join(banded(dSets).as("d"),
+        col("c.band") === col("d.band") && col("c.bucket") === col("d.bucket"))
+      .select(col("c.doc_id").as("crep"), col("d.doc_id").as("drep"))
+      .distinct()
+    val s1 = cSets.select(col("doc_id").as("crep"), col("content_hash").as("ch1"),
+      col("shh").as("sh1"), size(col("shh")).as("n1"))
+    val s2 = dSets.select(col("doc_id").as("drep"), col("content_hash").as("ch2"),
+      col("shh").as("sh2"), size(col("shh")).as("n2"))
+    val repPairs = candidates.join(s1, "crep").join(s2, "drep")
+      .groupBy("crep", "drep")
+      .agg(min(size(array_intersect(col("sh1"), col("sh2")))).as("n_common"),
+        min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+        min(col("ch1")).as("ch1"), min(col("ch2")).as("ch2"))
+      .filter(col("ch1") =!= col("ch2")) // equality is the exact branch's
+      .select(col("crep"), col("drep"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val near = repPairs
+      .join(index.select(col("rep").as("crep"), col("doc_id").as("corpus_id")), "crep")
+      .join(dMembers.select(col("rep").as("drep"), col("doc_id").as("delta_id")), "drep")
+      .select("corpus_id", "delta_id", "jaccard")
+    exact.unionByName(near).orderBy("corpus_id", "delta_id")
+  }
+
   /** SimHash near-dup pairs with EXACT hamming-≤-k semantics.
     *
     * 30-bit SimHash over token polynomial hashes (one-pass custom expression

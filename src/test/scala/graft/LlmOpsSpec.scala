@@ -138,4 +138,54 @@ class LlmOpsSpec extends SparkSpec {
       r.getLong(0) == doc0 && r.getLong(1) == doc0 + 1000000L)
     assert(intra.length == 1 && intra(0).getLong(2) == 0L)
   }
+
+  test("duplicate clusters: transitive chain clusters as one where greedy over-keeps") {
+    import spark.implicits._
+    // chain fixture: 1~3 and 2~3 at j = 52/64 ≈ 0.81 ≥ 0.8; 1~2 at
+    // j = 46/70 ≈ 0.66 < 0.8 (ends perturbed disjointly)
+    val base = (1 to 60).map(i => s"w$i")
+    val t3 = base.mkString(" ")
+    val t1 = ((1 to 6).map(i => s"a$i") ++ base.drop(6)).mkString(" ")
+    val t2 = (base.take(54) ++ (1 to 6).map(i => s"b$i")).mkString(" ")
+    val chain = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(chain, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L)), s"unexpected pair set $pairs")
+    // connected components: one cluster labeled by its minimum id
+    val clusters = Dedup.duplicateClusters(chain, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // greedy drops only doc_id2s {3}: doc 2 survives despite belonging to
+    // cluster 1 through 3 — the conservative over-keep clusters fix
+    val kept = Dedup.nearDedupCorpus(chain, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("incremental dedup: corpus side reads ONLY the signature index") {
+    import spark.implicits._
+    val indexPath = java.nio.file.Files.createTempDirectory("dedupidx").toString + "/idx"
+    Dedup.buildDedupIndex(docs).write.parquet(indexPath)
+    val index = spark.read.parquet(indexPath)
+    // in-memory delta: an exact copy of a corpus doc, a near-dup of it
+    // (last two tokens replaced), and a novel doc
+    val src = docs.filter(size(split(col("text"), " ")) >= 45).orderBy("doc_id").head()
+    val srcId = src.getAs[Long]("doc_id")
+    val toks = src.getAs[String]("text").split(" ")
+    val nearText = (toks.dropRight(2) :+ "zzz" :+ "qqq").mkString(" ")
+    val delta = Seq((1000000L, src.getAs[String]("text")), (1000001L, nearText),
+      (1000002L, (1 to 40).map(i => s"nov$i").mkString(" "))).toDF("doc_id", "text")
+    val result = Dedup.dedupDelta(index, delta)
+    // the plan's only file scan is the index — corpus text is never re-read
+    val scans = result.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.nonEmpty && scans.forall(_.contains("idx")),
+      s"corpus-side scans must hit only the index:\n${scans.mkString("\n")}")
+    val rows = result.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.exists(r => r._1 == srcId && r._2 == 1000000L && r._3 == 1.0),
+      "exact copy must match its corpus source at jaccard 1.0")
+    assert(rows.exists(r => r._1 == srcId && r._2 == 1000001L && r._3 >= 0.8 && r._3 < 1.0),
+      "near-dup must match via the banded index join")
+    assert(!rows.exists(_._2 == 1000002L), "novel doc must not match")
+  }
 }
