@@ -17,9 +17,10 @@ case class MediaRecord(
 
 case class MediaFeatures(
     media_id: Long,
-    n_bytes: Long,
-    mean_byte: Double,
-    hist16: Array[Long])    // 16-bucket byte histogram (byte >> 4)
+    kind: String,           // which stub kernel produced the features
+    n_bytes: Long,          // full payload size (all kinds)
+    mean_byte: Double,      // mean over the kind's sample set
+    hist16: Array[Long])    // 16-bucket histogram over the kind's sample set
 
 /** Multimodal operators over binary media columns.
   *
@@ -34,38 +35,56 @@ object Multimodal {
 
   /** Documents→media adapter used by tests and the registered query: treats
     * the UTF-8 text bytes as an opaque payload so the plumbing runs on the
-    * provided testdata without codecs.
+    * provided testdata without codecs. Kinds rotate deterministically
+    * (doc_id mod 3 → image/audio/video) so every per-kind decode path is
+    * exercised against real fixtures.
     */
   def mediaFromDocuments(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").as("media_id"),
-      lit("image").as("kind"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"),
       floor(col("n_chars") / 10).cast("int").as("n_frames"),
       lit(64).as("width"), lit(64).as("height"))
 
-  /** STUB decode+featurize: consumes the encoded payload bytes and emits
-    * deterministic per-media features (byte count, mean byte value, 16-bucket
-    * histogram of the high nibble). A real implementation would decode
-    * pixels/samples here; the iterator-per-partition shape is the real one.
+  /** STUB decode+featurize with per-kind kernel dispatch — the shape of a
+    * real codec layer (one decoder per modality behind one typed row
+    * contract), with deterministic fakes standing in for the codecs:
+    *
+    *  - `image`: 2-D path — histogram of the high nibble (a luma-bucket
+    *    stand-in) + mean over ALL payload bytes;
+    *  - `audio`: 1-D sample path — histogram of the LOW nibble (an
+    *    amplitude-bucket stand-in) + mean over all payload bytes;
+    *  - `video`: frame path — only the first byte of each 10-byte "frame"
+    *    is decoded (frame sampling: work scales with n_frames, never
+    *    payload size), high-nibble histogram + mean over sampled bytes.
+    *
+    * A real implementation would decode pixels/samples here; the
+    * iterator-per-partition shape, per-kind dispatch, and metadata-driven
+    * frame indexing are the real plumbing.
     */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        // ??? real codec goes here; deterministic fake below
+        // ??? real per-kind codecs go here; deterministic fakes below
         val bytes = m.payload
+        val samp: Array[Int] = m.kind match {
+          case "video" => Array.tabulate(math.max(m.n_frames, 0))(f => bytes(f * 10) & 0xff)
+          case _       => Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
+        }
         val hist = new Array[Long](16)
         var sum = 0L
         var i = 0
-        while (i < bytes.length) {
-          val b = bytes(i) & 0xff
-          hist(b >> 4) += 1
+        while (i < samp.length) {
+          val b = samp(i)
+          hist(if (m.kind == "audio") b & 15 else b >> 4) += 1
           sum += b
           i += 1
         }
-        MediaFeatures(m.media_id, bytes.length.toLong,
-          if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length, hist)
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
+          if (samp.isEmpty) 0.0 else sum.toDouble / samp.length, hist)
       }
     }
   }

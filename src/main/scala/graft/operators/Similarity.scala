@@ -94,26 +94,58 @@ object Similarity {
       .orderBy("vec_id1", "vec_id2")
   }
 
+  /** One Lloyd (k-means) refinement step: reassign the corpus to its
+    * nearest centroid by cosine, then replace every centroid with its
+    * cell's element-wise mean. Entirely lazy joins + aggregations — zero
+    * driver actions, preserving [[ivfTopK]]'s zero-planning-jobs contract.
+    * The per-dimension explode → (centroid, dim) average → re-assemble is
+    * the standard distributed k-means update (map-side partial averages;
+    * shuffle carries (cell, dim) partial sums, not vectors). Cells that
+    * attract no vectors drop out (their mass merges into neighboring
+    * cells); seed centroids of the same natural cluster converge to the
+    * same mean, so their cells coalesce under the deterministic
+    * min-centroid-id tie-break — the mechanism that repairs a natural
+    * cluster split across several hash-sampled seeds.
+    */
+  private def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
+    corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("centroid_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s("m")).as("cv"))
+      .withColumn("cnrm", l2norm(col("cv")))
+  }
+
   /** IVF-style approximate top-k: corpus vectors are assigned to their
-    * nearest pseudo-centroid (a deterministic hash sample of the corpus —
-    * a stand-in for trained k-means centroids); each query probes its
-    * `nprobe` nearest centroids and ranks exact cosine within the probed
-    * cells. Approximate (no oracle); recall vs [[bruteForceTopK]] is
-    * asserted in ScalaTest.
+    * nearest centroid; each query probes its `nprobe` nearest centroids
+    * and ranks exact cosine within the probed cells. Approximate (no
+    * oracle); recall vs [[bruteForceTopK]] is asserted in ScalaTest.
     *
-    * Centroid selection is `xxhash64(vec_id) % cellSize == 0` — expected
-    * one centroid per `cellSize` corpus vectors, entirely inside the plan:
-    * no driver-side `count()` (round 1 ran an eager full-scan job in the
-    * operator BUILDER), and the expected cell population stays ~`cellSize`
-    * at any corpus size — cells grow in number, not size, as data scales,
-    * which is the property a 100 TB IVF needs.
+    * Seed centroid selection is `xxhash64(vec_id) % cellSize == 0` —
+    * expected one centroid per `cellSize` corpus vectors, entirely inside
+    * the plan: no driver-side `count()` (round 1 ran an eager full-scan
+    * job in the operator BUILDER), and the expected cell population stays
+    * ~`cellSize` at any corpus size — cells grow in number, not size, as
+    * data scales, which is the property a 100 TB IVF needs. `trainIters`
+    * Lloyd refinements ([[lloydStep]]) then move the seeds to their cells'
+    * means — hash-sampled seeds are unbiased but land on arbitrary corpus
+    * points; training recenters them so cell boundaries follow the data's
+    * cluster structure (spec: recall on a clustered fixture where raw
+    * seeds alone score lower).
     */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-              cellSize: Int = 128, nprobe: Int = 6): DataFrame = {
+              cellSize: Int = 128, nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
     val corpus = prepared(embeddings)
-    val centroids = corpus
+    val seeds = corpus
       .filter(pmod(xxhash64(col("vec_id")), lit(cellSize.toLong)) === 0L)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centroids = (1 to trainIters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
 
     // corpus assignment: nearest centroid by cosine (broadcast argmax pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))

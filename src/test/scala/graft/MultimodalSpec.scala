@@ -8,23 +8,60 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf)).cache()
 
-  test("media adapter: binary payload with typed metadata") {
+  test("media adapter: binary payload with typed metadata, all three kinds present") {
     val schema = media.schema
     assert(schema("payload").dataType.typeName == "binary")
     assert(schema("n_frames").dataType.typeName == "integer")
     assert(media.filter(col("payload").isNull).count() == 0)
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("decode stub: histogram buckets sum to byte count, mean in byte range") {
-    val f = Multimodal.features(media)
-    import org.apache.spark.sql.Row
+  test("decode stub dispatches per kind: sample-set size, buckets, and means differ") {
+    val f = Multimodal.features(media).cache()
     f.collect().foreach { r =>
       val hist = r.getAs[scala.collection.Seq[Long]]("hist16")
       assert(hist.length == 16)
-      assert(hist.sum == r.getAs[Long]("n_bytes"))
+      val expected = r.getAs[String]("kind") match {
+        case "video" => math.max(r.getAs[Long]("n_bytes") / 10, 0L) // one byte per frame
+        case _       => r.getAs[Long]("n_bytes")                    // all payload bytes
+      }
+      assert(hist.sum == expected, s"${r.getAs[String]("kind")} sample-set size")
       val mean = r.getAs[Double]("mean_byte")
-      assert(mean > 0 && mean < 256)
+      assert(mean >= 0 && mean < 256)
     }
+    // audio buckets on the LOW nibble: lowercase ASCII spreads across all 16
+    // buckets, whereas image/video high-nibble mass sits in buckets 2,3,6,7
+    val audioHist = f.filter(col("kind") === "audio").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("hist16"))
+    assert(audioHist.exists(h => h.zipWithIndex.count(_._1 > 0) > 6))
+    val imageHist = f.filter(col("kind") === "image").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("hist16"))
+    assert(imageHist.forall(h => (8 to 15).forall(b => h(b) == 0L)),
+      "ASCII high nibbles never exceed 7")
+    f.unpersist()
+  }
+
+  test("per-kind kernels agree where they overlap and differ where they must") {
+    import spark.implicits._
+    // one identical payload under all three kinds
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+    val tri = Seq(("image", 0L), ("audio", 1L), ("video", 2L)).map { case (k, id) =>
+      (id, k, text.getBytes("UTF-8"), text.length / 10, 64, 64)
+    }.toDF("media_id", "kind", "payload", "n_frames", "width", "height")
+    val rows = Multimodal.features(tri).collect()
+      .map(r => r.getAs[String]("kind") ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Double]("mean_byte"),
+          r.getAs[scala.collection.Seq[Long]]("hist16"))).toMap
+    // n_bytes is payload size for every kind
+    assert(rows.values.forall(_._1 == text.length.toLong))
+    // image and audio share the mean (same sample set), video differs (frames)
+    assert(rows("image")._2 == rows("audio")._2)
+    assert(rows("video")._2 != rows("image")._2)
+    // image and audio bucket DIFFERENTLY (high vs low nibble)
+    assert(rows("image")._3 != rows("audio")._3)
+    // video histogram counts one byte per frame
+    assert(rows("video")._3.sum == (text.length / 10).toLong)
   }
 
   test("resize stub: output bounded by target, deterministic, checksum consistent") {

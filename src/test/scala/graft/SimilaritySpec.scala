@@ -49,6 +49,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("Lloyd training lifts recall where raw hash seeds put a cell boundary on the query") {
+    import spark.implicits._
+    // Vectors lie on a smooth arc (angle θ ∈ [0°, 90°] in the (d0, d1)
+    // plane); cosine neighbors = angle neighbors. At cellSize = 128 the
+    // hash sampler picks exactly vec_ids {120, 275} as seeds (arc angles
+    // ≈ 33.7° and 77.5°), and the query (vec_id 0) is planted at their
+    // MID-ANGLE: raw point-seeds put the Voronoi boundary straight through
+    // the query, so nprobe = 1 sees only ~half of its top-10 angle
+    // neighborhood. Lloyd relocates both centroids toward the arc halves'
+    // means (≈ 25°/70° after two steps), moving the boundary to the
+    // density-balanced ≈ 47° — away from the query — so the whole
+    // neighborhood lands in one probed cell. The general lesson is the
+    // real IVF one: seed POINTS put boundaries at arbitrary data; cell
+    // MEANS put them between density masses.
+    val thetaOf = (i: Int) => (i - 1).toDouble / 318.0 * (math.Pi / 2)
+    val qTheta = (thetaOf(120) + thetaOf(275)) / 2
+    val rows = (0 until 320).map { i =>
+      val t = if (i == 0) qTheta else thetaOf(i)
+      val v = Array.tabulate(8)(d =>
+        if (d == 0) (10 * math.cos(t)).toFloat
+        else if (d == 1) (10 * math.sin(t)).toFloat else 0f)
+      (i.toLong, "arc", v)
+    }
+    val arc = rows.toDF("vec_id", "label", "embedding")
+    def recallOf(iters: Int): Double = {
+      val exact = Similarity.bruteForceTopK(arc, numQueries = 1, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfTopK(arc, numQueries = 1, k = 10, cellSize = 128,
+        nprobe = 1, trainIters = iters).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seedOnly = recallOf(0)
+    val trained  = recallOf(2)
+    info(f"recall@10: seeds-only = $seedOnly%.2f, trained = $trained%.2f")
+    assert(seedOnly < 0.9, s"fixture must make raw seeds score lower (got $seedOnly)")
+    assert(trained >= 0.9, s"trained recall too low: $trained")
+    assert(trained > seedOnly, "training must improve recall on this fixture")
+  }
+
   test("ivfTopK plans lazily: building + optimizing the query runs zero jobs") {
     // round-1 regression guard: the operator builder ran an eager
     // corpus.count() — a full extra scan job per invocation, before the
