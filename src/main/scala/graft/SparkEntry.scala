@@ -405,17 +405,18 @@ object SparkEntry {
         |ORDER BY city, event_type""".stripMargin)),
 
     // explicit grouping sets — the (city),(event_type),() subtotal family
-    // without the full cube; SQL-only surface in Spark, hence spark.sql
+    // without the full cube, via the Spark 4 Dataset.groupingSets API (no
+    // temp-view session mutation inside the registry)
     ("q_grouping_sets",
-      (s, d) => {
-        norm(s, d).createOrReplaceTempView("norm_gs")
-        s.sql("""SELECT coalesce(city, 'ALL') AS city,
-                |  coalesce(event_type, 'ALL') AS event_type,
-                |  count(*) AS event_count
-                |FROM norm_gs
-                |GROUP BY GROUPING SETS ((city), (event_type), ())
-                |ORDER BY city, event_type""".stripMargin)
-      },
+      (s, d) => norm(s, d)
+        .groupingSets(Seq(Seq(col("city")), Seq(col("event_type")), Seq.empty),
+          col("city"), col("event_type"))
+        .agg(count(lit(1)).as("event_count"))
+        .select(
+          coalesce(col("city"), lit("ALL")).as("city"),
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("event_count"))
+        .orderBy("city", "event_type"),
       Some(s"""$WITH_NORM
         |SELECT coalesce(city, 'ALL') AS city,
         |  coalesce(event_type, 'ALL') AS event_type,
@@ -813,19 +814,32 @@ object SparkEntry {
     // ---- LLM-data pipeline: multimodal binary-column plumbing (north star).
     // Decode is a deterministic stub (no codecs in-container); the payload is
     // ASCII text bytes, so the oracle recomputes features from char codes.
+    // Kinds rotate by doc_id mod 3 and each takes its own kernel: image =
+    // high-nibble hist over all bytes, audio = low-nibble hist over all
+    // bytes, video = high-nibble hist over one sampled byte per frame.
     ("q_media_features",
       (s, d) => Multimodal.features(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
         .withColumn("hist16",
           array_join(transform(col("hist16"), _.cast("string")), ","))
         .orderBy("media_id"),
       Some("""WITH codes AS (SELECT doc_id,
-        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
-        |  FROM documents)
-        |SELECT doc_id AS media_id, CAST(len(cs) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(cs) AS DOUBLE) / len(cs) AS mean_byte,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs,
+        |  CAST(floor(n_chars / 10) AS INT) AS nf,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind
+        |  FROM documents),
+        |sel AS (SELECT doc_id, kind, cs,
+        |  CASE WHEN kind = 'video'
+        |       THEN list_transform(generate_series(0, nf - 1), f -> cs[f * 10 + 1])
+        |       ELSE cs END AS samp
+        |  FROM codes)
+        |SELECT doc_id AS media_id, kind, CAST(len(cs) AS BIGINT) AS n_bytes,
+        |  CASE WHEN len(samp) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(samp) AS DOUBLE) / len(samp) END AS mean_byte,
         |  array_to_string(list_transform(generate_series(0, 15),
-        |    b -> CAST(len(list_filter(cs, c -> (c >> 4) = b)) AS BIGINT)), ',') AS hist16
-        |FROM codes ORDER BY media_id""".stripMargin)),
+        |    b -> CAST(len(list_filter(samp, c ->
+        |      (CASE WHEN kind = 'audio' THEN c & 15 ELSE c >> 4 END) = b)) AS BIGINT)), ',')
+        |    AS hist16
+        |FROM sel ORDER BY media_id""".stripMargin)),
 
     // stub resize: deterministic byte subsample to a 16x16 target; the
     // payload is the UTF-8 text bytes so the oracle recomputes the

@@ -11,13 +11,23 @@ import org.apache.spark.sql.functions._
   * partitioned/bucketed storage; `local[*]` reads single parquet files.
   */
 object Tables {
+  /** Sessions already switched to nanos-as-long reads — the conf is a
+    * one-time session concern, so it is set exactly once per session (weak
+    * keys: dropped with the session) instead of on every query build.
+    */
+  private val nanosReady =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy conf) and floor-convert to
-    * microsecond TimestampType — the same truncation DuckDB applies, so oracle
-    * comparisons agree. The conf is runtime-settable and scoped to the session.
+    * rejects outright. Read it as raw nanos (legacy conf, applied once per
+    * session) and floor-convert to microsecond TimestampType — the same
+    * truncation DuckDB applies, so oracle comparisons agree.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (nanosReady.add(spark))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

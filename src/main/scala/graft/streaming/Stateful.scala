@@ -17,6 +17,15 @@ case class StreakAlert(city: String, streak: Int, last_ts: Timestamp)
   * bounded, and at cluster scale partitioned by city across the state store.
   * Within a batch, a group's rows are processed in event-time order for
   * determinism (micro-batch iterator order is not guaranteed).
+  *
+  * Memory note: the `toSeq.sortBy` buffers one (city, micro-batch) group to
+  * establish that order — Structured Streaming offers no secondary sort
+  * under `flatMapGroupsWithState` (pre-sorting a streaming Dataset before a
+  * stateful op is rejected at analysis), so ordered traversal implies
+  * buffering the group. Per-batch group size is the quantity to bound
+  * operationally (`maxOffsetsPerTrigger` / trigger cadence); the STATE
+  * stays O(1) per city regardless. A batch-mode caller with huge groups
+  * should use the window-function streak formulation instead.
   */
 object Stateful {
 
