@@ -34,7 +34,8 @@ class Pipeline(
     storeRoot: String,
     checkpointRoot: String,
     watermarkDelay: String = "10 minutes",
-    processingTimeMode: Boolean = false) {
+    processingTimeMode: Boolean = false,
+    compactEvery: Int = 0) {
 
   def rawStorePath: String    = s"$storeRoot/raw_events"
   def aggStorePath: String    = s"$storeRoot/aggregations"
@@ -49,8 +50,19 @@ class Pipeline(
     CityEvents.normalize(base)
   }
 
-  private def upsertBatch(path: String, keys: Seq[String])(df: DataFrame, epochId: Long): Unit =
+  /** Keyed upsert per micro-batch (O(batch)), plus scheduled compaction
+    * every `compactEvery` epochs when enabled: merge-on-read amplification
+    * stays bounded at ~`compactEvery` segments without the store rewrite
+    * ever landing on the hot per-batch path more than 1/compactEvery of
+    * the time. In production compaction would run out-of-band (a
+    * maintenance job); the in-line schedule keeps the single-process
+    * topology self-contained and the replay path exercised.
+    */
+  private def upsertBatch(path: String, keys: Seq[String])(df: DataFrame, epochId: Long): Unit = {
     KeyedUpsertSink.upsert(df.sparkSession, path, keys, df, epochId)
+    if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+      KeyedUpsertSink.compact(df.sparkSession, path)
+  }
 
   /** Query 1: raw events, append mode, keyed upsert (reference :100-115).
     * Carries an `observe()` metrics contract — the streaming analog of the

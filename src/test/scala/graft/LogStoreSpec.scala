@@ -70,6 +70,30 @@ class LogStoreSpec extends SparkSpec {
     assert(m == Map("a" -> 42, "b" -> 9, "c" -> 7))
   }
 
+  test("scheduled compaction in the streaming topology bounds segment count") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new graft.streaming.Pipeline(spark,
+      Files.createTempDirectory("store").toString,
+      Files.createTempDirectory("ckpt").toString, compactEvery = 2)
+    val q = p.startRawEvents(input.toDF())
+    def ev(id: Long, t: String) = EventRec(id, java.sql.Timestamp.valueOf(t),
+      1L, "click", 50.0, s"""{"k": $id}""")
+    try {
+      (0 until 6).foreach { b =>
+        input.addData(ev(b * 2, s"2024-01-01 10:0$b:00"), ev(b * 2 + 1, s"2024-01-01 10:0$b:30"))
+        q.processAllAvailable()
+      }
+      // 6 epochs at compactEvery=2: segments fold repeatedly instead of
+      // accumulating one per epoch
+      assert(KeyedUpsertSink.segmentCount(spark, p.rawStorePath) <= 3,
+        "compaction must bound read amplification")
+      assert(KeyedUpsertSink.read(spark, p.rawStorePath).count() == 12)
+    } finally q.stop()
+  }
+
   test("composite keys and epoch-less allocation keep LWW semantics") {
     import spark.implicits._
     val store = tmp()
