@@ -292,8 +292,9 @@ object Dedup {
     * `rounds` = r covers components of diameter ≈ 2^r; near-dup clusters are
     * short chains in practice (similarity is nearly transitive), and r is a
     * knob, not a correctness cliff — under-iteration leaves a chain split,
-    * never mislabeled. Each round's label frame is materialized via
-    * `localCheckpoint` (rows stay distributed; NOT a driver collect):
+    * never mislabeled. Each round's label frame is truncated via a LAZY
+    * `localCheckpoint` (rows stay distributed, NOT a driver collect; no
+    * job runs until the caller acts):
     * every iterative DataFrame graph algorithm needs lineage truncation —
     * a round references its predecessor ~4×, so the un-truncated logical
     * plan re-embeds the whole upstream pipeline 4^r times and analysis
@@ -312,12 +313,17 @@ object Dedup {
     * can be clustered without re-running the sketch pipeline.
     */
   def clustersFromPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+    // lazy checkpoints: the Catalyst plan is truncated at BUILD time (the
+    // 4^rounds analysis blowup never forms) but no job runs until the
+    // caller acts — registry plan audits can still construct this query
+    // for free, and the checkpoint RDDs materialize in sequence on the
+    // first action
     val edges = pairs.select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
       .unionByName(pairs.select(col("doc_id2").as("src"), col("doc_id1").as("dst")))
-      .localCheckpoint() // materialized once: consumed by every round
+      .localCheckpoint(eager = false) // materialized once: consumed by every round
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
       // lbl(v) := min(lbl(v), min over neighbors u of lbl(u))
       val nbr = edges.join(labels.toDF("dst", "dlbl"), "dst")
@@ -325,11 +331,11 @@ object Dedup {
         .withColumnRenamed("src", "doc_id")
       val propagated = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // truncate lineage before the self-join below
+        .localCheckpoint(eager = false) // truncate lineage before the self-join below
       // pointer jump: lbl(v) := lbl(lbl(v)) — doubles effective reach
       labels = propagated.join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
         .select(col("doc_id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
   }

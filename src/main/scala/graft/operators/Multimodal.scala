@@ -71,8 +71,12 @@ object Multimodal {
         // ??? real per-kind codecs go here; deterministic fakes below
         val bytes = m.payload
         val samp: Array[Int] = m.kind match {
-          case "video" => Array.tabulate(math.max(m.n_frames, 0))(f => bytes(f * 10) & 0xff)
-          case _       => Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
+          case "video" =>
+            // n_frames is caller metadata — clamp to the payload so an
+            // inconsistent record degrades instead of failing the task
+            val frames = math.min(math.max(m.n_frames, 0), bytes.length / 10)
+            Array.tabulate(frames)(f => bytes(f * 10) & 0xff)
+          case _ => Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
         }
         val hist = new Array[Long](16)
         var sum = 0L

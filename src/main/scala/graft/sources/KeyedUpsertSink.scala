@@ -59,11 +59,16 @@ object KeyedUpsertSink {
   private def segDir(store: String)     = new Path(s"$store/seg")
 
   /** Epoch encoded in a segment/marker name: plain micro-batch epochs are
-    * the number itself; a compacted segment is `compact-<maxEpoch>`.
+    * the number itself; a compacted segment is `compact-<maxEpoch>` with an
+    * optional `-<n>` uniquifier (re-compaction after a crash or an epoch
+    * replay must never reuse a name that is still committed — see
+    * [[compact]]).
     */
   private def parseEpoch(name: String): Option[Long] = {
-    val n = if (name.startsWith("compact-")) name.stripPrefix("compact-") else name
-    try Some(n.toLong) catch { case _: NumberFormatException => None }
+    val core =
+      if (name.startsWith("compact-")) name.stripPrefix("compact-").takeWhile(_ != '-')
+      else name
+    try Some(core.toLong) catch { case _: NumberFormatException => None }
   }
 
   /** Committed segment names, by listing the commit-marker directory (the
@@ -83,6 +88,13 @@ object KeyedUpsertSink {
       val out = fs.create(p, true)
       out.write(keyCols.mkString(",").getBytes(UTF_8))
       out.close()
+    } else {
+      // a silent key mismatch would dedup batches by one key set and merge
+      // reads by another — rows the caller considers distinct would
+      // collapse to an arbitrary winner; fail at the write site instead
+      val existing = readKeysManifest(spark, store)
+      require(existing == keyCols,
+        s"store $store is keyed by ${existing.mkString(",")}, not ${keyCols.mkString(",")}")
     }
   }
 
@@ -114,7 +126,10 @@ object KeyedUpsertSink {
       .withColumn(EpochCol, lit(epochId))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(seg, true) // uncommitted leftover from a crashed attempt
-    fs.rename(tmp, seg)
+    // Hadoop rename signals most failures by returning false, not
+    // throwing; committing a marker over a failed rename would create a
+    // committed epoch with no data and every read would fail permanently
+    require(fs.rename(tmp, seg), s"rename $tmp -> $seg failed")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close() // marker last: the commit point
   }
@@ -130,6 +145,20 @@ object KeyedUpsertSink {
     upsert(spark, storePath, keyCols, batch, next)
   }
 
+  /** Per-key winners of the union of `segs`: the row of the highest epoch,
+    * keeping its epoch stamp. One shuffle on the key — shared by [[read]]
+    * and [[compact]] so LWW tie-breaking can never diverge between them.
+    */
+  private def winners(spark: SparkSession, storePath: String,
+                      segs: Seq[String]): DataFrame = {
+    val keyCols = readKeysManifest(spark, storePath)
+    val df = spark.read.parquet(segs.map(n => new Path(segDir(storePath), n).toString): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(EpochCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Last-writer-wins view: per key, the row of the highest committed epoch
     * (ONE shuffle on the key). Duplicate identical rows from an interrupted
     * compaction collapse here too.
@@ -137,12 +166,7 @@ object KeyedUpsertSink {
   def read(spark: SparkSession, storePath: String): DataFrame = {
     val segs = committedSegments(spark, storePath)
     require(segs.nonEmpty, s"no committed segments at $storePath")
-    val keyCols = readKeysManifest(spark, storePath)
-    val df = spark.read.parquet(segs.map(n => new Path(segDir(storePath), n).toString): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(EpochCol).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", EpochCol)
+    winners(spark, storePath, segs).drop(EpochCol)
   }
 
   /** Fold every committed segment into one segment of per-key winners.
@@ -150,26 +174,29 @@ object KeyedUpsertSink {
     * appended later is unaffected); the compacted segment commits before
     * its inputs are retired, so readers see a consistent store at every
     * crash point (at worst: winners duplicated until cleanup re-runs).
-    * Run out-of-band (a maintenance job), never on the hot write path.
+    * The output name is uniquified against the live segment set — a
+    * re-run over a crash-recovered store (or after an epoch replay)
+    * whose max epoch is unchanged must never reuse a committed name: it
+    * would first overwrite the committed data it is reading and then
+    * retire its own output. Run out-of-band (a maintenance job), never
+    * on the hot write path.
     */
   def compact(spark: SparkSession, storePath: String): Unit = {
     val segs = committedSegments(spark, storePath)
     if (segs.size <= 1) return
     val fs = fsOf(spark, new Path(storePath))
-    val keyCols = readKeysManifest(spark, storePath)
     val maxEpoch = segs.flatMap(parseEpoch).max
-    val name = s"compact-$maxEpoch"
-    val df = spark.read.parquet(segs.map(n => new Path(segDir(storePath), n).toString): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(EpochCol).desc)
-    val winners = df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val base = s"compact-$maxEpoch"
+    val name =
+      if (!segs.contains(base)) base
+      else Iterator.from(1).map(i => s"$base-$i").find(n => !segs.contains(n)).get
     val tmp = new Path(segDir(storePath), s".tmp-$name")
     val seg = new Path(segDir(storePath), name)
-    winners.write.mode("overwrite").parquet(tmp.toString)
+    winners(spark, storePath, segs).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(seg, true) // unreferenced leftover (no marker yet): safe
-    fs.rename(tmp, seg)
+    require(fs.rename(tmp, seg), s"rename $tmp -> $seg failed")
     fs.create(new Path(commitsDir(storePath), name), true).close() // commit
-    segs.foreach { n => // retire inputs: markers first, then data
+    segs.filterNot(_ == name).foreach { n => // retire inputs: markers first, then data
       fs.delete(new Path(commitsDir(storePath), n), false)
       fs.delete(new Path(segDir(storePath), n), true)
     }

@@ -37,9 +37,10 @@ class Pipeline(
     processingTimeMode: Boolean = false,
     compactEvery: Int = 0) {
 
-  def rawStorePath: String    = s"$storeRoot/raw_events"
-  def aggStorePath: String    = s"$storeRoot/aggregations"
-  def alertsStorePath: String = s"$storeRoot/alerts"
+  def rawStorePath: String      = s"$storeRoot/raw_events"
+  def rawDedupStorePath: String = s"$storeRoot/raw_events_dedup"
+  def aggStorePath: String      = s"$storeRoot/aggregations"
+  def alertsStorePath: String   = s"$storeRoot/alerts"
 
   /** Normalize + (optionally) re-stamp event time with processing time,
     * mirroring the reference's `current_timestamp()` column (P4).
@@ -107,7 +108,7 @@ class Pipeline(
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$checkpointRoot/raw-events-dedup")
-      .foreachBatch(upsertBatch(s"$storeRoot/raw_events_dedup", Seq("rec_id")) _)
+      .foreachBatch(upsertBatch(rawDedupStorePath, Seq("rec_id")) _)
       .start()
 
   /** Query 2: watermarked 5-minute windowed aggregation, update mode,

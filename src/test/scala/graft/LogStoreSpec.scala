@@ -70,6 +70,37 @@ class LogStoreSpec extends SparkSpec {
     assert(m == Map("a" -> 42, "b" -> 9, "c" -> 7))
   }
 
+  test("re-compaction after an epoch replay never destroys the committed store") {
+    import spark.implicits._
+    val store = tmp()
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a", 1), ("b", 2)).toDF("k", "v"), 0L)
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("b", 9)).toDF("k", "v"), 1L)
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("c", 3)).toDF("k", "v"), 2L)
+    KeyedUpsertSink.compact(spark, store) // -> compact-2
+    // foreachBatch replays epoch 2 after recovery (its marker was retired
+    // with the compaction inputs), then compaction runs again with the SAME
+    // max epoch: the output name must be uniquified — reusing "compact-2"
+    // would overwrite the committed data being read, then retire itself
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("c", 3)).toDF("k", "v"), 2L)
+    KeyedUpsertSink.compact(spark, store)
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(KeyedUpsertSink.segmentCount(spark, store) == 1)
+    // and epoch allocation still advances past the compacted watermark
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("d", 4)).toDF("k", "v"))
+    assert(KeyedUpsertSink.read(spark, store).count() == 4)
+  }
+
+  test("mismatched key columns against an existing store fail fast") {
+    import spark.implicits._
+    val store = tmp()
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a", "x", 1)).toDF("k", "k2", "v"))
+    intercept[IllegalArgumentException] {
+      KeyedUpsertSink.upsert(spark, store, Seq("k", "k2"), Seq(("a", "y", 2)).toDF("k", "k2", "v"))
+    }
+  }
+
   test("scheduled compaction in the streaming topology bounds segment count") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

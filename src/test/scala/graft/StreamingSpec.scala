@@ -248,7 +248,7 @@ class StreamingSpec extends SparkSpec {
       input.addData(ev(1, "2024-01-01 10:00:00.1"), ev(2, "2024-01-01 10:00:00.9"),
         ev(3, "2024-01-01 10:05:00"))
       q.processAllAvailable()
-      val store = KeyedUpsertSink.read(spark, s"${p.rawStorePath.stripSuffix("raw_events")}raw_events_dedup")
+      val store = KeyedUpsertSink.read(spark, p.rawDedupStorePath)
       assert(store.count() == 2, "two distinct rec_ids")
     } finally q.stop()
   }
