@@ -726,7 +726,10 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(pmod(col("doc_id"), lit(5)) < 4)
         val delta  = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
-        Dedup.dedupDelta(Dedup.buildDedupIndex(corpus), delta)
+        // in production the index is PERSISTED parquet read once per use;
+        // this inline demo materializes it once (lazily) instead of
+        // re-running sha2+groupBy+shingling for each of its 3 consumers
+        Dedup.dedupDelta(Dedup.buildDedupIndex(corpus).localCheckpoint(eager = false), delta)
       },
       Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 < 4),
         |delta AS (SELECT * FROM documents WHERE doc_id % 5 = 4),

@@ -314,10 +314,12 @@ object Dedup {
     */
   def clustersFromPairs(pairs: DataFrame, rounds: Int): DataFrame = {
     // lazy checkpoints: the Catalyst plan is truncated at BUILD time (the
-    // 4^rounds analysis blowup never forms) but no job runs until the
-    // caller acts — registry plan audits can still construct this query
-    // for free, and the checkpoint RDDs materialize in sequence on the
-    // first action
+    // 4^rounds analysis blowup never forms). NB under AQE the checkpoint
+    // still materializes its query stages when called — building this
+    // frame therefore EXECUTES the rounds; that is inherent to iterative
+    // refinement (GraphFrames' Pregel has the same property) and the
+    // reason this operator, unlike the rest of the registry, does real
+    // work at construction time
     val edges = pairs.select(col("doc_id1").as("src"), col("doc_id2").as("dst"))
       .unionByName(pairs.select(col("doc_id2").as("src"), col("doc_id1").as("dst")))
       .localCheckpoint(eager = false) // materialized once: consumed by every round

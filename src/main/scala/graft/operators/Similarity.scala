@@ -145,6 +145,13 @@ object Similarity {
     val seeds = corpus
       .filter(pmod(xxhash64(col("vec_id")), lit(cellSize.toLong)) === 0L)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // trained centroids feed two broadcasts (corpus assignment + query
+    // probes), so the short Lloyd chain appears twice in the plan. That
+    // duplication is deliberately NOT checkpointed away: under AQE even a
+    // lazy localCheckpoint materializes its query stages at CALL time,
+    // which would break this operator's zero-planning-jobs contract
+    // (spec'd); at trainIters ≈ 2 the chain is shallow and the duplicate
+    // broadcast subtrees dedupe via exchange reuse at execution.
     val centroids = (1 to trainIters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
 
     // corpus assignment: nearest centroid by cosine (broadcast argmax pass)

@@ -75,10 +75,11 @@ class PlanShapeSpec extends SparkSpec {
     // (final presentation-only orderBy/limit shapes are Sort/TakeOrdered,
     // not Window, so they don't trip this.)
     // Known blind spot: q_dup_clusters' label-propagation rounds sit
-    // behind lazy localCheckpoint LogicalRDD leaves, so only its final
-    // stage is visible here; its internal stages are joins/aggregates by
-    // construction (clustersFromPairs has no Window), and its minhash
-    // front-end is audited via q_minhash_pairs.
+    // behind localCheckpoint LogicalRDD leaves (and execute while this
+    // test builds the query — inherent to iterative refinement), so only
+    // its final stage is visible here; its internal stages are
+    // joins/aggregates by construction (clustersFromPairs has no Window),
+    // and its minhash front-end is audited via q_minhash_pairs.
     import org.apache.spark.sql.execution.window.WindowExec
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
