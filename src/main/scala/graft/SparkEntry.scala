@@ -760,6 +760,56 @@ object SparkEntry {
         |SELECT * FROM exact UNION ALL SELECT * FROM near
         |ORDER BY corpus_id, delta_id""".stripMargin)),
 
+    // train/test decontamination: 5-gram collisions of the corpus
+    // (doc_id mod 11 <> 0) against the benchmark split (mod 11 = 0)
+    ("q_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contamination(
+          docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
+      },
+      Some("""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp))
+        |SELECT doc_id, count(*) AS n_collisions
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    ("q_decontaminated",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(
+            docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some("""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp))
+        |SELECT doc_id, lang, source FROM corp
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // dataset-card composition report per language
+    ("q_corpus_stats",
+      (s, d) => Corpus.corpusStats(Tables.documents(s, d)),
+      Some("""SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_doc_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     ("q_normalize_text",
       (s, d) => TextAnalysis.normalizeText(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id,

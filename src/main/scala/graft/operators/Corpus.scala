@@ -42,6 +42,28 @@ object Corpus {
       .filter(col("bucket") < coalesce(element_at(rateMap, col("lang")), lit(0)))
   }
 
+  /** Corpus composition report: per language — document count, total
+    * whitespace tokens, distinct sources, and mean document length — the
+    * dataset-card numbers every training-corpus build publishes and the
+    * sanity dashboard for [[stratifiedSample]] mixing decisions.
+    *
+    * Scale: one hash aggregation over narrow derived columns; the token
+    * count folds map-side, and `n_sources` is an exact distinct over a
+    * low-cardinality attribute (the approx path for high-cardinality
+    * attributes is `approx_count_distinct`, cf. Relational).
+    */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_doc_tokens"))
+      .orderBy("lang")
+
   /** Token-budget sequence packing: within each (`lang`, `shard`) stratum —
     * shard = doc_id mod `shards` — documents (in doc_id order) are laid
     * head-to-tail and assigned `pack_id = floor(exclusive_prefix_tokens /

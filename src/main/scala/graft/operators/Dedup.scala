@@ -428,6 +428,41 @@ object Dedup {
     exact.unionByName(near).orderBy("corpus_id", "delta_id")
   }
 
+  /** Train/test contamination: for every corpus document, the number of
+    * distinct token `n`-grams it shares with ANY document of the
+    * `benchmark` set — the decontamination primitive every training-data
+    * pipeline runs before a model ships (flag-and-drop documents that
+    * contain benchmark material; the classic recipe checks 8–13-grams).
+    * Returns only contaminated documents (n_collisions ≥ 1); compose with
+    * a left-anti join for the clean corpus ([[decontaminate]]).
+    *
+    * Scale: the benchmark's distinct-gram set is tiny next to the corpus
+    * (benchmarks are fixed suites), so the join is a broadcast against the
+    * corpus gram stream in practice; the fallback shape is still a plain
+    * shuffled equi-join on 8-byte xxhash64 gram keys, never on gram
+    * strings. Per-document work is linear in its token count; the count
+    * aggregates map-side.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(shingles(col("text"), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+    // (doc_id, h) is already distinct: shingles() dedups per document
+    val cGrams = corpus
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    cGrams.join(bGrams, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus minus every document flagged by [[contamination]] — the
+    * drop-side of decontamination (one anti-join on doc_id).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame =
+    corpus.join(contamination(corpus, benchmark, n).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** SimHash near-dup pairs with EXACT hamming-≤-k semantics.
     *
     * 30-bit SimHash over token polynomial hashes (one-pass custom expression

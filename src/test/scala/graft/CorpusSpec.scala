@@ -49,6 +49,16 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus stats: per-language report is internally consistent and complete") {
+    val r = Corpus.corpusStats(docs).collect()
+    assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")
+    r.foreach { row =>
+      val (nDocs, total, avg) = (row.getLong(1), row.getLong(2), row.getDouble(4))
+      assert(math.abs(avg - total.toDouble / nDocs) < 1e-9)
+      assert(row.getLong(3) >= 1) // every stratum has at least one source
+    }
+  }
+
   test("repetition: bounded in [0,1), high for looping text, low for diverse text") {
     import spark.implicits._
     val r = TextAnalysis.repetition(docs).collect()

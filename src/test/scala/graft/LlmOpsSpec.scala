@@ -162,6 +162,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("contamination: planted benchmark n-gram is flagged with its exact collision count") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains TWO distinct benchmark 5-grams (positions 1 and 2)
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      // contains exactly ONE (the first five tokens), then diverges
+      (2L, "alpha beta gamma delta epsilon unrelated tail here"),
+      // shares tokens but no full 5-gram
+      (3L, "alpha beta gamma something delta epsilon zeta-x filler filler")).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+    val clean = Dedup.decontaminate(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L))
+  }
+
   test("incremental dedup: corpus side reads ONLY the signature index") {
     import spark.implicits._
     val indexPath = java.nio.file.Files.createTempDirectory("dedupidx").toString + "/idx"
