@@ -292,9 +292,11 @@ object Dedup {
     * `rounds` = r covers components of diameter ≈ 2^r; near-dup clusters are
     * short chains in practice (similarity is nearly transitive), and r is a
     * knob, not a correctness cliff — under-iteration leaves a chain split,
-    * never mislabeled. Each round's label frame is truncated via a LAZY
-    * `localCheckpoint` (rows stay distributed, NOT a driver collect; no
-    * job runs until the caller acts):
+    * never mislabeled. Each round's label frame is truncated via
+    * `localCheckpoint` (rows stay distributed, NOT a driver collect —
+    * though under AQE the checkpoint materializes its stages when built,
+    * so CONSTRUCTING this frame executes the rounds; see the note at the
+    * checkpoint sites):
     * every iterative DataFrame graph algorithm needs lineage truncation —
     * a round references its predecessor ~4×, so the un-truncated logical
     * plan re-embeds the whole upstream pipeline 4^r times and analysis

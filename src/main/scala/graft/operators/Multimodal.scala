@@ -73,8 +73,11 @@ object Multimodal {
         val samp: Array[Int] = m.kind match {
           case "video" =>
             // n_frames is caller metadata — clamp to the payload so an
-            // inconsistent record degrades instead of failing the task
-            val frames = math.min(math.max(m.n_frames, 0), bytes.length / 10)
+            // inconsistent record degrades instead of failing the task.
+            // The read pattern needs f*10 < length, so the tight bound is
+            // ceil(length/10): a floor would silently drop the final
+            // frame of any payload that is not a multiple of 10 bytes
+            val frames = math.min(math.max(m.n_frames, 0), (bytes.length + 9) / 10)
             Array.tabulate(frames)(f => bytes(f * 10) & 0xff)
           case _ => Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
         }

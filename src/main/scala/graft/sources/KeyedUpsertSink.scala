@@ -119,6 +119,16 @@ object KeyedUpsertSink {
     val name = epochId.toString
     val marker = new Path(commitsDir(storePath), name)
     if (fs.exists(marker)) return // epoch already durable: replay, skip
+    // compaction retires the per-epoch markers of the epochs it folds, so
+    // the marker check alone cannot fence a replay of a folded epoch (a
+    // crash between compaction and the streaming checkpoint commit
+    // re-delivers it — re-applying would duplicate rows whenever the
+    // replayed batch is not byte-identical, e.g. processing-time stamps).
+    // The committed compact segment names carry the folded high-water
+    // epoch, so the fence survives with no extra metadata.
+    val fence = committedSegments(spark, storePath)
+      .filter(_.startsWith("compact-")).flatMap(parseEpoch)
+    if (fence.nonEmpty && epochId <= fence.max) return // folded: replay, skip
     writeKeysManifest(spark, storePath, keyCols)
     val seg = new Path(segDir(storePath), name)
     val tmp = new Path(segDir(storePath), s".tmp-$name")
@@ -196,7 +206,11 @@ object KeyedUpsertSink {
     fs.delete(seg, true) // unreferenced leftover (no marker yet): safe
     require(fs.rename(tmp, seg), s"rename $tmp -> $seg failed")
     fs.create(new Path(commitsDir(storePath), name), true).close() // commit
-    segs.filterNot(_ == name).foreach { n => // retire inputs: markers first, then data
+    // retire inputs (markers first, then data); `name` is provably not in
+    // `segs` — the uniquifier above guarantees it — so no self-retirement
+    // case exists. Replay protection for the retired epochs moves to the
+    // compact segment's own name (see the fence check in upsert).
+    segs.foreach { n =>
       fs.delete(new Path(commitsDir(storePath), n), false)
       fs.delete(new Path(segDir(storePath), n), true)
     }

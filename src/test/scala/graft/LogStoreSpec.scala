@@ -78,16 +78,18 @@ class LogStoreSpec extends SparkSpec {
     KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("c", 3)).toDF("k", "v"), 2L)
     KeyedUpsertSink.compact(spark, store) // -> compact-2
     // foreachBatch replays epoch 2 after recovery (its marker was retired
-    // with the compaction inputs), then compaction runs again with the SAME
-    // max epoch: the output name must be uniquified — reusing "compact-2"
-    // would overwrite the committed data being read, then retire itself
-    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("c", 3)).toDF("k", "v"), 2L)
+    // with the compaction inputs): the compact segment's name carries the
+    // folded high-water epoch, so the replay is fenced — even a replay
+    // whose content DIFFERS (processing-time stamps) must not re-apply
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("c", 777)).toDF("k", "v"), 2L)
     KeyedUpsertSink.compact(spark, store)
     val m = KeyedUpsertSink.read(spark, store).collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(m == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(m == Map("a" -> 1, "b" -> 9, "c" -> 3),
+      "folded epochs must stay fenced against replay (T7)")
     assert(KeyedUpsertSink.segmentCount(spark, store) == 1)
-    // and epoch allocation still advances past the compacted watermark
+    // epoch allocation advances past the compacted watermark, and NEW
+    // epochs above the fence apply normally
     KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("d", 4)).toDF("k", "v"))
     assert(KeyedUpsertSink.read(spark, store).count() == 4)
   }

@@ -74,12 +74,15 @@ class PlanShapeSpec extends SparkSpec {
     // carried; exact ranking must be two-phase (range-bucketed) instead.
     // (final presentation-only orderBy/limit shapes are Sort/TakeOrdered,
     // not Window, so they don't trip this.)
-    // Known blind spot: q_dup_clusters' label-propagation rounds sit
-    // behind localCheckpoint LogicalRDD leaves (and execute while this
-    // test builds the query — inherent to iterative refinement), so only
-    // its final stage is visible here; its internal stages are
-    // joins/aggregates by construction (clustersFromPairs has no Window),
-    // and its minhash front-end is audited via q_minhash_pairs.
+    // Known blind spots (localCheckpoint LogicalRDD leaves hide their
+    // upstream subtree from plan inspection, and building the query
+    // executes those stages under AQE):
+    //  - q_dup_clusters' label-propagation rounds — joins/aggregates by
+    //    construction (clustersFromPairs has no Window); its minhash
+    //    front-end is audited via q_minhash_pairs;
+    //  - q_dedup_incremental's index build — sha2 + groupBy + shingle
+    //    projections by construction (buildDedupIndex has no Window);
+    //    its delta-side join pipeline remains fully visible.
     import org.apache.spark.sql.execution.window.WindowExec
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
