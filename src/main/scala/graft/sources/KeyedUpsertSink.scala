@@ -1,8 +1,10 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,63 +15,100 @@ import org.apache.spark.sql.functions._
   * store by key with new rows winning.
   *
   * Round 2 shipped this as a full-rewrite store (`old ANTI new ∪ new` +
-  * directory swap): correct, but O(store) work per micro-batch — the store
-  * grows monotonically, so per-batch cost grows without bound, where the
-  * reference's putItem is O(batch) (consumer :233-264). This round replaces
-  * it with the log-structured design the row-level [[KeyedForeachWriter]]
-  * already proved at row granularity, generalized to columnar parquet
-  * segments:
+  * directory swap): correct, but O(store) work per micro-batch. Round 3
+  * replaced it with this log-structured design (append one segment per
+  * epoch + commit marker + LWW merge-on-read + compaction). Round 5 fixes
+  * the replay fence, which was keyed on the bare numeric epochId alone — if
+  * a stream's checkpoint was deleted/recreated, or a second query wrote the
+  * same store path, epochIds restart at 0 and every batch was silently
+  * skipped until the counter passed the old high-water mark. The fence is
+  * now writer-scoped, Delta-Lake-txn style (appId/version):
   *
-  *  - '''Write = O(batch).''' Each epoch appends ONE parquet segment
-  *    (`seg/<epoch>/`, rows stamped with the epoch) and then creates a
-  *    commit marker (`commits/<epoch>`). Nothing existing is read or
-  *    rewritten. The marker is created strictly after the segment rename,
-  *    so a crash mid-write leaves an invisible (uncommitted) segment —
-  *    readers and replays never see half a batch.
-  *  - '''Replay idempotence (T7).''' `foreachBatch` re-delivers an epoch
-  *    after recovery; an existing commit marker short-circuits the write,
-  *    exactly like [[KeyedForeachWriter.open]] returning false.
-  *  - '''Read = LWW merge-on-read.''' The reader unions committed segments
-  *    and keeps, per key, the row with the highest epoch (one shuffle on
-  *    the key — the same exchange the old full-rewrite paid on every
-  *    WRITE). Key columns are recorded once in a `_keys` manifest so
-  *    readers need no out-of-band schema knowledge.
+  *  - '''Two id spaces.''' Each committed segment gets a store-assigned,
+  *    monotonically increasing '''sequence number''' (LWW order), and is
+  *    committed under a marker that atomically records the '''writer
+  *    identity and writer epoch''' (`commits/<seq>__<writer>__<epoch>`,
+  *    one file creation = one commit point for both facts). The writer id
+  *    defaults to the owning streaming query's durable `queryId` (stable
+  *    across restarts of one checkpoint, fresh for a recreated one), read
+  *    from the `sql.streaming.queryId` thread-local Spark sets on the
+  *    stream-execution thread that runs `foreachBatch`.
+  *  - '''Replay fence = per-writer high-water mark.''' `upsert` skips an
+  *    epoch iff THIS writer already committed an epoch >= it. A recreated
+  *    checkpoint is a new writer, so its epochs (restarting at 0) apply; a
+  *    second query on the same store path is its own writer and can never
+  *    be fenced by the first one's counter. Within one writer, epochs are
+  *    strictly increasing (Structured Streaming's contract), so
+  *    `epoch <= fence` is exactly "checkpoint replay after recovery".
+  *  - '''Write = O(batch).''' Each epoch appends ONE parquet segment;
+  *    nothing existing is read or rewritten. Marker creation strictly
+  *    follows the segment rename, so a crash mid-write leaves an invisible
+  *    (uncommitted) segment.
+  *  - '''Read = LWW merge-on-read.''' Union committed segments, keep per
+  *    key the row with the highest (sequence, segment-name) stamp — the
+  *    name tie-break makes the view deterministic even if two concurrent
+  *    writers ever allocated the same sequence. One shuffle on the key.
   *  - '''Compaction bounds read amplification.''' [[compact]] folds all
-  *    committed segments into a single segment of per-key winners (each
-  *    keeping its original epoch stamp, so LWW ordering is preserved
-  *    across later appends), commits it, then retires the inputs. A crash
-  *    at any point leaves either the old segment set, or the compacted
-  *    segment plus not-yet-deleted originals — duplicate IDENTICAL rows
-  *    that the LWW read collapses, so every intermediate state reads
-  *    consistently.
+  *    committed segments into one segment of per-key winners (keeping
+  *    their original stamps, so LWW ordering vs later appends is
+  *    unaffected), commits it, then retires the inputs. Because retiring
+  *    a marker erases its (writer, epoch) record, compaction first writes
+  *    each folded writer's high-water epoch into a `_txn/<writer>__<epoch>`
+  *    file — those fences survive any crash point, and they only ever
+  *    record already-committed epochs, so a crash between the `_txn` write
+  *    and the compact commit changes nothing.
   *
-  * This is the Delta/Iceberg MERGE shape (append log + merge-on-read +
-  * compaction) with zero extra dependencies; swapping in a real table
-  * format changes no call site.
+  * This is the Delta/Iceberg MERGE shape (append log + txn-fenced writers +
+  * merge-on-read + compaction) with zero extra dependencies; swapping in a
+  * real table format changes no call site. True CONCURRENT multi-writer
+  * commits would additionally need an atomic log-store CAS (as Delta's
+  * LogStore provides); sequential multi-writer (the checkpoint-recreation
+  * and two-queries-one-path cases) is fully handled.
   */
 object KeyedUpsertSink {
 
-  /** Per-row epoch stamp column (internal; stripped by [[read]]). */
-  private val EpochCol = "__graft_epoch"
+  /** Per-row sequence stamp (internal; stripped by [[read]]). */
+  private val SeqCol = "__graft_epoch"
+  /** Per-row source-segment name (internal): deterministic LWW tie-break. */
+  private val SrcCol = "__graft_src"
+
+  private val DefaultWriter = "default"
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def commitsDir(store: String) = new Path(s"$store/commits")
   private def segDir(store: String)     = new Path(s"$store/seg")
+  private def txnDir(store: String)     = new Path(s"$store/_txn")
 
-  /** Epoch encoded in a segment/marker name: plain micro-batch epochs are
-    * the number itself; a compacted segment is `compact-<maxEpoch>` with an
-    * optional `-<n>` uniquifier (re-compaction after a crash or an epoch
-    * replay must never reuse a name that is still committed — see
-    * [[compact]]).
+  /** Writer ids become path segments; keep them to a safe alphabet and make
+    * sanitized collisions impossible by appending a hash of the original.
     */
-  private def parseEpoch(name: String): Option[Long] = {
+  private def sanitizeWriter(id: String): String = {
+    val safe = id.map(c => if (c.isLetterOrDigit || c == '-' || c == '.') c else '_')
+    if (safe == id && !id.contains("__")) safe
+    else s"${safe.replace("__", "-")}-${Integer.toHexString(id.hashCode)}"
+  }
+
+  /** Store sequence encoded in a segment/marker name: `<seq>__<writer>__
+    * <epoch>` for a normal commit (legacy round-3/4 stores used the bare
+    * epoch number, still parsed), `compact-<maxSeq>` with an optional
+    * `-<n>` uniquifier for a compacted segment.
+    */
+  private def parseSeq(name: String): Option[Long] = {
     val core =
       if (name.startsWith("compact-")) name.stripPrefix("compact-").takeWhile(_ != '-')
-      else name
+      else name.takeWhile(_ != '_')
     try Some(core.toLong) catch { case _: NumberFormatException => None }
   }
+
+  /** (writer, epoch) recorded in a commit-marker or `_txn` name. */
+  private def parseWriterEpoch(name: String): Option[(String, Long)] =
+    name.split("__") match {
+      case Array(_, w, e) => try Some((w, e.toLong)) catch { case _: NumberFormatException => None }
+      case Array(w, e) => try Some((w, e.toLong)) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
 
   /** Committed segment names, by listing the commit-marker directory (the
     * one source of truth; uncommitted segment data is invisible).
@@ -78,20 +117,55 @@ object KeyedUpsertSink {
     val fs = fsOf(spark, commitsDir(store))
     if (!fs.exists(commitsDir(store))) Seq.empty
     else fs.listStatus(commitsDir(store)).toSeq.map(_.getPath.getName)
-      .filter(parseEpoch(_).isDefined)
+      .filter(parseSeq(_).isDefined)
   }
 
+  /** This writer's committed high-water epoch: max over live commit markers
+    * and the `_txn` fences compaction left behind for retired markers.
+    */
+  private def writerFence(spark: SparkSession, store: String, writer: String): Option[Long] = {
+    val fs = fsOf(spark, txnDir(store))
+    val fromTxn =
+      if (!fs.exists(txnDir(store))) Seq.empty
+      else fs.listStatus(txnDir(store)).toSeq.map(_.getPath.getName)
+    val all = (committedSegments(spark, store) ++ fromTxn)
+      .flatMap(parseWriterEpoch).collect { case (`writer`, e) => e }
+    all.reduceOption(_ max _)
+  }
+
+  /** `_keys` manifest codec: one key column name per line, with `%`, `,`
+    * and newline percent-escaped so any column name round-trips (the
+    * round-3 comma-joined form broke for names containing a comma).
+    */
+  private def encodeKeys(keyCols: Seq[String]): String =
+    keyCols.map(_.replace("%", "%25").replace("\n", "%0A").replace(",", "%2C")).mkString("\n")
+
+  private def decodeKeys(s: String): Seq[String] =
+    s.split("\n", -1).toSeq
+      .map(_.replace("%2C", ",").replace("%0A", "\n").replace("%25", "%"))
+
+  /** First write creates the manifest via temp-file + rename — the same
+    * commit protocol the segments use — so a crash mid-write can never
+    * leave a truncated manifest that bricks the store (a stray temp file
+    * is invisible to readers and harmless). Later writes verify the key
+    * set: a silent key mismatch would dedup batches by one key set and
+    * merge reads by another, so fail at the write site instead.
+    */
   private def writeKeysManifest(spark: SparkSession, store: String, keyCols: Seq[String]): Unit = {
     val p = new Path(s"$store/_keys")
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) {
-      val out = fs.create(p, true)
-      out.write(keyCols.mkString(",").getBytes(UTF_8))
+      val tmp = new Path(s"$store/.keys-tmp-${UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      out.write(encodeKeys(keyCols).getBytes(UTF_8))
       out.close()
+      if (!fs.rename(tmp, p)) { // lost a creation race: verify, don't clobber
+        fs.delete(tmp, false)
+        val existing = readKeysManifest(spark, store)
+        require(existing == keyCols,
+          s"store $store is keyed by ${existing.mkString(",")}, not ${keyCols.mkString(",")}")
+      }
     } else {
-      // a silent key mismatch would dedup batches by one key set and merge
-      // reads by another — rows the caller considers distinct would
-      // collapse to an arbitrary winner; fail at the write site instead
       val existing = readKeysManifest(spark, store)
       require(existing == keyCols,
         s"store $store is keyed by ${existing.mkString(",")}, not ${keyCols.mkString(",")}")
@@ -105,98 +179,130 @@ object KeyedUpsertSink {
     val in = fs.open(p)
     val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     in.readFully(bytes); in.close()
-    new String(bytes, UTF_8).split(",").toSeq
+    decodeKeys(new String(bytes, UTF_8))
   }
 
-  /** Append `batch` as the segment for `epochId` (last-writer-wins on
-    * `keyCols`; rows within one batch are deduped on the key first). Cost is
-    * O(batch) regardless of store size. Re-delivery of an already-committed
-    * epoch (checkpoint replay) is skipped.
+  /** The calling streaming query's durable id (stable across restarts of
+    * one checkpoint; fresh when a checkpoint is recreated), or `default`
+    * for plain batch callers. `foreachBatch` runs on the stream-execution
+    * thread, where Spark publishes the id as a thread-local property.
+    */
+  private def currentWriter(spark: SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty(StreamExecution.QUERY_ID_KEY))
+      .getOrElse(DefaultWriter)
+
+  /** Append `batch` as `writerId`'s segment for `epochId` (last-writer-wins
+    * on `keyCols`; rows within one batch are deduped on the key first).
+    * Cost is O(batch) regardless of store size. Re-delivery of an epoch
+    * this writer already committed (checkpoint replay) is skipped; other
+    * writers' counters can never fence it.
     */
   def upsert(spark: SparkSession, storePath: String, keyCols: Seq[String],
-             batch: DataFrame, epochId: Long): Unit = {
-    val fs = fsOf(spark, new Path(storePath))
-    val name = epochId.toString
-    val marker = new Path(commitsDir(storePath), name)
-    if (fs.exists(marker)) return // epoch already durable: replay, skip
-    // compaction retires the per-epoch markers of the epochs it folds, so
-    // the marker check alone cannot fence a replay of a folded epoch (a
-    // crash between compaction and the streaming checkpoint commit
-    // re-delivers it — re-applying would duplicate rows whenever the
-    // replayed batch is not byte-identical, e.g. processing-time stamps).
-    // The committed compact segment names carry the folded high-water
-    // epoch, so the fence survives with no extra metadata.
-    val fence = committedSegments(spark, storePath)
-      .filter(_.startsWith("compact-")).flatMap(parseEpoch)
-    if (fence.nonEmpty && epochId <= fence.max) return // folded: replay, skip
+             batch: DataFrame, epochId: Long, writerId: String): Unit = {
+    val writer = sanitizeWriter(writerId)
+    if (writerFence(spark, storePath, writer).exists(epochId <= _))
+      return // this writer already committed this epoch (or folded it): replay, skip
     writeKeysManifest(spark, storePath, keyCols)
+    val fs = fsOf(spark, new Path(storePath))
+    val seq = committedSegments(spark, storePath)
+      .flatMap(parseSeq).reduceOption(_ max _).map(_ + 1).getOrElse(0L)
+    val name = s"${seq}__${writer}__$epochId"
     val seg = new Path(segDir(storePath), name)
     val tmp = new Path(segDir(storePath), s".tmp-$name")
     batch.dropDuplicates(keyCols)
-      .withColumn(EpochCol, lit(epochId))
+      .withColumn(SeqCol, lit(seq))
+      .withColumn(SrcCol, lit(name))
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(seg, true) // uncommitted leftover from a crashed attempt
     // Hadoop rename signals most failures by returning false, not
     // throwing; committing a marker over a failed rename would create a
     // committed epoch with no data and every read would fail permanently
     require(fs.rename(tmp, seg), s"rename $tmp -> $seg failed")
+    val marker = new Path(commitsDir(storePath), name)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close() // marker last: the commit point
   }
 
+  /** Streaming-default overload: writer identity is the owning query's
+    * durable queryId (see [[currentWriter]]).
+    */
+  def upsert(spark: SparkSession, storePath: String, keyCols: Seq[String],
+             batch: DataFrame, epochId: Long): Unit =
+    upsert(spark, storePath, keyCols, batch, epochId, currentWriter(spark))
+
   /** Epoch-less convenience (tests/ad-hoc batch use): allocates the next
-    * epoch after the highest committed one. Streaming callers pass the
+    * epoch after the calling writer's fence. Streaming callers pass the
     * `foreachBatch` epochId to the overload above instead.
     */
   def upsert(spark: SparkSession, storePath: String, keyCols: Seq[String],
              batch: DataFrame): Unit = {
-    val next = committedSegments(spark, storePath)
-      .flatMap(parseEpoch).reduceOption(_ max _).map(_ + 1).getOrElse(0L)
-    upsert(spark, storePath, keyCols, batch, next)
+    val writer = sanitizeWriter(currentWriter(spark))
+    val next = writerFence(spark, storePath, writer).map(_ + 1).getOrElse(0L)
+    upsert(spark, storePath, keyCols, batch, next, writer)
   }
 
-  /** Per-key winners of the union of `segs`: the row of the highest epoch,
-    * keeping its epoch stamp. One shuffle on the key — shared by [[read]]
-    * and [[compact]] so LWW tie-breaking can never diverge between them.
+  /** Per-key winners of the union of `segs`: the row of the highest
+    * (sequence, source-segment) stamp, keeping its stamps. One shuffle on
+    * the key — shared by [[read]] and [[compact]] so LWW tie-breaking can
+    * never diverge between them.
     */
   private def winners(spark: SparkSession, storePath: String,
                       segs: Seq[String]): DataFrame = {
     val keyCols = readKeysManifest(spark, storePath)
     val df = spark.read.parquet(segs.map(n => new Path(segDir(storePath), n).toString): _*)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(EpochCol).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(SeqCol).desc, col(SrcCol).desc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  /** Last-writer-wins view: per key, the row of the highest committed epoch
-    * (ONE shuffle on the key). Duplicate identical rows from an interrupted
-    * compaction collapse here too.
+  /** Last-writer-wins view: per key, the row of the highest committed
+    * sequence (ONE shuffle on the key). Duplicate identical rows from an
+    * interrupted compaction collapse here too.
     */
   def read(spark: SparkSession, storePath: String): DataFrame = {
     val segs = committedSegments(spark, storePath)
     require(segs.nonEmpty, s"no committed segments at $storePath")
-    winners(spark, storePath, segs).drop(EpochCol)
+    winners(spark, storePath, segs).drop(SeqCol, SrcCol)
   }
 
   /** Fold every committed segment into one segment of per-key winners.
-    * Winners keep their ORIGINAL epoch stamps (LWW ordering vs segments
-    * appended later is unaffected); the compacted segment commits before
-    * its inputs are retired, so readers see a consistent store at every
-    * crash point (at worst: winners duplicated until cleanup re-runs).
-    * The output name is uniquified against the live segment set — a
-    * re-run over a crash-recovered store (or after an epoch replay)
-    * whose max epoch is unchanged must never reuse a committed name: it
-    * would first overwrite the committed data it is reading and then
-    * retire its own output. Run out-of-band (a maintenance job), never
-    * on the hot write path.
+    * Winners keep their ORIGINAL stamps (LWW ordering vs segments appended
+    * later is unaffected); the compacted segment commits before its inputs
+    * are retired, so readers see a consistent store at every crash point
+    * (at worst: winners duplicated until cleanup re-runs). Each folded
+    * writer's high-water epoch is persisted to `_txn/` FIRST — retiring a
+    * commit marker erases its (writer, epoch) record, and without the
+    * `_txn` fence a crash between compaction and the streaming checkpoint
+    * commit would let `foreachBatch` re-apply a folded epoch. The output
+    * name is uniquified against the live segment set — a re-run over a
+    * crash-recovered store whose max sequence is unchanged must never
+    * reuse a committed name: it would first overwrite the committed data
+    * it is reading and then retire its own output. Run out-of-band (a
+    * maintenance job), never on the hot write path.
     */
   def compact(spark: SparkSession, storePath: String): Unit = {
     val segs = committedSegments(spark, storePath)
     if (segs.size <= 1) return
     val fs = fsOf(spark, new Path(storePath))
-    val maxEpoch = segs.flatMap(parseEpoch).max
-    val base = s"compact-$maxEpoch"
+    // persist per-writer fences for the markers about to be retired; these
+    // record already-committed epochs, so any crash point is safe
+    val writerMax = segs.flatMap(parseWriterEpoch)
+      .groupMapReduce(_._1)(_._2)(_ max _)
+    if (writerMax.nonEmpty) fs.mkdirs(txnDir(storePath))
+    writerMax.foreach { case (w, e) =>
+      fs.create(new Path(txnDir(storePath), s"${w}__$e"), true).close()
+      // prune superseded fences for the same writer (bounds _txn size)
+      fs.listStatus(txnDir(storePath)).foreach { st =>
+        parseWriterEpoch(st.getPath.getName) match {
+          case Some((`w`, old)) if old < e => fs.delete(st.getPath, false)
+          case _ =>
+        }
+      }
+    }
+    val maxSeq = segs.flatMap(parseSeq).max
+    val base = s"compact-$maxSeq"
     val name =
       if (!segs.contains(base)) base
       else Iterator.from(1).map(i => s"$base-$i").find(n => !segs.contains(n)).get
@@ -208,8 +314,7 @@ object KeyedUpsertSink {
     fs.create(new Path(commitsDir(storePath), name), true).close() // commit
     // retire inputs (markers first, then data); `name` is provably not in
     // `segs` — the uniquifier above guarantees it — so no self-retirement
-    // case exists. Replay protection for the retired epochs moves to the
-    // compact segment's own name (see the fence check in upsert).
+    // case exists. Replay protection for the retired epochs lives in _txn.
     segs.foreach { n =>
       fs.delete(new Path(commitsDir(storePath), n), false)
       fs.delete(new Path(segDir(storePath), n), true)
@@ -220,11 +325,18 @@ object KeyedUpsertSink {
   def segmentCount(spark: SparkSession, storePath: String): Int =
     committedSegments(spark, storePath).size
 
-  /** Rows in one committed segment — lets tests assert per-batch write
-    * volume scales with the batch, not the store.
+  /** Rows in the committed segment `writerId` wrote for `epochId` — lets
+    * tests assert per-batch write volume scales with the batch, not the
+    * store.
     */
-  def segmentRows(spark: SparkSession, storePath: String, epochId: Long): Long =
-    spark.read.parquet(new Path(segDir(storePath), epochId.toString).toString).count()
+  def segmentRows(spark: SparkSession, storePath: String, epochId: Long,
+                  writerId: String = DefaultWriter): Long = {
+    val writer = sanitizeWriter(writerId)
+    val name = committedSegments(spark, storePath)
+      .find(parseWriterEpoch(_).contains((writer, epochId)))
+      .getOrElse(sys.error(s"no committed segment for writer=$writer epoch=$epochId at $storePath"))
+    spark.read.parquet(new Path(segDir(storePath), name).toString).count()
+  }
 
   def exists(spark: SparkSession, storePath: String): Boolean =
     committedSegments(spark, storePath).nonEmpty

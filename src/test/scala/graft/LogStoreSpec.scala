@@ -94,6 +94,87 @@ class LogStoreSpec extends SparkSpec {
     assert(KeyedUpsertSink.read(spark, store).count() == 4)
   }
 
+  test("a recreated checkpoint (epochs restarting at 0) is a NEW writer: its batches apply") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val storeRoot = Files.createTempDirectory("store").toString
+    def ev(id: Long, t: String) = EventRec(id, java.sql.Timestamp.valueOf(t),
+      1L, "click", 50.0, s"""{"k": $id}""")
+    // run 1: checkpoint A, epochs 0..2
+    val in1 = MemoryStream[EventRec]
+    val p1 = new graft.streaming.Pipeline(spark, storeRoot,
+      Files.createTempDirectory("ckptA").toString)
+    val q1 = p1.startRawEvents(in1.toDF())
+    try {
+      (0 until 3).foreach { b => in1.addData(ev(b, s"2024-01-01 10:0$b:00")); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(KeyedUpsertSink.read(spark, p1.rawStorePath).count() == 3)
+    // run 2: checkpoint DELETED and recreated (fresh dir) — the new query's
+    // epochIds restart at 0. The round-3 epoch-only fence silently skipped
+    // every batch here until the counter passed the old high-water mark;
+    // the writer-scoped fence must apply them (ADVICE r4 item 1).
+    val in2 = MemoryStream[EventRec]
+    val p2 = new graft.streaming.Pipeline(spark, storeRoot,
+      Files.createTempDirectory("ckptB").toString)
+    val q2 = p2.startRawEvents(in2.toDF())
+    try {
+      (0 until 2).foreach { b => in2.addData(ev(100 + b, s"2024-01-01 11:0$b:00")); q2.processAllAvailable() }
+    } finally q2.stop()
+    val ids = KeyedUpsertSink.read(spark, p2.rawStorePath)
+      .select("rec_id").collect().map(_.getString(0)).toSet
+    assert(ids.size == 5 && ids.exists(_.contains("11:00")) && ids.exists(_.contains("11:01")),
+      "batches from a recreated checkpoint must not be silently dropped")
+  }
+
+  test("two writers on one store path cannot fence each other (no silent drop)") {
+    import spark.implicits._
+    val store = tmp()
+    // writer A commits epochs 0..1, then writer B starts at epoch 0: under
+    // the old bare-epoch fence B's batches vanished silently
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a1", 1)).toDF("k", "v"), 0L, "writer-A")
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a2", 2)).toDF("k", "v"), 1L, "writer-A")
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("b1", 3)).toDF("k", "v"), 0L, "writer-B")
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("b2", 4)).toDF("k", "v"), 1L, "writer-B")
+    assert(KeyedUpsertSink.read(spark, store).count() == 4,
+      "each writer's epochs are fenced independently")
+    // replay WITHIN a writer still skips ...
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("b1", 99)).toDF("k", "v"), 0L, "writer-B")
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m("b1") == 3, "a writer's own epoch replay must still be a no-op")
+    // ... including after compaction retires the commit markers (_txn fence)
+    KeyedUpsertSink.compact(spark, store)
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a1", 99)).toDF("k", "v"), 1L, "writer-A")
+    val m2 = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m2 == m, "folded epochs stay fenced per writer via _txn")
+    // a brand-new writer appending epoch 0 AFTER compaction still applies
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("c1", 5)).toDF("k", "v"), 0L, "writer-C")
+    assert(KeyedUpsertSink.read(spark, store).count() == 5)
+  }
+
+  test("a crashed manifest write cannot brick the store; comma key names round-trip") {
+    import spark.implicits._
+    val store = tmp()
+    // simulate the crash artifact of the tmp+rename protocol: a stray,
+    // truncated temp file left mid-write. It must be invisible — the next
+    // upsert creates the real manifest atomically and reads work.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store))
+    val stray = new org.apache.hadoop.fs.Path(s"$store/.keys-tmp-crashed")
+    val out = fs.create(stray, true); out.write("k,garbage-trunc".getBytes); out.close()
+    // key column whose NAME contains a comma: the round-3 comma-joined
+    // manifest decoded this as two keys and bricked the store
+    val kc = "k,1"
+    val df = Seq(("a", 1), ("b", 2)).toDF(kc, "v")
+    KeyedUpsertSink.upsert(spark, store, Seq(kc), df, 0L, "w")
+    KeyedUpsertSink.upsert(spark, store, Seq(kc), Seq(("a", 10)).toDF(kc, "v"), 1L, "w")
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 10, "b" -> 2))
+  }
+
   test("mismatched key columns against an existing store fail fast") {
     import spark.implicits._
     val store = tmp()
