@@ -696,7 +696,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     // connected-component min-labels over the near-dup pairs graph; the
-    // oracle walks the same (exact ≡ LSH) pairs with a recursive CTE
+    // oracle walks the same (exact ≡ LSH) pairs with a recursive CTE.
+    // Propagation runs to a FIXPOINT (r5, ADVICE item 3 — spec'd by the
+    // long-chain fixture in LlmOpsSpec), so it matches the exact oracle at
+    // any component diameter / SF, not just diameter ≤ 2^rounds
     ("q_dup_clusters",
       (s, d) => Dedup.duplicateClusters(Tables.documents(s, d), 0.8),
       Some(s"""WITH RECURSIVE sets AS (${Dedup.Sql.shingleSets}),
@@ -720,7 +723,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     // incremental dedup: the 20% "new crawl" (doc_id mod 5 = 4) against the
-    // 80% corpus, corpus side driven entirely by the signature index
+    // 80% corpus, corpus side driven entirely by the signature index.
+    // ORACLE VALIDITY rests on the same LSH-recall assumption as
+    // q_minhash_pairs: the near branch only sees pairs colliding in the
+    // 128-hash/32-band join, while this SQL computes exact all-pairs
+    // j ≥ 0.8 — sound because the band S-curve misses a true j ≥ 0.8 pair
+    // with P = (1-j⁴)³² ≤ 5e-8 (SketchSpec "LSH S-curve margin" pins the
+    // (threshold, bands, rows) parameters to that bound, so parameter
+    // drift cannot silently cross the recall cliff).
     ("q_dedup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)

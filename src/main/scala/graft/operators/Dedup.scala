@@ -288,11 +288,17 @@ object Dedup {
     * keep-one is the policy that drops them.
     *
     * Scale: each round is two shuffles on ids (neighbor-min aggregate +
-    * label-of-label jump). The jump halves chain depth per round, so
-    * `rounds` = r covers components of diameter ≈ 2^r; near-dup clusters are
-    * short chains in practice (similarity is nearly transitive), and r is a
-    * knob, not a correctness cliff — under-iteration leaves a chain split,
-    * never mislabeled. Each round's label frame is truncated via
+    * label-of-label jump). The jump halves chain depth per round, so round
+    * r covers components of diameter ≈ 2^r — and iteration runs TO A
+    * FIXPOINT (stop when a round changes no labels), so component diameter
+    * is never a correctness cliff: labels are monotonically non-increasing
+    * under both steps and bounded below, so the fixpoint exists, is reached
+    * in ≤ log₂(diameter)+O(1) rounds, and equals the exact
+    * connected-component min-label (what the recursive-CTE oracle
+    * computes). The per-round convergence check is one count over the
+    * changed rows — the frame the round materializes anyway. `maxRounds`
+    * is a runaway backstop (2^64-diameter coverage), not a tuning knob.
+    * Each round's label frame is truncated via
     * `localCheckpoint` (rows stay distributed, NOT a driver collect —
     * though under AQE the checkpoint materializes its stages when built,
     * so CONSTRUCTING this frame executes the rounds; see the note at the
@@ -306,15 +312,16 @@ object Dedup {
     * on executor loss).
     */
   def duplicateClusters(documents: DataFrame, threshold: Double = 0.8,
-                        rounds: Int = 5): DataFrame =
+                        maxRounds: Int = 64): DataFrame =
     clustersFromPairs(minhashPairs(documents, threshold)
-      .select("doc_id1", "doc_id2"), rounds)
+      .select("doc_id1", "doc_id2"), maxRounds)
 
   /** Min-label propagation + pointer jumping over an undirected pairs frame
-    * (doc_id1, doc_id2). Exposed separately so a materialized pairs table
-    * can be clustered without re-running the sketch pipeline.
+    * (doc_id1, doc_id2), iterated to a fixpoint. Exposed separately so a
+    * materialized pairs table can be clustered without re-running the
+    * sketch pipeline.
     */
-  def clustersFromPairs(pairs: DataFrame, rounds: Int): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     // lazy checkpoints: the Catalyst plan is truncated at BUILD time (the
     // 4^rounds analysis blowup never forms). NB under AQE the checkpoint
     // still materializes its query stages when called — building this
@@ -328,7 +335,9 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(eager = false)
-    for (_ <- 1 to rounds) {
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
       // lbl(v) := min(lbl(v), min over neighbors u of lbl(u))
       val nbr = edges.join(labels.toDF("dst", "dlbl"), "dst")
         .groupBy("src").agg(min("dlbl").as("nlbl"))
@@ -337,9 +346,16 @@ object Dedup {
         .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(eager = false) // truncate lineage before the self-join below
       // pointer jump: lbl(v) := lbl(lbl(v)) — doubles effective reach
-      labels = propagated.join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
+      val jumped = propagated.join(propagated.toDF("jid", "jlbl"), col("lbl") === col("jid"), "left")
         .select(col("doc_id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
         .localCheckpoint(eager = false)
+      // fixpoint test: labels only decrease, so "no row changed" ⇔ both the
+      // propagate and jump steps were identities ⇔ exact component minima
+      // reached. One count on the just-materialized frame per round.
+      converged = jumped.join(labels.toDF("doc_id", "old"), "doc_id")
+        .filter(col("lbl") < col("old")).isEmpty
+      labels = jumped
+      round += 1
     }
     labels.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
   }
@@ -379,6 +395,17 @@ object Dedup {
     * Corpus-side cost here scales with |index|, delta-side with |delta|;
     * nothing rescans corpus text (spec asserts the only file scan is the
     * index itself).
+    *
+    * EXACTNESS CONTRACT (same as [[minhashPairs]]): the near branch is
+    * LSH-recall-bounded, not exhaustive — a true pair at jaccard j enters
+    * the candidate join with P = 1-(1-j^r)^b for r = numHashes/bands rows
+    * per band, so at the defaults (128/32 ⇒ r = 4) a threshold-grade
+    * j ≥ 0.8 pair is missed with P ≤ (1-0.8⁴)³² ≈ 5e-8; verification then
+    * makes false positives impossible. Treating the output as equal to
+    * exact all-pairs Jaccard (as the `q_dedup_incremental` DuckDB oracle
+    * does) is valid exactly while that margin holds — SketchSpec's
+    * "LSH S-curve margin" test pins (threshold, bands, rows) to the bound
+    * so parameter drift cannot silently cross the recall cliff.
     */
   def dedupDelta(index: DataFrame, delta: DataFrame, threshold: Double = 0.8,
                  numHashes: Int = 128, bands: Int = 32, n: Int = 3): DataFrame = {

@@ -162,6 +162,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("duplicate clusters: fixpoint converges on a chain longer than the old 2^5 diameter cap") {
+    import spark.implicits._
+    // path graph 0-1-2-...-70: diameter 70 > 2^5 = 32, the coverage of the
+    // pre-r5 fixed rounds=5 — which split this chain into ≥ 2 clusters and
+    // failed the exact recursive-CTE oracle (ADVICE r4 item 3). Fixpoint
+    // iteration must label every node with the component minimum 0.
+    val chainPairs = (0L until 70L).map(i => (i, i + 1)).toDF("doc_id1", "doc_id2")
+    val labels = Dedup.clustersFromPairs(chainPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 71 && labels.values.forall(_ == 0L),
+      s"chain must converge to one cluster, got ${labels.values.toSet.size} labels")
+    // and convergence is detected, not just cap-exhausted: a 3-node star
+    // finishes in far fewer than maxRounds (smoke — would hang/waste if the
+    // fixpoint test never fired; bounded by construction)
+    val star = Seq((5L, 9L), (5L, 7L)).toDF("doc_id1", "doc_id2")
+    val starLabels = Dedup.clustersFromPairs(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starLabels == Map(5L -> 5L, 7L -> 5L, 9L -> 5L))
+  }
+
   test("contamination: planted benchmark n-gram is flagged with its exact collision count") {
     import spark.implicits._
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")

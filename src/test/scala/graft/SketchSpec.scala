@@ -95,6 +95,29 @@ class SketchSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("LSH S-curve margin: default (threshold, bands, rows) keep band-miss below 1e-6") {
+    // The exact-all-pairs DuckDB oracles for q_minhash_pairs,
+    // q_neardedup_corpus, q_dup_clusters and q_dedup_incremental are valid
+    // ONLY while a true threshold-grade pair almost surely enters the LSH
+    // candidate join: P(miss at jaccard j) = (1 - j^rows)^bands. This test
+    // pins the defaults to that margin — changing numHashes/bands/threshold
+    // past the recall cliff fails HERE instead of as a mysterious
+    // hash-mismatch at a bigger SF (ADVICE r4 item 4).
+    val threshold = 0.8              // minhashPairs/dedupDelta default
+    val numHashes = 128              // minhashPairs/dedupDelta default
+    val bands     = 32               // minhashPairs/dedupDelta default
+    val rows      = numHashes / bands
+    def missAt(j: Double) = math.pow(1.0 - math.pow(j, rows), bands)
+    assert(missAt(threshold) < 1e-6,
+      f"band-miss ${missAt(threshold)}%.2e at j=$threshold breaks the exact-oracle contract")
+    // and the curve is still selective below threshold (sub-threshold pairs
+    // are mostly not even candidates — candidate volume stays bounded)
+    assert(missAt(0.4) > 0.4, "S-curve degenerated: everything becomes a candidate")
+    // margin holds across the whole accepted band, not just the threshold
+    // point: miss is decreasing in j, so the threshold is the worst case
+    assert(missAt(0.9) < missAt(0.8) && missAt(1.0) <= missAt(0.9))
+  }
+
   test("simhash pairs: hamming bounded and include exact duplicates") {
     import spark.implicits._
     val withDup = docs.union(
