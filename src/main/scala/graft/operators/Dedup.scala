@@ -268,9 +268,16 @@ object Dedup {
     * a pair's doc_id2), transitive chains may drop conservatively more —
     * the deterministic, join-only alternative to connected components.
     */
-  def nearDedupCorpus(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val drop = minhashPairs(documents, threshold)
-      .select(col("doc_id2").as("doc_id")).distinct()
+  def nearDedupCorpus(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    nearDedupFromPairs(documents, minhashPairs(documents, threshold))
+
+  /** Greedy drop over an already-computed pairs frame (doc_id1, doc_id2) —
+    * the form a real pipeline uses: pairs are materialized once and feed
+    * the drop, the cluster labels, and any audit query without re-running
+    * the sketch pipeline per consumer.
+    */
+  def nearDedupFromPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = pairs.select(col("doc_id2").as("doc_id")).distinct()
     documents.join(drop, Seq("doc_id"), "left_anti")
   }
 
