@@ -89,6 +89,24 @@ object SparkEntry {
       (s, d) => aggFlat(s, d).orderBy("partition_key"),
       Some(s"""$WITH_NORM_AGG SELECT * FROM agg ORDER BY partition_key""")),
 
+    // A1's 100 TB shape: per-severity count map (one column per severity —
+    // constant-width rows, O(4) agg state, fully map-side combinable)
+    // instead of collect_list of every event's severity
+    ("q_windowed_agg_counts",
+      (s, d) => StreamAggregates.windowedAggregateCounts(norm(s, d)).orderBy("partition_key"),
+      Some(s"""$WITH_NORM
+        |SELECT city || '#' || event_type || '#' || strftime(ws, '%Y-%m-%dT%H:%M:%S') AS partition_key,
+        |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  city, event_type, count(*) AS event_count,
+        |  count(*) FILTER (WHERE severity = 'low') AS n_low,
+        |  count(*) FILTER (WHERE severity = 'medium') AS n_medium,
+        |  count(*) FILTER (WHERE severity = 'high') AS n_high,
+        |  count(*) FILTER (WHERE severity = 'critical') AS n_critical,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_updated
+        |FROM (SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS ws FROM norm)
+        |GROUP BY ws, city, event_type ORDER BY partition_key""".stripMargin)),
+
     ("q_raw_events",
       (s, d) => StreamAggregates.rawEvents(norm(s, d)).orderBy("rec_id", "severity"),
       Some(s"""$WITH_NORM

@@ -57,9 +57,11 @@ object StreamAggregates {
     * for determinism (DynamoDB list order was arrival-order-undefined anyway).
     *
     * At scale: one shuffle on (window, city, event_type); the window
-    * assignment is a codegen'd projection, not a blowup. collect_list state is
-    * bounded by events-per-group-per-window — at 100 TB a per-severity
-    * count-map would replace the raw list; kept for reference fidelity.
+    * assignment is a codegen'd projection, not a blowup. collect_list state
+    * is bounded by events-per-group-per-window and is kept for reference
+    * fidelity only — [[windowedAggregateCounts]] is the 100 TB shape (per-
+    * severity counts: O(|severity domain|) state per group, fully map-side
+    * combinable).
     */
   def windowedAggregate(normalized: DataFrame): DataFrame = {
     val w = window(col("ts"), "5 minutes")
@@ -78,6 +80,33 @@ object StreamAggregates {
         col("city"), col("event_type"), col("event_count"), col("severities"),
         date_format(col("last_updated"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_updated")
       )
+  }
+
+  /** A1 at scale — the windowed aggregation with the severity list replaced
+    * by a per-severity COUNT MAP (one column per severity; the domain is
+    * the fixed 4-value quartile code, [[CityEvents.Severities]]). Same
+    * grouping, same shuffle — but aggregation state per group is 4 longs
+    * instead of one array element per event, every counter partial-
+    * aggregates map-side, and the output row width is constant. This is
+    * the variant a 100 TB deployment runs; [[windowedAggregate]] keeps the
+    * reference's collect_list shape for fidelity.
+    */
+  def windowedAggregateCounts(normalized: DataFrame): DataFrame = {
+    val w = window(col("ts"), "5 minutes")
+    val sevCounts = CityEvents.Severities.map(s =>
+      count(when(col("severity") === s, 1)).as(s"n_$s"))
+    normalized
+      .groupBy(w.as("win"), col("city"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), sevCounts :+
+        max(col("ts")).as("last_updated"): _*)
+      .select(Seq(
+        concat_ws("#", col("city"), col("event_type"),
+          date_format(col("win.start"), "yyyy-MM-dd'T'HH:mm:ss")).as("partition_key"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("win.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("city"), col("event_type"), col("event_count")) ++
+        CityEvents.Severities.map(s => col(s"n_$s")) :+
+        date_format(col("last_updated"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_updated"): _*)
   }
 
   /** F1 — alert stream: severity ∈ {high, critical} (consumer/...:161-170). */

@@ -32,6 +32,21 @@ class CityStreamSpec extends SparkSpec {
     assert(agg.select("partition_key").distinct().count() == agg.count())
   }
 
+  test("windowed count-map aggregate agrees with the collect_list form (A1 at scale)") {
+    val counts = StreamAggregates.windowedAggregateCounts(norm)
+    // per-severity counts partition the group total
+    val sevSum = CityEvents.Severities.map(s => col(s"n_$s")).reduce(_ + _)
+    assert(counts.filter(sevSum =!= col("event_count")).count() == 0)
+    // and equal the element frequencies of the fidelity variant's list,
+    // group by group (join on the shared partition_key)
+    val fromList = agg.select(col("partition_key") +: CityEvents.Severities.map(s =>
+      size(filter(col("severities"), x => x === s)).cast("long").as(s"l_$s")): _*)
+    val joined = counts.join(fromList, "partition_key")
+    val mismatch = CityEvents.Severities.map(s =>
+      col(s"n_$s") =!= col(s"l_$s")).reduce(_ || _)
+    assert(joined.count() == agg.count() && joined.filter(mismatch).count() == 0)
+  }
+
   test("windowed aggregate buckets are 5-minute aligned") {
     val misaligned = agg.filter(
       minute(to_timestamp(col("window_start"))) % 5 =!= 0 ||
