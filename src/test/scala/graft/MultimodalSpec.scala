@@ -64,6 +64,49 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("video")._3.sum == (text.length / 10).toLong)
   }
 
+  test("true-binary fixtures: video clamp honors metadata, audio/image handle non-ASCII bytes") {
+    import spark.implicits._
+    // real byte payloads — NOT text: high-bit bytes (negative as JVM
+    // signed bytes) and n_frames deliberately decoupled from len/10, the
+    // coupling the documents adapter happens to have
+    val b25 = Array.tabulate(25)(i => (0x80 + i * 5).toByte)      // 25 B, all ≥ 0x80
+    val b7  = Array.tabulate(7)(i => (0xF0 + i).toByte)           // < one "frame"
+    val rows = Seq(
+      // metadata OVERCLAIMS frames (1000 ≫ ceil(25/10)=3): clamp to 3, and
+      // the last partial frame (byte 20) must be read — ceil, not floor
+      (1L, "video", b25, 1000, 64, 64),
+      // metadata UNDERCLAIMS (1 < 3): the caller's value wins — frame work
+      // scales with n_frames metadata, not payload size
+      (2L, "video", b25, 1, 64, 64),
+      // negative frame count degrades to an empty sample set, not a crash
+      (3L, "video", b25, -5, 64, 64),
+      // sub-frame payload: ceil(7/10)=1 frame at byte 0
+      (4L, "video", b7, 9, 64, 64),
+      (5L, "audio", b25, 0, 64, 64),
+      (6L, "image", b25, 0, 64, 64),
+      (7L, "image", Array.empty[Byte], 0, 64, 64)
+    ).toDF("media_id", "kind", "payload", "n_frames", "width", "height")
+    val f = Multimodal.features(rows).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("mean_byte"), r.getAs[scala.collection.Seq[Long]]("hist16"))).toMap
+    assert(f(1L)._2.sum == 3, "overclaimed n_frames clamps to ceil(len/10)")
+    assert(f(2L)._2.sum == 1, "underclaimed n_frames is honored")
+    assert(f(3L)._2.sum == 0 && f(3L)._1 == 0.0, "negative n_frames degrades to empty")
+    assert(f(4L)._2.sum == 1 && f(4L)._1 == (0xF0).toDouble,
+      "sub-frame payload still decodes its first byte, unsigned")
+    // audio low-nibble histogram counts every byte; mean > 127 proves the
+    // signed JVM bytes were widened unsigned (a & 0xff bug would halve it)
+    assert(f(5L)._2.sum == 25 && f(5L)._1 > 127.0)
+    // image high-nibble mass sits in buckets 8-15 for ≥ 0x80 payloads —
+    // the complement of the ASCII-only documents fixture, where 8-15 are 0
+    assert((0 to 7).forall(b => f(6L)._2(b) == 0L) && f(6L)._2.drop(8).sum == 25)
+    assert(f(7L)._2.sum == 0 && f(7L)._1 == 0.0, "empty payload is a zero row")
+    // resize on binary payloads: unsigned checksum (negative bytes would
+    // drag byte_sum below the per-byte minimum of 0x80)
+    val rz = Multimodal.resizeStub(rows.filter(col("media_id") === 6L), 4, 4).collect()
+    assert(rz.head.getLong(3) == 16L && rz.head.getLong(4) >= 16L * 0x80)
+  }
+
   test("resize stub: output bounded by target, deterministic, checksum consistent") {
     val r1 = Multimodal.resizeStub(media, 16, 16).collect()
     assert(r1.forall(_.getLong(3) <= 256L))          // n_bytes <= w*h
