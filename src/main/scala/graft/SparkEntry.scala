@@ -903,6 +903,22 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
         |SELECT * FROM p WHERE cosine >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin)),
 
+    // embedding-cosine near-dedup (semantic dedup): greedy drop of the
+    // higher vec_id of every cosine-pair — completes the dedup family
+    // (exact / Jaccard / MinHash / SimHash / embedding-cosine). Output
+    // omits the raw embedding array (driver compare cannot hash arrays).
+    ("q_semantic_dedup",
+      (s, d) => Similarity.cosineNearDedup(Tables.embeddings(s, d), 0.4)
+        .select("vec_id", "label").orderBy("vec_id"),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |p AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |  ${Similarity.Sql.cosine("a.v", "b.v")} AS cosine
+        |  FROM d a JOIN d b ON a.vec_id < b.vec_id),
+        |dropset AS (SELECT DISTINCT vec_id2 FROM p WHERE cosine >= 0.4)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id2 FROM dropset)
+        |ORDER BY vec_id""".stripMargin)),
+
     // IVF probing is approximate — recall vs brute force asserted in ScalaTest.
     ("q_ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),

@@ -94,6 +94,23 @@ object Similarity {
       .orderBy("vec_id1", "vec_id2")
   }
 
+  /** Embedding-cosine near-DEDUP: the corpus minus the greedy higher-id
+    * member of every [[cosineNearDupPairs]] pair — the semantic-dedup
+    * complement of [[Dedup.nearDedupFromPairs]]'s lexical drop (same
+    * one-pass greedy policy, same clique-minimum keep guarantee). This is
+    * the "two documents say the same thing in different words" dedup an
+    * LLM-data pipeline runs AFTER lexical near-dedup: MinHash cannot see
+    * paraphrases, embeddings can. Exact pair generation here is the
+    * validation baseline; at 100 TB the pairs frame comes from the IVF
+    * cells ([[ivfTopK]]'s assignment join restricted to intra-cell pairs)
+    * with identical downstream plumbing.
+    */
+  def cosineNearDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val drop = cosineNearDupPairs(embeddings, threshold)
+      .select(col("vec_id2").as("vec_id")).distinct()
+    embeddings.join(drop, Seq("vec_id"), "left_anti")
+  }
+
   /** One Lloyd (k-means) refinement step: reassign the corpus to its
     * nearest centroid by cosine, then replace every centroid with its
     * cell's element-wise mean. Entirely lazy joins + aggregations — zero

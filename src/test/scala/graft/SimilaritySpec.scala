@@ -32,6 +32,24 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.count() == 1)
   }
 
+  test("semantic near-dedup drops exactly the higher-id cosine-pair members") {
+    val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
+    val dropped = pairs.select("vec_id2").distinct().collect().map(_.getLong(0)).toSet
+    val kept = Similarity.cosineNearDedup(emb, 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == all -- dropped)
+    // clique-minimum keep guarantee: a pair minimum never appears as any
+    // pair's vec_id2, so every near-dup clique keeps at least its min id
+    val mins = pairs.groupBy().agg(min("vec_id1")).head().getLong(0)
+    assert(kept.contains(mins))
+    // a planted exact duplicate is dropped at a tight threshold
+    val dup = emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000L)
+    val keptPlanted = Similarity.cosineNearDedup(emb.union(dup), 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!keptPlanted.contains(1000000L + emb.limit(1).head().getLong(0)))
+  }
+
   test("IVF top-k: correct shape and usable recall vs brute force") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 5, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
