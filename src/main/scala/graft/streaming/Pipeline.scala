@@ -39,7 +39,8 @@ class Pipeline(
 
   def rawStorePath: String      = s"$storeRoot/raw_events"
   def rawDedupStorePath: String = s"$storeRoot/raw_events_dedup"
-  def aggStorePath: String      = s"$storeRoot/aggregations"
+  def aggStorePath: String       = s"$storeRoot/aggregations"
+  def aggCountsStorePath: String = s"$storeRoot/aggregations_counts"
   def alertsStorePath: String   = s"$storeRoot/alerts"
 
   /** Normalize + (optionally) re-stamp event time with processing time,
@@ -121,6 +122,23 @@ class Pipeline(
       .outputMode("update")
       .option("checkpointLocation", s"$checkpointRoot/aggregations")
       .foreachBatch(upsertBatch(aggStorePath, Seq("partition_key")) _)
+      .start()
+
+  /** Query 2 at scale: the same watermarked windowed aggregation with the
+    * per-severity COUNT MAP ([[StreamAggregates.windowedAggregateCounts]])
+    * instead of collect_list — in streaming this is more than a row-width
+    * nicety: the STATE STORE entry per open window group is 4 counters
+    * instead of one array element per event, so state size is bounded by
+    * open groups alone, not traffic. The shape an unbounded deployment
+    * runs; the collect_list query stays for reference fidelity.
+    */
+  def startWindowedAggCounts(events: DataFrame): StreamingQuery =
+    StreamAggregates.windowedAggregateCounts(
+        normalized(events).withWatermark("ts", watermarkDelay))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/aggregations-counts")
+      .foreachBatch(upsertBatch(aggCountsStorePath, Seq("partition_key")) _)
       .start()
 
   /** Query 3: high-severity alerts, append mode (reference :160-177). */

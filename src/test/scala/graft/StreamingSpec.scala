@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("count-map windowed agg stream: bounded state shape, upsert parity with the list form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val q = p.startWindowedAggCounts(input.toDF())
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:10", v = 50.0),   // low
+        ev(2, "2024-01-01 10:01:00", v = 150.0))              // medium
+      q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 10:02:00", v = 50.0))   // low, same window
+      q.processAllAvailable()
+      val row = KeyedUpsertSink.read(spark, p.aggCountsStorePath)
+        .filter(col("window_start") === "2024-01-01 10:00:00").collect()
+      assert(row.length == 1, "updated window upserts by partition_key")
+      assert(row.head.getAs[Long]("event_count") == 3)
+      assert(row.head.getAs[Long]("n_low") == 2 && row.head.getAs[Long]("n_medium") == 1)
+      assert(row.head.getAs[Long]("n_high") == 0 && row.head.getAs[Long]("n_critical") == 0)
+    } finally q.stop()
+  }
+
   test("stream-batch parity: windowed agg store equals the batch operator on the same events (A1)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
