@@ -924,6 +924,14 @@ object SparkEntry {
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d)),
       None),
 
+    // IVF-cell near-dup pairs: the scale path behind q_cosine_pairs /
+    // q_semantic_dedup. Cell-geometry recall has no closed-form bound, so
+    // rows-only here; precision (exact-verified cosines) and recall vs the
+    // exact operator are asserted in SimilaritySpec.
+    ("q_ivf_neardup_pairs",
+      (s, d) => Similarity.ivfNearDupPairs(Tables.embeddings(s, d), 0.4),
+      None),
+
     // ---- LLM-data pipeline: multimodal binary-column plumbing (north star).
     // Decode is a deterministic stub (no codecs in-container); the payload is
     // ASCII text bytes, so the oracle recomputes features from char codes.

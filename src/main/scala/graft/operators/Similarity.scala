@@ -156,20 +156,26 @@ object Similarity {
     * cluster structure (spec: recall on a clustered fixture where raw
     * seeds alone score lower).
     */
-  def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-              cellSize: Int = 128, nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
-    val corpus = prepared(embeddings)
+  /** Hash-sampled seeds (expected one per `cellSize` vectors — cells grow
+    * in number, not size, as the corpus scales) refined by `trainIters`
+    * Lloyd steps. The chain is returned UN-checkpointed on purpose: under
+    * AQE even a lazy localCheckpoint materializes its query stages at CALL
+    * time, which would break the zero-planning-jobs contract (spec'd); at
+    * trainIters ≈ 2 the chain is shallow and consumers' duplicate
+    * broadcast subtrees dedupe via exchange reuse at execution.
+    */
+  private def trainedCentroids(corpus: DataFrame, cellSize: Int,
+                               trainIters: Int): DataFrame = {
     val seeds = corpus
       .filter(pmod(xxhash64(col("vec_id")), lit(cellSize.toLong)) === 0L)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // trained centroids feed two broadcasts (corpus assignment + query
-    // probes), so the short Lloyd chain appears twice in the plan. That
-    // duplication is deliberately NOT checkpointed away: under AQE even a
-    // lazy localCheckpoint materializes its query stages at CALL time,
-    // which would break this operator's zero-planning-jobs contract
-    // (spec'd); at trainIters ≈ 2 the chain is shallow and the duplicate
-    // broadcast subtrees dedupe via exchange reuse at execution.
-    val centroids = (1 to trainIters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
+    (1 to trainIters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
+  }
+
+  def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+              cellSize: Int = 128, nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
+    val corpus = prepared(embeddings)
+    val centroids = trainedCentroids(corpus, cellSize, trainIters)
 
     // corpus assignment: nearest centroid by cosine (broadcast argmax pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
@@ -200,6 +206,50 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF-bucketed approximate near-dup pairs — the 100 TB replacement for
+    * [[cosineNearDupPairs]]'s exact all-pairs: each vector is assigned to
+    * its `nprobe` nearest Lloyd-trained centroids (multi-probe assignment —
+    * a pair split by one cell boundary still co-occurs in a shared cell
+    * unless it straddles `nprobe` boundaries at once), candidates are the
+    * intra-cell pairs, and exact cosine verifies each candidate once
+    * behind an aggregate barrier (the [[Dedup.minhashPairs]] pattern), so
+    * false positives are impossible and every emitted cosine is exact.
+    *
+    * Scale: per-cell candidate work is (cellSize·nprobe)² regardless of
+    * corpus size — cells grow in number, not size — and the pair shuffle
+    * carries (centroid, id) longs, never vectors; vectors rejoin only for
+    * the per-candidate verify. Recall is cell-geometry-bounded rather than
+    * guaranteed (unlike the MinHash S-curve there is no closed-form bound),
+    * which is why this is registered rows-only and spec'd for recall
+    * against the exact operator instead of oracle-hashed.
+    */
+  def ivfNearDupPairs(embeddings: DataFrame, threshold: Double,
+                      cellSize: Int = 128, nprobe: Int = 3,
+                      trainIters: Int = 2): DataFrame = {
+    val corpus = prepared(embeddings)
+    val centroids = trainedCentroids(corpus, cellSize, trainIters)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") <= nprobe)
+      .select(col("vec_id"), col("centroid_id"))
+    val candidates = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
+      .distinct() // a pair may share several probed cells; verify once
+    val s1 = corpus.select(col("vec_id").as("vec_id1"), col("v").as("v1"), col("nrm").as("nrm1"))
+    val s2 = corpus.select(col("vec_id").as("vec_id2"), col("v").as("v2"), col("nrm").as("nrm2"))
+    candidates.join(s1, "vec_id1").join(s2, "vec_id2")
+      .groupBy("vec_id1", "vec_id2")
+      .agg(min(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_id1", "vec_id2")
   }
 
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential

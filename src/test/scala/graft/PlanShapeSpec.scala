@@ -57,6 +57,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_funnel",                                                        // two 1-row counts
       "q_cosine_topk",                                                   // 5-row broadcast query set
       "q_ann_ivf_topk",                                                  // centroid-set scoring
+      "q_ivf_neardup_pairs",                                             // centroid-set scoring
       "q_user_quartiles")                                                // 1-row splits + offsets rows
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

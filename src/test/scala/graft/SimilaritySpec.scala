@@ -50,6 +50,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!keptPlanted.contains(1000000L + emb.limit(1).head().getLong(0)))
   }
 
+  test("IVF near-dup pairs: exact-verified candidates, recall rises with nprobe") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision is structural: every emitted pair is exact-verified, so it
+    // must appear in the exact operator's output with the identical cosine
+    val atDefault = Similarity.ivfNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    atDefault.foreach { case (k, c) =>
+      assert(exact.contains(k) && math.abs(exact(k) - c) < 1e-12, s"false positive $k")
+    }
+    // recall: multi-probe assignment recovers boundary pairs (measured
+    // 1.0 at nprobe=3 and ~0.86 at nprobe=2 on both sf0.001 and sf0.01;
+    // bounds leave noise margin)
+    assert(atDefault.size >= (exact.size * 0.95).toInt, s"recall ${atDefault.size}/${exact.size}")
+    val at1 = Similarity.ivfNearDupPairs(emb, 0.4, nprobe = 1).collect().length
+    assert(at1 <= atDefault.size, "recall must be monotone in nprobe")
+  }
+
   test("IVF top-k: correct shape and usable recall vs brute force") {
     val exact = Similarity.bruteForceTopK(emb, numQueries = 5, k = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
