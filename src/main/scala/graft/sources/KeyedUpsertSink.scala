@@ -64,6 +64,13 @@ import org.apache.spark.sql.functions._
   * commits would additionally need an atomic log-store CAS (as Delta's
   * LogStore provides); sequential multi-writer (the checkpoint-recreation
   * and two-queries-one-path cases) is fully handled.
+  *
+  * ADVICE-r4 resolution map (round 5): item 1 (epoch-only fence, silent
+  * data loss) → LogStoreSpec "a recreated checkpoint ... batches apply"
+  * and "two writers on one store path cannot fence each other"; item 2
+  * (non-atomic `_keys` manifest, comma-unsafe encoding) → LogStoreSpec
+  * "a crashed manifest write cannot brick the store; comma key names
+  * round-trip".
   */
 object KeyedUpsertSink {
 
