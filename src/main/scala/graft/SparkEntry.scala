@@ -53,7 +53,19 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupPairsCache.computeIfAbsent((s, d), _ =>
-      Dedup.minhashPairs(Tables.documents(s, d), 0.8).localCheckpoint(eager = false))
+      Dedup.minhashPairs(Tables.documents(s, d), 0.8,
+        membersOpt = Some(dupMembers(s, d))).localCheckpoint(eager = false))
+
+  /** Exact-dedup group membership (rep, doc_id), shared by every sketch
+    * operator (`q_jaccard_pairs`, `q_simhash_pairs`, and the minhash
+    * pipeline behind [[nearDupPairs]]) — the "duplicate groups" table a
+    * real pipeline computes once, next to the pairs table above.
+    */
+  private val dupMembersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dupMembers(s: SparkSession, d: String): DataFrame =
+    dupMembersCache.computeIfAbsent((s, d), _ =>
+      Dedup.dupGroups(Tables.documents(s, d)).localCheckpoint(eager = false))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's centerpiece A1 windowed aggregation (SURVEY.md §7.1).
@@ -655,7 +667,8 @@ object SparkEntry {
     // df-cap (> 50 distinct texts) over reps, rep-level pairs, then
     // duplicate-group re-expansion (intra-group jaccard 1.0).
     ("q_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50),
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
+        membersOpt = Some(dupMembers(s, d))),
       Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
         |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
         |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
@@ -864,7 +877,8 @@ object SparkEntry {
     // SimHash with pigeonhole block join is EXACT for hamming ≤ 2; the
     // oracle recomputes the identical integer-only simhash in SQL.
     ("q_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), 2),
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), 2,
+        membersOpt = Some(dupMembers(s, d))),
       Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),

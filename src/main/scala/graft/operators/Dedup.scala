@@ -94,8 +94,8 @@ object Dedup {
     * the minhash band-miss probability).
     */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
-                   maxDf: Int = 50): DataFrame = {
-    val members = dupGroups(documents)
+                   maxDf: Int = 50, membersOpt: Option[DataFrame] = None): DataFrame = {
+    val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
     // The repartition on the join key is a deliberate materialization
@@ -173,7 +173,7 @@ object Dedup {
     * combinatorially afterwards (the pair output is inherently k² when k
     * copies exist — but that is output size, not join-state size).
     */
-  private def dupGroups(documents: DataFrame): DataFrame = {
+  def dupGroups(documents: DataFrame): DataFrame = {
     val keyed = documents.select(col("doc_id"), sha2(col("text"), 256).as("thash"))
     val reps = keyed.groupBy("thash").agg(min("doc_id").as("rep"))
     // barrier: the membership frame is consumed 3-4 times downstream
@@ -207,9 +207,10 @@ object Dedup {
   }
 
   def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
-                   numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                   numHashes: Int = 128, bands: Int = 32,
+                   membersOpt: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val members = dupGroups(documents)
+    val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
     // Materialization barriers (repartition): without them CollapseProject
@@ -508,14 +509,14 @@ object Dedup {
     * bit_count(xor). Fully deterministic, integer-only, hence oracle-checked.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 2, bits: Int = 30,
-                   blocks: Int = 3): DataFrame = {
+                   blocks: Int = 3, membersOpt: Option[DataFrame] = None): DataFrame = {
     require(blocks > maxHamming, "need more blocks than allowed hamming distance")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
     // exact-dedup pre-pass (see [[dupGroups]]): duplicate texts share a
     // simhash, so k copies would make every shared block bucket k² — sketch
     // representatives only, expand groups after (intra-group hamming = 0).
-    val members = dupGroups(documents)
+    val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
     // barrier: materialize the simhash once (see minhashPairs note)
