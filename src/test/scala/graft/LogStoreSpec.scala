@@ -208,6 +208,46 @@ class LogStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("model-based: random interleavings of upsert/replay/compact match the LWW model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2) {
+      val store = tmp()
+      val model = scala.collection.mutable.Map[String, Int]()
+      // per-writer journal of committed (epoch, batch) for replay attempts
+      val journal = scala.collection.mutable.Map(
+        "w1" -> scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Int)])](),
+        "w2" -> scala.collection.mutable.ArrayBuffer[(Long, Seq[(String, Int)])]())
+      var v = 0
+      for (_ <- 1 to 14) {
+        rnd.nextInt(4) match {
+          case 0 | 1 => // fresh batch from a random writer: applies, model updates
+            val w = if (rnd.nextBoolean()) "w1" else "w2"
+            val batch = Seq.fill(1 + rnd.nextInt(3)) {
+              v += 1; (s"k${rnd.nextInt(8)}", v)
+            }.distinctBy(_._1)
+            val epoch = journal(w).lastOption.map(_._1 + 1).getOrElse(0L)
+            KeyedUpsertSink.upsert(spark, store, Seq("k"), batch.toDF("k", "v"), epoch, w)
+            batch.foreach { case (k, x) => model(k) = x }
+            journal(w) += ((epoch, batch))
+          case 2 if journal.values.exists(_.nonEmpty) => // replay with MUTATED content: must be a no-op
+            val w = journal.filter(_._2.nonEmpty).keys.toSeq(rnd.nextInt(
+              journal.count(_._2.nonEmpty)))
+            val (epoch, batch) = journal(w)(rnd.nextInt(journal(w).size))
+            val poisoned = batch.map { case (k, _) => (k, 999999) }
+            KeyedUpsertSink.upsert(spark, store, Seq("k"), poisoned.toDF("k", "v"), epoch, w)
+          case _ => // compact: view-preserving at any point
+            if (KeyedUpsertSink.exists(spark, store)) KeyedUpsertSink.compact(spark, store)
+        }
+        if (KeyedUpsertSink.exists(spark, store)) {
+          val got = KeyedUpsertSink.read(spark, store).collect()
+            .map(r => r.getString(0) -> r.getInt(1)).toMap
+          assert(got == model.toMap, s"store diverged from LWW model")
+        } else assert(model.isEmpty)
+      }
+    }
+  }
+
   test("composite keys and epoch-less allocation keep LWW semantics") {
     import spark.implicits._
     val store = tmp()
