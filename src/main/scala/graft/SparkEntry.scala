@@ -858,6 +858,63 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))
         |ORDER BY doc_id""".stripMargin)),
 
+    // END-TO-END training-data pipeline: quality filter → benchmark
+    // decontamination → near-dedup greedy drop, composed from the SHARED
+    // pairs/members tables. Near-dup pairs are pairwise content
+    // properties, so restricting the precomputed all-docs pairs frame to
+    // surviving endpoints IS the pairs-over-survivors set — the
+    // filter-then-join composition a real pipeline runs against its
+    // materialized pairs table instead of re-sketching per stage. Each
+    // stage is oracle-checked alone above; this row checks the composition.
+    ("q_pipeline_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        val q = corpus.join(
+          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val decon = Dedup.decontaminate(q, bench, 5)
+        val drop = nearDupPairs(s, d)
+          .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
+          .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
+          .select(col("doc_id2").as("doc_id")).distinct()
+        decon.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some(s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |q AS (SELECT * FROM corp WHERE
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM q)),
+        |dcn AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))),
+        |sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |dropset AS (SELECT DISTINCT doc_id2 FROM pairs
+        |  WHERE doc_id1 IN (SELECT doc_id FROM dcn)
+        |    AND doc_id2 IN (SELECT doc_id FROM dcn))
+        |SELECT doc_id, lang, source FROM dcn
+        |WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)
+        |ORDER BY doc_id""".stripMargin)),
+
     // dataset-card composition report per language
     ("q_corpus_stats",
       (s, d) => Corpus.corpusStats(Tables.documents(s, d)),
