@@ -28,14 +28,14 @@ class ForeachSinkSpec extends SparkSpec {
     assert(w.open(0, 0), "first attempt must open")
     w.process(row("a", "v1"))
     w.close(new RuntimeException("injected executor failure"))
-    assert(!new File(s"$dir/commits/0-0").exists(), "aborted attempt must not commit")
-    assert(!new File(s"$dir/data/0-0.log").exists(), "aborted attempt must leave no data")
+    assert(!new File(s"$dir/commits/default-0-0").exists(), "aborted attempt must not commit")
+    assert(!new File(s"$dir/data/default-0-0.log").exists(), "aborted attempt must leave no data")
     // attempt 2: Spark's task retry re-opens the SAME (partition, epoch)
     assert(w.open(0, 0), "retry of an uncommitted attempt must open")
     w.process(row("a", "v1"))
     w.process(row("b", "v2"))
     w.close(null)
-    assert(new File(s"$dir/commits/0-0").exists())
+    assert(new File(s"$dir/commits/default-0-0").exists())
     // attempt 3: checkpoint replay of a committed epoch — skip the partition
     assert(!w.open(0, 0), "committed (partition, epoch) must be skipped")
     val got = KeyedForeachWriter.read(spark, dir).collect()
@@ -77,6 +77,33 @@ class ForeachSinkSpec extends SparkSpec {
         r.getString(1).contains("\"severity\":\"critical\"") ||
           r.getString(1).contains("\"severity\":\"high\"")))
     } finally q.stop()
+  }
+
+  test("row store: a recreated checkpoint's rows land (writer-scoped fence)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("fw").toString
+    def run(ids: Seq[Long]): Unit = {
+      val input = MemoryStream[EventRec]
+      val wire = EventStreamSource.toKafkaRecords(CityEvents.normalize(input.toDF()))
+      // fresh checkpoint each run: epochs restart at 0 — under the old
+      // (epoch, partition)-only fence, run 2's partitions matched run 1's
+      // markers and every row was silently skipped
+      val q = wire.writeStream
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .foreach(new KeyedForeachWriter(dir))
+        .start()
+      try {
+        input.addData(ids.map(i =>
+          EventRec(i, Timestamp.valueOf(s"2024-01-01 10:0${i % 10}:00"), i, "click", 300, "{}")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Seq(1L))   // user 1 → one city key
+    run(Seq(2L))   // recreated checkpoint, different user → different city key
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+    assert(got.length == 2,
+      "rows written under a recreated checkpoint must not be silently dropped")
   }
 
   test("streaming foreach sink lands wire records end-to-end") {
