@@ -154,7 +154,7 @@ class Pipeline(
   /** Query 3 variant with ROW-LEVEL sink fidelity (T8): the wire records
     * stream through [[KeyedForeachWriter]] — the open/process/close
     * lifecycle of the reference's DynamoDB `ForeachWriter` (consumer
-    * :202-283), with per-(partition, epoch) commit markers giving the same
+    * :202-283), with per-(writer, partition, epoch) commit markers giving the same
     * effectively-once guarantee the foreachBatch path gets from its keyed
     * merge. Use when a row-oriented store (DynamoDB, HBase, Redis) is the
     * target; foreachBatch + [[KeyedUpsertSink]] remains the columnar path.
