@@ -172,10 +172,21 @@ object Similarity {
     (1 to trainIters).foldLeft(seeds)((c, _) => lloydStep(corpus, c))
   }
 
+  /** Public index-build entry: the trained centroid frame (centroid_id,
+    * cv, cnrm) for `embeddings`. A real deployment trains the IVF index
+    * ONCE and serves every ANN consumer from it — pass the (persisted or
+    * checkpointed) result to [[ivfTopK]]/[[ivfNearDupPairs]] via
+    * `centroidsOpt` instead of letting each query re-train.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, cellSize: Int = 128,
+                        trainIters: Int = 2): DataFrame =
+    trainedCentroids(prepared(embeddings), cellSize, trainIters)
+
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
-              cellSize: Int = 128, nprobe: Int = 6, trainIters: Int = 2): DataFrame = {
+              cellSize: Int = 128, nprobe: Int = 6, trainIters: Int = 2,
+              centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = prepared(embeddings)
-    val centroids = trainedCentroids(corpus, cellSize, trainIters)
+    val centroids = centroidsOpt.getOrElse(trainedCentroids(corpus, cellSize, trainIters))
 
     // corpus assignment: nearest centroid by cosine (broadcast argmax pass)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
@@ -227,9 +238,10 @@ object Similarity {
     */
   def ivfNearDupPairs(embeddings: DataFrame, threshold: Double,
                       cellSize: Int = 128, nprobe: Int = 3,
-                      trainIters: Int = 2): DataFrame = {
+                      trainIters: Int = 2,
+                      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = prepared(embeddings)
-    val centroids = trainedCentroids(corpus, cellSize, trainIters)
+    val centroids = centroidsOpt.getOrElse(trainedCentroids(corpus, cellSize, trainIters))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
     val assigned = corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"),
