@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashBands, MinHashSignature, SimHash, VecDot}
+import graft.functions.{MinHashBands, MinHashSignature, ShingleHashes, SimHash, VecDot}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => SimHash(child, 30)
         case Seq(child, b) => SimHash(child, intArg(b, "bits"))
         case _ => throw new IllegalArgumentException("simhash(array<bigint>[, bits])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => ShingleHashes(child, 3)
+        case Seq(child, n) => ShingleHashes(child, intArg(n, "n"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(string[, n])")
       }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -245,6 +245,98 @@ case class SimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** xxhash64 (seed 42, Spark's `xxhash64` default) of every consecutive
+  * `n`-token window of a space-tokenized string, in document order — the
+  * fused replacement for `transform(shinglesRaw(text, n), s => xxhash64(s))`,
+  * the hot front-end of every lexical-dedup operator.
+  *
+  * The HOF formulation is interpreted per ELEMENT (higher-order functions
+  * don't participate in whole-stage codegen) and materializes every
+  * shingle STRING just to hash it. This expression never builds the
+  * shingle: `split(text, " ")` consumes exactly one space per separator,
+  * so the window string `tok_i ⧺ " " ⧺ … ⧺ tok_{i+n-1}` is byte-identical
+  * to the original text range [start(i), end(i+n-1)) — including empty
+  * tokens from repeated spaces — and UTF-8 continuation bytes are ≥ 0x80,
+  * so scanning for 0x20 finds exactly the token boundaries. One pass to
+  * find boundaries, one `XXH64.hashUnsafeBytes` per window over the
+  * original buffer; hash values are bit-identical to
+  * `xxhash64(<shingle string>)` (property-spec'd in SketchSpec).
+  * Duplicates are preserved; compose with `array_distinct` for set
+  * semantics.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // bounds(i) = byte start of token i; token i ends one byte before
+    // bounds(i+1) (the separator), the last token at len
+    val bounds = new Array[Int](len + 2)
+    var t = 1
+    var p = 0
+    while (p < len) {
+      if (s.getByte(p) == 0x20.toByte) { bounds(t) = p + 1; t += 1 }
+      p += 1
+    }
+    val w = t - n + 1
+    if (w <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](w)
+    var i = 0
+    while (i < w) {
+      val start = bounds(i)
+      val end = if (i + n == t) len else bounds(i + n) - 1
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + start, end - start, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val len = ctx.freshName("len")
+      val bounds = ctx.freshName("bounds")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val start = ctx.freshName("start")
+      val end = ctx.freshName("end")
+      s"""
+         |Object $base = $str.getBaseObject();
+         |long $off = $str.getBaseOffset();
+         |int $len = $str.numBytes();
+         |int[] $bounds = new int[$len + 2];
+         |int $t = 1;
+         |for (int $p = 0; $p < $len; $p++) {
+         |  if ($str.getByte($p) == (byte) 0x20) { $bounds[$t] = $p + 1; $t++; }
+         |}
+         |int $w = $t - $n + 1;
+         |long[] $out = ($w <= 0) ? new long[0] : new long[$w];
+         |for (int $i = 0; $i < $w; $i++) {
+         |  int $start = $bounds[$i];
+         |  int $end = ($i + $n == $t) ? $len : $bounds[$i + $n] - 1;
+         |  $out[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+         |    .hashUnsafeBytes($base, $off + $start, $end - $start, 42L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers — resolve through the session function registry
   * (requires `spark.sql.extensions=graft.GraftExtensions`, see
   * [[graft.GraftExtensions]]).
@@ -257,4 +349,7 @@ object Sketches {
     call_function("minhash_bands", c, lit(numHashes), lit(bands), lit(seed))
   def simhash(c: Column, bits: Int = 30): Column =
     call_function("simhash", c, lit(bits))
+  /** In-order window hashes; `array_distinct` on top for set semantics. */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    call_function("shingle_hashes", c, lit(n))
 }

@@ -104,7 +104,7 @@ object Dedup {
     // window, and BOTH sides of the self-join (one exchange, reused).
     val ex = repDocs
       .select(col("doc_id"),
-        explode(transform(shingles(col("text"), n), s => xxhash64(s))).as("h"))
+        explode(shingleHashes(col("text"), n)).as("h"))
       .repartition(col("h"))
     val kept = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
@@ -143,11 +143,19 @@ object Dedup {
         transform(filter(split(t, ""), c => c =!= ""), c => ascii(c).cast("long")),
         lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
 
-  /** 64-bit shingle hashes for MinHash (xxhash64 — sketch-internal, no
-    * oracle dependency on the hash values themselves).
+  /** Distinct 64-bit shingle hashes — the front-end of every lexical-dedup
+    * operator, as ONE codegen'd pass ([[graft.functions.ShingleHashes]]:
+    * hashes n-token windows straight off the UTF-8 bytes; the HOF
+    * `transform(shingles(text), xxhash64)` formulation interpreted per
+    * element and materialized every shingle string first — hash values are
+    * bit-identical, spec'd). Distinct is applied on HASHES rather than
+    * strings: the results differ only if two distinct shingles of the SAME
+    * document collide in 64 bits (P ≈ 1e-17 per document) — the same
+    * accepted risk class as the cross-document hash-join collisions
+    * documented on [[jaccardPairs]].
     */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    array_distinct(graft.functions.Sketches.shingleHashes(text, n))
 
   /** MinHash + LSH banding near-dup pairs, verified exactly.
     *
@@ -220,7 +228,7 @@ object Dedup {
     // Shingle sets are carried as 64-bit xxhashes: the verify join below
     // shuffles ~8× narrower rows than the raw shingle strings would.
     val sets = repDocs
-      .select(col("doc_id"), transform(shingles(col("text")), s => xxhash64(s)).as("shh"))
+      .select(col("doc_id"), shingleHashes(col("text")).as("shh"))
       .filter(size(col("shh")) > 0)
       .repartition(col("doc_id"))
     // signature + band folding fused into ONE codegen'd pass
@@ -381,7 +389,7 @@ object Dedup {
     val reps = keyed.groupBy("content_hash").agg(min("doc_id").as("rep"))
     keyed.join(reps, "content_hash")
       .withColumn("shh", when(col("doc_id") === col("rep"),
-        transform(shingles(col("text"), n), s => xxhash64(s))))
+        shingleHashes(col("text"), n)))
       .select("doc_id", "content_hash", "rep", "shh")
   }
 
@@ -429,7 +437,7 @@ object Dedup {
     val dSets = dKeyed.as("k")
       .join(dReps.select(col("rep")).as("r"), col("k.doc_id") === col("r.rep"), "left_semi")
       .select(col("k.doc_id").as("doc_id"), col("k.content_hash").as("content_hash"),
-        transform(shingles(col("k.text"), n), s => xxhash64(s)).as("shh"))
+        shingleHashes(col("k.text"), n).as("shh"))
       .filter(size(col("shh")) > 0)
       .repartition(col("doc_id")) // barrier: shh feeds bands AND verify join
     val cSets = index.filter(col("doc_id") === col("rep"))
@@ -482,12 +490,10 @@ object Dedup {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
     val bGrams = benchmark
-      .select(explode(shingles(col("text"), n)).as("g"))
-      .select(xxhash64(col("g")).as("h")).distinct()
-    // (doc_id, h) is already distinct: shingles() dedups per document
+      .select(explode(shingleHashes(col("text"), n)).as("h")).distinct()
+    // (doc_id, h) is already distinct: shingleHashes() dedups per document
     val cGrams = corpus
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("h"))
     cGrams.join(bGrams, "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
       .orderBy("doc_id")

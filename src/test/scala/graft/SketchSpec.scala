@@ -95,6 +95,40 @@ class SketchSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("shingle_hashes equals hash-of-HOF-shingles on adversarial inputs, codegen and interpreted") {
+    import spark.implicits._
+    // byte-range hashing must agree with hashing the materialized shingle
+    // STRING for every tokenization edge: repeated/leading/trailing
+    // spaces (empty tokens), multi-byte UTF-8, < n tokens, empty text
+    val fixtures = Seq(
+      "the quick brown fox jumps",
+      "a  double  space run",
+      " leading and trailing ",
+      "exactly three toks",
+      "two toks", "one", "",
+      "unicode 的是 mixed zügig tokens here",
+      "x " * 50 + "tail")
+    for (n <- Seq(1, 2, 3, 5); cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val df = fixtures.toDF("text").select(
+          graft.functions.Sketches.shingleHashes(col("text"), n).as("fused"),
+          transform(graft.operators.Dedup.shinglesRaw(col("text"), n),
+            s => xxhash64(s)).as("hof"))
+        val bad = df.filter(not(col("fused") <=> col("hof"))).count()
+        assert(bad == 0, s"fused != HOF shingle hashes at n=$n mode=$cg")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // and over the real corpus at the operator's n
+    val docs = Tables.documents(spark, sf)
+    val mism = docs.select(
+      graft.functions.Sketches.shingleHashes(col("text"), 3).as("fused"),
+      transform(graft.operators.Dedup.shinglesRaw(col("text"), 3),
+        s => xxhash64(s)).as("hof"))
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(mism == 0)
+  }
+
   test("LSH S-curve margin: default (threshold, bands, rows) keep band-miss below 1e-6") {
     // The exact-all-pairs DuckDB oracles for q_minhash_pairs,
     // q_neardedup_corpus, q_dup_clusters and q_dedup_incremental are valid
