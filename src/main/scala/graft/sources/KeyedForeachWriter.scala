@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, ForeachWriter, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, ForeachWriter, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.StreamExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,15 +36,24 @@ import org.apache.spark.sql.functions._
   * new checkpoint is a new writer and its rows always land, while the
   * same writer's replays still skip (spec'd in ForeachSinkSpec).
   *
+  * Cross-writer ORDERING (round-6 ADVICE-1): each committed partition log
+  * additionally carries a store-assigned '''commit sequence''' — allocated
+  * at commit time as 1 + the highest sequence among existing commit
+  * markers, mirroring [[KeyedUpsertSink]]'s segment sequence — and the LWW
+  * read orders by it FIRST. Without it, a writer created after a
+  * checkpoint was deleted/recreated restarts its epochs at 0, and the old
+  * writer's stale high-epoch rows kept winning every read of a shared key
+  * until the new epoch counter passed the old high-water mark (fence fixed
+  * in round 5, reads still stale; spec'd with a SHARED key now).
+  * Concurrent partitions of one epoch may allocate the same sequence —
+  * harmless: the remaining (epoch, writer, partition, seq) order is total
+  * and deterministic, exactly the pre-round-6 semantics within a writer.
+  *
   * Rows must carry the producer wire shape `(key: String, value: String)`
   * ([[graft.streaming.EventStreamSource.toKafkaRecords]]);
   * [[KeyedForeachWriter.read]] resolves last-writer-wins per key across
   * epochs — DynamoDB putItem semantics over an append-only log, the
-  * log-structured cousin of [[KeyedUpsertSink]]. Cross-WRITER ordering has
-  * no store-assigned sequence at row granularity (that needs the columnar
-  * store's commit log): the LWW view orders by (epoch, writer, seq),
-  * exact per writer and deterministic — not arrival-ordered — across
-  * writers.
+  * log-structured cousin of [[KeyedUpsertSink]].
   */
 class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
 
@@ -55,28 +64,36 @@ class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
   private var writer: String = _
 
   private def fs = new Path(storeDir).getFileSystem(new Configuration())
-  private def commitPath = new Path(s"$storeDir/commits/$writer-$epoch-$part")
-  private def dataPath = new Path(s"$storeDir/data/$writer-$epoch-$part.log")
+  private def commitsDir = new Path(s"$storeDir/commits")
+  private def core = s"$writer-$epoch-$part"
+  private def dataPath = new Path(s"$storeDir/data/$core.log")
 
   /** The owning query's durable id, resolved ON THE EXECUTOR at open time
     * (local properties travel with the task; stable across restarts of one
     * checkpoint, fresh for a recreated one). Sanitized: it becomes a path
-    * segment and a record field.
+    * segment and a record field, and must never contain `__` (the commit-
+    * sequence separator in marker names).
     */
   private def resolveWriter(): String = {
     val raw = Option(TaskContext.get())
       .flatMap(tc => Option(tc.getLocalProperty(StreamExecution.QUERY_ID_KEY)))
       .getOrElse("default")
-    raw.map(c => if (c.isLetterOrDigit || c == '-') c else '_')
+    raw.map(c => if (c.isLetterOrDigit || c == '-') c else '_').replace("__", "-")
   }
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     part = partitionId; epoch = epochId; seq = 0L
     writer = resolveWriter()
     val f = fs
-    f.mkdirs(new Path(s"$storeDir/commits"))
+    f.mkdirs(commitsDir)
     f.mkdirs(new Path(s"$storeDir/data"))
-    if (f.exists(commitPath)) {
+    // committed iff any marker names this (writer, epoch, partition) —
+    // `<cseq>__<core>` normally, bare `<core>` for round-5 legacy markers
+    val committed = f.listStatus(commitsDir).exists { st =>
+      val n = st.getPath.getName
+      n == core || n.endsWith(s"__$core")
+    }
+    if (committed) {
       false // epoch already durable for this (writer, partition): replay, skip
     } else {
       buf = new scala.collection.mutable.ArrayBuffer[String]
@@ -85,11 +102,10 @@ class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
   }
 
   override def process(row: Row): Unit = {
-    // 0x01-separated record: (epoch, writer, seq) orders the LWW read.
+    // staged as (seq, key, value); close() prefixes the commit-time fields.
     // A thrown exception here fails the task — Spark retries the partition
     // and close(error) below guarantees the aborted attempt left no trace.
-    buf += Seq(writer, epoch.toString, seq.toString,
-      row.getAs[String]("key"), row.getAs[String]("value"))
+    buf += Seq(seq.toString, row.getAs[String]("key"), row.getAs[String]("value"))
       .mkString(KeyedForeachWriter.Sep)
     seq += 1L
   }
@@ -97,12 +113,21 @@ class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
   override def close(errorOrNull: Throwable): Unit = {
     if (errorOrNull != null || buf == null) { buf = null; return }
     val f = fs
-    val tmp = new Path(s"$storeDir/data/.tmp-$writer-$epoch-$part")
+    // store-assigned commit sequence: 1 + max over existing markers (legacy
+    // markers count as -1, so the first sequenced commit over an old store
+    // is 0 and beats every legacy row in the LWW order)
+    val cseq = f.listStatus(commitsDir).toSeq
+      .map(st => KeyedForeachWriter.markerSeq(st.getPath.getName))
+      .foldLeft(-1L)(_ max _) + 1L
+    val prefix = Seq(cseq.toString, writer, epoch.toString, part.toString)
+      .mkString(KeyedForeachWriter.Sep) + KeyedForeachWriter.Sep
+    val tmp = new Path(s"$storeDir/data/.tmp-$core")
     val out = f.create(tmp, true)
-    out.write(buf.mkString("\n").getBytes(UTF_8))
+    out.write(buf.map(prefix + _).mkString("\n").getBytes(UTF_8))
     out.close()
-    f.rename(tmp, dataPath)
-    f.create(commitPath, true).close() // marker last: commit point
+    f.delete(dataPath, false) // uncommitted leftover from a crashed attempt
+    require(f.rename(tmp, dataPath), s"rename $tmp -> $dataPath failed")
+    f.create(new Path(commitsDir, s"${cseq}__$core"), true).close() // marker last: commit point
     buf = null
   }
 }
@@ -112,23 +137,70 @@ object KeyedForeachWriter {
   /** Field separator (0x01 — cannot appear in the JSON wire values). */
   val Sep: String = "\u0001"
 
-  /** Last-writer-wins view of the append-only store: latest
-    * (epoch, writer, seq) per key — the reader-side equivalent of DynamoDB
-    * putItem upserts (exact within a writer; deterministic writer-id
-    * tie-break across writers, see the class doc).
+  /** Commit sequence recorded in a marker name (`<cseq>__<writer>-<epoch>-
+    * <part>`); round-5 legacy markers (bare core) map to -1.
+    */
+  private def markerSeq(name: String): Long = name.split("__", 2) match {
+    case Array(n, _) if n.nonEmpty && n.forall(_.isDigit) => n.toLong
+    case _ => -1L
+  }
+
+  /** Data-file name a marker commits (the marker name minus the sequence
+    * prefix, plus `.log`).
+    */
+  private def markerDataFile(name: String): String = name.split("__", 2) match {
+    case Array(n, c) if n.nonEmpty && n.forall(_.isDigit) => s"$c.log"
+    case _ => s"$name.log"
+  }
+
+  /** Last-writer-wins view of the append-only store: per key, the row with
+    * the highest (commitSeq, epoch, writer, partition, seq) — the
+    * reader-side equivalent of DynamoDB putItem upserts. The store-assigned
+    * commitSeq makes the order WALL-CLOCK-faithful across writers (a
+    * recreated checkpoint's epoch-0 rows beat the old writer's high
+    * epochs); the remainder is exact within a writer and deterministic
+    * everywhere (concurrent partitions that allocated one sequence break
+    * ties on (epoch, writer, partition, seq)).
+    *
+    * Reads are MARKER-DRIVEN: only data files named by a commit marker are
+    * visible, so a crash between the data rename and the marker creation
+    * leaves nothing a reader can observe (previously every `.log` under
+    * `data/` was globbed, leaking that window).
+    *
+    * Record layouts (arity-branched; round-6 ADVICE-2 — the round-5 reader
+    * misparsed old logs instead of handling them):
+    *  - 7 fields: commitSeq, writer, epoch, part, seq, key, value
+    *  - 5 fields (round 5): writer, epoch, seq, key, value → commitSeq -1
+    *  - 4 fields (pre-round-5): epoch, seq, key, value → writer `default`
     */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
-    val parts = split(col("value"), Sep, 5)
+    val fs = new Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = new Path(s"$storeDir/commits")
+    val files =
+      if (!fs.exists(commits)) Seq.empty[String]
+      else fs.listStatus(commits).toSeq
+        .map(st => s"$storeDir/data/${markerDataFile(st.getPath.getName)}")
+    require(files.nonEmpty, s"no committed logs at $storeDir")
+    val parts = split(col("line"), Sep)
+    val arity = size(parts)
+    val field = (i7: Int, i5: Int, i4: Int, dflt: Column) =>
+      when(arity === 7, parts.getItem(i7))
+        .when(arity === 5, if (i5 >= 0) parts.getItem(i5) else dflt)
+        .otherwise(if (i4 >= 0) parts.getItem(i4) else dflt)
     val w = Window.partitionBy("key")
-      .orderBy(col("epoch").desc, col("writer").desc, col("seq").desc)
-    spark.read.textFile(s"$storeDir/data/*.log").toDF("value")
-      .filter(length(col("value")) > 0)
+      .orderBy(col("cseq").desc, col("epoch").desc, col("writer").desc,
+        col("part").desc, col("seq").desc)
+    spark.read.textFile(files: _*).toDF("line")
+      .filter(length(col("line")) > 0)
       .select(
-        parts.getItem(0).as("writer"),
-        parts.getItem(1).cast("long").as("epoch"),
-        parts.getItem(2).cast("long").as("seq"),
-        parts.getItem(3).as("key"),
-        parts.getItem(4).as("value"))
+        field(0, -1, -1, lit("-1")).cast("long").as("cseq"),
+        field(1, 0, -1, lit("default")).as("writer"),
+        field(2, 1, 0, lit(null)).cast("long").as("epoch"),
+        field(3, -1, -1, lit("-1")).cast("long").as("part"),
+        field(4, 2, 1, lit(null)).cast("long").as("seq"),
+        field(5, 3, 2, lit(null)).as("key"),
+        field(6, 4, 3, lit(null)).as("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("key", "value")

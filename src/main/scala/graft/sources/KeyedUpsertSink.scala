@@ -252,11 +252,27 @@ object KeyedUpsertSink {
     * (sequence, source-segment) stamp, keeping its stamps. One shuffle on
     * the key — shared by [[read]] and [[compact]] so LWW tie-breaking can
     * never diverge between them.
+    *
+    * Read with `mergeSchema` (round-6 ADVICE-3): legacy bare-epoch
+    * segments (round 3/4) were written before the [[SrcCol]] stamp
+    * existed, so a mixed store's inferred schema depended on which parquet
+    * footer Spark sampled — either failing to resolve [[SrcCol]] or
+    * silently null-ordering the tie-break. Schema merging makes the column
+    * resolve whenever ANY segment has it; legacy rows surface it as null,
+    * coalesced to "" so every stamped segment deterministically outranks
+    * them at equal sequence (legacy segment names are their epoch, and two
+    * legacy segments can never share one, so "" never has to break a
+    * legacy-vs-legacy tie). An all-legacy store has no [[SrcCol]] at all —
+    * then it is injected as "".
     */
   private def winners(spark: SparkSession, storePath: String,
                       segs: Seq[String]): DataFrame = {
     val keyCols = readKeysManifest(spark, storePath)
-    val df = spark.read.parquet(segs.map(n => new Path(segDir(storePath), n).toString): _*)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(n => new Path(segDir(storePath), n).toString): _*)
+    val df =
+      if (!raw.columns.contains(SrcCol)) raw.withColumn(SrcCol, lit(""))
+      else raw.withColumn(SrcCol, coalesce(col(SrcCol), lit("")))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(SeqCol).desc, col(SrcCol).desc)
     df.withColumn("__rn", row_number().over(w))

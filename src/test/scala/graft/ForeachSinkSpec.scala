@@ -28,14 +28,15 @@ class ForeachSinkSpec extends SparkSpec {
     assert(w.open(0, 0), "first attempt must open")
     w.process(row("a", "v1"))
     w.close(new RuntimeException("injected executor failure"))
-    assert(!new File(s"$dir/commits/default-0-0").exists(), "aborted attempt must not commit")
+    assert(new File(s"$dir/commits").list().isEmpty, "aborted attempt must not commit")
     assert(!new File(s"$dir/data/default-0-0.log").exists(), "aborted attempt must leave no data")
     // attempt 2: Spark's task retry re-opens the SAME (partition, epoch)
     assert(w.open(0, 0), "retry of an uncommitted attempt must open")
     w.process(row("a", "v1"))
     w.process(row("b", "v2"))
     w.close(null)
-    assert(new File(s"$dir/commits/default-0-0").exists())
+    assert(new File(s"$dir/commits/0__default-0-0").exists(),
+      "marker must carry the store-assigned commit sequence")
     // attempt 3: checkpoint replay of a committed epoch — skip the partition
     assert(!w.open(0, 0), "committed (partition, epoch) must be skipped")
     val got = KeyedForeachWriter.read(spark, dir).collect()
@@ -104,6 +105,70 @@ class ForeachSinkSpec extends SparkSpec {
     val got = KeyedForeachWriter.read(spark, dir).collect()
     assert(got.length == 2,
       "rows written under a recreated checkpoint must not be silently dropped")
+  }
+
+  test("row store: a recreated checkpoint's write to a SHARED key wins the read") {
+    // round-6 ADVICE-1: the round-5 fix made a new writer's rows LAND, but
+    // the LWW read ordered by (epoch, writer, seq) — after a checkpoint
+    // was deleted/recreated the old writer's high epochs kept winning
+    // every SHARED key until the new writer's epoch counter caught up.
+    // The store-assigned commit sequence orders reads by commit time.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("fw").toString
+    def run(eventType: String, batches: Int): Unit = {
+      val input = MemoryStream[EventRec]
+      val wire = EventStreamSource.toKafkaRecords(CityEvents.normalize(input.toDF()))
+      val q = wire.writeStream
+        .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+        .foreach(new KeyedForeachWriter(dir))
+        .start()
+      try {
+        (0 until batches).foreach { b => // one micro-batch (epoch) each
+          input.addData(EventRec(100L + b, Timestamp.valueOf("2024-01-01 10:00:00"),
+            5L, eventType, 300, "{}"))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    run("click", batches = 4) // old checkpoint: epochs 0..3 on user-5's city
+    run("view", batches = 1)  // recreated: NEW writer identity, epoch 0, SAME key
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+    assert(got.length == 1, "one city key was ever written")
+    assert(got.head.getString(1).contains("\"event_type\":\"view\""),
+      s"latest COMMIT must win the shared key, got ${got.head.getString(1)} — " +
+        "epoch-ordered reads serve stale values after checkpoint recreation")
+  }
+
+  test("read handles round-5 (5-field) and pre-round-5 (4-field) legacy logs") {
+    // round-6 ADVICE-2: the round-5 reader parsed the 5-field layout
+    // unconditionally, silently misparsing old logs (epoch read as writer,
+    // key as seq → null, value as key). Arity-branched parsing restores
+    // them; absent commit sequences order as -1 so any sequenced commit
+    // wins.
+    val dir = Files.createTempDirectory("fw").toString
+    val S = KeyedForeachWriter.Sep
+    new File(s"$dir/data").mkdirs(); new File(s"$dir/commits").mkdirs()
+    // pre-round-5 layout: (epoch, seq, key, value), marker `<epoch>-<part>`
+    Files.write(new File(s"$dir/data/3-0.log").toPath,
+      s"3${S}0${S}a${S}v-r4".getBytes)
+    Files.write(new File(s"$dir/commits/3-0").toPath, Array.emptyByteArray)
+    // round-5 layout: (writer, epoch, seq, key, value), marker `<w>-<e>-<p>`
+    Files.write(new File(s"$dir/data/w5-4-0.log").toPath,
+      (s"w5${S}4${S}0${S}a${S}v-r5" + "\n" + s"w5${S}4${S}1${S}b${S}v-r5b").getBytes)
+    Files.write(new File(s"$dir/commits/w5-4-0").toPath, Array.emptyByteArray)
+    val legacy = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(legacy == Map("a" -> "v-r5", "b" -> "v-r5b"),
+      s"legacy layouts must parse by arity, got $legacy")
+    // a sequenced round-6 commit at a LOWER epoch still wins both legacies
+    val w = new KeyedForeachWriter(dir)
+    assert(w.open(0, 0))
+    w.process(row("a", "v-r6"))
+    w.close(null)
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "v-r6", "b" -> "v-r5b"))
   }
 
   test("streaming foreach sink lands wire records end-to-end") {

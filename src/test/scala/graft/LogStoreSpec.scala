@@ -259,4 +259,36 @@ class LogStoreSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
     assert(rows == Map(("a", "x") -> 10, ("a", "y") -> 2))
   }
+
+  test("a mixed legacy/new store reads and compacts (round-6 ADVICE-3)") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import spark.implicits._
+    val store = tmp()
+    // hand-build a round-3/4 legacy store: bare-epoch segment name, rows
+    // stamped with the sequence column only — no __graft_src
+    val segDir = new java.io.File(s"$store/seg"); segDir.mkdirs()
+    new java.io.File(s"$store/commits").mkdirs()
+    Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .withColumn("__graft_epoch", org.apache.spark.sql.functions.lit(5L))
+      .write.parquet(s"$store/seg/5")
+    Files.write(new java.io.File(s"$store/commits/5").toPath, Array.emptyByteArray)
+    Files.write(new java.io.File(s"$store/_keys").toPath, "k".getBytes(UTF_8))
+    // an all-legacy store must already read (schema has no __graft_src)
+    val legacyOnly = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(legacyOnly == Map("a" -> 1, "b" -> 2))
+    // a new stamped segment over it: allocation continues after the legacy
+    // sequence, the mixed read resolves, and the new row wins the shared key
+    KeyedUpsertSink.upsert(spark, store, Seq("k"), Seq(("a", 10)).toDF("k", "v"))
+    val mixed = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(mixed == Map("a" -> 10, "b" -> 2),
+      s"mixed legacy/new store must merge-read with new rows winning, got $mixed")
+    // compaction folds the mixed store without changing the view
+    KeyedUpsertSink.compact(spark, store)
+    assert(KeyedUpsertSink.segmentCount(spark, store) == 1)
+    val folded = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(folded == mixed)
+  }
 }
