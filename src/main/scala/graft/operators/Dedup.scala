@@ -106,9 +106,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(shingleHashes(col("text"), n)).as("h"))
       .repartition(col("h"))
-    val kept = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    // df-cap as an AGGREGATE + semi-join, not a count-over-window (round-6
+    // VERDICT-4): a corpus-wide hot shingle (df in the millions) lands on
+    // one task either way, but the window had to buffer and sort the whole
+    // partition before the filter discarded it — the exact hot key the cap
+    // exists to neutralize was the one the window choked on. The aggregate
+    // streams it through a single counter, and both it and the semi-join
+    // reuse the repartition(h) exchange (partition-aligned, no new shuffle).
+    val keptHashes = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+      .select("h")
+    val kept = ex.join(keptHashes, Seq("h"), "left_semi")
     // post-cap set size rides along with every exploded row (functionally
     // dependent on doc_id) so no extra sizes join after the pair aggregation
     val sized = kept
