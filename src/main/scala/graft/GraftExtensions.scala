@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashBands, MinHashSignature, ShingleHashes, SimHash, VecDot}
+import graft.functions.{MinHashBands, MinHashSignature, ShingleHashes, SimHash, TokenHashes, VecDot}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -73,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => ShingleHashes(child, 3)
         case Seq(child, n) => ShingleHashes(child, intArg(n, "n"))
         case _ => throw new IllegalArgumentException("shingle_hashes(string[, n])")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "token_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => TokenHashes(child)
+        case _ => throw new IllegalArgumentException("token_hashes(string)")
       }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -337,6 +337,104 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Per-token polynomial hash `((acc * 31 + codepoint) mod 1e9+7)` of a
+  * space-tokenized string, in token order — the fused replacement for the
+  * SimHash front-end's `transform(split(text," "), t => aggregate(
+  * transform(filter(split(t,""), ...), c => ascii(c)), ...))` HOF stack,
+  * which evaluated interpreted per CHARACTER (round-6 VERDICT-3; the
+  * [[ShingleHashes]] fusion is the template).
+  *
+  * One pass over the UTF-8 bytes: a 0x20 byte closes the current token
+  * (continuation bytes are ≥ 0x80, so a raw-byte scan finds exactly the
+  * separators); within a token each UTF-8 codepoint is decoded and folded.
+  * Bit-identical to the HOF formulation (property-spec'd in SketchSpec):
+  * Spark's `ascii()` is `codePointAt(0)` of the first character, `split`
+  * keeps surrogate pairs whole, and empty tokens (leading/trailing/
+  * consecutive spaces) fold over nothing → 0, exactly like the HOF's
+  * filtered-empty aggregate. The fold stays in long range: acc < 1e9+7 and
+  * 31·acc + cp < 2^36.
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numBytes()
+    var tokens = 1
+    var p = 0
+    while (p < len) { if (s.getByte(p) == 0x20.toByte) tokens += 1; p += 1 }
+    val out = new Array[Long](tokens)
+    var t = 0
+    var acc = 0L
+    p = 0
+    while (p < len) {
+      val b = s.getByte(p) & 0xff
+      if (b == 0x20) { out(t) = acc; t += 1; acc = 0L; p += 1 }
+      else {
+        var cp = 0
+        var n = 0
+        if (b < 0x80) { cp = b; n = 1 }
+        else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; n = 2 }
+        else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; n = 3 }
+        else { cp = b & 0x07; n = 4 }
+        var k = 1
+        while (k < n && p + k < len) { cp = (cp << 6) | (s.getByte(p + k) & 0x3f); k += 1 }
+        acc = (acc * 31L + cp) % 1000000007L
+        p += n
+      }
+    }
+    out(t) = acc
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val len = ctx.freshName("len")
+      val tokens = ctx.freshName("tokens")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b")
+      val cp = ctx.freshName("cp")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      s"""
+         |int $len = $str.numBytes();
+         |int $tokens = 1;
+         |for (int $p = 0; $p < $len; $p++) {
+         |  if ($str.getByte($p) == (byte) 0x20) $tokens++;
+         |}
+         |long[] $out = new long[$tokens];
+         |int $t = 0;
+         |long $acc = 0L;
+         |for (int $p = 0; $p < $len; ) {
+         |  int $b = $str.getByte($p) & 0xff;
+         |  if ($b == 0x20) { $out[$t] = $acc; $t++; $acc = 0L; $p++; }
+         |  else {
+         |    int $cp; int $n;
+         |    if ($b < 0x80) { $cp = $b; $n = 1; }
+         |    else if (($b & 0xe0) == 0xc0) { $cp = $b & 0x1f; $n = 2; }
+         |    else if (($b & 0xf0) == 0xe0) { $cp = $b & 0x0f; $n = 3; }
+         |    else { $cp = $b & 0x07; $n = 4; }
+         |    for (int $k = 1; $k < $n && $p + $k < $len; $k++) {
+         |      $cp = ($cp << 6) | ($str.getByte($p + $k) & 0x3f);
+         |    }
+         |    $acc = ($acc * 31L + $cp) % 1000000007L;
+         |    $p += $n;
+         |  }
+         |}
+         |$out[$t] = $acc;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers — resolve through the session function registry
   * (requires `spark.sql.extensions=graft.GraftExtensions`, see
   * [[graft.GraftExtensions]]).
@@ -352,4 +450,7 @@ object Sketches {
   /** In-order window hashes; `array_distinct` on top for set semantics. */
   def shingleHashes(c: Column, n: Int = 3): Column =
     call_function("shingle_hashes", c, lit(n))
+  /** Per-token polynomial hashes, in token order. */
+  def tokenHashes(c: Column): Column =
+    call_function("token_hashes", c)
 }

@@ -143,9 +143,20 @@ object Dedup {
 
   /** Per-token polynomial hashes — same scheme as
     * [[TextAnalysis.fingerprintCol]] ((acc*31+code) mod 1e9+7), applied per
-    * token, so the DuckDB oracle can reproduce the values exactly.
+    * token, so the DuckDB oracle can reproduce the values exactly. One
+    * codegen'd pass over the UTF-8 bytes ([[graft.functions.TokenHashes]];
+    * round-6 VERDICT-3 — the HOF `transform(split…, aggregate(…))` stack it
+    * replaces evaluated interpreted per CHARACTER and was the last
+    * interpreted sketch front-end; values are bit-identical, spec'd in
+    * SketchSpec against the HOF formulation).
     */
   def tokenHashes(text: Column): Column =
+    graft.functions.Sketches.tokenHashes(text)
+
+  /** The pre-round-6 HOF formulation of [[tokenHashes]] — retained ONLY as
+    * the independent reference implementation for the codegen parity spec.
+    */
+  private[graft] def tokenHashesHof(text: Column): Column =
     transform(split(text, " "), t =>
       aggregate(
         transform(filter(split(t, ""), c => c =!= ""), c => ascii(c).cast("long")),

@@ -129,6 +129,40 @@ class SketchSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("token_hashes equals the HOF polynomial fold, codegen and interpreted") {
+    import spark.implicits._
+    // the fused byte-pass must reproduce split/ascii/aggregate semantics on
+    // every tokenization edge: empty tokens (ascii-of-nothing folds to 0),
+    // multi-byte UTF-8 codepoints (ascii() is codePointAt(0)), empty text
+    val fixtures = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  double  space run",
+      " leading and trailing ",
+      "one", "",
+      "unicode 的是 mixed zügig tokens café здесь",
+      "x " * 50 + "tail")
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val df = fixtures.toDF("text").select(
+          graft.functions.Sketches.tokenHashes(col("text")).as("fused"),
+          graft.operators.Dedup.tokenHashesHof(col("text")).as("hof"))
+        val rows = df.collect()
+        rows.zip(fixtures).foreach { case (r, f) =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"fused != HOF token hashes (mode=$cg) for '$f': " +
+              s"${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // and over the real corpus (the SimHash front-end input)
+    val mism = Tables.documents(spark, sf).select(
+      graft.functions.Sketches.tokenHashes(col("text")).as("fused"),
+      graft.operators.Dedup.tokenHashesHof(col("text")).as("hof"))
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(mism == 0)
+  }
+
   test("LSH S-curve margin: default (threshold, bands, rows) keep band-miss below 1e-6") {
     // The exact-all-pairs DuckDB oracles for q_minhash_pairs,
     // q_neardedup_corpus, q_dup_clusters and q_dedup_incremental are valid
