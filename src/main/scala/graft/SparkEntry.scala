@@ -90,10 +90,16 @@ object SparkEntry {
     * zero-planning-jobs default when called without it — spec'd; the
     * registry trades that for train-once across consumers.)
     */
-  private val ivfCentroidsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
-    memo(ivfCentroidsCache, s, d)(Similarity.trainIvfCentroids(Tables.embeddings(s, d)))
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Similarity.IvfIndex]()
+  private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex = {
+    ivfIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ivfIndexCache.computeIfAbsent((s, d), _ => {
+      val idx = Similarity.trainIvfCentroids(Tables.embeddings(s, d))
+      Similarity.IvfIndex(idx.coarse.localCheckpoint(eager = false),
+        idx.fine.localCheckpoint(eager = false))
+    })
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's centerpiece A1 windowed aggregation (SURVEY.md §7.1).
@@ -1021,7 +1027,7 @@ object SparkEntry {
     // IVF probing is approximate — recall vs brute force asserted in ScalaTest.
     ("q_ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
-        centroidsOpt = Some(ivfCentroids(s, d))),
+        indexOpt = Some(ivfIndex(s, d))),
       None),
 
     // IVF-cell near-dup pairs: the scale path behind q_cosine_pairs /
@@ -1030,7 +1036,7 @@ object SparkEntry {
     // exact operator are asserted in SimilaritySpec.
     ("q_ivf_neardup_pairs",
       (s, d) => Similarity.ivfNearDupPairs(Tables.embeddings(s, d), 0.4,
-        centroidsOpt = Some(ivfCentroids(s, d))),
+        indexOpt = Some(ivfIndex(s, d))),
       None),
 
     // ---- LLM-data pipeline: multimodal binary-column plumbing (north star).
