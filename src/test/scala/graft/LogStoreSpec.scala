@@ -260,6 +260,61 @@ class LogStoreSpec extends SparkSpec {
     assert(rows == Map(("a", "x") -> 10, ("a", "y") -> 2))
   }
 
+  test("simultaneous writers never share a sequence; no segment is lost (round-6 VERDICT-6)") {
+    import spark.implicits._
+    val store = tmp()
+    val writers = 4
+    val epochsEach = 3
+    // every writer upserts the SAME key plus a private key, all in parallel
+    // threads — the worst case for sequence allocation races
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            (0 until epochsEach).foreach { e =>
+              KeyedUpsertSink.upsert(spark, store, Seq("k"),
+                Seq(("shared", s"w$w-e$e"), (s"own-$w", s"w$w-e$e")).toDF("k", "v"),
+                e.toLong, s"writer-$w")
+            }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // no lost commit: every (writer, epoch) segment exists
+    assert(KeyedUpsertSink.segmentCount(spark, store) == writers * epochsEach)
+    (0 until writers).foreach { w =>
+      (0 until epochsEach).foreach { e =>
+        assert(KeyedUpsertSink.segmentRows(spark, store, e.toLong, s"writer-$w") == 2L,
+          s"writer $w epoch $e segment lost or wrong")
+      }
+    }
+    // CAS: all allocated sequences are distinct — concurrent writers can
+    // never share one, so cross-writer LWW order is total by allocation
+    val seqs = new java.io.File(s"$store/commits").list().toSeq
+      .filterNot(_.startsWith("."))
+      .map(_.split("__")(0).toLong)
+    assert(seqs.distinct.size == seqs.size,
+      s"duplicate commit sequences allocated under concurrency: ${seqs.sorted}")
+    // the read resolves: each private key serves its writer's last epoch,
+    // and the shared key serves the value of the max-sequence segment
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.size == writers + 1)
+    (0 until writers).foreach(w => assert(m(s"own-$w") == s"w$w-e${epochsEach - 1}"))
+    val names = new java.io.File(s"$store/commits").list().toSeq
+      .filterNot(_.startsWith("."))
+    val maxSeqName = names.maxBy(_.split("__")(0).toLong)
+    val Array(_, maxW, maxE) = maxSeqName.split("__")
+    assert(m("shared") == s"w${maxW.stripPrefix("writer-")}-e$maxE",
+      s"shared key must serve the highest-sequence commit ($maxSeqName), got ${m("shared")}")
+    // compaction over the concurrent store folds cleanly and prunes claims
+    KeyedUpsertSink.compact(spark, store)
+    assert(KeyedUpsertSink.read(spark, store).collect().length == writers + 1)
+    assert(new java.io.File(s"$store/_seq").list().isEmpty,
+      "compaction must prune covered sequence claims")
+  }
+
   test("a mixed legacy/new store reads and compacts (round-6 ADVICE-3)") {
     import java.nio.charset.StandardCharsets.UTF_8
     import spark.implicits._
