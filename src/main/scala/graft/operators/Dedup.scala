@@ -233,37 +233,60 @@ object Dedup {
     intra.unionByName(cross)
   }
 
-  def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
-                   numHashes: Int = 128, bands: Int = 32,
-                   membersOpt: Option[DataFrame] = None): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val members = membersOpt.getOrElse(dupGroups(documents))
+  /** Representative shingle-hash sets — the sketch pipeline's shared input.
+    * The repartition is a materialization barrier: without it
+    * CollapseProject inlines the shingle expression into every one of the
+    * `bands` band-hash expressions AND into both self-join branches — a
+    * bands×2 recompute of the whole pipeline per row. Sets are carried as
+    * 64-bit xxhashes: the verify join shuffles ~8× narrower rows than the
+    * raw shingle strings would.
+    */
+  private def repShingleSets(documents: DataFrame, members: DataFrame): DataFrame = {
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // Materialization barriers (repartition): without them CollapseProject
-    // inlines the shingle/minhash expressions into every one of the `bands`
-    // band-hash expressions AND into both self-join branches — a bands×2
-    // recompute of the whole sketch pipeline per row.
-    // Shingle sets are carried as 64-bit xxhashes: the verify join below
-    // shuffles ~8× narrower rows than the raw shingle strings would.
-    val sets = repDocs
+    repDocs
       .select(col("doc_id"), shingleHashes(col("text")).as("shh"))
       .filter(size(col("shh")) > 0)
       .repartition(col("doc_id"))
-    // signature + band folding fused into ONE codegen'd pass
-    // ([[graft.functions.MinHashBands]]); round 1 materialized a signature
-    // array and folded it with `bands` interpreted aggregate() HOF lambdas
+  }
+
+  /** LSH band-bucket candidate pairs over representative shingle sets —
+    * signature + band folding fused into ONE codegen'd pass
+    * ([[graft.functions.MinHashBands]]; round 1 materialized a signature
+    * array and folded it with `bands` interpreted aggregate() HOF lambdas).
+    * Exposed `private[graft]` so the 10× duplication stress spec can assert
+    * the candidate state is bounded by DISTINCT texts, not documents.
+    */
+  private[graft] def bandCandidates(sets: DataFrame, numHashes: Int,
+                                    bands: Int): DataFrame = {
     val banded = sets
       .select(col("doc_id"),
         posexplode(graft.functions.Sketches.minhashBands(
           col("shh"), numHashes, bands, 42L)).as(Seq("band", "bucket")))
       .repartition(col("band"), col("bucket"))
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
       .distinct()
+  }
+
+  /** Audit view of the rep-level LSH candidate pairs (spec use). */
+  private[graft] def minhashCandidates(documents: DataFrame, numHashes: Int = 128,
+                                       bands: Int = 32,
+                                       membersOpt: Option[DataFrame] = None): DataFrame = {
+    val members = membersOpt.getOrElse(dupGroups(documents))
+    bandCandidates(repShingleSets(documents, members), numHashes, bands)
+  }
+
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
+                   numHashes: Int = 128, bands: Int = 32,
+                   membersOpt: Option[DataFrame] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val members = membersOpt.getOrElse(dupGroups(documents))
+    val sets = repShingleSets(documents, members)
+    val candidates = bandCandidates(sets, numHashes, bands)
     val s1 = sets.select(col("doc_id").as("doc_id1"), col("shh").as("sh1"), size(col("shh")).as("n1"))
     val s2 = sets.select(col("doc_id").as("doc_id2"), col("shh").as("sh2"), size(col("shh")).as("n2"))
     // n_common is computed INSIDE an aggregate over the (already unique)
