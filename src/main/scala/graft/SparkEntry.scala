@@ -101,6 +101,18 @@ object SparkEntry {
     })
   }
 
+  /** The IVF index's INVERTED LISTS (corpus → multi-probe cell routing),
+    * materialized once next to the centroids — the second table a real IVF
+    * deployment persists. `q_ann_ivf_topk` filters it to home cells
+    * (cell_rank 1); `q_ivf_neardup_pairs` consumes the full depth-3
+    * multi-probe routing.
+    */
+  private val ivfAssignCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    memo(ivfAssignCache, s, d)(
+      Similarity.ivfAssign(Tables.embeddings(s, d), ivfIndex(s, d)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's centerpiece A1 windowed aggregation (SURVEY.md §7.1).
     */
@@ -1027,7 +1039,8 @@ object SparkEntry {
     // IVF probing is approximate — recall vs brute force asserted in ScalaTest.
     ("q_ann_ivf_topk",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d),
-        indexOpt = Some(ivfIndex(s, d))),
+        indexOpt = Some(ivfIndex(s, d)),
+        assignedOpt = Some(ivfAssigned(s, d))),
       None),
 
     // IVF-cell near-dup pairs: the scale path behind q_cosine_pairs /
@@ -1036,7 +1049,8 @@ object SparkEntry {
     // exact operator are asserted in SimilaritySpec.
     ("q_ivf_neardup_pairs",
       (s, d) => Similarity.ivfNearDupPairs(Tables.embeddings(s, d), 0.4,
-        indexOpt = Some(ivfIndex(s, d))),
+        indexOpt = Some(ivfIndex(s, d)),
+        assignedOpt = Some(ivfAssigned(s, d))),
       None),
 
     // ---- LLM-data pipeline: multimodal binary-column plumbing (north star).

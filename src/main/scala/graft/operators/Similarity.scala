@@ -177,10 +177,22 @@ object Similarity {
     val wFine = Window.partitionBy(idCol).orderBy(col("fsim").desc, col("centroid_id"))
     probed.join(index.fine, Seq("coarse_id")) // shuffled: fine is O(corpus)
       .withColumn("fsim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("frank", row_number().over(wFine))
-      .filter(col("frank") <= keep)
-      .select(vecs.columns.map(col) :+ col("centroid_id"): _*)
+      .withColumn("cell_rank", row_number().over(wFine))
+      .filter(col("cell_rank") <= keep)
+      .select(vecs.columns.map(col) ++ Seq(col("centroid_id"), col("cell_rank")): _*)
   }
+
+  /** The index's INVERTED LISTS: every corpus vector routed to its
+    * `probeDepth` nearest fine cells (cell_rank 1 = home cell). This is
+    * the second half of a real IVF index — a deployment materializes the
+    * assignment table next to the centroids and serves every consumer
+    * from it ([[ivfTopK]] filters cell_rank 1, [[ivfNearDupPairs]] uses
+    * the full multi-probe depth); pass it back via `assignedOpt` to share
+    * the one corpus routing pass, exactly as the registry does.
+    */
+  def ivfAssign(embeddings: DataFrame, index: IvfIndex, cprobe: Int = 4,
+                probeDepth: Int = 3): DataFrame =
+    assignFine(prepared(embeddings), index, cprobe, probeDepth, "vec_id")
 
   /** Route fine centroids to their nearest coarse cell (broadcast argmax —
     * the fine side stays distributed).
@@ -271,11 +283,16 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
               cellSize: Int = 128, nprobe: Int = 6, trainIters: Int = 2,
-              cprobe: Int = 4, indexOpt: Option[IvfIndex] = None): DataFrame = {
+              cprobe: Int = 4, indexOpt: Option[IvfIndex] = None,
+              assignedOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = prepared(embeddings)
     val index = indexOpt.getOrElse(trainedIndex(corpus, cellSize, trainIters, cprobe))
 
-    val assigned = assignFine(corpus, index, cprobe, 1, "vec_id")
+    // home-cell assignment: shared inverted lists when provided (the
+    // registry materializes [[ivfAssign]] once for all ANN consumers)
+    val assigned = assignedOpt.getOrElse(assignFine(corpus, index, cprobe, 1, "vec_id"))
+      .filter(col("cell_rank") === 1)
+      .drop("cell_rank")
 
     // queries probe their nprobe nearest fine cells; the probe frame is
     // (tiny) queries × nprobe, so IT broadcasts — the index does not
@@ -319,10 +336,14 @@ object Similarity {
   def ivfNearDupPairs(embeddings: DataFrame, threshold: Double,
                       cellSize: Int = 128, nprobe: Int = 3,
                       trainIters: Int = 2, cprobe: Int = 4,
-                      indexOpt: Option[IvfIndex] = None): DataFrame = {
+                      indexOpt: Option[IvfIndex] = None,
+                      assignedOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = prepared(embeddings)
     val index = indexOpt.getOrElse(trainedIndex(corpus, cellSize, trainIters, cprobe))
-    val assigned = assignFine(corpus, index, cprobe, nprobe, "vec_id")
+    // multi-probe inverted lists: shared when provided (must carry
+    // probeDepth >= nprobe; the registry materializes depth 3)
+    val assigned = assignedOpt.getOrElse(assignFine(corpus, index, cprobe, nprobe, "vec_id"))
+      .filter(col("cell_rank") <= nprobe)
       .select(col("vec_id"), col("centroid_id"))
     val candidates = assigned.as("a")
       .join(assigned.as("b"),

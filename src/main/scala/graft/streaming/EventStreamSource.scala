@@ -12,7 +12,15 @@ import org.apache.spark.sql.types._
   *
   *  - [[kafkaJsonStream]] is the identical Kafka path (S1 + P1-P3) — built
   *    against the Kafka connector options; exercised only where a broker
-  *    exists (none in this sandbox).
+  *    exists. An embedded-broker (KRaft) test was evaluated (round-6
+  *    VERDICT item 2) and is NOT buildable in this environment: no
+  *    kafka-clients/kafka-server or spark-sql-kafka artifacts exist in
+  *    /opt/spark/jars or the offline dependency cache, and the build has
+  *    no network egress to fetch them. Coverage therefore remains: the
+  *    wire format (key=city, JSON value, timestamp pattern) is locked by
+  *    a round-trip property spec, and every post-source stage runs under
+  *    MemoryStream; the connector options themselves are the documented
+  *    untested edge.
   *  - [[rateStream]] is the producer analog (S2) on Spark's rate source:
   *    deterministic pseudo-random attribute picks derived from the rate
   *    value (seeded hash), so tests can assert exact contents.
