@@ -712,6 +712,22 @@ object SparkEntry {
     // Mirrors the Spark pipeline exactly: exact-dedup representatives,
     // df-cap (> 50 distinct texts) over reps, rep-level pairs, then
     // duplicate-group re-expansion (intra-group jaccard 1.0).
+    // Hot-shingle (boilerplate) mining — the discovery side of the df-cap:
+    // top-k shingles by document frequency over distinct texts. Heavy
+    // counting runs on 64-bit hashes; strings materialize only for the
+    // boundary-tie superset of the top k.
+    ("q_hot_shingles",
+      (s, d) => Dedup.hotShingles(Tables.documents(s, d),
+        membersOpt = Some(dupMembers(s, d))),
+      Some("""WITH d AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d)),
+        |c AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        |SELECT shingle, df FROM c WHERE df >= 2
+        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin)),
+
     ("q_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
         membersOpt = Some(dupMembers(s, d))),

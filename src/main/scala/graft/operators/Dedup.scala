@@ -515,6 +515,50 @@ object Dedup {
     exact.unionByName(near).orderBy("corpus_id", "delta_id")
   }
 
+  /** Hot-shingle (boilerplate) mining: the `topK` n-gram shingles by
+    * document frequency over DISTINCT texts — the discovery side of
+    * [[jaccardPairs]]'s df-cap: a real pipeline mines these to build its
+    * boilerplate stop-list (navigation chrome, license footers, template
+    * text), then caps or strips them before near-dup detection.
+    *
+    * Scale: the heavy counting pass streams 64-bit shingle HASHES through
+    * a map-side-partial groupBy (never materializing shingle strings);
+    * only the tiny top-k hash set joins back (broadcast semi-join) into a
+    * second pass that recovers the k STRINGS and recounts just them —
+    * string work is O(k + boundary ties), hash work is one aggregate.
+    * Counting over dedup representatives keeps a mass-duplicated text from
+    * promoting its own content to "boilerplate" (same correctness argument
+    * as the df count in [[jaccardPairs]]). The hash cut keeps EVERY hash
+    * tied with the k-th df (a pure top-k over hashes would break boundary
+    * ties by hash value, not by string, and diverge from the string-
+    * ordered oracle); the string pass then re-sorts with the (df desc,
+    * shingle asc) tie-break and takes the exact k. `minDf` floors the cut
+    * so a boilerplate-free corpus (k-th df = 1) degenerates to an empty
+    * report instead of a full-corpus string explode.
+    */
+  def hotShingles(documents: DataFrame, n: Int = 3, topK: Int = 20,
+                  minDf: Int = 2, membersOpt: Option[DataFrame] = None): DataFrame = {
+    val members = membersOpt.getOrElse(dupGroups(documents))
+    val repDocs = documents
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val counts = repDocs
+      .select(explode(shingleHashes(col("text"), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val kth = counts.filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("h")).limit(topK)
+      .agg(coalesce(min(col("df")), lit(Long.MaxValue)).as("kth_df"))
+    val hotHashes = counts.crossJoin(broadcast(kth))
+      .filter(col("df") >= greatest(col("kth_df"), lit(minDf.toLong)))
+      .select("h")
+    repDocs
+      .select(explode(array_distinct(shinglesRaw(col("text"), n))).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+      .join(broadcast(hotHashes), Seq("h"), "left_semi")
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(topK)
+  }
+
   /** Train/test contamination: for every corpus document, the number of
     * distinct token `n`-grams it shares with ANY document of the
     * `benchmark` set — the decontamination primitive every training-data

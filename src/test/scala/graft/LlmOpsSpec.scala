@@ -66,6 +66,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(planted.count() == 1)
   }
 
+  test("hot shingles: planted boilerplate surfaces; duplication cannot promote a text's own content") {
+    import spark.implicits._
+    val boiler = "terms of service apply"
+    val base = (0 until 30).map(i =>
+      (i.toLong, s"u$i v$i w$i x$i y$i" + (if (i % 2 == 0) s" $boiler" else "")))
+    // 10 exact copies of doc 1: without the dup-group pre-pass its own
+    // (unique) shingles would count 11 times and beat the real boilerplate
+    val copies = (1 to 10).map(k => (1000L + k, base(1)._2))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.hotShingles(docs)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    // only the boilerplate's two internal tri-grams repeat across DISTINCT
+    // texts (df 15); every other shingle has df 1 and stays below minDf
+    assert(r == Seq(("of service apply", 15L), ("terms of service", 15L)), s"got $r")
+    // boilerplate-free corpus: empty report, not a full-corpus dump
+    val clean = (0 until 20).map(i => (i.toLong, s"a$i b$i c$i d$i")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.hotShingles(clean).collect().isEmpty)
+  }
+
   test("jaccard df-cap: a hot shingle shared by every doc no longer pairs the corpus quadratically") {
     import spark.implicits._
     // 100 docs sharing one boilerplate shingle ("common boiler plate") plus a
