@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashBands, MinHashSignature, ShingleHashes, SimHash, TokenHashes, VecDot}
+import graft.functions.{MinHashBands, MinHashSignature, ShingleHashes, SimHash, TokenHashes, VecDot, VecSum}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -87,6 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => VecDot(a, b)
         case _ => throw new IllegalArgumentException("vec_dot(array<double>, array<double>)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => VecSum(a)
+        case _ => throw new IllegalArgumentException("vec_sum(array<double>)")
       }))
   }
 }

@@ -28,6 +28,11 @@ object VectorFunctions {
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Element-wise vector SUM aggregate ([[VecSum]]): `sum()` for
+    * array<double> columns, map-side-combining like any native aggregate.
+    */
+  def vecSum(v: Column): Column = call_function("vec_sum", v)
+
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 }

@@ -112,32 +112,41 @@ object Similarity {
     embeddings.join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** Per-cell element-wise means of an assignment frame (centroid_id, v):
+    * ONE aggregation via the custom [[graft.functions.VecSum]] vector-sum
+    * aggregate — partials combine map-side like any native sum, the
+    * shuffle carries one partial vector per (task, cell), and rows never
+    * explode to per-dimension granularity (the round-5 formulation pushed
+    * dim× the rows through two hash aggregates plus a sort per step).
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("centroid_id")
+      .agg(graft.functions.VectorFunctions.vecSum(col("v")).as("sv"),
+        count(lit(1)).as("cnt"))
+      .select(col("centroid_id"),
+        transform(col("sv"), x => x / col("cnt")).as("cv"))
+      .withColumn("cnrm", l2norm(col("cv")))
+
   /** One Lloyd (k-means) refinement step: reassign the corpus to its
     * nearest centroid by cosine, then replace every centroid with its
-    * cell's element-wise mean. Entirely lazy joins + aggregations — zero
-    * driver actions, preserving [[ivfTopK]]'s zero-planning-jobs contract.
-    * The per-dimension explode → (centroid, dim) average → re-assemble is
-    * the standard distributed k-means update (map-side partial averages;
-    * shuffle carries (cell, dim) partial sums, not vectors). Cells that
-    * attract no vectors drop out (their mass merges into neighboring
-    * cells); seed centroids of the same natural cluster converge to the
-    * same mean, so their cells coalesce under the deterministic
-    * min-centroid-id tie-break — the mechanism that repairs a natural
-    * cluster split across several hash-sampled seeds.
+    * cell's element-wise mean ([[cellMeans]]). Entirely lazy joins +
+    * aggregations — zero driver actions, preserving [[ivfTopK]]'s
+    * zero-planning-jobs contract. Cells that attract no vectors drop out
+    * (their mass merges into neighboring cells); seed centroids of the
+    * same natural cluster converge to the same mean, so their cells
+    * coalesce under the deterministic min-centroid-id tie-break — the
+    * mechanism that repairs a natural cluster split across several
+    * hash-sampled seeds.
     */
   private def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
-    corpus.join(broadcast(centroids))
+    cellMeans(corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
         (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
-      .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
-      .groupBy("centroid_id")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-        s => s("m")).as("cv"))
-      .withColumn("cnrm", l2norm(col("cv")))
+      .select(col("centroid_id"), col("v")))
   }
 
   /** Two-level IVF index (round-6 VERDICT-1).
@@ -258,14 +267,7 @@ object Similarity {
         col("cnrm").as("ccnrm"))
     val fine = (1 to trainIters).foldLeft(routeFine(fineSeeds, coarse)) { (f, _) =>
       val assigned = assignFine(corpus, IvfIndex(coarse, f), cprobe, 1, "vec_id")
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s("m")).as("cv"))
-        .withColumn("cnrm", l2norm(col("cv")))
-      routeFine(means, coarse)
+      routeFine(cellMeans(assigned.select(col("centroid_id"), col("v"))), coarse)
     }
     IvfIndex(coarse, fine)
   }

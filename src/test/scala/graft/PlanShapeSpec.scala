@@ -55,6 +55,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_alerts_recent", "q_alerts_city_recent", "q_alerts_seattle_12h", // 1-row max(ts) scalar
       "q_raw_events_live",                                               // 1-row retention cutoff
       "q_funnel",                                                        // two 1-row counts
+      "q_hot_shingles",                                                  // 1-row k-th-df cut scalar
       "q_cosine_topk",                                                   // 5-row broadcast query set
       "q_ann_ivf_topk",                                                  // centroid-set scoring
       "q_ivf_neardup_pairs",                                             // centroid-set scoring

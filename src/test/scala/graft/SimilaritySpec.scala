@@ -125,6 +125,32 @@ class SimilaritySpec extends SparkSpec {
     assert(trained > seedOnly, "training must improve recall on this fixture")
   }
 
+  test("vec_sum: element-wise vector sum with map-side partials (Lloyd mean kernel)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vecSum
+    val df = Seq((1L, Array(1.0, 2.0)), (1L, Array(3.0, 4.5)), (1L, Array(-1.0, 0.5)),
+      (2L, Array(10.0, 0.25)))
+      .toDF("g", "v").repartition(4) // partials must merge across partitions
+    val got = df.groupBy("g").agg(vecSum(col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(3.0, 7.0) && got(2L) == Seq(10.0, 0.25))
+    // mean parity with the per-dimension exploded formulation the Lloyd
+    // step used before (identical operands; summation order may differ,
+    // so compare within float tolerance)
+    val viaAgg = df.groupBy("g")
+      .agg(vecSum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("g"), transform(col("s"), x => x / col("n")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = df.select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("g", "d").agg(avg("x").as("m"))
+      .groupBy("g").agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s("m")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    viaAgg.foreach { case (g, m) =>
+      m.zip(viaExplode(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    }
+  }
+
   test("IVF index is two-level: broadcast side sublinear in the corpus, fine assignment shuffled") {
     import spark.implicits._
     // round-6 VERDICT-1: the round-5 flat index broadcast ~n/cellSize
