@@ -53,7 +53,10 @@ import org.apache.spark.sql.functions._
   * ([[graft.streaming.EventStreamSource.toKafkaRecords]]);
   * [[KeyedForeachWriter.read]] resolves last-writer-wins per key across
   * epochs — DynamoDB putItem semantics over an append-only log, the
-  * log-structured cousin of [[KeyedUpsertSink]].
+  * log-structured cousin of [[KeyedUpsertSink]], with the same full
+  * maintenance story: CAS-allocated commit sequences ([[claimCseq]]),
+  * out-of-band [[KeyedForeachWriter.compact]] bounding read
+  * amplification, and `_txn` fences keeping folded epochs replay-safe.
   */
 class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
 
@@ -88,12 +91,24 @@ class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
     f.mkdirs(commitsDir)
     f.mkdirs(new Path(s"$storeDir/data"))
     // committed iff any marker names this (writer, epoch, partition) —
-    // `<cseq>__<core>` normally, bare `<core>` for round-5 legacy markers
+    // `<cseq>__<core>` normally, bare `<core>` for round-5 legacy markers —
+    // or a `_txn` fence left by compaction covers this epoch (compaction
+    // retires markers; the fence preserves the replay guarantee, exactly
+    // as in [[KeyedUpsertSink]])
     val committed = f.listStatus(commitsDir).exists { st =>
       val n = st.getPath.getName
       n == core || n.endsWith(s"__$core")
     }
-    if (committed) {
+    val txn = new Path(s"$storeDir/_txn")
+    val fenced = f.exists(txn) && f.listStatus(txn).exists { st =>
+      st.getPath.getName.split("__") match {
+        case Array(w, p, e) =>
+          w == writer && p == part.toString &&
+            (try epoch <= e.toLong catch { case _: NumberFormatException => false })
+        case _ => false
+      }
+    }
+    if (committed || fenced) {
       false // epoch already durable for this (writer, partition): replay, skip
     } else {
       buf = new scala.collection.mutable.ArrayBuffer[String]
@@ -113,19 +128,16 @@ class KeyedForeachWriter(storeDir: String) extends ForeachWriter[Row] {
   override def close(errorOrNull: Throwable): Unit = {
     if (errorOrNull != null || buf == null) { buf = null; return }
     val f = fs
-    // store-assigned commit sequence: 1 + max over existing markers (legacy
-    // markers count as -1, so the first sequenced commit over an old store
-    // is 0 and beats every legacy row in the LWW order)
-    val cseq = f.listStatus(commitsDir).toSeq
-      .map(st => KeyedForeachWriter.markerSeq(st.getPath.getName))
-      .foldLeft(-1L)(_ max _) + 1L
+    // store-assigned commit sequence via the same create-exclusive CAS as
+    // KeyedUpsertSink.claimSeq: simultaneous committers can never share one
+    val cseq = KeyedForeachWriter.claimCseq(f, storeDir)
     val prefix = Seq(cseq.toString, writer, epoch.toString, part.toString)
       .mkString(KeyedForeachWriter.Sep) + KeyedForeachWriter.Sep
     val tmp = new Path(s"$storeDir/data/.tmp-$core")
     val out = f.create(tmp, true)
     out.write(buf.map(prefix + _).mkString("\n").getBytes(UTF_8))
     out.close()
-    f.delete(dataPath, false) // uncommitted leftover from a crashed attempt
+    f.delete(dataPath, true) // uncommitted leftover from a crashed attempt
     require(f.rename(tmp, dataPath), s"rename $tmp -> $dataPath failed")
     f.create(new Path(commitsDir, s"${cseq}__$core"), true).close() // marker last: commit point
     buf = null
@@ -153,6 +165,42 @@ object KeyedForeachWriter {
     case _ => s"$name.log"
   }
 
+  /** Claim the next commit sequence through the same create-exclusive CAS
+    * as [[KeyedUpsertSink]]'s segment sequence: scan committed markers AND
+    * outstanding claims for the max, then CREATE-EXCLUSIVE `_seq/<n>`; a
+    * concurrent winner makes the create throw and the loser retries above
+    * it. Same-JVM committers (local mode, or several queries in one app)
+    * additionally serialize on the process lock — Hadoop's local
+    * `create(overwrite = false)` is check-then-create; HDFS's create is
+    * atomic for the cross-process case. Without the CAS two simultaneous
+    * partition commits could share a sequence and cross-writer LWW order
+    * fell to the (epoch, writer, partition) tie-break instead of commit
+    * time.
+    */
+  private val claimLock = new Object
+
+  private def claimCseq(f: org.apache.hadoop.fs.FileSystem,
+                        storeDir: String): Long = claimLock.synchronized {
+    val seqs = new Path(s"$storeDir/_seq")
+    val commits = new Path(s"$storeDir/commits")
+    f.mkdirs(seqs)
+    var attempts = 0
+    while (attempts < 1000) {
+      val claimed = f.listStatus(seqs).toSeq.map(_.getPath.getName)
+        .flatMap(n => try Some(n.toLong) catch { case _: NumberFormatException => None })
+      val committed = f.listStatus(commits).toSeq
+        .map(st => markerSeq(st.getPath.getName))
+      val next = (claimed ++ committed).foldLeft(-1L)(_ max _) + 1
+      try {
+        f.create(new Path(seqs, next.toString), false).close()
+        return next
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race: re-read
+      }
+    }
+    sys.error(s"could not claim a commit sequence at $storeDir after 1000 races")
+  }
+
   /** Last-writer-wins view of the append-only store: per key, the row with
     * the highest (commitSeq, epoch, writer, partition, seq) — the
     * reader-side equivalent of DynamoDB putItem upserts. The store-assigned
@@ -173,7 +221,14 @@ object KeyedForeachWriter {
     *  - 5 fields (round 5): writer, epoch, seq, key, value → commitSeq -1
     *  - 4 fields (pre-round-5): epoch, seq, key, value → writer `default`
     */
-  def read(spark: SparkSession, storeDir: String): DataFrame = {
+  def read(spark: SparkSession, storeDir: String): DataFrame =
+    winners(spark, storeDir).select("key", "value")
+
+  /** Per-key winners WITH their full (cseq, writer, epoch, part, seq)
+    * stamps — shared by [[read]] and [[compact]] so LWW tie-breaking can
+    * never diverge between them (the [[KeyedUpsertSink]] arrangement).
+    */
+  private def winners(spark: SparkSession, storeDir: String): DataFrame = {
     val fs = new Path(storeDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val commits = new Path(s"$storeDir/commits")
@@ -181,6 +236,7 @@ object KeyedForeachWriter {
       if (!fs.exists(commits)) Seq.empty[String]
       else fs.listStatus(commits).toSeq
         .map(st => s"$storeDir/data/${markerDataFile(st.getPath.getName)}")
+        .distinct
     require(files.nonEmpty, s"no committed logs at $storeDir")
     val parts = split(col("line"), Sep)
     val arity = size(parts)
@@ -203,6 +259,102 @@ object KeyedForeachWriter {
         field(6, 4, 3, lit(null)).as("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select("key", "value")
+      .drop("rn")
+  }
+
+  /** Fold every committed partition log into ONE compacted log of per-key
+    * winners, bounding read amplification exactly as
+    * [[KeyedUpsertSink.compact]] does for the columnar store (round 6:
+    * the row store previously appended forever). Winners keep their
+    * ORIGINAL stamps, so LWW ordering against later appends is unaffected.
+    *
+    * Replay protection survives marker retirement: before the fold, each
+    * retired (writer, partition)'s high-water epoch is persisted to
+    * `_txn/<writer>__<part>__<epoch>` — `open` consults those fences, and
+    * they only ever record already-committed epochs, so every crash point
+    * is safe. Write order: fences → compacted data (temp → rename) →
+    * compact marker → retire old markers → old data → covered `_seq`
+    * claims. A crash part-way leaves either invisible data (no marker) or
+    * duplicate identical winners (collapse at read). Run out-of-band, like
+    * the columnar store's compaction.
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = new Path(s"$storeDir/commits")
+    if (!fs.exists(commits)) return
+    val markers = fs.listStatus(commits).toSeq.map(_.getPath.getName)
+    if (markers.size <= 1) return
+    // persist per-(writer, partition) fences for the markers being retired
+    val txn = new Path(s"$storeDir/_txn")
+    fs.mkdirs(txn)
+    val fences = markers.flatMap { m =>
+      // strip the `<cseq>__` prefix, then parse `<writer>-<epoch>-<part>`
+      // from the END (writer ids may contain dashes); legacy pre-round-5
+      // `<epoch>-<part>` cores have no writer → `default`
+      val core = m.split("__", 2) match {
+        case Array(n, c) if n.nonEmpty && n.forall(_.isDigit) => c
+        case _ => m
+      }
+      core.split("-") match {
+        case a if a.length >= 3 =>
+          try Some((a.dropRight(2).mkString("-"), a(a.length - 1).toLong, a(a.length - 2).toLong))
+          catch { case _: NumberFormatException => None }
+        case Array(e, p) =>
+          try Some(("default", p.toLong, e.toLong)) catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }
+    fences.groupMapReduce(f => (f._1, f._2))(_._3)(_ max _).foreach { case ((w, p), e) =>
+      fs.create(new Path(txn, s"${w}__${p}__$e"), true).close()
+      fs.listStatus(txn).foreach { st => // prune superseded fences
+        st.getPath.getName.split("__") match {
+          case Array(`w`, pp, ee) if pp == p.toString &&
+            (try ee.toLong < e catch { case _: NumberFormatException => false }) =>
+            fs.delete(st.getPath, false)
+          case _ =>
+        }
+      }
+    }
+    // fold winners (original stamps) into one compacted log
+    val maxSeq = markers.map(markerSeq).foldLeft(-1L)(_ max _) max 0L
+    val existing = fs.listStatus(new Path(s"$storeDir/data")).map(_.getPath.getName).toSet
+    val base = s"compact-$maxSeq"
+    val name = if (!existing.contains(s"$base.log")) base
+      else Iterator.from(1).map(i => s"$base-$i").find(n => !existing.contains(s"$n.log")).get
+    // corrupt-arity rows parse to null fields and cannot re-encode; they
+    // never won a read either (null keys group apart), so drop them here
+    val folded = winners(spark, storeDir)
+      .filter(col("key").isNotNull && col("value").isNotNull &&
+        col("epoch").isNotNull && col("seq").isNotNull)
+      .select(concat_ws(Sep, col("cseq"), col("writer"), col("epoch"),
+        col("part"), col("seq"), col("key"), col("value")).as("value"))
+    val tmp = new Path(s"$storeDir/data/.tmp-$name.log")
+    fs.delete(tmp, true)
+    folded.write.text(tmp.toString)
+    val dst = new Path(s"$storeDir/data/$name.log")
+    fs.delete(dst, true) // orphan from a crashed attempt (provably unreferenced)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    fs.create(new Path(commits, s"${maxSeq}__$name"), true).close() // commit
+    // retire inputs: markers first (readers stop listing their files),
+    // then data; the compacted marker maps `name.log`, never an input
+    markers.foreach(m => fs.delete(new Path(commits.toString, m), false))
+    markers.foreach(m => fs.delete(new Path(s"$storeDir/data/${markerDataFile(m)}"), true))
+    // prune sequence claims the compacted log now covers
+    val seqs = new Path(s"$storeDir/_seq")
+    if (fs.exists(seqs)) fs.listStatus(seqs).foreach { st =>
+      val keep = try st.getPath.getName.toLong > maxSeq
+      catch { case _: NumberFormatException => false }
+      if (!keep) fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Committed log count (compaction/test observability). */
+  def logCount(spark: SparkSession, storeDir: String): Int = {
+    val fs = new Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val commits = new Path(s"$storeDir/commits")
+    if (!fs.exists(commits)) 0
+    else fs.listStatus(commits).length
   }
 }

@@ -140,6 +140,70 @@ class ForeachSinkSpec extends SparkSpec {
         "epoch-ordered reads serve stale values after checkpoint recreation")
   }
 
+  test("row store compaction folds logs, preserves the view, and keeps folded epochs fenced") {
+    // round 6: the row store previously appended forever; compaction gives
+    // it the same bounded read amplification + _txn replay fences as the
+    // columnar KeyedUpsertSink
+    val dir = Files.createTempDirectory("fw").toString
+    val w = new KeyedForeachWriter(dir)
+    for (e <- 0 to 4; p <- 0 to 1) {
+      assert(w.open(p, e))
+      w.process(row(s"k$p", s"e$e-p$p"))
+      w.process(row("shared", s"e$e-p$p"))
+      w.close(null)
+    }
+    val before = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(KeyedForeachWriter.logCount(spark, dir) == 10)
+    KeyedForeachWriter.compact(spark, dir)
+    assert(KeyedForeachWriter.logCount(spark, dir) == 1, "one compacted log")
+    val after = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after == before, s"compaction changed the view: $before -> $after")
+    // folded epochs stay fenced though their markers are retired (_txn)
+    assert(!w.open(0, 4), "folded (writer, epoch, partition) must stay fenced")
+    assert(!w.open(1, 2))
+    // appends after compaction land and win
+    assert(w.open(0, 5))
+    w.process(row("shared", "post-compact"))
+    w.close(null)
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("shared") == "post-compact")
+    // re-compaction over the appended store stays consistent
+    KeyedForeachWriter.compact(spark, dir)
+    assert(KeyedForeachWriter.logCount(spark, dir) == 1)
+    assert(KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap == got)
+  }
+
+  test("row store: simultaneous partition commits never share a commit sequence") {
+    val dir = Files.createTempDirectory("fw").toString
+    val threads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val fs = (0 until threads).map { p =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val w = new KeyedForeachWriter(dir)
+            (0 until 3).foreach { e =>
+              assert(w.open(p, e))
+              w.process(row(s"k$p", s"e$e"))
+              w.close(null)
+            }
+          }
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val seqs = new File(s"$dir/commits").list().toSeq
+      .filterNot(_.startsWith("."))
+      .map(_.split("__")(0).toLong)
+    assert(seqs.size == threads * 3)
+    assert(seqs.distinct.size == seqs.size,
+      s"duplicate commit sequences under concurrency: ${seqs.sorted}")
+  }
+
   test("read handles round-5 (5-field) and pre-round-5 (4-field) legacy logs") {
     // round-6 ADVICE-2: the round-5 reader parsed the 5-field layout
     // unconditionally, silently misparsing old logs (epoch read as writer,
