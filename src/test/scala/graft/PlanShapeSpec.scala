@@ -119,5 +119,12 @@ class PlanShapeSpec extends SparkSpec {
       s"df-cap regressed to a Window over the shingle hash: $shingleWindows")
     // the per-document n_sh window is bounded by document length and stays
     assert(physical(pairs).contains("Window"))
+    // the repartition barriers do their second job: the shingle exchange is
+    // REUSED by the df-cap aggregate, the semi-join and both self-join
+    // branches instead of re-running the sketch pipeline per consumer
+    pairs.collect() // AQE finalizes reuse decisions at execution
+    val executed = pairs.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(executed).size >= 2,
+      "jaccard pipeline must reuse its exchanges across consumers")
   }
 }
