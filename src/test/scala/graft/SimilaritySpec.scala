@@ -194,6 +194,15 @@ class SimilaritySpec extends SparkSpec {
         s"fine assignment must be a shuffled equi-join on coarse_id, saw: $coarseKeyJoins")
       assert(!coarseKeyJoins.contains("broadcast"),
         "the fine centroid table must never be broadcast (it is O(corpus))")
+      // ranking is IN-PROJECTION against packed centroid arrays: a Window
+      // would mean the assignment materialized and shuffled a row per
+      // (vector, centroid) pair — O(n·√F) shuffle rows, the flaw's
+      // shuffle-shaped twin
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"IVF assignment must rank in-projection, found Window operators: $windows")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.enabled")
