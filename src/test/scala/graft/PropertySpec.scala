@@ -46,6 +46,43 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("token_hashes equals the HOF fold on generated texts (alphabet + space runs)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random strings over the corpus alphabet with empty-token pathologies:
+    // leading/trailing/repeated spaces at arbitrary positions
+    val charGen = Gen.frequency(
+      (8, Gen.alphaLowerChar), (3, Gen.const(' ')),
+      (1, Gen.oneOf('é', '中', 'ß')))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val texts = sample(Gen.listOfN(300, textGen), 13L)
+    val bad = texts.toDF("text")
+      .select(
+        graft.functions.Sketches.tokenHashes(col("text")).as("fused"),
+        graft.operators.Dedup.tokenHashesHof(col("text")).as("hof"))
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(bad == 0, "fused token hashing diverged from the HOF formulation")
+  }
+
+  test("ivfAssign inverted lists: every vector routed, cell ranks dense from 1") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.trainIvfCentroids(emb)
+    val lists = Similarity.ivfAssign(emb, idx, probeDepth = 3).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("centroid_id"),
+        r.getAs[Int]("cell_rank")))
+    val n = emb.count()
+    val byVec = lists.groupBy(_._1)
+    assert(byVec.size == n, s"every vector must be routed: ${byVec.size}/$n")
+    byVec.foreach { case (id, rows) =>
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"vec $id ranks not dense: $ranks")
+      assert(ranks.size <= 3)
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"vec $id routed to one cell twice")
+    }
+  }
+
   test("kafka wire format round-trips: parseJson(toKafkaRecords(df)) recovers the wire fields (S3/P1-P3)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
