@@ -523,9 +523,10 @@ object Dedup {
     *
     * Scale: the heavy counting pass streams 64-bit shingle HASHES through
     * a map-side-partial groupBy (never materializing shingle strings);
-    * only the tiny top-k hash set joins back (broadcast semi-join) into a
-    * second pass that recovers the k STRINGS and recounts just them —
-    * string work is O(k + boundary ties), hash work is one aggregate.
+    * the recovery pass re-expands strings transiently MAP-SIDE and keeps
+    * only the hot superset past a broadcast semi-join, so no shingle
+    * string ever shuffles and the final string aggregate touches
+    * O(k + boundary ties) rows.
     * Counting over dedup representatives keeps a mass-duplicated text from
     * promoting its own content to "boilerplate" (same correctness argument
     * as the df count in [[jaccardPairs]]). The hash cut keeps EVERY hash

@@ -200,7 +200,12 @@ object Similarity {
     * every centroid AND broadcast them all); recall is coarse-geometry
     * bounded — multi-probe (`cprobe` > 1) compensates, and at fixture
     * scale `cprobe` ≥ #coarse makes the assignment exactly the flat
-    * argmax.
+    * argmax. Skew caveat: one cell-packed row holds one coarse cell's fine
+    * centroids — coarse Lloyd training balances cells toward ~√F entries,
+    * but a pathologically concentrated corpus concentrates that array
+    * (memory per TASK, not per executor; repartitioning cannot split a
+    * packed row — the mitigation is more coarse cells, i.e. a larger
+    * coarse sample).
     */
   private def assignFine(vecs: DataFrame, index: IvfIndex, cprobe: Int,
                          keep: Int, idCol: String): DataFrame = {
