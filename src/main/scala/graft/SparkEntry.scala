@@ -95,9 +95,14 @@ object SparkEntry {
   private def ivfIndex(s: SparkSession, d: String): Similarity.IvfIndex = {
     ivfIndexCache.keySet.removeIf(_._1.sparkContext.isStopped)
     ivfIndexCache.computeIfAbsent((s, d), _ => {
-      val idx = Similarity.trainIvfCentroids(Tables.embeddings(s, d))
-      Similarity.IvfIndex(idx.coarse.localCheckpoint(eager = false),
-        idx.fine.localCheckpoint(eager = false))
+      // staged: the fine level builds on the CHECKPOINTED coarse frame, so
+      // coarse training runs once instead of re-executing inside every
+      // fine/list materialization
+      val coarse = Similarity.trainIvfCoarse(Tables.embeddings(s, d))
+        .localCheckpoint(eager = false)
+      val fine = Similarity.trainIvfFine(Tables.embeddings(s, d), coarse)
+        .localCheckpoint(eager = false)
+      Similarity.IvfIndex(coarse, fine)
     })
   }
 

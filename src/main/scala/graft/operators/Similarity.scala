@@ -286,9 +286,18 @@ object Similarity {
     */
   private def trainedIndex(corpus: DataFrame, cellSize: Int, trainIters: Int,
                            cprobe: Int): IvfIndex = {
-    val fineSeeds = corpus
+    val coarse = coarseLevel(corpus, cellSize, trainIters)
+    IvfIndex(coarse, fineLevel(corpus, coarse, cellSize, trainIters, cprobe))
+  }
+
+  private def fineSeedsOf(corpus: DataFrame, cellSize: Int): DataFrame =
+    corpus
       .filter(pmod(xxhash64(col("vec_id")), lit(cellSize.toLong)) === 0L)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  private def coarseLevel(corpus: DataFrame, cellSize: Int,
+                          trainIters: Int): DataFrame = {
+    val fineSeeds = fineSeedsOf(corpus, cellSize)
     val stats = fineSeeds.agg(
       count(lit(1)).as("__f"), min(col("centroid_id")).as("__min_id"))
     val coarseSeeds = fineSeeds.crossJoin(broadcast(stats))
@@ -299,21 +308,39 @@ object Similarity {
       .select(col("centroid_id"), col("cv"), col("cnrm"))
     val fineAsCorpus = fineSeeds.select(col("centroid_id").as("vec_id"),
       col("cv").as("v"), col("cnrm").as("nrm"))
-    val coarse = (1 to trainIters)
+    (1 to trainIters)
       .foldLeft(coarseSeeds)((c, _) => lloydStep(fineAsCorpus, c))
       .select(col("centroid_id").as("coarse_id"), col("cv").as("ccv"),
         col("cnrm").as("ccnrm"))
-    val fine = (1 to trainIters).foldLeft(routeFine(fineSeeds, coarse)) { (f, _) =>
+  }
+
+  private def fineLevel(corpus: DataFrame, coarse: DataFrame, cellSize: Int,
+                        trainIters: Int, cprobe: Int): DataFrame =
+    (1 to trainIters).foldLeft(routeFine(fineSeedsOf(corpus, cellSize), coarse)) { (f, _) =>
       val assigned = assignFine(corpus, IvfIndex(coarse, f), cprobe, 1, "vec_id")
       routeFine(cellMeans(assigned.select(col("centroid_id"), col("v"))), coarse)
     }
-    IvfIndex(coarse, fine)
-  }
 
   /** Public index-build entry — see [[trainedIndex]]. */
   def trainIvfCentroids(embeddings: DataFrame, cellSize: Int = 128,
                         trainIters: Int = 2, cprobe: Int = 4): IvfIndex =
     trainedIndex(prepared(embeddings), cellSize, trainIters, cprobe)
+
+  /** Staged index-build entries for callers that persist or checkpoint
+    * each level before building the next on top of it (the registry
+    * does): built in one expression, the fine level's lineage re-embeds
+    * the whole coarse-training sub-DAG and re-executes it at every
+    * separate materialization — train the coarse quantizer, checkpoint
+    * it, then pass the checkpointed frame to [[trainIvfFine]] so each
+    * level's work runs exactly once.
+    */
+  def trainIvfCoarse(embeddings: DataFrame, cellSize: Int = 128,
+                     trainIters: Int = 2): DataFrame =
+    coarseLevel(prepared(embeddings), cellSize, trainIters)
+
+  def trainIvfFine(embeddings: DataFrame, coarse: DataFrame, cellSize: Int = 128,
+                   trainIters: Int = 2, cprobe: Int = 4): DataFrame =
+    fineLevel(prepared(embeddings), coarse, cellSize, trainIters, cprobe)
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest fine centroid through the two-level index; each query probes
