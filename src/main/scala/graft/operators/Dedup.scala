@@ -542,6 +542,11 @@ object Dedup {
     val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
+    // Dedup.shingleHashes (NOT the raw Sketches variant) is distinct-per-
+    // document, so hash-df here is true per-doc df even when boilerplate
+    // repeats WITHIN one document — matching the string pass and the
+    // list_distinct oracle (LlmOpsSpec pins this on a within-doc-repeat
+    // fixture).
     val counts = repDocs
       .select(explode(shingleHashes(col("text"), n)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
@@ -556,6 +561,10 @@ object Dedup {
       .withColumn("h", xxhash64(col("shingle")))
       .join(broadcast(hotHashes), Seq("h"), "left_semi")
       .groupBy("shingle").agg(count(lit(1)).as("df"))
+      // hotHashes already guarantees df >= minDf (string df == hash df up
+      // to 64-bit within-doc collisions); re-assert the contract on the
+      // OUTPUT column so a collision can never leak a below-floor shingle.
+      .filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("shingle"))
       .limit(topK)
   }

@@ -212,8 +212,18 @@ object Similarity {
     val fineCells = index.fine
       .groupBy("coarse_id")
       .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cnrm"))).as("fs"))
+    // Probe only NON-EMPTY coarse cells: [[routeFine]] can leave a coarse
+    // cell with zero fine centroids, and a vector whose cprobe probes all
+    // landed on empty cells would vanish through the inner join below —
+    // dropped from the inverted lists, the ivfTopK corpus, and the Lloyd
+    // means (round-7 ADVICE). Ranking against the non-empty subset spends
+    // every probe on a cell that can actually answer, so the join is
+    // total by construction (spec'd on a hand-built empty-cell index).
+    // The semi-join's build side is ≤ the coarse table itself (~√F rows).
+    val nonEmptyCoarse = index.coarse
+      .join(broadcast(fineCells.select("coarse_id")), Seq("coarse_id"), "left_semi")
     val rest = vecs.columns.filter(_ != idCol)
-    val perCell = probeCoarse(vecs, packedCoarse(index.coarse), cprobe)
+    val perCell = probeCoarse(vecs, packedCoarse(nonEmptyCoarse), cprobe)
       .join(fineCells, Seq("coarse_id")) // shuffled: the fine table is O(corpus)
       .select(vecs.columns.map(col) :+
         slice(array_sort(transform(col("fs"), f =>

@@ -240,15 +240,21 @@ object KeyedForeachWriter {
     require(files.nonEmpty, s"no committed logs at $storeDir")
     val parts = split(col("line"), Sep)
     val arity = size(parts)
+    // Every layout ever written has arity exactly 7, 5, or 4 — any other
+    // count is a corrupt/truncated line, REJECTED below rather than
+    // misparsed as the 4-field legacy layout (a 6- or 8-field fragment
+    // routed through the legacy branch would fabricate stamps/keys and
+    // could win LWW for a garbage key — round-7 ADVICE).
     val field = (i7: Int, i5: Int, i4: Int, dflt: Column) =>
       when(arity === 7, parts.getItem(i7))
         .when(arity === 5, if (i5 >= 0) parts.getItem(i5) else dflt)
-        .otherwise(if (i4 >= 0) parts.getItem(i4) else dflt)
+        .when(arity === 4, if (i4 >= 0) parts.getItem(i4) else dflt)
     val w = Window.partitionBy("key")
       .orderBy(col("cseq").desc, col("epoch").desc, col("writer").desc,
         col("part").desc, col("seq").desc)
     spark.read.textFile(files: _*).toDF("line")
       .filter(length(col("line")) > 0)
+      .filter(arity.isin(7, 5, 4))
       .select(
         field(0, -1, -1, lit("-1")).cast("long").as("cseq"),
         field(1, 0, -1, lit("default")).as("writer"),

@@ -235,6 +235,25 @@ class ForeachSinkSpec extends SparkSpec {
     assert(got == Map("a" -> "v-r6", "b" -> "v-r5b"))
   }
 
+  test("corrupt lines of non-layout arity are rejected, not legacy-parsed") {
+    // round-7 ADVICE: the legacy branch used to be an `otherwise`, so a
+    // truncated 6-field fragment or an 8-field line misparsed as the
+    // 4-field layout — fabricated stamps could then win LWW for a garbage
+    // key. Only arities 7/5/4 were ever written; everything else drops.
+    val dir = Files.createTempDirectory("fw").toString
+    val S = KeyedForeachWriter.Sep
+    new File(s"$dir/data").mkdirs(); new File(s"$dir/commits").mkdirs()
+    Files.write(new File(s"$dir/data/9-0.log").toPath,
+      (s"9${S}0${S}a${S}v-good" + "\n" +                      // valid 4-field
+        s"9${S}1${S}x${S}y${S}z${S}w" + "\n" +                // corrupt 6-field
+        s"1${S}2${S}3${S}4${S}5${S}6${S}7${S}8").getBytes)    // corrupt 8-field
+    Files.write(new File(s"$dir/commits/9-0").toPath, Array.emptyByteArray)
+    val got = KeyedForeachWriter.read(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "v-good"),
+      s"corrupt arities must be dropped, got $got")
+  }
+
   test("streaming foreach sink lands wire records end-to-end") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

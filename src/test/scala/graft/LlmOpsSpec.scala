@@ -85,6 +85,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(graft.operators.Dedup.hotShingles(clean).collect().isEmpty)
   }
 
+  test("hot shingles: within-doc boilerplate repetition does not inflate df") {
+    import spark.implicits._
+    // Boilerplate repeated 5x WITHIN each of 3 docs (typical template chrome):
+    // per-occurrence counting would give its tri-grams df ≈ 15 and let them
+    // evict the truly-hot shingle; distinct-per-doc df must stay 3.
+    val inner = Array.fill(5)("click here now").mkString(" ")
+    val docs = (
+      (0 until 3).map(i => (i.toLong, s"p$i q$i $inner r$i")) ++
+      (10 until 14).map(i => (i.toLong, s"u$i v$i footer text legal w$i"))
+    ).toDF("doc_id", "text")
+    val r = Dedup.hotShingles(docs, topK = 3)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    // true dfs: "footer text legal" 4; repeated-boilerplate tri-grams 3 each
+    // ("click here now"/"here now click"/"now click here" — string tie-break)
+    assert(r == Seq(("footer text legal", 4L), ("click here now", 3L),
+      ("here now click", 3L)), s"got $r")
+  }
+
   test("jaccard df-cap: a hot shingle shared by every doc no longer pairs the corpus quadratically") {
     import spark.implicits._
     // 100 docs sharing one boilerplate shingle ("common boiler plate") plus a

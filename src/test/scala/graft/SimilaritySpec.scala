@@ -209,6 +209,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("empty coarse cells cannot drop vectors from the inverted lists") {
+    import spark.implicits._
+    // round-7 ADVICE: routeFine can leave a coarse cell with zero fine
+    // centroids; a vector whose cprobe probed cells were ALL empty used to
+    // vanish through assignFine's inner join. Hand-build the pathological
+    // index: coarse cell 1 sits exactly on the e2 axis but owns no fine
+    // centroids — every fine centroid lives under cell 0 (e1 axis). An
+    // e2-aligned vector probing only its nearest coarse cell (cprobe = 1)
+    // would have probed the empty cell 1; assignment must instead route
+    // it through the non-empty cell and keep it.
+    val e1 = Array(1.0f, 0.0f); val e2 = Array(0.0f, 1.0f)
+    val coarse = Seq(
+      (0L, e1.map(_.toDouble), 1.0),
+      (1L, e2.map(_.toDouble), 1.0)).toDF("coarse_id", "ccv", "ccnrm")
+    val fine = Seq(
+      (0L, 100L, Array(1.0, 0.0), 1.0)).toDF("coarse_id", "centroid_id", "cv", "cnrm")
+    val idx = Similarity.IvfIndex(coarse, fine)
+    val vecs = Seq(
+      (0L, "x", e1),            // home: cell 0 (non-empty)
+      (1L, "x", e2),            // home: cell 1 (EMPTY — the drop case)
+      (2L, "x", Array(0.1f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, idx, cprobe = 1, probeDepth = 1)
+    val ids = assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L),
+      s"every vector must survive assignment past empty coarse cells, got $ids")
+    // and they all land in the only real cell
+    assert(assigned.select("centroid_id").collect().forall(_.getLong(0) == 100L))
+  }
+
   test("ivfTopK plans lazily: building + optimizing the query runs zero jobs") {
     // round-1 regression guard: the operator builder ran an eager
     // corpus.count() — a full extra scan job per invocation, before the
