@@ -238,6 +238,41 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("centroid_id").collect().forall(_.getLong(0) == 100L))
   }
 
+  test("persisted IVF index: serving scans only the index, never embeddings") {
+    // round-6 VERDICT-1 follow-up: the bench used to re-pay Lloyd training
+    // inside every timed ANN run. A deployment trains once
+    // (persistIndex), then every consumer — including the query vectors —
+    // reads the three persisted tables. Template: the q_dedup_incremental
+    // no-rescan spec.
+    val base = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val embPath = s"$base/embeddings.parquet"
+    emb.write.parquet(embPath)
+    val embFromFile = spark.read.parquet(embPath)
+    val idxDir = s"$base/idx"
+    Similarity.persistIndex(embFromFile, idxDir)
+    assert(Similarity.indexReady(spark, idxDir))
+    val (idx, lists) = Similarity.loadIndex(spark, idxDir)
+    val queries = lists
+      .filter(col("cell_rank") === 1 && col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    val topk = Similarity.ivfTopKServe(idx, lists, queries)
+    val pairs = Similarity.ivfNearDupServe(lists, 0.4)
+    for ((name, df) <- Seq("ivfTopKServe" -> topk, "ivfNearDupServe" -> pairs)) {
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan"))
+      assert(scans.nonEmpty && scans.forall(_.contains("idx")),
+        s"$name must scan only the persisted index:\n${scans.mkString("\n")}")
+    }
+    // and the served results are exactly what the inline operators produce
+    // when handed the same loaded index/lists
+    val inlineTopk = Similarity.ivfTopK(embFromFile,
+      indexOpt = Some(idx), assignedOpt = Some(lists)).collect().toSeq
+    assert(topk.collect().toSeq == inlineTopk)
+    val inlinePairs = Similarity.ivfNearDupPairs(embFromFile, 0.4,
+      indexOpt = Some(idx), assignedOpt = Some(lists)).collect().toSeq
+    assert(pairs.collect().toSeq == inlinePairs)
+  }
+
   test("ivfTopK plans lazily: building + optimizing the query runs zero jobs") {
     // round-1 regression guard: the operator builder ran an eager
     // corpus.count() — a full extra scan job per invocation, before the
