@@ -186,6 +186,56 @@ object Similarity {
           c("coarse_id").as("coarse_id")))), 1, cprobe)))
       .select(vecs.columns.map(col) :+ col("__probe.coarse_id").as("coarse_id"): _*)
 
+  /** Per-task memory bound for one packed fine-centroid array: ~4096
+    * structs ≈ a few MB at typical embedding dims — far under executor
+    * task memory, far over the ~√F a balanced cell holds (so the guard is
+    * free until it is needed).
+    */
+  private[graft] val MaxPackedCell = 4096
+
+  /** Fine centroids packed into one array-of-structs row per (coarse
+    * cell, shard). Balanced training keeps cells at ~√F entries and the
+    * shard count at 1 — identical to the unguarded packing. A
+    * pathologically concentrated corpus (round-6 watch item: e.g. 90% of
+    * vectors in one tight cluster whose coarse centroids collapse and
+    * tie-break to one cell) can pour O(F) fine centroids into ONE cell;
+    * since a packed row is indivisible by repartitioning, that array used
+    * to be an unbounded single-task memory hazard. Cells above `maxPack`
+    * now hash-shard on `centroid_id` into ⌈n/maxPack⌉ sub-rows (expected
+    * shard size ≤ maxPack; a multinomial-concentration bound, not a hard
+    * cap). EXACTNESS: probing joins on `coarse_id` alone, so a probe
+    * meets every shard of its cell, ranks each in-projection, and the
+    * existing per-id top-`keep` merge in [[assignFine]] recombines them —
+    * the merged result equals the unsharded cell's top-`keep` because
+    * every global winner is also its own shard's winner. Cost: shuffle
+    * rows grow from n·cprobe to n·cprobe·shards ONLY for oversized cells;
+    * the cell-size aggregate is map-side over the fine table and its
+    * broadcast is one row per coarse cell.
+    */
+  private[graft] def packedCells(fine: DataFrame, maxPack: Int): DataFrame =
+    packedCellsWith(fine, cellSizesOf(fine), maxPack)
+
+  /** One row per non-empty coarse cell with its fine-centroid count — the
+    * shared first pass of [[packedCellsWith]] AND the non-empty-cell
+    * routing filter in [[assignFine]]. Computed ONCE per assignment so the
+    * fine table is referenced exactly twice there (this aggregate + the
+    * pack join): during inline training the fine frame is an
+    * un-checkpointed Lloyd chain, and every extra reference to it
+    * multiplies the re-embedded sub-DAG per iteration — three references
+    * made the chain ~3^iters and the round-6 suite timed lineage replay.
+    */
+  private def cellSizesOf(fine: DataFrame): DataFrame =
+    fine.groupBy("coarse_id").agg(count(lit(1)).as("__n"))
+
+  private def packedCellsWith(fine: DataFrame, cellSizes: DataFrame,
+                              maxPack: Int): DataFrame =
+    fine.join(broadcast(cellSizes), "coarse_id")
+      .withColumn("__shard", pmod(xxhash64(col("centroid_id")),
+        ceil(col("__n") / lit(maxPack.toDouble)).cast("long")))
+      .groupBy("coarse_id", "__shard")
+      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cnrm"))).as("fs"))
+      .drop("__shard")
+
   /** Nearest-fine-centroid assignment through the two-level index: probe
     * the `cprobe` nearest COARSE cells ([[probeCoarse]] — the only
     * broadcast), reach the fine centroids of those cells via a
@@ -200,18 +250,17 @@ object Similarity {
     * every centroid AND broadcast them all); recall is coarse-geometry
     * bounded — multi-probe (`cprobe` > 1) compensates, and at fixture
     * scale `cprobe` ≥ #coarse makes the assignment exactly the flat
-    * argmax. Skew caveat: one cell-packed row holds one coarse cell's fine
-    * centroids — coarse Lloyd training balances cells toward ~√F entries,
-    * but a pathologically concentrated corpus concentrates that array
-    * (memory per TASK, not per executor; repartitioning cannot split a
-    * packed row — the mitigation is more coarse cells, i.e. a larger
-    * coarse sample).
+    * argmax. Packed-cell skew is BOUNDED (round-6 watch item promoted):
+    * [[packedCells]] hash-shards any coarse cell holding more than
+    * `maxPack` fine centroids, so per-task array memory never exceeds
+    * ~maxPack structs no matter how concentrated the corpus — see its
+    * doc for the exactness argument and the cost model.
     */
   private def assignFine(vecs: DataFrame, index: IvfIndex, cprobe: Int,
-                         keep: Int, idCol: String): DataFrame = {
-    val fineCells = index.fine
-      .groupBy("coarse_id")
-      .agg(collect_list(struct(col("centroid_id"), col("cv"), col("cnrm"))).as("fs"))
+                         keep: Int, idCol: String,
+                         maxPack: Int = MaxPackedCell): DataFrame = {
+    val cellSizes = cellSizesOf(index.fine)
+    val fineCells = packedCellsWith(index.fine, cellSizes, maxPack)
     // Probe only NON-EMPTY coarse cells: [[routeFine]] can leave a coarse
     // cell with zero fine centroids, and a vector whose cprobe probes all
     // landed on empty cells would vanish through the inner join below —
@@ -219,9 +268,11 @@ object Similarity {
     // means (round-7 ADVICE). Ranking against the non-empty subset spends
     // every probe on a cell that can actually answer, so the join is
     // total by construction (spec'd on a hand-built empty-cell index).
-    // The semi-join's build side is ≤ the coarse table itself (~√F rows).
+    // The semi-join's build side is ≤ the coarse table itself (~√F rows);
+    // it probes the SHARED [[cellSizesOf]] aggregate, not the packed
+    // frame, so this filter adds no extra reference to the fine table.
     val nonEmptyCoarse = index.coarse
-      .join(broadcast(fineCells.select("coarse_id")), Seq("coarse_id"), "left_semi")
+      .join(broadcast(cellSizes.select("coarse_id")), Seq("coarse_id"), "left_semi")
     val rest = vecs.columns.filter(_ != idCol)
     val perCell = probeCoarse(vecs, packedCoarse(nonEmptyCoarse), cprobe)
       .join(fineCells, Seq("coarse_id")) // shuffled: the fine table is O(corpus)
@@ -250,8 +301,8 @@ object Similarity {
     * the one corpus routing pass, exactly as the registry does.
     */
   def ivfAssign(embeddings: DataFrame, index: IvfIndex, cprobe: Int = 4,
-                probeDepth: Int = 3): DataFrame =
-    assignFine(prepared(embeddings), index, cprobe, probeDepth, "vec_id")
+                probeDepth: Int = 3, maxPack: Int = MaxPackedCell): DataFrame =
+    assignFine(prepared(embeddings), index, cprobe, probeDepth, "vec_id", maxPack)
 
   /** Route fine centroids to their nearest coarse cell (packed-broadcast
     * argmax — the fine side stays distributed, no exchange added).
@@ -287,16 +338,25 @@ object Similarity {
     *
     * The chain is returned UN-checkpointed on purpose: under AQE even a
     * lazy localCheckpoint materializes its query stages at CALL time,
-    * which would break the zero-planning-jobs contract (spec'd); at
-    * trainIters ≈ 2 the chain is shallow and consumers' duplicate
-    * broadcast subtrees dedupe via exchange reuse at execution. A real
-    * deployment trains ONCE and persists both frames — pass them back via
-    * `indexOpt` (the registry's `q_ann_ivf_topk`/`q_ivf_neardup_pairs`
-    * share one trained index that way).
+    * which would break the zero-planning-jobs contract (spec'd). Each
+    * staged centroid frame is instead `persist()`-ed — persist is fully
+    * lazy (zero jobs at call, contract intact) but at execution the cache
+    * manager substitutes every duplicated copy of a staged subtree with
+    * the one cached relation, so each training level computes ONCE no
+    * matter how many times consumers re-embed it ([[assignFine]]
+    * references the evolving fine frame twice per iteration; without the
+    * cache the inline chain re-executes ~2^iters× per action — and every
+    * `broadcast(...)` inside a duplicated subtree is its own exchange, so
+    * exchange reuse alone does not save it). The cached frames are
+    * centroid tables — O(corpus/cellSize) rows at MEMORY_AND_DISK, never
+    * the corpus itself. A real deployment still trains ONCE and persists
+    * both frames durably — pass them back via `indexOpt` (the registry's
+    * `q_ann_ivf_topk`/`q_ivf_neardup_pairs` serve from the
+    * [[persistIndex]]-ed parquet tables).
     */
   private def trainedIndex(corpus: DataFrame, cellSize: Int, trainIters: Int,
                            cprobe: Int): IvfIndex = {
-    val coarse = coarseLevel(corpus, cellSize, trainIters)
+    val coarse = coarseLevel(corpus, cellSize, trainIters).persist()
     IvfIndex(coarse, fineLevel(corpus, coarse, cellSize, trainIters, cprobe))
   }
 
@@ -324,11 +384,18 @@ object Similarity {
         col("cnrm").as("ccnrm"))
   }
 
+  /** Every fold level is lazily `persist()`-ed: level i+1 references
+    * level i twice (see [[trainedIndex]]'s doc for why the cache, not
+    * exchange reuse, is what keeps the inline chain's execution linear in
+    * `trainIters`).
+    */
   private def fineLevel(corpus: DataFrame, coarse: DataFrame, cellSize: Int,
                         trainIters: Int, cprobe: Int): DataFrame =
-    (1 to trainIters).foldLeft(routeFine(fineSeedsOf(corpus, cellSize), coarse)) { (f, _) =>
+    (1 to trainIters).foldLeft(
+      routeFine(fineSeedsOf(corpus, cellSize), coarse).persist()) { (f, _) =>
       val assigned = assignFine(corpus, IvfIndex(coarse, f), cprobe, 1, "vec_id")
       routeFine(cellMeans(assigned.select(col("centroid_id"), col("v"))), coarse)
+        .persist()
     }
 
   /** Public index-build entry — see [[trainedIndex]]. */

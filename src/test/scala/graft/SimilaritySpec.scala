@@ -182,18 +182,30 @@ class SimilaritySpec extends SparkSpec {
       import org.apache.spark.sql.execution.joins._
       val plan = Similarity.ivfNearDupPairs(emb, 0.95, cellSize = cellSize)
         .queryExecution.executedPlan
+      // a vector payload on a broadcast build side is what makes a
+      // broadcast O(corpus): the skew guard's cell-size table (one count
+      // per coarse cell, ~√F longs) broadcasts legitimately on the same
+      // key, so classify by WHAT is broadcast, not just the join key
+      val vectorCols = Set("cv", "cnrm", "fs", "v", "nrm")
       val coarseKeyJoins = plan.collect {
         case j: SortMergeJoinExec
           if j.leftKeys.exists(_.references.exists(_.name == "coarse_id")) => "shuffled"
         case j: ShuffledHashJoinExec
           if j.leftKeys.exists(_.references.exists(_.name == "coarse_id")) => "shuffled"
         case j: BroadcastHashJoinExec
-          if j.leftKeys.exists(_.references.exists(_.name == "coarse_id")) => "broadcast"
+          if j.leftKeys.exists(_.references.exists(_.name == "coarse_id")) =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          if (build.output.exists(a => vectorCols.contains(a.name))) "broadcast"
+          else "scalar-broadcast"
       }
       assert(coarseKeyJoins.contains("shuffled"),
         s"fine assignment must be a shuffled equi-join on coarse_id, saw: $coarseKeyJoins")
       assert(!coarseKeyJoins.contains("broadcast"),
-        "the fine centroid table must never be broadcast (it is O(corpus))")
+        s"a vector-carrying fine-centroid frame must never be broadcast " +
+          s"(it is O(corpus)), saw: $coarseKeyJoins")
       // ranking is IN-PROJECTION against packed centroid arrays: a Window
       // would mean the assignment materialized and shuffled a row per
       // (vector, centroid) pair — O(n·√F) shuffle rows, the flaw's
@@ -236,6 +248,58 @@ class SimilaritySpec extends SparkSpec {
       s"every vector must survive assignment past empty coarse cells, got $ids")
     // and they all land in the only real cell
     assert(assigned.select("centroid_id").collect().forall(_.getLong(0) == 100L))
+  }
+
+  test("packed-cell skew guard: a concentrated corpus shards its hot cell, assignment unchanged") {
+    import spark.implicits._
+    // round-6 watch item promoted to bounded behavior: 90% of vectors in
+    // one TIGHT angular cluster. Its fine centroids collapse to near-
+    // identical directions, the coarse centroids inside collapse too, and
+    // the (ns, coarse_id) tie-break routes the whole cluster's fine
+    // centroids into one coarse cell — the packed-array-in-one-task
+    // hazard. packedCells must shard that cell; assignment through the
+    // sharded pack must equal the unsharded result exactly.
+    val n = 1200
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i % 10 != 0) Array(10.0f + (i % 97) * 1e-3f, 10.0f - (i % 89) * 1e-3f)
+        else Array(0.5f + (i % 13), 0.5f + ((i * 7) % 17))
+      (i.toLong, "x", v)
+    }
+    val embDf = rows.toDF("vec_id", "label", "embedding")
+    // Stage + checkpoint each training level exactly as the registry and
+    // persistIndex do: this spec runs several actions over the index, and
+    // an inline (un-checkpointed) training chain would re-execute the
+    // whole Lloyd fold per action — with assignFine referencing the fine
+    // table three times (sizes aggregate, pack join, non-empty semi-join),
+    // the re-analyzed tree grows ~3^iters and the spec times lineage
+    // replay instead of the guard under test.
+    val coarseCk = Similarity.trainIvfCoarse(embDf, cellSize = 8).localCheckpoint()
+    val fineCk = Similarity.trainIvfFine(embDf, coarseCk, cellSize = 8).localCheckpoint()
+    val idx = Similarity.IvfIndex(coarseCk, fineCk)
+    val maxCell = idx.fine.groupBy("coarse_id").count()
+      .agg(max("count")).head().getLong(0)
+    val total = idx.fine.count()
+    info(s"fine centroids: $total, largest coarse cell: $maxCell")
+    assert(maxCell > 8, s"fixture must concentrate one cell past maxPack, got $maxCell")
+    // the guard engages: packed arrays stay near maxPack (hash-shard
+    // concentration, not a hard cap), and no centroid is lost/duplicated
+    val packed = Similarity.packedCells(idx.fine, maxPack = 8)
+    val maxArr = packed.agg(max(size(col("fs")))).head().getInt(0)
+    assert(maxArr <= 16, s"sharded packs must be bounded near maxPack=8, got $maxArr")
+    assert(packed.agg(sum(size(col("fs")))).head().getLong(0) == total)
+    // engagement, not vacuity: the hot cell split into >1 packed row, so
+    // there are strictly more packed rows than coarse cells with members
+    val nCells = idx.fine.select("coarse_id").distinct().count()
+    assert(packed.count() > nCells,
+      s"guard must shard the hot cell: ${packed.count()} packs vs $nCells cells")
+    // exactness: sharded ranking + per-id merge == unsharded ranking
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell_rank"), r.getAs[Long]("centroid_id"))
+    val guarded = Similarity.ivfAssign(embDf, idx, maxPack = 8).collect().map(key).sorted
+    val unguarded = Similarity.ivfAssign(embDf, idx).collect().map(key).sorted
+    assert(guarded.sameElements(unguarded),
+      "sharding a packed cell must not change the assignment")
   }
 
   test("persisted IVF index: serving scans only the index, never embeddings") {
