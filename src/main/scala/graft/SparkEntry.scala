@@ -84,6 +84,17 @@ object SparkEntry {
   private def dupMembers(s: SparkSession, d: String): DataFrame =
     memo(dupMembersCache, s, d)(Dedup.dupGroups(Tables.documents(s, d)))
 
+  /** Mined boilerplate stop-list, shared by `q_hot_shingles` (the report)
+    * and `q_stoplist_pairs` (the mine → strip → pair composition) — a real
+    * pipeline mines the list once per corpus snapshot and every dedup
+    * consumer strips against the same table.
+    */
+  private val hotShinglesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def hotShinglesFrame(s: SparkSession, d: String): DataFrame =
+    memo(hotShinglesCache, s, d)(
+      Dedup.hotShingles(Tables.documents(s, d), membersOpt = Some(dupMembers(s, d))))
+
   /** PERSISTED IVF index (coarse + fine centroids + depth-3 inverted
     * lists) shared by `q_ann_ivf_topk` and `q_ivf_neardup_pairs` — the
     * index a real deployment trains ONCE as a batch job and serves every
@@ -721,8 +732,7 @@ object SparkEntry {
     // counting runs on 64-bit hashes; strings materialize only for the
     // boundary-tie superset of the top k.
     ("q_hot_shingles",
-      (s, d) => Dedup.hotShingles(Tables.documents(s, d),
-        membersOpt = Some(dupMembers(s, d))),
+      (s, d) => hotShinglesFrame(s, d).orderBy(col("df").desc, col("shingle")),
       Some("""WITH d AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
         |sh AS (SELECT doc_id, unnest(list_distinct(
         |  list_transform(generate_series(1, len(t) - 2),
@@ -746,6 +756,51 @@ object SparkEntry {
         |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
         |kept AS (SELECT * FROM ex0 WHERE shingle IN
         |  (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 50)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |rp AS (SELECT doc_id1, doc_id2,
+        |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+        |  FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
+        |elig AS (SELECT * FROM members WHERE rep IN (SELECT doc_id FROM sz)),
+        |intra AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM elig a JOIN elig b ON a.rep = b.rep AND a.doc_id < b.doc_id),
+        |xg AS (SELECT least(m1.doc_id, m2.doc_id) AS doc_id1,
+        |  greatest(m1.doc_id, m2.doc_id) AS doc_id2, rp.jaccard
+        |  FROM rp JOIN members m1 ON rp.doc_id1 = m1.rep
+        |           JOIN members m2 ON rp.doc_id2 = m2.rep)
+        |SELECT * FROM intra UNION ALL SELECT * FROM xg
+        |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
+    // mine → strip → pair (round-6 verdict 4): the stop-list COMPOSITION of
+    // q_hot_shingles and q_jaccard_pairs. The mined boilerplate list — the
+    // same memoized frame q_hot_shingles reports — is stripped from the
+    // shingle universe BEFORE the df count, so documents related only
+    // through template chrome no longer pair and jaccard is scored over
+    // post-strip sets; the df-cap still guards whatever the miner missed.
+    ("q_stoplist_pairs",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
+        membersOpt = Some(dupMembers(s, d)),
+        stopHashesOpt = Some(Dedup.stopListHashes(hotShinglesFrame(s, d)))),
+      Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+        |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
+        |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
+        |sets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs)),
+        |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+        |hot AS (SELECT shingle FROM
+        |  (SELECT shingle, count(*) AS df FROM ex0 GROUP BY shingle)
+        |  WHERE df >= 2 ORDER BY df DESC, shingle LIMIT 20),
+        |exs AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |kept AS (SELECT * FROM exs WHERE shingle IN
+        |  (SELECT shingle FROM exs GROUP BY shingle HAVING count(*) <= 50)),
         |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
         |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1135,15 +1190,22 @@ object SparkEntry {
         |FROM documents WHERE CAST(floor(n_chars / 10) AS INT) > 0
         |ORDER BY media_id, frame_idx""".stripMargin)),
 
-    // hash-seeded embedding stub — engine-specific hash, rows-only check.
-    // Stringified: even rows-only results go through the driver's pandas
-    // sort, which cannot handle array cells.
+    // fingerprint-seeded embedding stub, oracle-checked (round-6 verdict
+    // 5 — previously a rows-only xxhash64 scheme DuckDB could not
+    // reproduce). Exploded to (media_id, dim, val): the driver's pandas
+    // sort cannot handle array cells, and exploding keeps `val` a DOUBLE
+    // compared bit-exactly instead of a formatted string (double→string
+    // rendering differs across engines; double ARITHMETIC does not).
     ("q_media_embed",
       (s, d) => Multimodal.embedStub(Multimodal.mediaFromDocuments(Tables.documents(s, d)))
-        .withColumn("embedding",
-          array_join(transform(col("embedding"), _.cast("string")), ","))
-        .orderBy("media_id"),
-      None),
+        .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .orderBy("media_id", "dim"),
+      Some(s"""WITH fp AS (SELECT doc_id AS media_id,
+        |  ${TextAnalysis.Sql.fingerprint} AS f FROM documents)
+        |SELECT media_id, CAST(d AS INT) AS dim,
+        |  CAST((f * (2 * d + 1) + d * 40503) % 2000001 AS DOUBLE) / 1000000.0 - 1.0 AS val
+        |FROM fp, generate_series(0, 15) AS t(d)
+        |ORDER BY media_id, dim""".stripMargin)),
 
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),

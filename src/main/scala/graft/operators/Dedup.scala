@@ -94,7 +94,8 @@ object Dedup {
     * the minhash band-miss probability).
     */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
-                   maxDf: Int = 50, membersOpt: Option[DataFrame] = None): DataFrame = {
+                   maxDf: Int = 50, membersOpt: Option[DataFrame] = None,
+                   stopHashesOpt: Option[DataFrame] = None): DataFrame = {
     val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
@@ -102,10 +103,20 @@ object Dedup {
     // barrier (stops CollapseProject inlining the expensive shingle
     // expression downstream) AND pre-partitions everything by `h`: the df
     // window, and BOTH sides of the self-join (one exchange, reused).
-    val ex = repDocs
+    val exAll = repDocs
       .select(col("doc_id"),
         explode(shingleHashes(col("text"), n)).as("h"))
       .repartition(col("h"))
+    // Mined stop-list strip (the [[hotShingles]] → df-cap composition a
+    // real pipeline runs): remove stop shingles from the universe BEFORE
+    // the df count, so jaccard is computed over the post-strip sets — the
+    // same well-defined semantics as the df-cap, which then still guards
+    // whatever the mined list missed. A broadcast anti-join on the 64-bit
+    // hash (the stop-list is topK rows); the repartition(h) partitioning
+    // passes through it, so the df aggregate and both self-join sides
+    // still reuse the one exchange.
+    val ex = stopHashesOpt.fold(exAll)(stop =>
+      exAll.join(broadcast(stop.select("h")), Seq("h"), "left_anti"))
     // df-cap as an AGGREGATE + semi-join, not a count-over-window (round-6
     // VERDICT-4): a corpus-wide hot shingle (df in the millions) lands on
     // one task either way, but the window had to buffer and sort the whole
@@ -241,11 +252,24 @@ object Dedup {
     * 64-bit xxhashes: the verify join shuffles ~8× narrower rows than the
     * raw shingle strings would.
     */
-  private def repShingleSets(documents: DataFrame, members: DataFrame): DataFrame = {
+  private def repShingleSets(documents: DataFrame, members: DataFrame,
+                             stopHashesOpt: Option[DataFrame] = None): DataFrame = {
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
-    repDocs
+    val sets = repDocs
       .select(col("doc_id"), shingleHashes(col("text")).as("shh"))
+    // Stop-list strip for the SET-carrying pipeline: the mined list folds
+    // to one broadcast array row (topK longs) and `array_except` removes
+    // its members per document — no explode/regroup of the sets, no new
+    // shuffle. Applied before the non-empty eligibility filter, so a
+    // document that is ALL boilerplate drops out of pairing entirely
+    // (consistent with [[jaccardPairs]]'s pre-df strip).
+    val stripped = stopHashesOpt.fold(sets) { stop =>
+      val stopArr = stop.agg(collect_set(col("h")).as("__stop"))
+      sets.crossJoin(broadcast(stopArr))
+        .select(col("doc_id"), array_except(col("shh"), col("__stop")).as("shh"))
+    }
+    stripped
       .filter(size(col("shh")) > 0)
       .repartition(col("doc_id"))
   }
@@ -282,10 +306,11 @@ object Dedup {
 
   def minhashPairs(documents: DataFrame, threshold: Double = 0.8,
                    numHashes: Int = 128, bands: Int = 32,
-                   membersOpt: Option[DataFrame] = None): DataFrame = {
+                   membersOpt: Option[DataFrame] = None,
+                   stopHashesOpt: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val members = membersOpt.getOrElse(dupGroups(documents))
-    val sets = repShingleSets(documents, members)
+    val sets = repShingleSets(documents, members, stopHashesOpt)
     val candidates = bandCandidates(sets, numHashes, bands)
     val s1 = sets.select(col("doc_id").as("doc_id1"), col("shh").as("sh1"), size(col("shh")).as("n1"))
     val s2 = sets.select(col("doc_id").as("doc_id2"), col("shh").as("sh2"), size(col("shh")).as("n2"))
@@ -569,6 +594,14 @@ object Dedup {
       .limit(topK)
   }
 
+  /** A mined [[hotShingles]] frame as 64-bit hashes — the form every strip
+    * consumer (`stopHashesOpt` on [[jaccardPairs]]/[[minhashPairs]]/
+    * [[contamination]]) takes. Hash-vs-string equivalence carries the same
+    * accepted 64-bit collision risk class documented on [[jaccardPairs]].
+    */
+  def stopListHashes(hotShingles: DataFrame): DataFrame =
+    hotShingles.select(xxhash64(col("shingle")).as("h"))
+
   /** Train/test contamination: for every corpus document, the number of
     * distinct token `n`-grams it shares with ANY document of the
     * `benchmark` set — the decontamination primitive every training-data
@@ -584,9 +617,17 @@ object Dedup {
     * strings. Per-document work is linear in its token count; the count
     * aggregates map-side.
     */
-  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
-    val bGrams = benchmark
+  def contamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                    stopHashesOpt: Option[DataFrame] = None): DataFrame = {
+    val bGramsAll = benchmark
       .select(explode(shingleHashes(col("text"), n)).as("h")).distinct()
+    // Stop-list strip: corpus-wide boilerplate that also appears in the
+    // benchmark set (license headers, site chrome) is not contamination
+    // signal — strip it from the (small) benchmark gram set, which removes
+    // those collisions from the join output without touching the corpus
+    // stream. The stop-list must be mined at the SAME n as this check.
+    val bGrams = stopHashesOpt.fold(bGramsAll)(stop =>
+      bGramsAll.join(broadcast(stop.select("h")), Seq("h"), "left_anti"))
     // (doc_id, h) is already distinct: shingleHashes() dedups per document
     val cGrams = corpus
       .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("h"))

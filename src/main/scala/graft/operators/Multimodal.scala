@@ -141,12 +141,35 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
-  /** Deterministic embedding stub from payload bytes (hash-seeded floats) —
-    * the shape a real vision encoder would produce; feeds [[Similarity]].
+  /** Deterministic embedding STUB from payload bytes — the shape a real
+    * vision/audio encoder would produce (fixed-dims float vector per media
+    * row); feeds [[Similarity]]. Same iterator-per-partition kernel shape
+    * as the other stub codecs: one pass accumulates the payload's
+    * polynomial fingerprint fp = (acc·31 + byte) mod 1e9+7 (the
+    * [[TextAnalysis.fingerprintCol]] scheme — chosen over the previous
+    * seeded xxhash64 precisely so the DuckDB oracle reproduces every
+    * float bit-exactly; round-6 verdict 5), then dimension d draws
+    * k_d = (fp·(2d+1) + d·40503) mod 2000001 and emits k_d/10⁶ − 1 ∈
+    * [−1, 1]. All-Long arithmetic (fp·31 < 2⁶³), exact on both engines;
+    * k/10⁶ is one IEEE double division, bit-identical in Spark and
+    * DuckDB.
     */
-  def embedStub(media: DataFrame, dims: Int = 16): DataFrame =
-    media.select(col("media_id"),
-      array((0 until dims).map(d =>
-        (pmod(xxhash64(col("payload"), lit(d)), lit(2000001)) / 1000000.0 - 1.0)): _*)
-        .as("embedding"))
+  def embedStub(mediaDf: DataFrame, dims: Int = 16): DataFrame = {
+    import mediaDf.sparkSession.implicits._
+    mediaDf.as[MediaRecord].mapPartitions { it =>
+      it.map { m =>
+        // ??? real encoder (CLIP-style image/audio tower) goes here;
+        // deterministic fingerprint-seeded fake below
+        var fp = 0L
+        var i = 0
+        while (i < m.payload.length) {
+          fp = (fp * 31 + (m.payload(i) & 0xff)) % 1000000007L
+          i += 1
+        }
+        val emb = Array.tabulate(dims)(d =>
+          ((fp * (2 * d + 1) + d.toLong * 40503L) % 2000001L) / 1000000.0 - 1.0)
+        (m.media_id, emb)
+      }
+    }.toDF("media_id", "embedding")
+  }
 }

@@ -121,6 +121,42 @@ class LlmOpsSpec extends SparkSpec {
       Dedup.jaccardPairs(docs, 0.5, maxDf = 1000000).count())
   }
 
+  test("stop-list composition: mined boilerplate no longer pairs docs, true near-dups survive") {
+    import spark.implicits._
+    // round-6 verdict 4: mine → strip → pair as ONE pipeline. 20 docs share
+    // a 5-token footer plus one unique token — their sets are 4 tri-grams
+    // with 3 shared, jaccard 3/5 = 0.6, so they ALL pair quadratically at
+    // 0.5 without the strip. Docs 100/101 are TRUE near-dups through
+    // unique content (jaccard 5/7 ≈ 0.71). topK = 3 mines exactly the
+    // footer's three tri-grams (df 20 vs df ≤ 2 for everything else).
+    val boiler = "all rights reserved worldwide inc"
+    val corpus = ((0 until 20).map(i => (i.toLong, s"u$i $boiler")) ++ Seq(
+      (100L, "quick brown fox jumps over lazy dog tonight"),
+      (101L, "quick brown fox jumps over lazy dog today"))).toDF("doc_id", "text")
+    val mined = Dedup.hotShingles(corpus, topK = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(mined == Seq("all rights reserved", "reserved worldwide inc",
+      "rights reserved worldwide"), s"got $mined")
+    val stop = Dedup.stopListHashes(Dedup.hotShingles(corpus, topK = 3))
+    // exact jaccard: 190 boilerplate-only pairs + 1 real pair → 1 real pair
+    assert(Dedup.jaccardPairs(corpus, 0.5).count() == 191)
+    val stripped = Dedup.jaccardPairs(corpus, 0.5, stopHashesOpt = Some(stop))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stripped.toSeq == Seq((100L, 101L)),
+      s"only the true near-dup pair must survive the strip, got ${stripped.toSeq}")
+    // sketch path (minhashPairs) strips identically: the surviving pair is
+    // exactly the true near-dup (recall at j≈0.71 with 32×4 bands ≈ 1)
+    val mStripped = Dedup.minhashPairs(corpus, 0.5, stopHashesOpt = Some(stop))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mStripped.toSeq == Seq((100L, 101L)), s"got ${mStripped.toSeq}")
+    // contamination: benchmark material that is itself stop-listed
+    // boilerplate stops counting as collisions
+    val bench = Seq((0L, boiler)).toDF("doc_id", "text")
+    assert(Dedup.contamination(corpus, bench, n = 3).count() == 20)
+    assert(Dedup.contamination(corpus, bench, n = 3,
+      stopHashesOpt = Some(stop)).isEmpty)
+  }
+
   test("jaccard survives mass duplication: copies beyond the df-cap still pair at 1.0") {
     import spark.implicits._
     // 60 identical copies: without the exact-dedup pre-pass, their own
