@@ -103,7 +103,12 @@ object KeyedUpsertSink {
     * compaction prunes claims at or below the folded sequence. This is the
     * Delta-LogStore CAS shape: atomic on HDFS/POSIX rename-semantics
     * filesystems; an object-store deployment needs a conditional-put
-    * LogStore implementation, the same caveat Delta documents.
+    * LogStore implementation, the same caveat Delta documents. The
+    * failure mode under a filesystem that violates atomic create is
+    * PINNED BY SPEC, not just prose (LogStoreSpec "CAS violation under a
+    * non-atomic create"): a duplicated sequence degrades the racing pair
+    * to the read-side segment-name tie-break — deterministic, no
+    * corruption, no cascade into later sequences.
     *
     * Same-PROCESS claims are additionally serialized by a JVM lock: the
     * usual concurrent topology is several streaming queries in one Spark

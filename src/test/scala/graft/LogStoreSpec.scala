@@ -315,6 +315,48 @@ class LogStoreSpec extends SparkSpec {
       "compaction must prune covered sequence claims")
   }
 
+  test("CAS violation under a non-atomic create: documented degradation, never corruption") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val store = tmp()
+    // writer A commits sequence 0 through the real path
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("x", "a-val"), ("only-a", "a")).toDF("k", "v"), 0L, "writerA")
+    // Simulate the object-store caveat documented on claimSeq: on a
+    // filesystem whose create(overwrite = false) is check-then-create
+    // (no atomic create, no conditional put), a concurrent writer can WIN
+    // the same claim instead of throwing. Hand-commit exactly what that
+    // lost race persists — writer B's segment carrying the DUPLICATE
+    // sequence 0 with a conflicting value for a shared key.
+    val name = "0__writerB__0"
+    Seq(("x", "b-val"), ("only-b", "b")).toDF("k", "v")
+      .withColumn("__graft_epoch", lit(0L))
+      .withColumn("__graft_src", lit(name))
+      .write.parquet(s"$store/seg/$name")
+    Files.write(new java.io.File(s"$store/commits/$name").toPath, Array.emptyByteArray)
+    // CONTRACT, pinned by assertion: a duplicated sequence degrades LWW
+    // between the two racing commits to the read-side segment-name
+    // tie-break (deterministic on every read — writerB outranks writerA
+    // lexicographically at equal sequence); it can NEVER corrupt the
+    // store, drop a non-conflicting key, or diverge between reads.
+    val m = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("x" -> "b-val", "only-a" -> "a", "only-b" -> "b"), s"got $m")
+    // the next legitimate claim observes the burned duplicate and strictly
+    // exceeds it — the violation cannot cascade into later sequences
+    KeyedUpsertSink.upsert(spark, store, Seq("k"),
+      Seq(("x", "later")).toDF("k", "v"), 1L, "writerA")
+    val m2 = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2("x") == "later")
+    // compaction folds the violated store with the same tie-break: the
+    // view is unchanged and the duplicate sequence is retired with the rest
+    KeyedUpsertSink.compact(spark, store)
+    val folded = KeyedUpsertSink.read(spark, store).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(folded == m2)
+  }
+
   test("a mixed legacy/new store reads and compacts (round-6 ADVICE-3)") {
     import java.nio.charset.StandardCharsets.UTF_8
     import spark.implicits._
