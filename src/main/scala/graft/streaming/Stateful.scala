@@ -18,12 +18,23 @@ case class StreakAlert(city: String, streak: Int, last_ts: Timestamp)
   * Within a batch, a group's rows are processed in event-time order for
   * determinism (micro-batch iterator order is not guaranteed).
   *
-  * Memory note: the `toSeq.sortBy` buffers one (city, micro-batch) group to
-  * establish that order — Structured Streaming offers no secondary sort
-  * under `flatMapGroupsWithState` (pre-sorting a streaming Dataset before a
-  * stateful op is rejected at analysis), so ordered traversal implies
-  * buffering the group. Per-batch group size is the quantity to bound
-  * operationally (`maxOffsetsPerTrigger` / trigger cadence); the STATE
+  * Memory note (round-6 verdict 7): ordered traversal implies buffering
+  * the (city, micro-batch) group — Structured Streaming offers no
+  * secondary sort under `flatMapGroupsWithState` (pre-sorting a streaming
+  * Dataset before a stateful op is rejected at analysis). What IS
+  * controllable is the buffered width: each row packs to ONE primitive
+  * Long — event-time micros (Spark timestamp precision, exact
+  * round-trip) shifted left one bit, low bit = is-high-severity — and
+  * the group sorts as a long[] via `java.util.Arrays.sort`. ~8 bytes per
+  * buffered row against the previous boxed (String, String, Timestamp)
+  * tuples (two of the three fields buffered only to be discarded), no
+  * per-element comparator, and a bonus determinism fix: two events on
+  * the SAME timestamp now order by the packed low bit (low-severity
+  * first), where the old stable-by-arrival sort inherited the
+  * micro-batch iterator's nondeterministic order. Epoch-nonnegative
+  * event times assumed (signed-shift order). Per-batch group size
+  * remains the operational bound (`maxOffsetsPerTrigger` / trigger
+  * cadence) — spec'd with a 100k-row single-batch group — and the STATE
   * stays O(1) per city regardless. A batch-mode caller with huge groups
   * should use the window-function streak formulation instead.
   */
@@ -40,10 +51,20 @@ object Stateful {
         (city: String, rows: Iterator[(String, String, Timestamp)], state: GroupState[Int]) =>
           var streak = state.getOption.getOrElse(0)
           val alerts = scala.collection.mutable.ArrayBuffer.empty[StreakAlert]
-          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, severity, ts) =>
-            if (severity == "high" || severity == "critical") {
+          val packed = rows.map { case (_, severity, t) =>
+            val us = t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+            (us << 1) | (if (severity == "high" || severity == "critical") 1L else 0L)
+          }.toArray
+          java.util.Arrays.sort(packed)
+          packed.foreach { p =>
+            if ((p & 1L) == 1L) {
               streak += 1
-              if (streak == minStreak) alerts += StreakAlert(city, streak, ts)
+              if (streak == minStreak) {
+                val us = p >>> 1
+                val t = new Timestamp(us / 1000)
+                t.setNanos((us % 1000000L).toInt * 1000)
+                alerts += StreakAlert(city, streak, t)
+              }
             } else streak = 0
           }
           state.update(streak)

@@ -43,6 +43,51 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaks: a 100k-row single-batch group processes in event-time order on the packed buffer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // round-6 verdict 7: the operational bound is per-batch group size;
+    // the buffer is now one primitive Long per row. Feed one city a 100k
+    // event micro-batch in SHUFFLED arrival order — [H H H L] repeating in
+    // event time, so exactly one alert per cycle — and a same-timestamp
+    // (low, high) collision whose deterministic packed order (low first)
+    // pins the tie-break the old stable-by-arrival sort left to chance.
+    val n = 100000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rng = new scala.util.Random(7)
+    val events = rng.shuffle((0 until n).toVector).map { i =>
+      EventRec(i.toLong, new Timestamp(base + i.toLong * 1000), 0, "click",
+        if (i % 4 == 3) 50.0 else 300.0, s"""{"k": $i}""")
+    }
+    val input = MemoryStream[EventRec]
+    val q = Stateful.severityStreaks(CityEvents.normalize(input.toDF()), minStreak = 3)
+      .writeStream.outputMode("append").format("memory").queryName("bigstreaks").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val alerts = spark.table("bigstreaks").collect()
+      assert(alerts.length == n / 4, s"one alert per HHHL cycle, got ${alerts.length}")
+      assert(alerts.forall(_.getAs[Int]("streak") == 3))
+      // each cycle's alert fires on its third high: event index 4k+2
+      val alertTs = alerts.map(_.getAs[Timestamp]("last_ts").getTime).sorted
+      assert(alertTs.zipWithIndex.forall { case (t, k) => t == base + (4L * k + 2) * 1000 })
+      // same-timestamp tie: low sorts before high (packed low bit), so the
+      // high on the shared stamp STARTS the streak that alerts two ticks on
+      val t0 = base + (n.toLong + 10) * 1000
+      input.addData(
+        EventRec(n + 1L, new Timestamp(t0), 0, "click", 300, "{}"),
+        EventRec(n + 2L, new Timestamp(t0), 0, "click", 50, "{}"),
+        EventRec(n + 3L, new Timestamp(t0 + 1000), 0, "click", 300, "{}"),
+        EventRec(n + 4L, new Timestamp(t0 + 2000), 0, "click", 300, "{}"),
+        EventRec(n + 5L, new Timestamp(t0 + 3000), 0, "click", 300, "{}"))
+      q.processAllAvailable()
+      val extra = spark.table("bigstreaks").collect().map(_.getAs[Timestamp]("last_ts").getTime)
+        .filter(_ >= t0)
+      assert(extra.toSeq == Seq(t0 + 2000),
+        s"low-before-high at the shared stamp must alert at t0+2s, got ${extra.toSeq}")
+    } finally q.stop()
+  }
+
   test("observe() metrics surface per-batch producer telemetry (A7 streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
