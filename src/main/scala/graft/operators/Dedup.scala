@@ -450,14 +450,28 @@ object Dedup {
     * [[dedupDelta]] WITHOUT touching the corpus text again — the raw corpus
     * is never re-read, re-shingled, or re-sketched.
     */
-  def buildDedupIndex(corpus: DataFrame, n: Int = 3): DataFrame = {
+  def buildDedupIndex(corpus: DataFrame, n: Int = 3,
+                      stopHashesOpt: Option[DataFrame] = None): DataFrame = {
     val keyed = corpus.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"),
       col("text"))
     val reps = keyed.groupBy("content_hash").agg(min("doc_id").as("rep"))
-    keyed.join(reps, "content_hash")
+    val raw = keyed.join(reps, "content_hash")
       .withColumn("shh", when(col("doc_id") === col("rep"),
         shingleHashes(col("text"), n)))
-      .select("doc_id", "content_hash", "rep", "shh")
+    // Stop-list strip AT SKETCH TIME (the incremental mirror of
+    // [[jaccardPairs]]/[[minhashPairs]]'s `stopHashesOpt`): a daily
+    // pipeline mines boilerplate once per corpus snapshot and builds the
+    // signature index from post-strip sets, so every later [[dedupDelta]]
+    // run compares boilerplate-free sketches without re-reading corpus
+    // text. Mined list must come from the same corpus snapshot and the
+    // same `n`; pass the same frame to [[dedupDelta]] for the delta side.
+    val withStop = stopHashesOpt.fold(raw) { stop =>
+      val stopArr = stop.agg(collect_set(col("h")).as("__stop"))
+      raw.crossJoin(broadcast(stopArr))
+        .withColumn("shh", when(col("shh").isNotNull,
+          array_except(col("shh"), col("__stop"))))
+    }
+    withStop.select("doc_id", "content_hash", "rep", "shh")
   }
 
   /** Incremental (delta-vs-corpus) dedup: all (corpus_id, delta_id, jaccard)
@@ -491,20 +505,32 @@ object Dedup {
     * so parameter drift cannot silently cross the recall cliff.
     */
   def dedupDelta(index: DataFrame, delta: DataFrame, threshold: Double = 0.8,
-                 numHashes: Int = 128, bands: Int = 32, n: Int = 3): DataFrame = {
+                 numHashes: Int = 128, bands: Int = 32, n: Int = 3,
+                 stopHashesOpt: Option[DataFrame] = None): DataFrame = {
     val dKeyed = delta.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"),
       col("text"))
     // exact cross-side matches: any corpus doc with identical content
+    // (content-hash equality — the stop-list cannot and should not affect
+    // identical texts)
     val exact = index.select(col("doc_id").as("corpus_id"), col("content_hash"))
       .join(dKeyed.select(col("doc_id").as("delta_id"), col("content_hash")), "content_hash")
       .select(col("corpus_id"), col("delta_id")).withColumn("jaccard", lit(1.0))
-    // near matches: delta reps sketched fresh; corpus reps from the index
+    // near matches: delta reps sketched fresh; corpus reps from the index.
+    // The delta sketches strip the SAME stop-list the index was built with
+    // ([[buildDedupIndex]] `stopHashesOpt`) — both sides must see one
+    // shingle universe or jaccard is computed over mismatched sets.
     val dReps = dKeyed.groupBy("content_hash").agg(min("doc_id").as("rep"))
     val dMembers = dKeyed.join(dReps, "content_hash").select(col("rep"), col("doc_id"))
-    val dSets = dKeyed.as("k")
+    val dSetsRaw = dKeyed.as("k")
       .join(dReps.select(col("rep")).as("r"), col("k.doc_id") === col("r.rep"), "left_semi")
       .select(col("k.doc_id").as("doc_id"), col("k.content_hash").as("content_hash"),
         shingleHashes(col("k.text"), n).as("shh"))
+    val dSets = stopHashesOpt.fold(dSetsRaw) { stop =>
+        val stopArr = stop.agg(collect_set(col("h")).as("__stop"))
+        dSetsRaw.crossJoin(broadcast(stopArr))
+          .select(col("doc_id"), col("content_hash"),
+            array_except(col("shh"), col("__stop")).as("shh"))
+      }
       .filter(size(col("shh")) > 0)
       .repartition(col("doc_id")) // barrier: shh feeds bands AND verify join
     val cSets = index.filter(col("doc_id") === col("rep"))

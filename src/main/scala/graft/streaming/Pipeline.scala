@@ -230,17 +230,23 @@ class Pipeline(
       .option("checkpointLocation", s"$checkpointRoot/sessions")
       .start()
 
-  /** Query 4: global monitoring counts, complete mode, named in-memory sink
-    * (the testable stand-in for the reference's console sink :182-190).
+  /** Query 4: global monitoring counts, complete mode. `console = true`
+    * is the reference's actual sink byte-for-byte (format console,
+    * truncate off — SparkDynamoDBConsumer.java:182-190); the default
+    * named in-memory sink is its testable stand-in (console output is
+    * uncapturable in-process, memory rows are assertable — same plan,
+    * same output mode, only the terminal sink differs).
     */
-  def startMonitoring(events: DataFrame, queryName: String = "monitoring"): StreamingQuery =
-    StreamAggregates.globalCounts(normalized(events))
-      .writeStream
+  def startMonitoring(events: DataFrame, queryName: String = "monitoring",
+                      console: Boolean = false): StreamingQuery = {
+    val counts = StreamAggregates.globalCounts(normalized(events))
+    val base = counts.writeStream
       .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
       .option("checkpointLocation", s"$checkpointRoot/console")
+    (if (console) base.format("console").option("truncate", value = false)
+     else base.format("memory").queryName(queryName))
       .start()
+  }
 
   /** Start all four queries (T5) and return them; callers block with
     * `spark.streams.awaitAnyTermination()` exactly as the reference does.

@@ -299,4 +299,30 @@ class LlmOpsSpec extends SparkSpec {
       "near-dup must match via the banded index join")
     assert(!rows.exists(_._2 == 1000002L), "novel doc must not match")
   }
+
+  test("incremental dedup with a stop-list: boilerplate matches vanish on both sides") {
+    import spark.implicits._
+    // the incremental mirror of the mine → strip → pair composition: the
+    // index is built from post-strip sketches and the delta strips the
+    // SAME mined list, so a crawl doc related to the corpus only through
+    // template chrome stops matching — while true near-dups still do.
+    val boiler = "all rights reserved worldwide inc"
+    val corpus = ((0 until 10).map(i => (i.toLong, s"u$i $boiler")) :+
+      ((100L, "quick brown fox jumps over lazy dog tonight"))).toDF("doc_id", "text")
+    val stop = Dedup.stopListHashes(Dedup.hotShingles(corpus, topK = 3))
+    val delta = Seq(
+      (1000L, s"zz9 $boiler"), // shares ONLY boilerplate (jaccard 3/5 raw)
+      (1001L, "quick brown fox jumps over lazy dog today")).toDF("doc_id", "text")
+    // unstripped index: the boilerplate-only delta doc matches corpus docs
+    val unstripped = Dedup.dedupDelta(Dedup.buildDedupIndex(corpus), delta, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(unstripped.count(_._2 == 1000L) >= 5,
+      s"boilerplate relative must match most corpus docs unstripped, got ${unstripped.toSeq}")
+    // stop-listed index + stop-listed delta: only the true near-dup remains
+    val index = Dedup.buildDedupIndex(corpus, stopHashesOpt = Some(stop))
+    val stripped = Dedup.dedupDelta(index, delta, threshold = 0.5,
+      stopHashesOpt = Some(stop))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stripped.toSeq == Seq((100L, 1001L)), s"got ${stripped.toSeq}")
+  }
 }

@@ -127,4 +127,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(executed).size >= 2,
       "jaccard pipeline must reuse its exchanges across consumers")
   }
+
+  test("stop-list strip is a broadcast anti-join; the shingle exchange reuse survives it") {
+    // the mined list is topK rows of 64-bit hashes — stripping must never
+    // shuffle the shingle stream a second time: a broadcast LeftAnti on h,
+    // with the repartition(h) exchange still shared by the df-cap
+    // aggregate, the semi-join and both self-join branches downstream
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables.documents(spark, sf)
+    val stop = Dedup.stopListHashes(Dedup.hotShingles(docs, topK = 5))
+    val pairs = Dedup.jaccardPairs(docs, 0.8, stopHashesOpt = Some(stop))
+    pairs.collect()
+    // collect on the pre-adaptive plan: AQE wraps stages so executedPlan
+    // nodes are not reachable via TreeNode.collect (string checks are)
+    val anti = pairs.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.sql == "LEFT ANTI" &&
+          j.leftKeys.exists(_.references.exists(_.name == "h")) => j
+    }
+    assert(anti.nonEmpty, "the strip must plan as a broadcast anti-join on h")
+    val executed = pairs.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(executed).size >= 2,
+      "stripped jaccard pipeline must still reuse its exchanges")
+  }
 }

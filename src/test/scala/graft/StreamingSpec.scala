@@ -150,6 +150,18 @@ class StreamingSpec extends SparkSpec {
       val total = spark.table("mon_test").agg(sum("event_count")).head().getLong(0)
       assert(total == 2)
     } finally q.stop()
+    // the reference's REAL sink (S5 byte-fidelity): console, complete
+    // mode, truncate off — output goes to stdout so only liveness is
+    // assertable, which is exactly why the memory stand-in above exists.
+    // Fresh checkpoint root: neither console nor memory sinks support
+    // checkpoint RECOVERY, so the real deployment also starts clean.
+    val p2 = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val qc = p2.startMonitoring(input.toDF(), console = true)
+    try {
+      input.addData(ev(3, "2024-01-01 10:10:00"))
+      qc.processAllAvailable()
+      assert(qc.isActive && qc.exception.isEmpty)
+    } finally qc.stop()
   }
 
   test("startAll runs the full 4-query topology concurrently (T5)") {
