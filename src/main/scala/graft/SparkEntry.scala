@@ -84,6 +84,18 @@ object SparkEntry {
   private def dupMembers(s: SparkSession, d: String): DataFrame =
     memo(dupMembersCache, s, d)(Dedup.dupGroups(Tables.documents(s, d)))
 
+  /** The exploded shingle-hash inverted index over dedup representatives —
+    * ONE corpus scan + sketch pass feeding every shingle-level consumer
+    * (`q_jaccard_pairs`, `q_stoplist_pairs`, the `q_hot_shingles` counting
+    * pass), exactly as a real pipeline materializes its inverted index
+    * once per corpus snapshot.
+    */
+  private val shingleIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def shingleIndexFrame(s: SparkSession, d: String): DataFrame =
+    memo(shingleIndexCache, s, d)(
+      Dedup.shingleIndex(Tables.documents(s, d), dupMembers(s, d)))
+
   /** Mined boilerplate stop-list, shared by `q_hot_shingles` (the report)
     * and `q_stoplist_pairs` (the mine → strip → pair composition) — a real
     * pipeline mines the list once per corpus snapshot and every dedup
@@ -93,7 +105,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def hotShinglesFrame(s: SparkSession, d: String): DataFrame =
     memo(hotShinglesCache, s, d)(
-      Dedup.hotShingles(Tables.documents(s, d), membersOpt = Some(dupMembers(s, d))))
+      Dedup.hotShingles(Tables.documents(s, d), membersOpt = Some(dupMembers(s, d)),
+        indexOpt = Some(shingleIndexFrame(s, d))))
 
   /** PERSISTED IVF index (coarse + fine centroids + depth-3 inverted
     * lists) shared by `q_ann_ivf_topk` and `q_ivf_neardup_pairs` — the
@@ -744,7 +757,8 @@ object SparkEntry {
 
     ("q_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
-        membersOpt = Some(dupMembers(s, d))),
+        membersOpt = Some(dupMembers(s, d)),
+        indexOpt = Some(shingleIndexFrame(s, d))),
       Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
         |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
         |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
@@ -786,7 +800,8 @@ object SparkEntry {
     ("q_stoplist_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
         membersOpt = Some(dupMembers(s, d)),
-        stopHashesOpt = Some(Dedup.stopListHashes(hotShinglesFrame(s, d)))),
+        stopHashesOpt = Some(Dedup.stopListHashes(hotShinglesFrame(s, d))),
+        indexOpt = Some(shingleIndexFrame(s, d))),
       Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
         |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
         |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),

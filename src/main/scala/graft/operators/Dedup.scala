@@ -93,20 +93,33 @@ object Dedup {
     * candidate pair; P ≈ 1e-9 corpus-wide — same accepted risk class as
     * the minhash band-miss probability).
     */
-  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
-                   maxDf: Int = 50, membersOpt: Option[DataFrame] = None,
-                   stopHashesOpt: Option[DataFrame] = None): DataFrame = {
-    val members = membersOpt.getOrElse(dupGroups(documents))
-    val repDocs = documents
+  /** The exploded shingle-hash INVERTED INDEX over dedup representatives —
+    * (doc_id, h) with h a 64-bit distinct-per-document shingle hash,
+    * pre-partitioned by h. This is the shared first stage of
+    * [[jaccardPairs]] and [[hotShingles]]' counting pass: a real pipeline
+    * materializes this index once per corpus snapshot and every
+    * shingle-level consumer reads it (the registry memoizes exactly this
+    * frame for `q_jaccard_pairs`/`q_stoplist_pairs`/`q_hot_shingles`)
+    * instead of re-scanning and re-sketching the corpus per query.
+    *
+    * The repartition on the join key is a deliberate materialization
+    * barrier (stops CollapseProject inlining the expensive shingle
+    * expression downstream) AND pre-partitions everything by `h`: the df
+    * aggregate, and BOTH sides of the self-join (one exchange, reused).
+    */
+  def shingleIndex(documents: DataFrame, members: DataFrame, n: Int = 3): DataFrame =
+    documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // The repartition on the join key is a deliberate materialization
-    // barrier (stops CollapseProject inlining the expensive shingle
-    // expression downstream) AND pre-partitions everything by `h`: the df
-    // window, and BOTH sides of the self-join (one exchange, reused).
-    val exAll = repDocs
       .select(col("doc_id"),
         explode(shingleHashes(col("text"), n)).as("h"))
       .repartition(col("h"))
+
+  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
+                   maxDf: Int = 50, membersOpt: Option[DataFrame] = None,
+                   stopHashesOpt: Option[DataFrame] = None,
+                   indexOpt: Option[DataFrame] = None): DataFrame = {
+    val members = membersOpt.getOrElse(dupGroups(documents))
+    val exAll = indexOpt.getOrElse(shingleIndex(documents, members, n))
     // Mined stop-list strip (the [[hotShingles]] → df-cap composition a
     // real pipeline runs): remove stop shingles from the universe BEFORE
     // the df count, so jaccard is computed over the post-strip sets — the
@@ -589,17 +602,26 @@ object Dedup {
     * report instead of a full-corpus string explode.
     */
   def hotShingles(documents: DataFrame, n: Int = 3, topK: Int = 20,
-                  minDf: Int = 2, membersOpt: Option[DataFrame] = None): DataFrame = {
+                  minDf: Int = 2, membersOpt: Option[DataFrame] = None,
+                  indexOpt: Option[DataFrame] = None): DataFrame = {
     val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // Dedup.shingleHashes (NOT the raw Sketches variant) is distinct-per-
-    // document, so hash-df here is true per-doc df even when boilerplate
-    // repeats WITHIN one document — matching the string pass and the
-    // list_distinct oracle (LlmOpsSpec pins this on a within-doc-repeat
-    // fixture).
-    val counts = repDocs
-      .select(explode(shingleHashes(col("text"), n)).as("h"))
+    // Counting runs over the shared [[shingleIndex]] when provided (the
+    // registry's memoized frame — one corpus sketch pass feeds this, the
+    // jaccard pipeline and the stop-list composition; as the family's
+    // first consumer this query absorbs the index materialization).
+    // STANDALONE callers keep the narrower original plan — explode
+    // straight into a map-side-partial aggregate, no repartition: partials
+    // shrink boilerplate-heavy streams BEFORE the exchange, whereas the
+    // index's repartition(h) barrier (which the jaccard self-join needs)
+    // would shuffle every exploded row. Hashes are Dedup.shingleHashes
+    // (NOT the raw Sketches variant), i.e. distinct-per-document, so
+    // hash-df is true per-doc df even when boilerplate repeats WITHIN one
+    // document — matching the string pass and the list_distinct oracle
+    // (LlmOpsSpec pins this on a within-doc-repeat fixture).
+    val counts = indexOpt
+      .getOrElse(repDocs.select(explode(shingleHashes(col("text"), n)).as("h")))
       .groupBy("h").agg(count(lit(1)).as("df"))
     val kth = counts.filter(col("df") >= minDf)
       .orderBy(col("df").desc, col("h")).limit(topK)

@@ -300,6 +300,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(!rows.exists(_._2 == 1000002L), "novel doc must not match")
   }
 
+  test("shared shingle index: an index-fed jaccard run never rescans the corpus") {
+    // the registry materializes ONE exploded shingle-hash index per corpus
+    // snapshot and feeds q_hot_shingles / q_jaccard_pairs /
+    // q_stoplist_pairs from it; with the index and members checkpointed,
+    // the pair pipeline must not touch the documents table at all (the
+    // q_dedup_incremental no-rescan template), and its output must equal
+    // the self-contained operator exactly
+    val docsT = Tables.documents(spark, sf)
+    val members = Dedup.dupGroups(docsT).localCheckpoint()
+    val idx = Dedup.shingleIndex(docsT, members).localCheckpoint()
+    val fed = Dedup.jaccardPairs(docsT, 0.5, membersOpt = Some(members),
+      indexOpt = Some(idx))
+    val fedRows = fed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val scans = fed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.isEmpty,
+      s"index-fed jaccard must not rescan the corpus:\n${scans.mkString("\n")}")
+    val direct = Dedup.jaccardPairs(docsT, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fedRows.sameElements(direct), "index-fed output must equal the direct operator")
+  }
+
   test("incremental dedup with a stop-list: boilerplate matches vanish on both sides") {
     import spark.implicits._
     // the incremental mirror of the mine → strip → pair composition: the
