@@ -1051,6 +1051,78 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)
         |ORDER BY doc_id""".stripMargin)),
 
+    // The FULL clean pipeline a training-data run actually ships: quality
+    // -> decontaminate -> lexical near-dedup -> SEMANTIC near-dedup over
+    // the survivors' embeddings (vec_id == doc_id in the testdata). The
+    // semantic stage here is the exact block-bucketed all-pairs baseline
+    // so the whole composition stays oracle-checkable; at 100 TB it swaps
+    // for ivfNearDupPairs with identical downstream plumbing (documented
+    // on cosineNearDupPairs). Lexical pairs ride the shared memoized
+    // frame; the embeddings side scans only the survivors (semi-join
+    // pushed to the scan).
+    ("q_pipeline_full_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        val q = corpus.join(
+          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val decon = Dedup.decontaminate(q, bench, 5)
+        val drop = nearDupPairs(s, d)
+          .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
+          .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
+          .select(col("doc_id2").as("doc_id")).distinct()
+        val lex = decon.join(drop, Seq("doc_id"), "left_anti")
+        val lexEmb = Tables.embeddings(s, d)
+          .join(lex.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        val sem = Similarity.cosineNearDupPairs(lexEmb, 0.4)
+          .select(col("vec_id2").as("doc_id")).distinct()
+        lex.join(sem, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some(s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |q AS (SELECT * FROM corp WHERE
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM q)),
+        |dcn AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))),
+        |sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |dropset AS (SELECT DISTINCT doc_id2 FROM pairs
+        |  WHERE doc_id1 IN (SELECT doc_id FROM dcn)
+        |    AND doc_id2 IN (SELECT doc_id FROM dcn)),
+        |lex AS (SELECT doc_id FROM dcn
+        |  WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)),
+        |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM lex)),
+        |sp AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+        |  ${Similarity.Sql.cosine("a.v", "b.v")} AS cosine
+        |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id),
+        |sdrop AS (SELECT DISTINCT vec_id2 FROM sp WHERE cosine >= 0.4)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM lex)
+        |  AND d.doc_id NOT IN (SELECT vec_id2 FROM sdrop)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // dataset-card composition report per language
     ("q_corpus_stats",
       (s, d) => Corpus.corpusStats(Tables.documents(s, d)),
