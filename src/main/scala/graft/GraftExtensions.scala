@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashBands, MinHashSignature, ShingleHashes, SimHash, TokenHashes, VecDot, VecSum}
+import graft.functions.{Fingerprint, MinHashBands, MinHashSignature, ShingleHashes, SimHash, TokenHashes, VecDot, VecSum}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -80,6 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(child) => TokenHashes(child)
         case _ => throw new IllegalArgumentException("token_hashes(string)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "fingerprint"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => Fingerprint(child)
+        case _ => throw new IllegalArgumentException("fingerprint(string)")
       }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),

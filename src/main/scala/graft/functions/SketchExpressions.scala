@@ -435,6 +435,77 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Whole-document polynomial fingerprint — acc = (acc·31 + codepoint) mod
+  * 1e9+7 over EVERY code point including spaces (unlike [[TokenHashes]],
+  * which resets at 0x20 and excludes it) — in one codegen'd pass over the
+  * UTF-8 bytes. Replaces the HOF `aggregate(transform(split(text, '')))`
+  * formulation in [[graft.operators.TextAnalysis.fingerprintCol]], which
+  * evaluated interpreted per CHARACTER — the round-6 disease
+  * ([[TokenHashes]]' doc) in its last remaining host. Values are
+  * bit-identical to the HOF (codepoint-for-codepoint: Java's split-by-""
+  * is regex code-point-aware, ascii() is codePointAt(0), and this decodes
+  * UTF-8 to the same code points) — parity property-spec'd, and the
+  * DuckDB oracle fragment is unchanged.
+  */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numBytes()
+    var acc = 0L
+    var p = 0
+    while (p < len) {
+      val b = s.getByte(p) & 0xff
+      var cp = 0
+      var n = 0
+      if (b < 0x80) { cp = b; n = 1 }
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; n = 2 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; n = 3 }
+      else { cp = b & 0x07; n = 4 }
+      var k = 1
+      while (k < n && p + k < len) { cp = (cp << 6) | (s.getByte(p + k) & 0x3f); k += 1 }
+      acc = (acc * 31L + cp) % 1000000007L
+      p += n
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val len = ctx.freshName("len")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val b = ctx.freshName("b")
+      val cp = ctx.freshName("cp")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      s"""
+         |int $len = $str.numBytes();
+         |long $acc = 0L;
+         |for (int $p = 0; $p < $len; ) {
+         |  int $b = $str.getByte($p) & 0xff;
+         |  int $cp; int $n;
+         |  if ($b < 0x80) { $cp = $b; $n = 1; }
+         |  else if (($b & 0xe0) == 0xc0) { $cp = $b & 0x1f; $n = 2; }
+         |  else if (($b & 0xf0) == 0xe0) { $cp = $b & 0x0f; $n = 3; }
+         |  else { $cp = $b & 0x07; $n = 4; }
+         |  for (int $k = 1; $k < $n && $p + $k < $len; $k++) {
+         |    $cp = ($cp << 6) | ($str.getByte($p + $k) & 0x3f);
+         |  }
+         |  $acc = ($acc * 31L + $cp) % 1000000007L;
+         |  $p += $n;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers — resolve through the session function registry
   * (requires `spark.sql.extensions=graft.GraftExtensions`, see
   * [[graft.GraftExtensions]]).
@@ -453,4 +524,7 @@ object Sketches {
   /** Per-token polynomial hashes, in token order. */
   def tokenHashes(c: Column): Column =
     call_function("token_hashes", c)
+  /** Whole-string polynomial fingerprint (every code point, incl. spaces). */
+  def fingerprint(c: Column): Column =
+    call_function("fingerprint", c)
 }

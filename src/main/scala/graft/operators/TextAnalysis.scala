@@ -143,9 +143,19 @@ object TextAnalysis {
     * acc = (acc*31 + codepoint) mod 1e9+7. One pass, bounded intermediate
     * (< 2^35, exact in Long for Spark and BIGINT for the DuckDB oracle).
     * Used as the document content fingerprint and as the token hash for
-    * [[Dedup]] sketches.
+    * [[Dedup]] sketches. Since round 7 this is the codegen'd
+    * [[graft.functions.Fingerprint]] expression — one pass over the UTF-8
+    * bytes; the HOF formulation it replaces evaluated interpreted per
+    * character (the last such host after round 6 purged the sketch
+    * front-ends). Bit-identical, property-spec'd.
     */
-  def fingerprintCol(text: Column): Column = {
+  def fingerprintCol(text: Column): Column =
+    graft.functions.Sketches.fingerprint(text)
+
+  /** The pre-round-7 HOF formulation — retained ONLY as the independent
+    * reference implementation for the codegen parity property spec.
+    */
+  private[graft] def fingerprintColHof(text: Column): Column = {
     val chars = filter(split(text, ""), c => c =!= "")
     val codes = transform(chars, c => ascii(c).cast("long"))
     aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L)

@@ -64,6 +64,25 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "fused token hashing diverged from the HOF formulation")
   }
 
+  test("fingerprint equals the HOF fold on generated texts (incl. multi-byte codepoints)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // same generator family as the token_hashes parity test — the
+    // fingerprint differs in accumulating EVERY code point (spaces too),
+    // so space runs and multi-byte characters are the interesting cases
+    val charGen = Gen.frequency(
+      (8, Gen.alphaLowerChar), (3, Gen.const(' ')),
+      (1, Gen.oneOf('é', '中', 'ß')))
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    val texts = sample(Gen.listOfN(300, textGen), 29L)
+    val bad = texts.toDF("text")
+      .select(
+        graft.functions.Sketches.fingerprint(col("text")).as("fused"),
+        graft.operators.TextAnalysis.fingerprintColHof(col("text")).as("hof"))
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(bad == 0, "codegen'd fingerprint diverged from the HOF formulation")
+  }
+
   test("ivfAssign inverted lists: every vector routed, cell ranks dense from 1") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)

@@ -163,6 +163,39 @@ class SketchSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("fingerprint equals the HOF polynomial fold, codegen and interpreted") {
+    import spark.implicits._
+    // unlike token_hashes, the whole-document fingerprint accumulates
+    // EVERY code point including spaces — same byte-pass decoding, no
+    // token reset; check both evaluation paths on the same edge fixtures
+    val fixtures = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  double  space run",
+      " leading and trailing ",
+      "one", "",
+      "unicode 的是 mixed zügig tokens café здесь",
+      "x " * 50 + "tail")
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val rows = fixtures.toDF("text").select(
+          graft.functions.Sketches.fingerprint(col("text")).as("fused"),
+          graft.operators.TextAnalysis.fingerprintColHof(col("text")).as("hof"))
+          .collect()
+        rows.zip(fixtures).foreach { case (r, f) =>
+          assert(r.getLong(0) == r.getLong(1),
+            s"fused != HOF fingerprint (mode=$cg) for '$f': ${r.getLong(0)} vs ${r.getLong(1)}")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // and over the real corpus (the q_fingerprint surface)
+    val mism = Tables.documents(spark, sf).select(
+      graft.functions.Sketches.fingerprint(col("text")).as("fused"),
+      graft.operators.TextAnalysis.fingerprintColHof(col("text")).as("hof"))
+      .filter(not(col("fused") <=> col("hof"))).count()
+    assert(mism == 0)
+  }
+
   test("LSH S-curve margin: default (threshold, bands, rows) keep band-miss below 1e-6") {
     // The exact-all-pairs DuckDB oracles for q_minhash_pairs,
     // q_neardedup_corpus, q_dup_clusters and q_dedup_incremental are valid
