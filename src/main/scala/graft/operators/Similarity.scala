@@ -158,7 +158,19 @@ object Similarity {
     * driver and every executor at true 100 TB scale; SUBLINEARITY is
     * spec'd in SimilaritySpec).
     */
-  case class IvfIndex(coarse: DataFrame, fine: DataFrame)
+  case class IvfIndex(coarse: DataFrame, fine: DataFrame,
+                      staged: Seq[DataFrame] = Nil) {
+
+    /** Free every lazily-`persist()`-ed training frame backing this index
+      * (no-op for a [[loadIndex]]-ed parquet index, whose `staged` is
+      * empty). Call once consumers have materialized their results —
+      * before that, an unpersisted fold level would recompute ~2^iters×
+      * on execution ([[trainedIndex]]'s doc); after it, the caches are
+      * dead weight that previously accumulated for the session lifetime,
+      * trainIters+2 frames per inline training run (round-8 ADVICE-3).
+      */
+    def release(): Unit = staged.foreach(_.unpersist(false))
+  }
 
   /** The coarse quantizer packed into ONE row (array of centroid structs,
     * total bytes = the coarse table itself, ~√F · dim doubles): ranking
@@ -354,10 +366,49 @@ object Similarity {
     * `q_ann_ivf_topk`/`q_ivf_neardup_pairs` serve from the
     * [[persistIndex]]-ed parquet tables).
     */
+  /** Indexes trained INLINE (an [[ivfTopK]]/[[ivfNearDupPairs]] call
+    * without `indexOpt`) have no handle the caller could
+    * [[IvfIndex.release]], so each is tracked per session here; stopped
+    * sessions are swept on every access (their caches died with the
+    * executors) and [[releaseInlineTrained]] frees live ones explicitly.
+    * Before round 8 every such call leaked its trainIters+2 lazily-cached
+    * fold frames for the session lifetime (ADVICE-3). The registered
+    * queries never hit this path — they serve from the persisted parquet
+    * index.
+    */
+  private val inlineTrained = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.concurrent.ConcurrentLinkedQueue[IvfIndex]]()
+
+  private def trackInline(index: IvfIndex): IvfIndex = {
+    inlineTrained.keySet.removeIf(_.sparkContext.isStopped)
+    inlineTrained
+      .computeIfAbsent(index.coarse.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[IvfIndex]())
+      .add(index)
+    index
+  }
+
+  /** Release every inline-trained index of `spark` (see [[inlineTrained]]);
+    * returns how many were freed. Call once their consumers' results are
+    * materialized.
+    */
+  def releaseInlineTrained(spark: org.apache.spark.sql.SparkSession): Int = {
+    inlineTrained.keySet.removeIf(_.sparkContext.isStopped)
+    val q = inlineTrained.remove(spark)
+    if (q == null) 0
+    else {
+      var n = 0
+      q.forEach { i => i.release(); n += 1 }
+      n
+    }
+  }
+
   private def trainedIndex(corpus: DataFrame, cellSize: Int, trainIters: Int,
                            cprobe: Int): IvfIndex = {
     val coarse = coarseLevel(corpus, cellSize, trainIters).persist()
-    IvfIndex(coarse, fineLevel(corpus, coarse, cellSize, trainIters, cprobe))
+    val levels = fineLevels(corpus, coarse, cellSize, trainIters, cprobe)
+    IvfIndex(coarse, levels.last, staged = coarse +: levels)
   }
 
   private def fineSeedsOf(corpus: DataFrame, cellSize: Int): DataFrame =
@@ -387,14 +438,18 @@ object Similarity {
   /** Every fold level is lazily `persist()`-ed: level i+1 references
     * level i twice (see [[trainedIndex]]'s doc for why the cache, not
     * exchange reuse, is what keeps the inline chain's execution linear in
-    * `trainIters`).
+    * `trainIters`). ALL levels are returned — the last is the trained
+    * fine table, the rest are superseded fold stages that the caller must
+    * unpersist once the final level is materialized (round-8 ADVICE-3;
+    * [[persistIndex]] releases after its durable write, [[trainedIndex]]
+    * carries them on the index's `staged` for [[IvfIndex.release]]).
     */
-  private def fineLevel(corpus: DataFrame, coarse: DataFrame, cellSize: Int,
-                        trainIters: Int, cprobe: Int): DataFrame =
+  private def fineLevels(corpus: DataFrame, coarse: DataFrame, cellSize: Int,
+                         trainIters: Int, cprobe: Int): Seq[DataFrame] =
     (1 to trainIters).foldLeft(
-      routeFine(fineSeedsOf(corpus, cellSize), coarse).persist()) { (f, _) =>
-      val assigned = assignFine(corpus, IvfIndex(coarse, f), cprobe, 1, "vec_id")
-      routeFine(cellMeans(assigned.select(col("centroid_id"), col("v"))), coarse)
+      Vector(routeFine(fineSeedsOf(corpus, cellSize), coarse).persist())) { (ls, _) =>
+      val assigned = assignFine(corpus, IvfIndex(coarse, ls.last), cprobe, 1, "vec_id")
+      ls :+ routeFine(cellMeans(assigned.select(col("centroid_id"), col("v"))), coarse)
         .persist()
     }
 
@@ -417,7 +472,18 @@ object Similarity {
 
   def trainIvfFine(embeddings: DataFrame, coarse: DataFrame, cellSize: Int = 128,
                    trainIters: Int = 2, cprobe: Int = 4): DataFrame =
-    fineLevel(prepared(embeddings), coarse, cellSize, trainIters, cprobe)
+    trainIvfFineStaged(embeddings, coarse, cellSize, trainIters, cprobe).last
+
+  /** [[trainIvfFine]] with the full fold-level list exposed: the LAST
+    * frame is the trained fine table; callers that checkpoint or write it
+    * must then unpersist every returned frame, or the superseded levels'
+    * lazy caches outlive their usefulness for the session (round-8
+    * ADVICE-3 — [[persistIndex]] and the staged specs do exactly this).
+    */
+  def trainIvfFineStaged(embeddings: DataFrame, coarse: DataFrame,
+                         cellSize: Int = 128, trainIters: Int = 2,
+                         cprobe: Int = 4): Seq[DataFrame] =
+    fineLevels(prepared(embeddings), coarse, cellSize, trainIters, cprobe)
 
   /** Train the two-level index AND its inverted lists, persisting all
     * three tables (`coarse/`, `fine/`, `lists/`) as parquet under `dir` —
@@ -436,30 +502,45 @@ object Similarity {
     * created only after all three tables are fully written, readers
     * ([[indexReady]]) treat its absence as "no index", and a re-build
     * overwrites in place — a crash mid-build leaves an uncommitted
-    * directory that the next build simply rewrites.
+    * directory that the next build simply rewrites. `stamp` (normally the
+    * source table's [[graft.sources.SnapshotStore.fingerprint]]) is
+    * written INTO the marker: the stamped [[indexReady]] overload then
+    * refuses a build committed for different source content, closing the
+    * stale-reuse hole of the earlier name+length scheme (round-8
+    * ADVICE-2).
     */
   def persistIndex(embeddings: DataFrame, dir: String, cellSize: Int = 128,
                    trainIters: Int = 2, cprobe: Int = 4,
-                   probeDepth: Int = 3): Unit = {
+                   probeDepth: Int = 3, stamp: String = ""): Unit = {
     val spark = embeddings.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     trainIvfCoarse(embeddings, cellSize, trainIters)
       .write.mode("overwrite").parquet(s"$dir/coarse")
     val coarse = spark.read.parquet(s"$dir/coarse")
-    trainIvfFine(embeddings, coarse, cellSize, trainIters, cprobe)
-      .write.mode("overwrite").parquet(s"$dir/fine")
+    val levels = trainIvfFineStaged(embeddings, coarse, cellSize, trainIters, cprobe)
+    levels.last.write.mode("overwrite").parquet(s"$dir/fine")
+    // the durable write above materialized the whole fold chain — its
+    // lazy per-level caches are dead weight from here on (round-8 ADVICE-3)
+    levels.foreach(_.unpersist(false))
     val index = IvfIndex(coarse, spark.read.parquet(s"$dir/fine"))
     ivfAssign(embeddings, index, cprobe, probeDepth)
       .write.mode("overwrite").parquet(s"$dir/lists")
-    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_ok"), true).close()
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** True iff [[persistIndex]] committed a build under `dir`. */
+  /** True iff [[persistIndex]] committed a build under `dir` (any stamp). */
   def indexReady(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_ok")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** True iff [[persistIndex]] committed a build under `dir` for a source
+    * stamped exactly `stamp` — a marker stamped for OTHER source content
+    * (a regenerated embeddings table) reads as "no index" and forces a
+    * rebuild (round-8 ADVICE-2).
+    */
+  def indexReady(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 stamp: String): Boolean =
+    graft.sources.SnapshotStore.ready(spark, dir, stamp)
 
   /** Load a [[persistIndex]]-ed index: the (coarse, fine) centroid tables
     * plus the depth-`probeDepth` inverted lists. Plain parquet scans — no
@@ -481,7 +562,8 @@ object Similarity {
               cprobe: Int = 4, indexOpt: Option[IvfIndex] = None,
               assignedOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = prepared(embeddings)
-    val index = indexOpt.getOrElse(trainedIndex(corpus, cellSize, trainIters, cprobe))
+    val index = indexOpt.getOrElse(
+      trackInline(trainedIndex(corpus, cellSize, trainIters, cprobe)))
     val lists = assignedOpt.getOrElse(assignFine(corpus, index, cprobe, 1, "vec_id"))
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
@@ -541,7 +623,8 @@ object Similarity {
                       indexOpt: Option[IvfIndex] = None,
                       assignedOpt: Option[DataFrame] = None): DataFrame = {
     val corpus = prepared(embeddings)
-    val index = indexOpt.getOrElse(trainedIndex(corpus, cellSize, trainIters, cprobe))
+    val index = indexOpt.getOrElse(
+      trackInline(trainedIndex(corpus, cellSize, trainIters, cprobe)))
     // multi-probe inverted lists: shared when provided (must carry
     // probeDepth >= nprobe; the registry materializes depth 3)
     val lists = assignedOpt.getOrElse(assignFine(corpus, index, cprobe, nprobe, "vec_id"))

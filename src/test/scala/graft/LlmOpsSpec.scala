@@ -322,6 +322,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(fedRows.sameElements(direct), "index-fed output must equal the direct operator")
   }
 
+  test("shingle index carries width provenance; a mismatched indexOpt throws (r8 ADVICE-4)") {
+    import spark.implicits._
+    val docsT = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val members = Dedup.dupGroups(docsT).localCheckpoint()
+    val idx3 = Dedup.shingleIndex(docsT, members, n = 3)
+    // a width-4 call against a width-3 index used to return silently
+    // wrong jaccard values; it must now refuse
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docsT, 0.5, n = 4, membersOpt = Some(members),
+        indexOpt = Some(idx3))
+    }
+    assert(e.getMessage.contains("shingle width"))
+    intercept[IllegalArgumentException] {
+      Dedup.hotShingles(docsT, n = 4, indexOpt = Some(idx3))
+    }
+    // a frame with no provenance (hand-rolled 'h') is refused too
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docsT, 0.5, membersOpt = Some(members),
+        indexOpt = Some(idx3.withColumn("h", col("h") + 0L)))
+    }
+    // provenance survives the durable path: parquet round-trip keeps the
+    // column metadata, so a persisted index still validates
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    idx3.write.mode("overwrite").parquet(s"$dir/idx")
+    val reloaded = spark.read.parquet(s"$dir/idx")
+    val viaParquet = Dedup.jaccardPairs(docsT, 0.5, membersOpt = Some(members),
+      indexOpt = Some(reloaded)).collect()
+    val direct3 = Dedup.jaccardPairs(docsT, 0.5, membersOpt = Some(members)).collect()
+    assert(viaParquet.map(_.toSeq).toSeq == direct3.map(_.toSeq).toSeq)
+  }
+
   test("incremental dedup with a stop-list: boilerplate matches vanish on both sides") {
     import spark.implicits._
     // the incremental mirror of the mine → strip → pair composition: the

@@ -131,6 +131,34 @@ class MultimodalSpec extends SparkSpec {
     assert(s.count() > 0)
   }
 
+  test("embedding stub fingerprints code points, not bytes: non-ASCII parity with fingerprintCol") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // multi-byte UTF-8 payloads — 2-byte (é/ö), 3-byte (CJK), 4-byte
+    // (emoji): a byte-wise accumulator diverges from the code-point
+    // fingerprint on every one of these (round-8 ADVICE-1)
+    val texts = Seq("héllo wörld", "日本語のテキスト", "emoji 🚀🚀 mix", "plain ascii")
+    val media = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, "image", t.getBytes("UTF-8"), 0, 64, 64)
+    }.toDF("media_id", "kind", "payload", "n_frames", "width", "height")
+    val emb = Multimodal.embedStub(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("embedding")).toMap
+    val fps = texts.zipWithIndex.map(_.swap).toDF("media_id", "text")
+      .select(col("media_id"), TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    texts.indices.foreach { i =>
+      val fp = fps(i.toLong)
+      val expected = Array.tabulate(16)(d =>
+        ((fp * (2 * d + 1) + d.toLong * 40503L) % 2000001L) / 1000000.0 - 1.0)
+      assert(emb(i.toLong) == expected.toSeq,
+        s"payload '${texts(i)}' must embed from the code-point fingerprint")
+    }
+    // and the byte-array helper itself agrees with the codegen'd expression
+    texts.foreach { t =>
+      assert(graft.functions.Fingerprint.ofUtf8Bytes(t.getBytes("UTF-8")) == fps(texts.indexOf(t).toLong))
+    }
+  }
+
   test("embedding stub: fixed dims, deterministic, values in [-1, 1]") {
     val e1 = Multimodal.embedStub(media).collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("embedding")).toMap

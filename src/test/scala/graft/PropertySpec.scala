@@ -100,6 +100,7 @@ class PropertySpec extends SparkSpec {
       assert(rows.map(_._2).distinct.length == rows.length,
         s"vec $id routed to one cell twice")
     }
+    idx.release() // lists collected — training caches released (r8 ADVICE-3)
   }
 
   test("kafka wire format round-trips: parseJson(toKafkaRecords(df)) recovers the wire fields (S3/P1-P3)") {

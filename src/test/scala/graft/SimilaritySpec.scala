@@ -218,7 +218,23 @@ class SimilaritySpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.enabled")
+      // free the explicitly- and inline-trained indexes' lazy training
+      // caches (round-8 ADVICE-3) — results above are materialized
+      idx.release()
+      Similarity.releaseInlineTrained(spark)
     }
+  }
+
+  test("inline training is tracked and released, not leaked (r8 ADVICE-3)") {
+    // an ivfTopK call without indexOpt used to leak its trainIters+2
+    // lazily-persisted fold frames for the session lifetime; it is now
+    // tracked per session and freed by releaseInlineTrained
+    Similarity.releaseInlineTrained(spark) // drain any earlier tests' entries
+    val topk = Similarity.ivfTopK(emb, numQueries = 2, k = 3, cellSize = 8)
+    assert(topk.count() > 0)
+    assert(Similarity.releaseInlineTrained(spark) == 1,
+      "exactly this test's inline-trained index must be tracked")
+    assert(Similarity.releaseInlineTrained(spark) == 0, "release must drain")
   }
 
   test("empty coarse cells cannot drop vectors from the inverted lists") {
@@ -275,7 +291,9 @@ class SimilaritySpec extends SparkSpec {
     // the re-analyzed tree grows ~3^iters and the spec times lineage
     // replay instead of the guard under test.
     val coarseCk = Similarity.trainIvfCoarse(embDf, cellSize = 8).localCheckpoint()
-    val fineCk = Similarity.trainIvfFine(embDf, coarseCk, cellSize = 8).localCheckpoint()
+    val fineLevels = Similarity.trainIvfFineStaged(embDf, coarseCk, cellSize = 8)
+    val fineCk = fineLevels.last.localCheckpoint()
+    fineLevels.foreach(_.unpersist(false)) // checkpointed — caches released (r8 ADVICE-3)
     val idx = Similarity.IvfIndex(coarseCk, fineCk)
     val maxCell = idx.fine.groupBy("coarse_id").count()
       .agg(max("count")).head().getLong(0)

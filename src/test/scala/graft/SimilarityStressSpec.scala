@@ -29,7 +29,9 @@ class SimilarityStressSpec extends SparkSpec {
   // train the next from the checkpointed frame
   private def trained(emb: DataFrame, cellSize: Int): Similarity.IvfIndex = {
     val coarse = Similarity.trainIvfCoarse(emb, cellSize).localCheckpoint()
-    val fine = Similarity.trainIvfFine(emb, coarse, cellSize).localCheckpoint()
+    val levels = Similarity.trainIvfFineStaged(emb, coarse, cellSize)
+    val fine = levels.last.localCheckpoint()
+    levels.foreach(_.unpersist(false)) // checkpointed — caches released (r8 ADVICE-3)
     Similarity.IvfIndex(coarse, fine)
   }
 

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.SnapshotStore
+
+/** Specs for the durable per-snapshot table store: content-stamped
+  * staleness (round-8 ADVICE-2) and parquet-served dedup-family queries
+  * (round-7 VERDICT-1).
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint distinguishes same-length different-content regenerations (r8 ADVICE-2)") {
+    val base = Files.createTempDirectory("snapfp")
+    val src = base.resolve("t.txt")
+    Files.write(src, "aaaa".getBytes(UTF_8))
+    val fp1 = SnapshotStore.fingerprint(spark, src.toString)
+    // regenerate: SAME byte length, different content — the case the old
+    // name+length scheme silently reused. mtime is bumped explicitly so
+    // the spec never races filesystem timestamp granularity.
+    Files.write(src, "bbbb".getBytes(UTF_8))
+    assert(src.toFile.setLastModified(src.toFile.lastModified() + 2000))
+    val fp2 = SnapshotStore.fingerprint(spark, src.toString)
+    assert(fp1 != fp2, "a same-length regeneration must change the fingerprint")
+    // marker protocol: a build committed for fp1 is NOT ready for fp2
+    val dir = base.resolve("derived").toString
+    SnapshotStore.commit(spark, dir, fp1)
+    assert(SnapshotStore.ready(spark, dir, fp1))
+    assert(!SnapshotStore.ready(spark, dir, fp2),
+      "a marker stamped for other source content must read as no-build")
+  }
+
+  test("fingerprint aggregates a directory table's part files, never collapses to the dir stat") {
+    // Spark parquet output is a DIRECTORY whose own FileStatus length is
+    // ~0 — the second ADVICE-2 hole. The fingerprint must see the data
+    // files (and ignore hidden .crc/_SUCCESS shadows).
+    val base = Files.createTempDirectory("snapdir")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+      .write.parquet(s"$base/t.parquet")
+    val fp = SnapshotStore.fingerprint(spark, s"$base/t.parquet")
+    val Array(_, count, len, mtime) = fp.split("-", 4)
+    assert(count.toLong >= 1 && len.toLong > 0 && mtime.toLong > 0,
+      s"directory fingerprint must aggregate part files, got $fp")
+    // same leaf name under a different root → different fingerprint
+    val other = Files.createTempDirectory("snapdir2")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+      .write.parquet(s"$other/t.parquet")
+    assert(fp != SnapshotStore.fingerprint(spark, s"$other/t.parquet"),
+      "two roots sharing a leaf name must not share a fingerprint")
+  }
+
+  test("sketch snapshot rebuilds on regeneration and serves the NEW corpus") {
+    val base = Files.createTempDirectory("snapsketch")
+    val srcPath = s"$base/documents.parquet"
+    def writeCorpus(tag: String): Unit =
+      ((0 until 8).map(i => (i.toLong, s"$tag one two three four five v$i")) :+
+        ((100L, s"$tag one two three four five v0")))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(srcPath)
+    writeCorpus("alpha")
+    val dir = s"$base/sketch"
+    val stamp1 = SnapshotStore.fingerprint(spark, srcPath)
+    Dedup.persistSketchTables(spark.read.parquet(srcPath), dir, stamp = stamp1)
+    assert(SnapshotStore.ready(spark, dir, stamp1))
+    val pairs1 = Dedup.loadSketchTables(spark, dir).pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs1.nonEmpty, "the planted near-dup must pair")
+    // regenerate the corpus: the old stamp must now read stale and the
+    // rebuilt snapshot must reflect the new content
+    Thread.sleep(5) // parquet rewrite → new files; sleep guards coarse mtime
+    writeCorpus("beta")
+    val stamp2 = SnapshotStore.fingerprint(spark, srcPath)
+    assert(stamp2 != stamp1)
+    assert(!SnapshotStore.ready(spark, dir, stamp2),
+      "a regenerated corpus must invalidate the committed snapshot")
+    Dedup.persistSketchTables(spark.read.parquet(srcPath), dir, stamp = stamp2)
+    assert(SnapshotStore.ready(spark, dir, stamp2))
+    val direct = Dedup.minhashPairs(spark.read.parquet(srcPath), 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = Dedup.loadSketchTables(spark, dir).pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == direct, "the rebuilt snapshot must serve the new corpus' pairs")
+  }
+
+  test("registry dedup family serves from snapshot parquet, never rescans documents (r7 VERDICT-1)") {
+    // first access builds + commits the snapshot; every consumer after
+    // that — including this plan — reads the four persisted tables
+    val clusters = SparkEntry.queries("q_dup_clusters")(spark, sf)
+    assert(clusters.count() > 0)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    // q_dup_clusters' fixpoint truncates lineage at checkpoints, so its
+    // final plan has no file leaves at all — but its INPUT (the pairs
+    // frame the rounds consumed) must be the snapshot table, and nothing
+    // in the remaining plan may touch documents
+    val clusterScans = scansOf(SparkEntry.queries("q_dup_clusters")(spark, sf))
+    assert(clusterScans.forall(_.contains("graft_dedup")),
+      s"cluster propagation must read only the pairs table:\n${clusterScans.mkString("\n")}")
+    assert(clusterScans.forall(!_.contains("documents.parquet")),
+      "the served path must never scan documents")
+    val pairScans = scansOf(SparkEntry.queries("q_minhash_pairs")(spark, sf))
+    assert(pairScans.nonEmpty && pairScans.forall(_.contains("graft_dedup")),
+      s"pair serving must read only snapshot tables:\n${pairScans.mkString("\n")}")
+    // jaccard over the persisted index + members: snapshot tables only
+    val jacScans = scansOf(SparkEntry.queries("q_jaccard_pairs")(spark, sf))
+    assert(jacScans.nonEmpty && jacScans.forall(_.contains("graft_dedup")),
+      s"index-fed jaccard must read only snapshot tables:\n${jacScans.mkString("\n")}")
+  }
+}

@@ -88,6 +88,47 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch gaps-and-islands streaks ≡ streaming flatMapGroupsWithState on one fixture (r7 item 3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two cities (user_id 0 → SF, 1 → NYC), lows breaking streaks, a
+    // same-timestamp (low, high) tie, and streaks that only complete
+    // ACROSS a micro-batch boundary. Batches arrive in event-time order —
+    // the streaming operator's documented delivery assumption; under it
+    // the incremental run must equal the batch window formulation exactly.
+    def e(id: Long, user: Long, t: String, v: Double) =
+      EventRec(id, ts(t), user, "click", v, "{}")
+    val batches = Seq(
+      Seq(e(1, 0, "2024-01-01 10:00:00", 300), e(2, 0, "2024-01-01 10:00:10", 300),
+        e(3, 1, "2024-01-01 10:00:05", 300), e(4, 1, "2024-01-01 10:00:06", 50),
+        // tie: low and high on one stamp — low sorts first, high starts a run
+        e(5, 1, "2024-01-01 10:00:07", 450), e(6, 1, "2024-01-01 10:00:07", 50)),
+      Seq(e(7, 0, "2024-01-01 10:00:20", 450), // completes SF's 3-streak
+        e(8, 1, "2024-01-01 10:00:08", 300), e(9, 1, "2024-01-01 10:00:09", 300)),
+      Seq(e(10, 0, "2024-01-01 10:00:30", 50), // SF reset
+        e(11, 0, "2024-01-01 10:00:40", 300), e(12, 0, "2024-01-01 10:00:50", 300),
+        e(13, 0, "2024-01-01 10:01:00", 300), e(14, 0, "2024-01-01 10:01:10", 300),
+        e(15, 1, "2024-01-01 10:00:11", 300))) // NYC alert: tie-high + 8,9... 11 extends
+    val input = MemoryStream[EventRec]
+    val q = Stateful.severityStreaks(CityEvents.normalize(input.toDF()), minStreak = 3)
+      .writeStream.outputMode("append").format("memory").queryName("paritystreaks").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("paritystreaks").collect()
+        .map(r => (r.getAs[String]("city"), r.getAs[Int]("streak"),
+          r.getAs[Timestamp]("last_ts"))).sortBy(x => (x._1, x._3.getTime))
+      val batch = Stateful.severityStreaksBatch(
+        CityEvents.normalize(batches.flatten.toDF()), minStreak = 3).collect()
+        .map(r => (r.getAs[String]("city"), r.getAs[Int]("streak"),
+          r.getAs[Timestamp]("last_ts"))).sortBy(x => (x._1, x._3.getTime))
+      assert(streamed.nonEmpty, "fixture must produce alerts")
+      assert(streamed.toSeq == batch.toSeq,
+        s"batch formulation must equal streaming output:\n stream ${streamed.toSeq}\n batch  ${batch.toSeq}")
+      // engagement: both cities alert, and one alert crossed a batch boundary
+      assert(streamed.map(_._1).distinct.sorted.toSeq == Seq("NYC", "SF"))
+    } finally q.stop()
+  }
+
   test("observe() metrics surface per-batch producer telemetry (A7 streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
