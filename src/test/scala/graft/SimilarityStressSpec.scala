@@ -35,31 +35,39 @@ class SimilarityStressSpec extends SparkSpec {
     Similarity.IvfIndex(coarse, fine)
   }
 
-  test("4x corpus: coarse ~2x (sublinear broadcast), fine ~4x, per-cell occupancy flat") {
+  test("4x + 8x corpus: coarse sublinear (broadcast), fine ~linear, per-cell occupancy flat") {
     val cellSize = 32
-    val (n1, n2) = (3072, 12288)
-    val t0 = System.nanoTime
-    val i1 = trained(corpus(n1), cellSize)
-    val a1 = Similarity.ivfAssign(corpus(n1), i1, probeDepth = 1).localCheckpoint()
-    val (c1, f1, cnt1) = (i1.coarse.count(), i1.fine.count(), a1.count())
-    val t1 = System.nanoTime
-    val i2 = trained(corpus(n2), cellSize)
-    val a2 = Similarity.ivfAssign(corpus(n2), i2, probeDepth = 1).localCheckpoint()
-    val (c2, f2, cnt2) = (i2.coarse.count(), i2.fine.count(), a2.count())
-    val t2 = System.nanoTime
+    // three points — 1×, 4×, 8× — so the scaling claims rest on a SERIES,
+    // not a single ratio (round-7 verdict item 6; 8× added round 9)
+    val (n1, n2, n3) = (3072, 12288, 24576)
+    def measure(n: Int): (Long, Long, Long, Double, Double) = {
+      val t0 = System.nanoTime
+      val idx = trained(corpus(n), cellSize)
+      val a = Similarity.ivfAssign(corpus(n), idx, probeDepth = 1).localCheckpoint()
+      val (c, f, cnt) = (idx.coarse.count(), idx.fine.count(), a.count())
+      val occ = a.groupBy("centroid_id").count().agg(avg("count")).head().getDouble(0)
+      a.unpersist(false)
+      (c, f, cnt, occ, (System.nanoTime - t0) / 1e9)
+    }
+    val (c1, f1, cnt1, occ1, s1) = measure(n1)
+    val (c2, f2, cnt2, occ2, s2) = measure(n2)
+    val (c3, f3, cnt3, occ3, s3) = measure(n3)
     // assignment is total: every vector lands in exactly one home cell
-    assert(cnt1 == n1 && cnt2 == n2)
-    val occ1 = a1.groupBy("centroid_id").count().agg(avg("count")).head().getDouble(0)
-    val occ2 = a2.groupBy("centroid_id").count().agg(avg("count")).head().getDouble(0)
-    info(f"corpus $n1: coarse $c1, fine $f1, occ $occ1%.1f, ${(t1 - t0) / 1e9}%.1f s; " +
-      f"corpus $n2: coarse $c2, fine $f2, occ $occ2%.1f, ${(t2 - t1) / 1e9}%.1f s")
+    assert(cnt1 == n1 && cnt2 == n2 && cnt3 == n3)
+    info(f"corpus $n1: coarse $c1, fine $f1, occ $occ1%.1f, $s1%.1f s; " +
+      f"corpus $n2: coarse $c2, fine $f2, occ $occ2%.1f, $s2%.1f s; " +
+      f"corpus $n3: coarse $c3, fine $f3, occ $occ3%.1f, $s3%.1f s")
     assert(f2.toDouble / f1 > 2.5 && f2.toDouble / f1 < 6,
       s"fine centroids must grow ~linearly with the corpus: $f1 -> $f2")
+    assert(f3.toDouble / f1 > 5 && f3.toDouble / f1 < 12,
+      s"fine centroids must stay ~linear at 8x: $f1 -> $f3")
     assert(c2.toDouble / c1 < 3.2,
       s"the coarse level (the ONLY broadcast) must grow ~sqrt: $c1 -> $c2")
-    assert(c2 <= 4 * math.sqrt(f2.toDouble).toLong + 1,
-      s"coarse $c2 must stay ~sqrt of fine $f2 at the larger scale too")
-    assert(occ2 / occ1 < 2.0,
-      s"per-cell occupancy must stay flat as cells grow in number: $occ1 -> $occ2")
+    assert(c3.toDouble / c1 < 4.5,
+      s"coarse growth at 8x must stay ~sqrt(8)=2.8, well under linear 8x: $c1 -> $c3")
+    assert(c3 <= 4 * math.sqrt(f3.toDouble).toLong + 1,
+      s"coarse $c3 must stay ~sqrt of fine $f3 at the largest scale too")
+    assert(occ2 / occ1 < 2.0 && occ3 / occ1 < 2.0,
+      s"per-cell occupancy must stay flat as cells grow in number: $occ1 -> $occ2 -> $occ3")
   }
 }

@@ -53,6 +53,77 @@ class SnapshotSpec extends SparkSpec {
       "two roots sharing a leaf name must not share a fingerprint")
   }
 
+  test("fingerprint ignores files under hidden directories, not just hidden leaves (r9 ADVICE-1)") {
+    // listFiles(recursive) descends into _temporary/.spark-staging trees
+    // left by crashed writes; their files must not perturb the stamp
+    val base = Files.createTempDirectory("snaphid")
+    val tbl = base.resolve("t.parquet")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "t").write.parquet(tbl.toString)
+    val fp = SnapshotStore.fingerprint(spark, tbl.toString)
+    // simulate a crashed concurrent write: VISIBLE-named files under
+    // hidden directories (the exact shape the leaf-only filter miscounted)
+    val tmpDir = tbl.resolve("_temporary").resolve("0")
+    Files.createDirectories(tmpDir)
+    Files.write(tmpDir.resolve("part-00000.parquet"), "junk".getBytes(UTF_8))
+    val stgDir = tbl.resolve(".spark-staging-123")
+    Files.createDirectories(stgDir)
+    Files.write(stgDir.resolve("part-00001.parquet"), "junkjunk".getBytes(UTF_8))
+    assert(SnapshotStore.fingerprint(spark, tbl.toString) == fp,
+      "files under hidden directories must not change the fingerprint")
+  }
+
+  test("commit leaves no temp marker and survives re-commit (r9 ADVICE-4)") {
+    val base = Files.createTempDirectory("snapcommit")
+    val dir = base.resolve("derived").toString
+    SnapshotStore.commit(spark, dir, "stamp-a")
+    assert(SnapshotStore.ready(spark, dir, "stamp-a"))
+    // re-commit over an existing marker (rebuild path) must also succeed
+    SnapshotStore.commit(spark, dir, "stamp-b")
+    assert(SnapshotStore.ready(spark, dir, "stamp-b"))
+    assert(!SnapshotStore.ready(spark, dir, "stamp-a"))
+    val leftovers = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.contains("_graft_ok.tmp"))
+    assert(leftovers.isEmpty, s"temp marker must be renamed away: ${leftovers.mkString(",")}")
+  }
+
+  test("commit sweeps abandoned sibling snapshot dirs of the same source (r8 next-round 5)") {
+    val base = Files.createTempDirectory("snapgc")
+    val family = base.resolve("graft_fam")
+    val live = family.resolve("sf9_aabbccdd")
+    val stale = family.resolve("sf9_123456")   // earlier spelling of the same source
+    val other = family.resolve("sfX_99887766") // different parent name: a different source
+    Files.createDirectories(stale)
+    Files.createDirectories(other)
+    SnapshotStore.commit(spark, live.toString, "stamp")
+    assert(SnapshotStore.ready(spark, live.toString, "stamp"))
+    assert(!Files.exists(stale), "a same-source earlier spelling must be GC'd at commit")
+    assert(Files.exists(other), "a different source's snapshot must be kept")
+  }
+
+  test("registry re-checks snapshot staleness per call, not per session (r9 ADVICE-2)") {
+    // a corpus regenerated while the session lives must be re-served from
+    // a fresh snapshot on the NEXT registry call — the memo may cache
+    // readers only while the fingerprint matches
+    val base = Files.createTempDirectory("snapmemo")
+    def writeCorpus(tag: String): Unit =
+      ((0 until 8).map(i => (i.toLong, s"$tag one two three four five v$i")) :+
+        ((100L, s"$tag one two three four five v0")))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    writeCorpus("alpha")
+    val r1 = SparkEntry.queries("q_minhash_pairs")(spark, base.toString).collect()
+    assert(r1.nonEmpty)
+    Thread.sleep(5)
+    writeCorpus("beta")
+    // force a visible content difference: beta corpus drops the planted dup
+    Seq((0L, "solo beta document unlike anything"), (1L, "another unique beta row"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val r2 = SparkEntry.queries("q_minhash_pairs")(spark, base.toString).collect()
+    assert(r2.isEmpty,
+      s"regenerated corpus has no near-dups; stale snapshot would still pair: ${r2.length} rows")
+  }
+
   test("sketch snapshot rebuilds on regeneration and serves the NEW corpus") {
     val base = Files.createTempDirectory("snapsketch")
     val srcPath = s"$base/documents.parquet"
@@ -110,5 +181,29 @@ class SnapshotSpec extends SparkSpec {
     val jacScans = scansOf(SparkEntry.queries("q_jaccard_pairs")(spark, sf))
     assert(jacScans.nonEmpty && jacScans.forall(_.contains("graft_dedup")),
       s"index-fed jaccard must read only snapshot tables:\n${jacScans.mkString("\n")}")
+  }
+
+  test("simhash + incremental dedup serve from persisted sketches (r8 next-round 3)") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    // simhash pairs: banded join over the persisted simhash table +
+    // group-expand via the persisted members table — zero document scans
+    val sh = SparkEntry.queries("q_simhash_pairs")(spark, sf)
+    assert(sh.count() > 0, "sf0.01 plants simhash-grade near-dups")
+    val shScans = scansOf(sh)
+    assert(shScans.nonEmpty && shScans.forall(_.contains("graft_dedup")),
+      s"simhash serving must read only snapshot tables:\n${shScans.mkString("\n")}")
+    // incremental dedup: the corpus side must come from the persisted
+    // graft_incdex signature index (the delta side reads documents — the
+    // fresh crawl is the one thing a daily run MUST scan)
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    assert(inc.count() > 0)
+    val incScans = scansOf(inc)
+    assert(incScans.exists(_.contains("graft_incdex")),
+      s"corpus side must be the persisted signature index:\n${incScans.mkString("\n")}")
+    assert(incScans.filterNot(_.contains("graft_incdex"))
+      .forall(_.contains("documents.parquet")),
+      s"only delta-side document scans allowed beside the index:\n${incScans.mkString("\n")}")
   }
 }
