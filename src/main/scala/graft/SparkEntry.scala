@@ -438,6 +438,34 @@ object SparkEntry {
         |FROM p WHERE streak = 2
         |ORDER BY city, last_ts""".stripMargin)),
 
+    // the SCALE-SAFE two-phase segmented stitch (parallelism ∝ city ×
+    // time-segment, not the 6-city ceiling — round-8 verdict 4), re-oracled
+    // against the SAME DuckDB gaps-and-islands query: equivalence to the
+    // one-phase form is spec'd (StatefulSpec), this row makes it
+    // driver-visible. 30-minute segments ⇒ real boundary-crossing runs at
+    // every shipped SF.
+    ("q_severity_streaks_seg",
+      (s, d) => graft.streaming.Stateful.severityStreaksBatchSegmented(
+        norm(s, d), minStreak = 2, segment = "30 minutes")
+        .select(col("city"), col("streak"),
+          date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .orderBy("city", "last_ts"),
+      Some(s"""$WITH_NORM,
+        |f AS (SELECT city, ts,
+        |  CASE WHEN severity IN ('high','critical') THEN 1 ELSE 0 END AS hi FROM norm),
+        |r AS (SELECT city, ts, hi,
+        |  row_number() OVER (PARTITION BY city ORDER BY ts, hi) AS rn,
+        |  sum(hi) OVER (PARTITION BY city ORDER BY ts, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hseq
+        |  FROM f),
+        |p AS (SELECT city, ts,
+        |  row_number() OVER (PARTITION BY city, rn - hseq ORDER BY rn) AS streak
+        |  FROM r WHERE hi = 1)
+        |SELECT city, CAST(streak AS INT) AS streak,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM p WHERE streak = 2
+        |ORDER BY city, last_ts""".stripMargin)),
+
     // ---- relational extension surface (SURVEY.md §2.4/§2.7, §7.2 M4)
     ("q_pricing_summary",
       (s, d) => Relational.pricingSummary(Tables.lineitem(s, d)),

