@@ -67,11 +67,11 @@ object SparkEntry {
   private def dedupTables(s: SparkSession, d: String): Dedup.SketchTables = {
     dedupTablesCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    // the "dedup-v2:" prefix versions the family's LAYOUT (v2 added the
-    // simhash table): a marker committed by an older build fails the stamp
-    // compare and rebuilds in place, instead of half-loading a directory
-    // that predates the new table
-    val stamp = "dedup-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // the "dedup-v3:" prefix versions the family's LAYOUT (v2 added the
+    // simhash sketch, v3 its default-threshold verified pairs): a marker
+    // committed by an older build fails the stamp compare and rebuilds in
+    // place, instead of half-loading a directory that predates a table
+    val stamp = "dedup-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     dedupTablesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -1230,8 +1230,7 @@ object SparkEntry {
     // SimHash with pigeonhole block join is EXACT for hamming ≤ 2; the
     // oracle recomputes the identical integer-only simhash in SQL.
     ("q_simhash_pairs",
-      (s, d) => Dedup.simhashPairsFromSketch(
-        dedupTables(s, d).simhash, dupMembers(s, d), 2),
+      (s, d) => dedupTables(s, d).simhashPairs.orderBy("doc_id1", "doc_id2"),
       Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(string_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),

@@ -791,12 +791,16 @@ object Dedup {
     *  - `pairs`    — verified minhash near-dup pairs (doc_id1, doc_id2,
     *    jaccard)
     *  - `simhash`  — 30-bit SimHash per rep (doc_id, simhash), feeding
-    *    [[simhashPairsFromSketch]] (round-9: the last per-process
-    *    constructor moved onto the snapshot store)
+    *    [[simhashPairsFromSketch]] at any hamming threshold (round-9: the
+    *    last per-process constructor moved onto the snapshot store)
+    *  - `simhashPairs` — verified hamming ≤ 2 pairs at the default
+    *    threshold, group-expanded — the minhash `pairs` precedent applied
+    *    to the simhash side: serving the DEFAULT threshold is one scan,
+    *    not an 8-stage join pipeline per call
     */
   case class SketchTables(members: DataFrame, index: DataFrame,
                           stoplist: DataFrame, pairs: DataFrame,
-                          simhash: DataFrame)
+                          simhash: DataFrame, simhashPairs: DataFrame)
 
   /** Build the dedup sketch family ONCE per corpus snapshot and commit it
     * under `dir` — the [[Similarity.persistIndex]] pattern applied to the
@@ -834,6 +838,10 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.Sketches.simhash(tokenHashes(col("text")), 30).as("simhash"))
       .write.mode("overwrite").parquet(s"$dir/simhash")
+    // default-threshold verified pairs from the READ-BACK sketch (the
+    // staging discipline: nothing re-sketches an upstream stage)
+    simhashPairsFromSketch(spark.read.parquet(s"$dir/simhash"), members, 2)
+      .write.mode("overwrite").parquet(s"$dir/simhash_pairs")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -845,7 +853,8 @@ object Dedup {
       index = spark.read.parquet(s"$dir/shingle_index"),
       stoplist = spark.read.parquet(s"$dir/stoplist"),
       pairs = spark.read.parquet(s"$dir/pairs"),
-      simhash = spark.read.parquet(s"$dir/simhash"))
+      simhash = spark.read.parquet(s"$dir/simhash"),
+      simhashPairs = spark.read.parquet(s"$dir/simhash_pairs"))
 
   /** DuckDB oracle fragments. */
   object Sql {
