@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** STREAMING continuous-crawl dedup — the production composition of the
+  * batch incremental operator ([[graft.operators.Dedup.dedupDelta]]) with
+  * Structured Streaming: a crawl stream of (doc_id, text) documents is
+  * deduped per micro-batch against the corpus signature index, clean
+  * (sufficiently novel) docs and duplicate-pair audit rows land in
+  * epoch-partitioned parquet, and the clean docs' OWN signature rows are
+  * appended to the index so later batches dedup against earlier ones —
+  * the corpus grows with the stream without ever re-reading corpus text.
+  *
+  * Scale shape: per batch, corpus-side cost ∝ |index| (signature rows,
+  * not documents) and delta-side cost ∝ |batch| — the same contract as
+  * the batch operator; nothing here accumulates driver state. The index
+  * union is a parquet scan of the base plus the appended epoch dirs.
+  *
+  * Effectively-once: every per-epoch output goes to its own
+  * `epoch=<N>` directory with mode=overwrite, so a replayed micro-batch
+  * (post-crash re-run of the last uncommitted epoch) OVERWRITES its own
+  * previous partial output instead of duplicating it — the same
+  * idempotence argument as the reference consumer's keyed upsert, applied
+  * at directory granularity. Readers see `epoch` as a partition column.
+  *
+  * Policy: a delta doc matching the corpus (or an earlier batch) at
+  * jaccard ≥ threshold — exact or near — is DROPPED from `clean` and
+  * recorded in `pairs`. Two non-exact near-dups arriving in the SAME
+  * batch both survive (scope is delta-vs-corpus, matching the batch
+  * operator); compose [[Dedup.minhashPairs]] over a batch for
+  * within-batch near-dedup if the crawl needs it. Within-batch EXACT
+  * copies do collapse: the appended index keeps one rep per content
+  * hash, and the exact branch of the NEXT batch's join catches re-sends.
+  */
+object CrawlDedup {
+
+  /** Start the crawl-dedup stream over `docs` (a streaming DataFrame with
+    * `doc_id`/`text`), deduping against the [[Dedup.buildDedupIndex]]
+    * table at `baseIndexDir`. Outputs under `outDir`: `clean/`, `pairs/`,
+    * `index_delta/` (all epoch-partitioned) + the stream checkpoint.
+    */
+  def start(docs: DataFrame, baseIndexDir: String, outDir: String,
+            threshold: Double = 0.8): StreamingQuery = {
+    val spark = docs.sparkSession
+    val base = spark.read.parquet(baseIndexDir)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        runBatch(batch.toDF(), base, outDir, epoch, threshold)
+      }
+      .start()
+  }
+
+  /** One micro-batch (factored out so batch specs can drive it directly):
+    * dedup `batch` against base index + all previously appended index
+    * deltas, then write clean docs, dup pairs, and the clean docs' index
+    * rows under `epoch=<N>` dirs.
+    */
+  def runBatch(batch: DataFrame, baseIndex: DataFrame, outDir: String,
+               epoch: Long, threshold: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    val grown = indexWithDeltas(spark, baseIndex, s"$outDir/index_delta", epoch)
+    // barrier: the micro-batch feeds the pair join AND the anti-join —
+    // materialize once so a real source (kafka) is not re-read per consumer
+    val delta = batch.localCheckpoint()
+    val pairs = Dedup.dedupDelta(grown, delta, threshold).localCheckpoint()
+    pairs.write.mode("overwrite").parquet(s"$outDir/pairs/epoch=$epoch")
+    val dupIds = pairs.select(col("delta_id").as("doc_id")).distinct()
+    delta.join(dupIds, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/clean/epoch=$epoch")
+    // the surviving docs enter the corpus: build their signature rows from
+    // the READ-BACK clean table (staging discipline — nothing re-sketches
+    // an upstream stage) so later batches dedup against this one
+    Dedup.buildDedupIndex(spark.read.parquet(s"$outDir/clean/epoch=$epoch"))
+      .write.mode("overwrite").parquet(s"$outDir/index_delta/epoch=$epoch")
+  }
+
+  /** Base index unioned with the per-epoch index deltas of STRICTLY
+    * EARLIER epochs (absent on the first batch — partition discovery
+    * needs ≥1 epoch dir). The `epoch < current` filter (partition-pruned,
+    * no data read for excluded epochs) is what makes replay safe: a
+    * crashed-and-replayed micro-batch that already appended its own index
+    * delta must not find ITS OWN rows in the corpus — it would exact-match
+    * every one of its documents against itself and emit an empty clean
+    * set instead of reproducing the original output.
+    */
+  private def indexWithDeltas(spark: SparkSession, base: DataFrame,
+                              deltaDir: String, beforeEpoch: Long): DataFrame = {
+    val p = new Path(deltaDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.isDirectory))
+      base.unionByName(spark.read.parquet(deltaDir)
+        .filter(col("epoch") < beforeEpoch).drop("epoch"))
+    else base
+  }
+}
