@@ -158,44 +158,59 @@ object Stateful {
     val flagged = normalized.select(col("city"), col("ts"),
       when(col("severity").isin("high", "critical"), 1).otherwise(0).as("hi"))
       .withColumn("seg", window(col("ts"), segment).getField("start"))
-    val w = Window.partitionBy("city", "seg").orderBy(col("ts"), col("hi"))
-    val seq = flagged
+    // ONE exchange for the whole heavy phase: every window below clusters
+    // on a superset of (city, seg), which hash-partitioning on (city, seg)
+    // already satisfies — the finer (city, seg, island) windows re-sort
+    // locally but never reshuffle — and the summary groupBy keys on the
+    // same prefix, so its partial aggregation feeds straight through too.
+    val wSeg = Window.partitionBy("city", "seg")
+    val w = wSeg.orderBy(col("ts"), col("hi"))
+    val iw = Window.partitionBy("city", "seg", "island").orderBy(col("rn"))
+    val iwAll = Window.partitionBy("city", "seg", "island")
+    val ann = flagged
       .withColumn("rn", row_number().over(w))
       .withColumn("hseq", sum(col("hi")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val segCounts = flagged.groupBy("city", "seg").agg(count(lit(1)).as("n"))
-    val islandAgg = seq.filter(col("hi") === 1)
-      .withColumn("island", col("rn") - col("hseq"))
-      .groupBy("city", "seg", "island")
-      .agg(min("rn").as("start_rn"), max("rn").as("end_rn"),
-        count(lit(1)).as("len"),
-        // the island's first minStreak (rn, ts) rows in island order —
-        // bounded per island, all an emission decision ever needs
-        slice(array_sort(collect_list(struct(col("rn"), col("ts")))), 1, k)
-          .as("firstk"))
+      .withColumn("n", count(lit(1)).over(wSeg))
+      // null island for low rows: they share one throwaway window
+      // partition per segment whose island_* stats compute over zero
+      // non-null inputs — every consumer below guards on isNotNull
+      .withColumn("island", when(col("hi") === 1, col("rn") - col("hseq")))
+      // hoist the guarded rn so the three island_* aggregates below share
+      // one plain input column: with no projection interleaved between
+      // same-spec windows, CollapseWindow fuses them into a single
+      // Window operator (one pass, not three)
+      .withColumn("mrn", when(col("island").isNotNull, col("rn")))
+      .withColumn("streak", row_number().over(iw))
+      .withColumn("island_start", min(col("mrn")).over(iwAll))
+      .withColumn("island_end", max(col("mrn")).over(iwAll))
+      .withColumn("island_len", count(col("mrn")).over(iwAll))
     // interior islands: decided entirely within their segment
-    val localEmits = islandAgg.filter(col("start_rn") =!= 1 && col("len") >= k)
-      .select(col("city"), lit(k).as("streak"),
-        element_at(col("firstk"), k).getField("ts").as("last_ts"))
-    // boundary summaries: head run (starts at row 1), tail run (ends at
-    // row n), and whether they are one segment-spanning run
-    val ia = islandAgg.join(segCounts, Seq("city", "seg"))
-    val head = ia.filter(col("start_rn") === 1)
-      .select(col("city"), col("seg"), col("len").as("head_len"),
-        (col("end_rn") === col("n")).as("all_high"),
-        expr("transform(firstk, x -> x.ts)").as("head_ts"))
-    val tailOnly = ia.filter(col("end_rn") === col("n") && col("start_rn") =!= 1)
-      .select(col("city"), col("seg"), col("len").as("tail_only_len"))
-    val summaries = segCounts
-      .join(head, Seq("city", "seg"), "left")
-      .join(tailOnly, Seq("city", "seg"), "left")
+    val localEmits = ann
+      .filter(col("island").isNotNull && col("island_start") =!= 1 &&
+        col("streak") === k)
+      .select(col("city"), lit(k).as("streak"), col("ts").as("last_ts"))
+    // boundary summaries in the SAME one-exchange pipeline: head run
+    // (island at row 1), tail run (island ending at row n), segment-
+    // spanning run, and the head run's first k timestamps — conditional
+    // aggregates over the annotated rows; all-low segments (which must
+    // reset the carry) survive as rows with no qualifying islands
+    val summaries = ann.groupBy("city", "seg").agg(
+        max(when(col("island").isNotNull && col("island_start") === 1,
+          col("island_len"))).as("head_len_raw"),
+        max(when(col("island").isNotNull && col("island_start") === 1 &&
+          col("island_end") === col("n"), lit(1))).as("all_high_raw"),
+        max(when(col("island").isNotNull && col("island_end") === col("n"),
+          col("island_len"))).as("tail_len_raw"),
+        slice(array_sort(collect_list(when(
+          col("island").isNotNull && col("island_start") === 1 &&
+            col("streak") <= k,
+          struct(col("rn"), col("ts"))))), 1, k).as("head_struct"))
       .select(col("city"), col("seg"),
-        coalesce(col("head_len"), lit(0L)).as("head_len"),
-        coalesce(col("all_high"), lit(false)).as("all_high"),
-        coalesce(col("tail_only_len"),
-          when(col("all_high"), col("head_len")), lit(0L)).as("tail_len"),
-        coalesce(col("head_ts"),
-          array().cast("array<timestamp>")).as("head_ts"))
+        coalesce(col("head_len_raw"), lit(0L)).as("head_len"),
+        (coalesce(col("all_high_raw"), lit(0)) === 1).as("all_high"),
+        coalesce(col("tail_len_raw"), lit(0L)).as("tail_len"),
+        expr("transform(head_struct, x -> x.ts)").as("head_ts"))
       .as[(String, Timestamp, Long, Boolean, Long, Seq[Timestamp])]
     val stitched = summaries.groupByKey(_._1).flatMapGroups { (city, it) =>
       // per-city rows = segments-with-events, bounded by time-range /

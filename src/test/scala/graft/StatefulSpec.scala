@@ -124,6 +124,31 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("segmented stitch plan: one exchange for the heavy phase, fine windows never reshuffle") {
+    import spark.implicits._
+    // repartition(4) forces a non-aligned input distribution — a single
+    // in-memory partition would satisfy every clustering trivially and
+    // the plan would show no exchanges at all
+    val norm = CityEvents.normalize(Seq(
+      EventRec(1, ts("2024-01-01 10:00:00"), 0, "click", 300, "{}"),
+      EventRec(2, ts("2024-01-01 10:00:10"), 0, "click", 300, "{}"),
+      EventRec(3, ts("2024-01-01 10:00:20"), 1, "click", 50, "{}")).toDF())
+      .repartition(4)
+    val df = Stateful.severityStreaksBatchSegmented(norm, 3, "10 seconds")
+    df.collect() // exchanges exist only in the executed (post-EnsureRequirements) plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.linesIterator.map(_.trim).toList
+    val segExchanges = finalPlan
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("seg"))
+    assert(segExchanges.filterNot(_.contains("ReusedExchange")).size == 1,
+      s"the whole heavy phase must hang off ONE live (city, seg) exchange " +
+        s"(the union's second branch must reuse it):\n${segExchanges.mkString("\n")}")
+    assert(!finalPlan.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("island")),
+      "the finer (city, seg, island) windows must reuse the (city, seg) " +
+        "partitioning via local sorts, never reshuffle")
+  }
+
   test("batch gaps-and-islands streaks ≡ streaming flatMapGroupsWithState on one fixture (r7 item 3)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
