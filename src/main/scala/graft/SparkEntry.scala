@@ -797,6 +797,49 @@ object SparkEntry {
         |  n_tokens >= 20 AND punct_ratio < 0.1 AND unique_ratio > 0.3 AS keep
         |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // zero-filled dataset-card histogram over the composite quality score;
+    // empty buckets are EMITTED (a distribution audit that silently drops
+    // empty ranges reads as coverage it doesn't have)
+    ("q_quality_histogram",
+      (s, d) => TextAnalysis.qualityHistogram(Tables.documents(s, d)),
+      Some(s"""WITH q AS (
+        |  SELECT doc_id,
+        |    ${TextAnalysis.Sql.stopHits} / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+        |    len(regexp_extract_all(text, '[^a-z0-9 ]')) / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |  FROM documents),
+        |b AS (SELECT CAST(least(floor((least(stopword_ratio * 5.0, 1.0) * 0.3
+        |    + unique_ratio * 0.5 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2)
+        |    * 20), 19) AS INT) AS bucket FROM q),
+        |c AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket)
+        |SELECT g.bucket, COALESCE(c.n_docs, CAST(0 AS BIGINT)) AS n_docs
+        |FROM (SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS bucket) g
+        |LEFT JOIN c USING (bucket)
+        |ORDER BY bucket""".stripMargin)),
+
+    // BM25-flavored keyword relevance (log dropped → rational arithmetic,
+    // bit-exact on both engines); per-doc score folds in sorted-term order
+    // on BOTH sides so double addition order is pinned
+    ("q_keyword_search",
+      (s, d) => TextAnalysis.keywordSearch(Tables.documents(s, d),
+        Seq("hash", "join", "vector"), k = 10),
+      Some("""WITH f AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok),
+        |d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT doc_id, tok, tf * (n_total - df + 0.5) / (df + 0.5) AS w
+        |  FROM f JOIN d USING (tok) CROSS JOIN t),
+        |p AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+        |      x -> x.w)), (a, b) -> a + b) AS score,
+        |  count(*) AS n_terms_matched
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, score, n_terms_matched FROM p
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // deterministic stratified sample: explicit modular hash (NOT an engine
     // hash function) so any engine reproduces the selection bit-for-bit
     ("q_stratified_sample",

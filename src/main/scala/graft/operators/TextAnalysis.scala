@@ -165,6 +165,65 @@ object TextAnalysis {
     documents.select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
 
   /** DuckDB oracle fragments mirroring the Scala derivations. */
+  /** Zero-filled quality-score distribution — the dataset-card histogram a
+    * curation pipeline keeps per corpus snapshot. Bucket b holds docs with
+    * quality in [b/buckets, (b+1)/buckets); an exact 1.0 folds into the
+    * last bucket. EMPTY buckets are emitted as zero rows — a distribution
+    * audit that silently drops empty ranges reads as coverage it doesn't
+    * have — via a range frame (buckets rows, broadcast-sized) left-joined
+    * to the counts. One aggregation pass over the corpus; no rounding
+    * (floor/least on the bit-exact quality double, mirrored by the
+    * oracle).
+    */
+  def qualityHistogram(documents: DataFrame, buckets: Int = 20): DataFrame = {
+    val counts = qualityScore(documents)
+      .select(least(floor(col("quality") * buckets), lit(buckets - 1))
+        .cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+    documents.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("bucket")
+  }
+
+  /** BM25-flavored keyword relevance search — the targeted-filtering
+    * primitive of corpus curation ("pull the top-k docs about X"). Per
+    * matched (doc, term): weight = tf · (N − df + 0.5) / (df + 0.5) — the
+    * BM25 idf core with the log DROPPED so the arithmetic stays rational
+    * (long→double conversions, one multiply, one divide — bit-identical
+    * across engines; `log()` libm rounding is not). Per-doc scores fold
+    * in SORTED-term order via `aggregate()` over a sorted struct array,
+    * pinning double-addition order on both engines (the
+    * [[graft.operators.Similarity]] list-fold cosine precedent).
+    *
+    * Scale shape: the token explode filters to the query terms in the
+    * same projection (rows out ∝ matches, not corpus tokens), per-term
+    * document frequencies reduce to ≤ |terms| rows joined broadcast, the
+    * corpus size is a 1-row broadcast, and top-k is a
+    * TakeOrderedAndProject — no global sort.
+    */
+  def keywordSearch(documents: DataFrame, terms: Seq[String],
+                    k: Int = 10): DataFrame = {
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val termDf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(termDf), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("w",
+        col("tf") * (col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .groupBy("doc_id")
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("tok"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
     val fingerprint: String =

@@ -83,4 +83,48 @@ class CorpusSpec extends SparkSpec {
     // rules are live: at least one doc on each side at these thresholds
     assert(r.exists(_.getBoolean(7)))
   }
+
+  test("quality histogram: zero-filled, complete, and conserves the corpus") {
+    val h = TextAnalysis.qualityHistogram(docs, buckets = 20).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(h.map(_._1).toSeq == (0 until 20), "every bucket must be emitted, in order")
+    assert(h.map(_._2).sum == docs.count(), "bucket counts must conserve the corpus")
+    assert(h.exists(_._2 == 0L), "the testdata quality range leaves empty buckets — " +
+      "they must appear as zero rows, not vanish")
+    // identical docs land in exactly one bucket
+    import spark.implicits._
+    val same = Seq.tabulate(7)(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val oneBucket = TextAnalysis.qualityHistogram(same, buckets = 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).filter(_._2 > 0)
+    assert(oneBucket.length == 1 && oneBucket.head._2 == 7L,
+      s"identical docs must share one bucket: ${oneBucket.toSeq}")
+  }
+
+  test("keyword search: rarity outweighs frequency, matches gate inclusion, k truncates") {
+    import spark.implicits._
+    // planted corpus: 'rare' appears in 1 of 6 docs, 'common' in 5 of 6;
+    // doc 10 has the rare term once, doc 20 has the common term three
+    // times, doc 99 matches nothing
+    val fixture = Seq(
+      (10L, "rare alpha beta gamma"),
+      (20L, "common common common beta"),
+      (30L, "common alpha"), (31L, "common beta"), (32L, "common gamma"),
+      (33L, "common delta"),
+      (99L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val r = TextAnalysis.keywordSearch(fixture, Seq("rare", "common"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    assert(!r.exists(_._1 == 99L), "a doc matching no term must not appear")
+    val n = 7.0
+    val wRare = 1.0 * (n - 1 + 0.5) / (1 + 0.5)          // tf 1, df 1
+    val wCommon3 = 3.0 * (n - 5 + 0.5) / (5 + 0.5)       // tf 3, df 5
+    assert(r.head._1 == 10L && math.abs(r.head._2 - wRare) < 1e-12,
+      s"one hit on the rare term must outrank three on the common term: ${r.toSeq}")
+    assert(r.exists(p => p._1 == 20L && math.abs(p._2 - wCommon3) < 1e-12 && p._3 == 1L))
+    assert(r.length == 6, s"all six matching docs surface at k=10: ${r.toSeq}")
+    // k truncation keeps the highest scores
+    val top2 = TextAnalysis.keywordSearch(fixture, Seq("rare", "common"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2.length == 2 && top2.head == 10L, s"k must keep the best-scored docs: $top2")
+  }
 }

@@ -59,7 +59,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_cosine_topk",                                                   // 5-row broadcast query set
       "q_ann_ivf_topk",                                                  // centroid-set scoring
       "q_ivf_neardup_pairs",                                             // centroid-set scoring
-      "q_user_quartiles")                                                // 1-row splits + offsets rows
+      "q_user_quartiles",                                                // 1-row splits + offsets rows
+      "q_keyword_search")                                                // 1-row corpus-size scalar
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
