@@ -1038,6 +1038,57 @@ object SparkEntry {
         |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // KEEP-BEST near-dedup policy: per duplicate CLUSTER keep the longest
+    // doc (smallest id on ties) — the curation policy that never discards
+    // the best copy, vs q_neardedup_corpus' greedy lowest-id keep. Serves
+    // from the persisted pairs; the oracle re-walks the cluster CTE and
+    // ranks with QUALIFY.
+    ("q_dedup_keep_best",
+      (s, d) => Dedup.nearDedupKeepBest(Tables.documents(s, d),
+          nearDupPairs(s, d).select("doc_id1", "doc_id2"))
+        .select("doc_id", "lang", "source").orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |edges AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+        |  UNION SELECT doc_id2, doc_id1 FROM pairs),
+        |reach(doc_id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+        |dropset AS (SELECT cl.doc_id FROM cl JOIN documents d USING (doc_id)
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY d.n_chars DESC, cl.doc_id) > 1)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // token-budget chunking with overlap (maxTokens 32, overlap 8, stride
+    // 24): the training-prep step between cleaning and packing; chunk
+    // strings reproduced byte-for-byte by the oracle
+    ("q_chunk_documents",
+      (s, d) => Corpus.chunkDocuments(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+        |  CAST(least(len(t) - chunk_id * 24, 32) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // incremental dedup: the 20% "new crawl" (doc_id mod 5 = 4) against the
     // 80% corpus, corpus side driven entirely by the signature index.
     // ORACLE VALIDITY rests on the same LSH-recall assumption as

@@ -91,4 +91,38 @@ object Corpus {
       .withColumn("pack_id",
         floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
   }
+
+  /** Token-budget document CHUNKING with overlap — the training-prep step
+    * between cleaning and packing: every document splits into windows of
+    * at most `maxTokens` whitespace tokens, consecutive chunks sharing
+    * `overlap` tokens so no span of context is lost at a boundary. Chunk
+    * `c` covers tokens [c·stride, c·stride + maxTokens) for
+    * stride = maxTokens − overlap; the chunk count is
+    * ⌈max(n − overlap, 1) / stride⌉, so a short document yields exactly
+    * one chunk covering itself.
+    *
+    * Pure projection + bounded explode (rows out ∝ corpus tokens /
+    * stride): no shuffle, no state, fully deterministic — the oracle
+    * reproduces every chunk string byte-for-byte. Arithmetic stays in
+    * exact-integer territory (the ceil-division runs on doubles far below
+    * 2^53).
+    */
+  def chunkDocuments(documents: DataFrame, maxTokens: Int = 32,
+                     overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val nChunks = floor((greatest(n - overlap, lit(1)) + lit(stride - 1))
+      .cast("double") / lit(stride)).cast("int")
+    documents
+      .select(col("doc_id"), toks.as("t"), nChunks.as("n_chunks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"), col("t"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("t"), col("chunk_id") * lit(stride) + lit(1),
+          lit(maxTokens)), " ").as("chunk_text"),
+        least(size(col("t")) - col("chunk_id") * stride, lit(maxTokens))
+          .cast("long").as("n_tokens"))
+  }
 }

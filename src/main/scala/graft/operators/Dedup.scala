@@ -404,6 +404,32 @@ object Dedup {
     documents.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** KEEP-BEST near-dedup policy: within each duplicate CLUSTER (the
+    * [[clustersFromPairs]] connected components, not the greedy pairwise
+    * drop), keep the single best document — longest `n_chars`, smallest
+    * `doc_id` on ties — and drop the rest. The policy real curation
+    * pipelines usually want: the greedy lowest-id keep of
+    * [[nearDedupFromPairs]] can discard the best-quality copy of a
+    * near-dup family; keep-best never does, and cluster granularity makes
+    * the choice PER FAMILY rather than per overlapping pair.
+    *
+    * Deterministic argmax without a window: `max(struct(n_chars,
+    * −doc_id))` per cluster orders by length then by NEGATED id, so the
+    * max struct is exactly (longest, lowest-id-among-longest) — one
+    * aggregate on the (small) cluster frame, no per-cluster sort.
+    */
+  def nearDedupKeepBest(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = clustersFromPairs(pairs)
+    val best = clusters
+      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select((-col("b.neg_id")).as("doc_id"))
+    val dropped = clusters.select("doc_id")
+      .join(best, Seq("doc_id"), "left_anti")
+    documents.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Duplicate clusters over the near-dup pairs graph: every document that
     * appears in any [[minhashPairs]] pair gets
     * `cluster_id = min(doc_id reachable through pairs)` — connected-component

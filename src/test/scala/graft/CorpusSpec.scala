@@ -101,6 +101,49 @@ class CorpusSpec extends SparkSpec {
       s"identical docs must share one bucket: ${oneBucket.toSeq}")
   }
 
+  test("chunking: budget respected, overlap stitched, short docs single-chunk") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, (1 to 50).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val r = Corpus.chunkDocuments(fixture, maxTokens = 32, overlap = 8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    val d1 = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 2, s"50 tokens at stride 24 → 2 chunks: ${d1.toSeq}")
+    assert(d1(0)._3.split(" ").length == 32 && d1(0)._4 == 32L)
+    assert(d1(0)._3.startsWith("t1 ") && d1(1)._3.endsWith(" t50"))
+    assert(d1(1)._3.split(" ").head == "t25", "chunk 1 must rewind by the overlap")
+    assert(d1(1)._4 == 26L)
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 50).map(i => s"t$i").toSet,
+      "chunks must cover every token")
+    val d2 = r.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "a b c" && d2.head._4 == 3L,
+      s"a short doc is one chunk covering itself: ${d2.toSeq}")
+  }
+
+  test("keep-best dedup keeps the longest cluster member, not the lowest id") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // chain cluster {1,2,3} (1-2, 2-3 pairs): doc 2 is longest and must
+    // win even though greedy lowest-id keep would pick doc 1; singleton 9
+    // is untouched
+    val docs = Seq(
+      (1L, "x", "en", "s", 10L), (2L, "y", "en", "s", 30L),
+      (3L, "z", "en", "s", 20L), (9L, "q", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id1", "doc_id2")
+    val kept = Dedup.nearDedupKeepBest(docs, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L), s"longest per cluster + non-members: $kept")
+    // equal lengths → the smallest id wins deterministically
+    val tie = Seq((5L, "x", "en", "s", 10L), (6L, "y", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keptTie = Dedup.nearDedupKeepBest(tie,
+        Seq((5L, 6L)).toDF("doc_id1", "doc_id2"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTie == Set(5L), s"tie-break must be lowest id: $keptTie")
+  }
+
   test("keyword search: rarity outweighs frequency, matches gate inclusion, k truncates") {
     import spark.implicits._
     // planted corpus: 'rare' appears in 1 of 6 docs, 'common' in 5 of 6;
