@@ -840,6 +840,20 @@ object SparkEntry {
         |SELECT doc_id, score, n_terms_matched FROM p
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // Vocabulary builder: corpus token-frequency table (the seed of
+    // BPE/unigram tokenizer induction). tf DESC, token ASC is a total
+    // order, so the top-k cut and ranks are deterministic.
+    ("q_vocab_topk",
+      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d), k = 50),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM t GROUP BY token),
+        |top AS (SELECT * FROM v ORDER BY tf DESC, token LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+        |  token, tf, df
+        |FROM top ORDER BY rank""".stripMargin)),
+
     // deterministic stratified sample: explicit modular hash (NOT an engine
     // hash function) so any engine reproduces the selection bit-for-bit
     ("q_stratified_sample",
@@ -1378,6 +1392,36 @@ object SparkEntry {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT vec_id2 FROM dropset)
         |ORDER BY vec_id""".stripMargin)),
+
+    // Per-tensor symmetric int8 quantization (4x memory at 100 TB):
+    // integer-deterministic, so the code table hash-checks fully.
+    ("q_quantize_embeddings",
+      (s, d) => Similarity.quantizeEmbeddings(Tables.embeddings(s, d))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("code").cast("long").as("code"))
+        .orderBy("vec_id", "dim"),
+      Some(s"""WITH qz AS (${Similarity.Sql.quantized}),
+        |c AS (SELECT vec_id, codes, unnest(range(1, len(codes) + 1)) AS i FROM qz)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, codes[i] AS code
+        |FROM c ORDER BY vec_id, dim""".stripMargin)),
+
+    // Quantized top-k: integer dot ranking — the ONLY ANN-shaped query the
+    // oracle can hash-check end to end (integer sums are order-free; the
+    // IVF twins are rows-only by necessity). Recall vs the exact operator
+    // is spec'd in SimilaritySpec.
+    ("q_quantized_topk",
+      (s, d) => Similarity.quantizedTopK(Tables.embeddings(s, d))
+        .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH qz AS (${Similarity.Sql.quantized}),
+        |p AS (SELECT vec_id AS query_id, codes AS qcodes FROM qz WHERE vec_id < 5),
+        |scored AS (SELECT query_id, vec_id,
+        |  ${Similarity.Sql.intDot("qcodes", "codes")} AS qdot
+        |  FROM qz CROSS JOIN p WHERE vec_id <> query_id)
+        |SELECT query_id, vec_id, qdot, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF probing is approximate — recall vs brute force asserted in
     // ScalaTest. Served ENTIRELY from the persisted index: the inverted

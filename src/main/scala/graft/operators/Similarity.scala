@@ -659,6 +659,72 @@ object Similarity {
       .orderBy("vec_id1", "vec_id2")
   }
 
+  /** Per-tensor symmetric int8 quantization of the embedding column — the
+    * 100 TB memory story for similarity serving: one global step size
+    * `scale = max|x| / 127` over the corpus, `code = ⌊x·127/max + 0.5⌋ ∈
+    * [−127, 127]`, shrinking every vector 4× (float32 → int8) while integer
+    * dot products rank identically to the dequantized approximation
+    * (`dot ≈ Σ cᵃcᵇ · scale²` — one global scale factors OUT of the
+    * ranking, which per-dimension scales would not).
+    *
+    * Vectors are unit-L2-normalized BEFORE quantization — the standard SQ8
+    * recipe for cosine serving: on unit vectors the integer dot ranks by
+    * cosine directly, so [[quantizedTopK]] is comparable against
+    * [[bruteForceTopK]] and its recall gap is quantization error alone.
+    * Normalization is the same sequential-fold norm the oracle mirrors, so
+    * exactness is preserved (assumes no all-zero vectors, true of any real
+    * embedding table).
+    *
+    * Everything downstream of the one max|x| aggregate (a map-side-combined
+    * tree reduction, broadcast as a single row) is integer arithmetic, so
+    * unlike the cell-geometry IVF path the quantized table AND the
+    * quantized top-k are bit-exact reproducible cross-engine — the oracle
+    * hash-checks them fully. Round-half-up is spelled `floor(y + 0.5)`
+    * rather than `round(y)` so both engines agree at ties by construction.
+    *
+    * At scale the quantized table would be persisted per corpus snapshot
+    * beside the IVF lists (same [[graft.sources.SnapshotStore]] pattern);
+    * building it inline is one projection + a scalar aggregate — scan-cost,
+    * not index-cost, so nothing here amortizes badly.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val prep = prepared(embeddings)
+      .select(col("vec_id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("u"))
+    val m = prep.agg(max(array_max(transform(col("u"), x => abs(x)))).as("m"))
+    prep.crossJoin(broadcast(m))
+      .select(col("vec_id"), col("label"),
+        transform(col("u"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x * lit(127.0) / col("m") + lit(0.5))))
+            .cast("int")).as("codes"),
+        (col("m") / lit(127.0)).as("scale"))
+  }
+
+  /** Quantized cosine top-k: [[bruteForceTopK]]'s plan shape (broadcast
+    * probe set against the corpus scan, per-query rank window) over int8
+    * codes — the integer dot replaces the double dot, `qdot` ties broken by
+    * vec_id. Oracle-exact end to end (integer sums are order-independent);
+    * recall vs the exact operator is additionally spec-asserted.
+    */
+  def quantizedTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val q = quantizeEmbeddings(embeddings)
+    val corpus = q.select(col("vec_id"), col("codes"))
+    val probes = q.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val scored = corpus
+      .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qcodes"), col("codes"),
+            (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential
     * left-fold dot product matching [[graft.functions.VectorFunctions]].
     */
@@ -670,5 +736,19 @@ object Similarity {
         s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
     def cosine(a: String, b: String): String =
       s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    /** int8 codes per vector, mirroring [[quantizeEmbeddings]] exactly:
+      * same max|x| reduction, same `floor(y + 0.5)` rounding, same clamp.
+      */
+    private val unitized: String =
+      s"SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM " +
+        s"(SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM ($prepared) dp) dn"
+    val quantized: String =
+      s"SELECT vec_id, list_transform(u, x -> CAST(greatest(-127, least(127, " +
+        s"floor(x * 127.0 / m + 0.5))) AS BIGINT)) AS codes " +
+        s"FROM ($unitized) d CROSS JOIN " +
+        s"(SELECT max(list_max(list_transform(u, y -> abs(y)))) AS m FROM ($unitized) dm) mm"
+    def intDot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
   }
 }

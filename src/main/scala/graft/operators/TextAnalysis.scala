@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -222,6 +223,31 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_matched"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Vocabulary builder — the corpus-wide token frequency table that seeds
+    * tokenizer training (BPE/unigram induction starts from exactly this:
+    * term frequency + document frequency per surface token). Top-k rows by
+    * `tf DESC, token ASC` (a TOTAL order — tokens are distinct after the
+    * groupBy — so the cut is deterministic), each carrying its rank.
+    *
+    * Scale shape: one hash aggregate with map-side combine (corpus tokens
+    * reduce to vocab size before the shuffle), then the top-k cut is a
+    * TakeOrderedAndProject — no global sort of the vocabulary; the rank
+    * window runs on k rows, not the vocab.
+    */
+  def vocabulary(documents: DataFrame, k: Int = 50): DataFrame = {
+    val top = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+      .select("rank", "token", "tf", "df")
+      .orderBy("rank")
   }
 
   object Sql {

@@ -85,6 +85,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: codes bounded, dequant error within half a step, high recall vs exact") {
+    val q = Similarity.quantizeEmbeddings(emb).cache()
+    try {
+      val rows = q.collect()
+      assert(rows.nonEmpty)
+      val scale = rows.head.getAs[Double]("scale")
+      assert(scale > 0.0)
+      rows.foreach { r =>
+        val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+        assert(codes.forall(c => c >= -127 && c <= 127), "codes must fit int8")
+      }
+      // dequantized unit vectors reconstruct within half a quantization step
+      val u = emb
+        .select(col("vec_id"), graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("v"))
+        .withColumn("u", transform(col("v"),
+          x => x / graft.functions.VectorFunctions.l2norm(col("v"))))
+        .select("vec_id", "u").collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("u")).toMap
+      rows.foreach { r =>
+        val codes = r.getAs[scala.collection.Seq[Int]]("codes")
+        val orig  = u(r.getLong(0))
+        codes.zip(orig).foreach { case (c, x) =>
+          assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+            s"dequant error above half-step: x=$x code=$c scale=$scale")
+        }
+      }
+      // recall vs the exact cosine top-k: unit-normalized int dot ranks by
+      // cosine, so the gap is quantization error alone
+      val exact = Similarity.bruteForceTopK(emb, numQueries = 5, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val quant = Similarity.quantizedTopK(emb, numQueries = 5, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & quant).size.toDouble / exact.size
+      info(f"int8 recall@10 = $recall%.2f")
+      assert(recall >= 0.8, s"int8 quantization recall too low: $recall")
+    } finally q.unpersist()
+  }
+
   test("Lloyd training lifts recall where raw hash seeds put a cell boundary on the query") {
     import spark.implicits._
     // Vectors lie on a smooth arc (angle θ ∈ [0°, 90°] in the (d0, d1)
