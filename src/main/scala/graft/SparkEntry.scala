@@ -848,11 +848,8 @@ object SparkEntry {
       Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
-        |  FROM t GROUP BY token),
-        |top AS (SELECT * FROM v ORDER BY tf DESC, token LIMIT 50)
-        |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
-        |  token, tf, df
-        |FROM top ORDER BY rank""".stripMargin)),
+        |  FROM t GROUP BY token)
+        |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
 
     // deterministic stratified sample: explicit modular hash (NOT an engine
     // hash function) so any engine reproduces the selection bit-for-bit

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -233,22 +232,18 @@ object TextAnalysis {
     *
     * Scale shape: one hash aggregate with map-side combine (corpus tokens
     * reduce to vocab size before the shuffle), then the top-k cut is a
-    * TakeOrderedAndProject — no global sort of the vocabulary; the rank
-    * window runs on k rows, not the vocab.
+    * TakeOrderedAndProject — no global sort of the vocabulary and no
+    * Window anywhere (rank is implied by the output's total order; a rank
+    * column would cost a partition-less Window, the registry's banned
+    * single-reducer shape).
     */
-  def vocabulary(documents: DataFrame, k: Int = 50): DataFrame = {
-    val top = documents
+  def vocabulary(documents: DataFrame, k: Int = 50): DataFrame =
+    documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
-    top
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("tf").desc, col("token"))).cast("long"))
-      .select("rank", "token", "tf", "df")
-      .orderBy("rank")
-  }
 
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")

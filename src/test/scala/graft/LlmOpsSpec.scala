@@ -35,16 +35,16 @@ class LlmOpsSpec extends SparkSpec {
     val fixture = Seq(
       (1L, "b a a"), (2L, "a c b"), (3L, "c b")).toDF("doc_id", "text")
     val r = TextAnalysis.vocabulary(fixture, k = 2).collect()
-      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     // tf: a=3 b=3 c=2; tie a-vs-b broken by token ASC; k=2 cuts c
-    assert(r.toSeq == Seq((1L, "a", 3L, 2L), (2L, "b", 3L, 3L)),
-      s"exact (rank, token, tf, df) expected: ${r.toSeq}")
-    // on the real corpus: ranks are 1..k, tf non-increasing, df <= tf
+    assert(r.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 3L)),
+      s"exact (token, tf, df) expected: ${r.toSeq}")
+    // on the real corpus: tf non-increasing in output order, 1 <= df <= tf
     val real = TextAnalysis.vocabulary(docs, k = 20).collect()
-      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
-    assert(real.map(_._1).toSeq == (1L to 20L), "ranks must be dense 1..k")
-    assert(real.sliding(2).forall(p => p(0)._2 >= p(1)._2), "tf non-increasing")
-    assert(real.forall(x => x._3 <= x._2 && x._3 >= 1L), "1 <= df <= tf")
+      .map(x => (x.getLong(1), x.getLong(2)))
+    assert(real.length == 20)
+    assert(real.sliding(2).forall(p => p(0)._1 >= p(1)._1), "tf non-increasing")
+    assert(real.forall(x => x._2 <= x._1 && x._2 >= 1L), "1 <= df <= tf")
   }
 
   test("fingerprint is deterministic and content-sensitive") {

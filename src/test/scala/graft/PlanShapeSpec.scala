@@ -60,7 +60,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_ann_ivf_topk",                                                  // centroid-set scoring
       "q_ivf_neardup_pairs",                                             // centroid-set scoring
       "q_user_quartiles",                                                // 1-row splits + offsets rows
-      "q_keyword_search")                                                // 1-row corpus-size scalar
+      "q_keyword_search",                                               // 1-row corpus-size scalar
+      "q_quantize_embeddings",                                          // 1-row max|x| scalar
+      "q_quantized_topk")                    // 1-row max|x| scalar + 5-row probe set
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
@@ -127,6 +129,29 @@ class PlanShapeSpec extends SparkSpec {
     val executed = pairs.queryExecution.executedPlan.toString
     assert("ReusedExchange".r.findAllIn(executed).size >= 2,
       "jaccard pipeline must reuse its exchanges across consumers")
+  }
+
+  test("vocabulary top-k is a TakeOrderedAndProject over a partial-combined aggregate") {
+    val p = physical(TextAnalysis.vocabulary(Tables.documents(spark, sf), k = 20))
+    assert(p.contains("TakeOrderedAndProject"),
+      "the vocab cut must not global-sort the vocabulary")
+    // the corpus-token explode must partial-aggregate before the shuffle
+    assert("HashAggregate.*partial".r.findFirstIn(p).isDefined ||
+      p.contains("partial_count"), s"expected map-side combine in:\n$p")
+  }
+
+  test("quantized top-k broadcasts only the probe set; the corpus scan never shuffles pre-rank") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val q = Similarity.quantizedTopK(Tables.embeddings(spark, sf))
+    val plan = q.queryExecution.sparkPlan
+    // probe set (vec_id < numQueries) broadcasts; inequality key => BNLJ is
+    // the expected join shape, but the BROADCAST side must be the probes
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    val bhj  = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bnlj.nonEmpty || bhj.nonEmpty, s"expected a broadcast join in:\n$plan")
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"), "corpus must never cartesian itself")
   }
 
   test("stop-list strip is a broadcast anti-join; the shingle exchange reuse survives it") {
