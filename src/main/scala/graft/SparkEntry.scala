@@ -851,6 +851,30 @@ object SparkEntry {
         |  FROM t GROUP BY token)
         |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
 
+    // PMI-style bigram collocation mining (phrase induction over the
+    // vocabulary): score = tf_xy*N/(tf_x*tf_y) — the PMI core with log
+    // dropped (monotone, so ranking is identical and the arithmetic stays
+    // one multiply + one divide on long-derived doubles, bit-identical
+    // across engines — the keywordSearch idf precedent)
+    ("q_collocations",
+      (s, d) => TextAnalysis.collocations(Tables.documents(s, d), minCount = 5, k = 50),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS token FROM toks),
+        |uc AS (SELECT token, count(*) AS tf FROM uni GROUP BY token),
+        |n AS (SELECT count(*) AS n_uni FROM uni),
+        |bo AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |  i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks),
+        |bc AS (SELECT bigram, count(*) AS tf_xy FROM bo GROUP BY bigram
+        |  HAVING count(*) >= 5),
+        |sc AS (SELECT bigram, tf_xy, string_split(bigram, ' ')[1] AS t1,
+        |  string_split(bigram, ' ')[2] AS t2 FROM bc)
+        |SELECT bigram, tf_xy, x.tf AS tf_x, y.tf AS tf_y,
+        |  (CAST(tf_xy AS DOUBLE) * CAST(n_uni AS DOUBLE))
+        |    / (CAST(x.tf AS DOUBLE) * CAST(y.tf AS DOUBLE)) AS pmi_ratio
+        |FROM sc JOIN uc x ON sc.t1 = x.token JOIN uc y ON sc.t2 = y.token
+        |CROSS JOIN n
+        |ORDER BY pmi_ratio DESC, tf_xy DESC, bigram LIMIT 50""".stripMargin)),
+
     // deterministic stratified sample: explicit modular hash (NOT an engine
     // hash function) so any engine reproduces the selection bit-for-bit
     ("q_stratified_sample",
@@ -934,6 +958,49 @@ object SparkEntry {
         |           JOIN members m2 ON rp.doc_id2 = m2.rep)
         |SELECT * FROM intra UNION ALL SELECT * FROM xg
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
+    // DIRECTED containment (Broder) pairs — |S(a)∩S(b)|/|S(a)| over the
+    // same persisted index + df-cap as q_jaccard_pairs; catches
+    // subset/quote duplication resemblance-Jaccard misses. Intra-group
+    // members contain each other (both directions at 1.0).
+    ("q_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), 0.8, maxDf = 50,
+        membersOpt = Some(dupMembers(s, d)),
+        indexOpt = Some(shingleIndexFrame(s, d))),
+      Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+        |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
+        |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
+        |sets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs)),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |kept AS (SELECT * FROM ex0 WHERE shingle IN
+        |  (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 50)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |rp AS (
+        |  SELECT doc_id1 AS contained_id, doc_id2 AS container_id,
+        |    CAST(n_common AS DOUBLE) / s1.n_sh AS containment
+        |  FROM inter JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  UNION ALL
+        |  SELECT doc_id2 AS contained_id, doc_id1 AS container_id,
+        |    CAST(n_common AS DOUBLE) / s2.n_sh AS containment
+        |  FROM inter JOIN sz s2 ON doc_id2 = s2.doc_id),
+        |rpf AS (SELECT * FROM rp WHERE containment >= 0.8),
+        |elig AS (SELECT * FROM members WHERE rep IN (SELECT doc_id FROM sz)),
+        |intra AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |  CAST(1.0 AS DOUBLE) AS containment
+        |  FROM elig a JOIN elig b ON a.rep = b.rep AND a.doc_id <> b.doc_id),
+        |xg AS (SELECT m1.doc_id AS contained_id, m2.doc_id AS container_id,
+        |  rpf.containment
+        |  FROM rpf JOIN elig m1 ON rpf.contained_id = m1.rep
+        |           JOIN elig m2 ON rpf.container_id = m2.rep)
+        |SELECT * FROM intra UNION ALL SELECT * FROM xg
+        |ORDER BY contained_id, container_id""".stripMargin)),
 
     // mine → strip → pair (round-6 verdict 4): the stop-list COMPOSITION of
     // q_hot_shingles and q_jaccard_pairs. The mined boilerplate list — the
@@ -1372,6 +1439,37 @@ object SparkEntry {
         |p AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
         |  ${Similarity.Sql.cosine("a.v", "b.v")} AS cosine
         |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+        |SELECT * FROM p WHERE cosine >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin)),
+
+    // Sign-LSH (random-hyperplane) bucket per vector — the LSH-bucketed
+    // ANN front-end. Hyperplanes are CLOSED-FORM deterministic
+    // (Similarity.lshPlaneWeights), so unlike the Lloyd-trained IVF the
+    // whole sketch is reproducible in SQL and hash-checks bit-for-bit.
+    ("q_lsh_buckets",
+      (s, d) => Similarity.lshBuckets(Tables.embeddings(s, d)).orderBy("vec_id"),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared})
+        |SELECT vec_id, label, ${Similarity.Sql.lshBucket("v")} AS bucket
+        |FROM d ORDER BY vec_id""".stripMargin)),
+
+    // LSH-banded near-dup pairs, exactly verified — the first ANN-shaped
+    // near-dup path with a FULL oracle: band candidates from the sign
+    // bucket (4 bands x 4 bits), distinct across bands, exact cosine
+    // verify at 0.4. The oracle mirrors the ALGORITHM (buckets -> bands
+    // -> verify), so recall vs the exhaustive q_cosine_pairs is a spec
+    // concern (SimilaritySpec), not a compare artifact.
+    ("q_lsh_neardup_pairs",
+      (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |p0 AS (SELECT DISTINCT a.vec_id AS vec_id1, c2.vec_id AS vec_id2
+        |  FROM c a JOIN c c2 ON a.band = c2.band AND a.bb = c2.bb
+        |    AND a.vec_id < c2.vec_id),
+        |p AS (SELECT p0.vec_id1, p0.vec_id2,
+        |  ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |  FROM p0 JOIN d a ON p0.vec_id1 = a.vec_id
+        |          JOIN d b2 ON p0.vec_id2 = b2.vec_id)
         |SELECT * FROM p WHERE cosine >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin)),
 
     // embedding-cosine near-dedup (semantic dedup): greedy drop of the

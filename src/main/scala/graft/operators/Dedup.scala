@@ -199,6 +199,73 @@ object Dedup {
       .orderBy("doc_id1", "doc_id2")
   }
 
+  /** DIRECTED containment near-dup pairs — Broder's containment coefficient
+    * `|S(a) ∩ S(b)| / |S(a)|` over post-cap shingle sets, the dedup flavor
+    * that catches what resemblance Jaccard structurally misses: a short
+    * document quoted whole inside a much longer one has Jaccard ≈
+    * |a|/|b| (arbitrarily small) but containment 1.0. Emits
+    * `(contained_id, container_id, containment)` for every direction that
+    * clears `threshold`; intra-duplicate-group pairs are mutually
+    * contained (identical texts) and emit BOTH directions at 1.0.
+    *
+    * Pipeline and scale shape are [[jaccardPairs]]' exactly — same
+    * persisted inverted index (`indexOpt`, width-validated), same
+    * df-cap-as-aggregate, same one-exchange self-join on the 64-bit
+    * shingle hash — only the final score divides by ONE side's set size
+    * and keeps direction. The `a.doc_id < b.doc_id` join still evaluates
+    * each unordered pair once; both directed scores derive from that one
+    * intersection row, so containment costs no more than Jaccard.
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double = 0.9, n: Int = 3,
+                       maxDf: Int = 50, membersOpt: Option[DataFrame] = None,
+                       indexOpt: Option[DataFrame] = None): DataFrame = {
+    val members = membersOpt.getOrElse(dupGroups(documents))
+    val ex = indexOpt.map(requireIndexWidth(_, n, "containmentPairs"))
+      .getOrElse(shingleIndex(documents, members, n))
+    val keptHashes = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val kept = ex.join(keptHashes, Seq("h"), "left_semi")
+    val sized = kept
+      .select(col("doc_id"), col("h"))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .repartition(col("h"))
+    val inter = sized.as("a")
+      .join(sized.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        col("a.n_sh").as("n_sh1"), col("b.n_sh").as("n_sh2"))
+      .agg(count(lit(1)).as("n_common"))
+    // both directed scores from the one intersection row
+    val d1 = inter.select(col("doc_id1").as("contained_id"),
+      col("doc_id2").as("container_id"),
+      (col("n_common").cast("double") / col("n_sh1")).as("containment"))
+    val d2 = inter.select(col("doc_id2").as("contained_id"),
+      col("doc_id1").as("container_id"),
+      (col("n_common").cast("double") / col("n_sh2")).as("containment"))
+    val repPairs = d1.unionByName(d2).filter(col("containment") >= threshold)
+    // directed expansion across duplicate groups: an expanded pair keeps
+    // its rep pair's direction and score (identical texts ⇒ identical
+    // sets); intra-group members contain each other, so BOTH directions
+    // emit at 1.0 (the directed analog of expandDupGroups' intra pairs)
+    val eligible = members
+      .join(sized.select(col("doc_id").as("rep")).distinct(), Seq("rep"), "left_semi")
+    val intra = eligible.as("a")
+      .join(eligible.as("b"),
+        col("a.rep") === col("b.rep") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("contained_id"), col("b.doc_id").as("container_id"),
+        lit(1.0).as("containment"))
+    val cross = repPairs
+      .join(eligible.select(col("rep").as("contained_id"), col("doc_id").as("m1")),
+        Seq("contained_id"))
+      .join(eligible.select(col("rep").as("container_id"), col("doc_id").as("m2")),
+        Seq("container_id"))
+      .select(col("m1").as("contained_id"), col("m2").as("container_id"),
+        col("containment"))
+    intra.unionByName(cross)
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Per-token polynomial hashes — same scheme as
     * [[TextAnalysis.fingerprintCol]] ((acc*31+code) mod 1e9+7), applied per
     * token, so the DuckDB oracle can reproduce the values exactly. One

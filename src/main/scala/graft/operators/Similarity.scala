@@ -728,6 +728,89 @@ object Similarity {
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential
     * left-fold dot product matching [[graft.functions.VectorFunctions]].
     */
+  /** Deterministic sign-LSH (random-hyperplane) hyperplane weights:
+    * `w(i,j) = ((i·2654435761 + j·40503) mod 1000003) / 500001.5 − 1` —
+    * pseudo-random in [−1, 1), derived from plane and dimension indices by
+    * EXACT integer arithmetic followed by two IEEE double ops, so any
+    * engine regenerates the identical planes from the two integers
+    * `(nbits, dim)` alone. No RNG state to persist, nothing to broadcast:
+    * the whole "index" of sign-LSH is this closed-form formula, which is
+    * what makes it — unlike the Lloyd-trained IVF — fully oracle-able.
+    */
+  def lshPlaneWeights(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim)((i, j) =>
+      ((i * 2654435761L + j * 40503L) % 1000003L).toDouble / 500001.5 - 1.0)
+
+  /** Sign-LSH bucket per vector: bit i of `bucket` is `⟨v, h_i⟩ > 0` for
+    * the [[lshPlaneWeights]] hyperplanes — Charikar's SimHash for
+    * embeddings, the LSH-bucketed ANN front-end (the prompt's named
+    * alternative to the IVF path). A pure narrow projection — `nbits`
+    * codegen'd [[graft.functions.VecDot]]s per row against literal plane
+    * arrays, zero shuffle, zero state — so at 100 TB bucketing runs at
+    * scan speed and embarrassingly parallel, with no training job and no
+    * centroid broadcast at all.
+    *
+    * `dim` is index configuration like `nbits` (the plane literals must be
+    * materialized in the plan); [[VecDot]] folds over `min(dim, |v|)`.
+    */
+  def lshBuckets(embeddings: DataFrame, nbits: Int = 16, dim: Int = 64): DataFrame = {
+    val w = lshPlaneWeights(nbits, dim)
+    val bucket = (0 until nbits).map { i =>
+      when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  /** LSH-bucketed near-dup pairs, exactly verified — the banded-candidate
+    * pipeline of [[minhashPairs]]-style text LSH, transplanted to
+    * embeddings: the `nbits`-bit sign bucket splits into `nbits/bandBits`
+    * bands; vectors sharing ANY band's sub-bucket become candidates;
+    * candidates are verified with exact cosine and filtered at
+    * `threshold`, so false positives are impossible and output hash-checks
+    * bit-for-bit (the first ANN-shaped near-dup path with a FULL oracle —
+    * IVF's trained centroids cannot be mirrored in SQL; this closed-form
+    * sketch can).
+    *
+    * Scale shape: the band join shuffles (band, sub-bucket, vec_id)
+    * triples — a few bytes per row, never the vectors; `distinct`
+    * de-duplicates candidates ACROSS bands behind an aggregate barrier
+    * before any verify work; the verify fetches vectors by two shuffled
+    * equi-joins on vec_id and runs one codegen'd dot per surviving pair.
+    * `bandBits` is the precision knob: recall per pair with bit-agreement
+    * probability p is `1 − (1 − p^bandBits)^bands`, so wider bands prune
+    * harder but miss more borderline pairs — production tunes it to the
+    * target similarity exactly as MinHash banding tunes to Jaccard.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                      nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val bands = nbits / bandBits
+    val mask = (1L << bandBits) - 1
+    val cand = lshBuckets(embeddings, nbits, dim)
+      .select(col("vec_id"),
+        inline(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("bucket"), b * bandBits).bitwiseAND(lit(mask)).as("bb"))): _*)))
+    val p0 = cand.as("a")
+      .join(cand.as("b"),
+        col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
+      .distinct()
+    val d = prepared(embeddings)
+    p0
+      .join(d.select(col("vec_id").as("vec_id1"), col("v").as("v1"), col("nrm").as("nrm1")),
+        Seq("vec_id1"))
+      .join(d.select(col("vec_id").as("vec_id2"), col("v").as("v2"), col("nrm").as("nrm2")),
+        Seq("vec_id2"))
+      .select(col("vec_id1"), col("vec_id2"),
+        (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_id1", "vec_id2")
+  }
+
   object Sql {
     val prepared: String =
       "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
@@ -750,5 +833,17 @@ object Similarity {
     def intDot(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    /** Sign-LSH bucket of a double-list column `v`, mirroring
+      * [[lshBuckets]] bit-for-bit: identical integer plane formula,
+      * identical left-fold dot order, identical `> 0` bit test.
+      */
+    def lshBucket(v: String, nbits: Int = 16, dim: Int = 64): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(0, $nbits), i -> " +
+        s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, $dim), j -> " +
+        s"(CAST((i*2654435761 + j*40503) % 1000003 AS DOUBLE) / 500001.5 - 1.0) * $v[j+1])), " +
+        s"(a, x) -> a + x) > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)), " +
+        s"(a, x) -> a + x)"
   }
 }

@@ -245,6 +245,45 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** PMI-style bigram collocation mining — the phrase-induction step that
+    * follows [[vocabulary]] in tokenizer/phrase-table construction: find
+    * adjacent token pairs that co-occur far more than their unigram
+    * frequencies predict. Scored by the PMI CORE `tf_xy·N / (tf_x·tf_y)`
+    * with the log DROPPED (log is monotone, so ranking is identical, and
+    * the arithmetic stays one multiply + one divide on exact long-derived
+    * doubles — bit-identical across engines; libm `log` rounding is not —
+    * the [[keywordSearch]] idf precedent). `tf_xy DESC, bigram ASC`
+    * breaks score ties so the top-k cut is total.
+    *
+    * Scale shape: bigram and unigram counting are map-side-combined hash
+    * aggregates (corpus token stream reduces to vocab-sized tables before
+    * any shuffle); the two unigram joins are vocab×vocab-sized equi-joins
+    * on the token key (NOT broadcast — at 100 TB the unigram table is
+    * millions of rows; AQE may still elect broadcast when runtime stats
+    * permit); the corpus token total is a 1-row broadcast; the final cut
+    * is a TakeOrderedAndProject — no global sort, no Window.
+    */
+  def collocations(documents: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    val uni = documents.select(explode(tokens(col("text"))).as("token"))
+    val uc = uni.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = uni.agg(count(lit(1)).as("n_uni"))
+    val bc = documents
+      .select(explode(Dedup.shinglesRaw(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("tf_xy"))
+      .filter(col("tf_xy") >= minCount)
+    bc
+      .withColumn("t1", split(col("bigram"), " ")(0))
+      .withColumn("t2", split(col("bigram"), " ")(1))
+      .join(uc.select(col("token").as("t1"), col("tf").as("tf_x")), Seq("t1"))
+      .join(uc.select(col("token").as("t2"), col("tf").as("tf_y")), Seq("t2"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("tf_xy"), col("tf_x"), col("tf_y"),
+        ((col("tf_xy").cast("double") * col("n_uni").cast("double"))
+          / (col("tf_x").cast("double") * col("tf_y").cast("double"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("tf_xy").desc, col("bigram"))
+      .limit(k)
+  }
+
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
     val fingerprint: String =

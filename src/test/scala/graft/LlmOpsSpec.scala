@@ -395,4 +395,50 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(stripped.toSeq == Seq((100L, 1001L)), s"got ${stripped.toSeq}")
   }
+
+  test("collocations: an always-adjacent pair outscores a frequent-token pair; counts exact") {
+    import spark.implicits._
+    // "ice cream" occurs 5x and its tokens never occur apart; "the cat"
+    // occurs 5x but "the" occurs 15x — PMI ratio must rank the genuine
+    // collocation first even though tf_xy ties.
+    val fixture = (0 until 5).map(i =>
+      (i.toLong, "ice cream the cat the dog the end")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(fixture, minCount = 5, k = 7).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))
+    // N = 40 tokens; ice cream: 5*40/(5*5) = 8.0
+    assert(r.head._1 == "ice cream", s"got ${r.toSeq}")
+    assert(r.head._2 == 5L && r.head._3 == 5L && r.head._4 == 5L)
+    assert(r.head._5 == 8.0)
+    // "the cat": 5*40/(15*5) = 2.67 — present but ranked below
+    assert(r.map(_._1).contains("the cat"))
+    val theCat = r.find(_._1 == "the cat").get
+    assert(theCat._3 == 15L && theCat._5 < r.head._5)
+  }
+
+  test("containment: a quoted subset is directed-contained at 1.0 where jaccard misses it") {
+    import spark.implicits._
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val sub = "alpha beta gamma delta epsilon zeta eta theta" // contiguous prefix
+    val fixture = Seq(
+      (1L, sub),                                   // contained
+      (2L, long),                                  // container
+      (3L, sub),                                   // exact copy of 1
+      (4L, "quick brown fox jumps over lazy dog")) // unrelated
+      .toDF("doc_id", "text")
+    // jaccard at 0.5 misses the subset: |S(sub)|=6, |S(long)|=18, j=6/18
+    val j = Dedup.jaccardPairs(fixture, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(j.toSeq == Seq((1L, 3L, 1.0)), s"jaccard should only pair the exact copies: ${j.toSeq}")
+    // containment at 0.9 finds it, DIRECTED — sub into long, never reversed
+    val c = Dedup.containmentPairs(fixture, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val asSet = c.toSet
+    assert(asSet((1L, 2L, 1.0)) && asSet((3L, 2L, 1.0)),
+      s"both copies of the subset must be contained in the long doc: ${c.toSeq}")
+    assert(!c.exists(p => p._1 == 2L), s"the container must never appear contained: ${c.toSeq}")
+    // exact copies contain each other: both directions at 1.0
+    assert(asSet((1L, 3L, 1.0)) && asSet((3L, 1L, 1.0)), s"intra-group both directions: ${c.toSeq}")
+    assert(c.length == 4, s"exactly the four directed pairs: ${c.toSeq}")
+  }
 }

@@ -32,6 +32,48 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.count() == 1)
   }
 
+  test("sign-LSH buckets: parity with an independent per-row recomputation; bits fill the word") {
+    val nbits = 16
+    val got = Similarity.lshBuckets(emb, nbits).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independent recomputation: plain Scala loops over the collected
+    // vectors using the same closed-form planes — catches any divergence
+    // between the plan's literal arrays / fold order and the contract
+    val w = Similarity.lshPlaneWeights(nbits, 64)
+    val raw = emb.collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      val bucket = (0 until nbits).map { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < math.min(64, v.length)) { acc += w(i)(j) * v(j); j += 1 }
+        if (acc > 0.0) 1L << i else 0L
+      }.sum
+      r.getLong(0) -> bucket
+    }.toMap
+    assert(got == raw)
+    // sanity: buckets spread (not constant) and stay within nbits bits
+    assert(got.values.toSet.size > 1)
+    assert(got.values.forall(b => b >= 0 && b < (1L << nbits)))
+  }
+
+  test("LSH near-dup pairs: subset of exhaustive pairs; planted near-identicals recalled") {
+    // precision: banding can only MISS pairs, never invent them — every
+    // emitted pair must appear in the exhaustive cosine pairs
+    val lsh = Similarity.lshNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH invented pairs: ${(lsh -- exact).take(5)}")
+    assert(lsh.nonEmpty, "banded candidates must surface at least some true pairs")
+    // recall at HIGH similarity — the regime banding is tuned for: a
+    // near-identical copy agrees with its original on every sign bit, so
+    // every band matches and the pair cannot be missed
+    val dups = emb.limit(5).withColumn("vec_id", col("vec_id") + 1000000L)
+    val planted = Similarity.lshNearDupPairs(emb.union(dups), 0.999)
+      .filter(col("vec_id2") === col("vec_id1") + 1000000L)
+    assert(planted.count() == 5, "all planted near-identical pairs must be recalled")
+  }
+
   test("semantic near-dedup drops exactly the higher-id cosine-pair members") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
     val dropped = pairs.select("vec_id2").distinct().collect().map(_.getLong(0)).toSet
