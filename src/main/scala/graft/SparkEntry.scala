@@ -1472,6 +1472,30 @@ object SparkEntry {
         |          JOIN d b2 ON p0.vec_id2 = b2.vec_id)
         |SELECT * FROM p WHERE cosine >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin)),
 
+    // LSH-served cosine top-k — the serving twin of q_ann_ivf_topk on the
+    // closed-form sketch: probe -> band candidates -> exact verify ->
+    // per-query rank, ALL mirrored in SQL (hash-checked; the IVF top-k
+    // can only be rows-checked because its centroids are trained).
+    ("q_lsh_topk",
+      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d))
+        .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |q AS (SELECT vec_id AS query_id, band, bb FROM c WHERE vec_id < 5),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.vec_id
+        |  FROM c c2 JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.vec_id <> q.query_id),
+        |scored AS (SELECT p0.query_id, p0.vec_id,
+        |  ${Similarity.Sql.cosine("qd.v", "cd.v")} AS cosine
+        |  FROM p0 JOIN d qd ON p0.query_id = qd.vec_id
+        |          JOIN d cd ON p0.vec_id = cd.vec_id)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // embedding-cosine near-dedup (semantic dedup): greedy drop of the
     // higher vec_id of every cosine-pair — completes the dedup family
     // (exact / Jaccard / MinHash / SimHash / embedding-cosine). Output

@@ -783,16 +783,23 @@ object Similarity {
     * harder but miss more borderline pairs — production tunes it to the
     * target similarity exactly as MinHash banding tunes to Jaccard.
     */
+  /** (vec_id, band, bb) triples: each vector's `bucket` split into
+    * `bands` sub-buckets of `bandBits` bits — static shifts unrolled via
+    * `inline`, so the explode stays one narrow codegen'd projection.
+    */
+  private def bandExplode(buckets: DataFrame, bands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    buckets.select(col("vec_id"),
+      inline(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * bandBits).bitwiseAND(lit(mask)).as("bb"))): _*)))
+  }
+
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                       nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val bands = nbits / bandBits
-    val mask = (1L << bandBits) - 1
-    val cand = lshBuckets(embeddings, nbits, dim)
-      .select(col("vec_id"),
-        inline(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("bucket"), b * bandBits).bitwiseAND(lit(mask)).as("bb"))): _*)))
+    val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
     val p0 = cand.as("a")
       .join(cand.as("b"),
         col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
@@ -809,6 +816,46 @@ object Similarity {
         (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_id1", "vec_id2")
+  }
+
+  /** LSH-served cosine top-k: per query (vec_id < numQueries), candidates
+    * are corpus vectors sharing ANY band sub-bucket with the query, ranked
+    * by exact cosine. The serving twin of [[ivfTopKServe]] on the
+    * closed-form sketch — and, like [[lshNearDupPairs]], fully
+    * oracle-able: no trained state, so the whole probe → candidate →
+    * verify → rank pipeline mirrors into SQL and hash-checks (the IVF
+    * top-k can only be rows-checked).
+    *
+    * Scale shape: the probe set is `numQueries × bands` rows — the only
+    * broadcast; candidates come from a broadcast hash join on
+    * (band, sub-bucket) against the narrow triple stream, de-duplicated
+    * across bands behind an aggregate barrier; vectors are fetched by
+    * shuffled equi-joins; ranking windows per query over candidate sets
+    * (bounded by bucket occupancy, not the corpus).
+    */
+  def lshTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+              nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val bands = nbits / bandBits
+    val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
+    val probes = cand.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bb"))
+    val p0 = cand.join(broadcast(probes), Seq("band", "bb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val d = prepared(embeddings)
+    val scored = p0
+      .join(d.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")),
+        Seq("query_id"))
+      .join(d.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
   }
 
   object Sql {

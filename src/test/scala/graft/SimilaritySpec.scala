@@ -74,6 +74,25 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.count() == 5, "all planted near-identical pairs must be recalled")
   }
 
+  test("LSH top-k: candidate-bounded shape, descending ranks, planted duplicate at rank 1") {
+    val r = Similarity.lshTopK(emb, numQueries = 3, k = 10).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet.subsetOf(Set(0L, 1L, 2L)))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 10, "candidate sets can under-fill k, never overflow it")
+      assert(!rows.exists(_.getLong(1) == q), "no self-match")
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "descending cosine")
+    }
+    // a near-identical copy of a query shares every sign bit -> every band
+    // matches -> it must surface, and at rank 1 (cosine ~1 beats everything)
+    val dup = emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(1000000L))
+    val planted = Similarity.lshTopK(emb.union(dup), numQueries = 1, k = 10)
+      .filter(col("query_id") === 0L).collect().sortBy(_.getAs[Int]("rank"))
+    assert(planted.head.getLong(1) == 1000000L, "planted duplicate must rank first")
+    assert(planted.head.getAs[Double]("cosine") > 0.999)
+  }
+
   test("semantic near-dedup drops exactly the higher-id cosine-pair members") {
     val pairs = Similarity.cosineNearDupPairs(emb, 0.4)
     val dropped = pairs.select("vec_id2").distinct().collect().map(_.getLong(0)).toSet
