@@ -271,15 +271,19 @@ object TextAnalysis {
       .select(explode(Dedup.shinglesRaw(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("tf_xy"))
       .filter(col("tf_xy") >= minCount)
+    // both unigram joins reference the IDENTICAL aggregate subtree (the
+    // rename happens in the join output, not inside the exchange), so the
+    // second broadcast canonicalizes to a ReusedExchange of the first
+    // instead of re-counting the corpus
     bc
       .withColumn("t1", split(col("bigram"), " ")(0))
       .withColumn("t2", split(col("bigram"), " ")(1))
-      .join(uc.select(col("token").as("t1"), col("tf").as("tf_x")), Seq("t1"))
-      .join(uc.select(col("token").as("t2"), col("tf").as("tf_y")), Seq("t2"))
+      .join(uc.as("x"), col("t1") === col("x.token"))
+      .join(uc.as("y"), col("t2") === col("y.token"))
       .crossJoin(broadcast(total))
-      .select(col("bigram"), col("tf_xy"), col("tf_x"), col("tf_y"),
+      .select(col("bigram"), col("tf_xy"), col("x.tf").as("tf_x"), col("y.tf").as("tf_y"),
         ((col("tf_xy").cast("double") * col("n_uni").cast("double"))
-          / (col("tf_x").cast("double") * col("tf_y").cast("double"))).as("pmi_ratio"))
+          / (col("x.tf").cast("double") * col("y.tf").cast("double"))).as("pmi_ratio"))
       .orderBy(col("pmi_ratio").desc, col("tf_xy").desc, col("bigram"))
       .limit(k)
   }
