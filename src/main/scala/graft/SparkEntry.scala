@@ -1459,7 +1459,10 @@ object SparkEntry {
     // concern (SimilaritySpec), not a compare artifact.
     ("q_lsh_neardup_pairs",
       (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4),
-      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+      Some(s"""WITH g AS (SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |m AS (SELECT g.rep, e.vec_id FROM embeddings e JOIN g ON e.embedding = g.embedding),
+        |d AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
+        |  WHERE vec_id IN (SELECT rep FROM g)),
         |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
         |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
         |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
@@ -1469,8 +1472,19 @@ object SparkEntry {
         |p AS (SELECT p0.vec_id1, p0.vec_id2,
         |  ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
         |  FROM p0 JOIN d a ON p0.vec_id1 = a.vec_id
-        |          JOIN d b2 ON p0.vec_id2 = b2.vec_id)
-        |SELECT * FROM p WHERE cosine >= 0.4 ORDER BY vec_id1, vec_id2""".stripMargin)),
+        |          JOIN d b2 ON p0.vec_id2 = b2.vec_id),
+        |rp AS (SELECT * FROM p WHERE cosine >= 0.4),
+        |elig AS (SELECT m.rep, m.vec_id FROM m JOIN d ON m.rep = d.vec_id
+        |  WHERE sqrt(${Similarity.Sql.dot("d.v", "d.v")}) > 0),
+        |intra AS (SELECT a.vec_id AS vec_id1, b2.vec_id AS vec_id2,
+        |  CAST(1.0 AS DOUBLE) AS cosine
+        |  FROM elig a JOIN elig b2 ON a.rep = b2.rep AND a.vec_id < b2.vec_id),
+        |xg AS (SELECT least(m1.vec_id, m2.vec_id) AS vec_id1,
+        |  greatest(m1.vec_id, m2.vec_id) AS vec_id2, rp.cosine
+        |  FROM rp JOIN m m1 ON rp.vec_id1 = m1.rep
+        |          JOIN m m2 ON rp.vec_id2 = m2.rep)
+        |SELECT * FROM intra UNION ALL SELECT * FROM xg
+        |ORDER BY vec_id1, vec_id2""".stripMargin)),
 
     // LSH-served cosine top-k — the serving twin of q_ann_ivf_topk on the
     // closed-form sketch: probe -> band candidates -> exact verify ->

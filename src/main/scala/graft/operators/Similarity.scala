@@ -763,26 +763,6 @@ object Similarity {
       .select(col("vec_id"), col("label"), bucket.as("bucket"))
   }
 
-  /** LSH-bucketed near-dup pairs, exactly verified — the banded-candidate
-    * pipeline of [[minhashPairs]]-style text LSH, transplanted to
-    * embeddings: the `nbits`-bit sign bucket splits into `nbits/bandBits`
-    * bands; vectors sharing ANY band's sub-bucket become candidates;
-    * candidates are verified with exact cosine and filtered at
-    * `threshold`, so false positives are impossible and output hash-checks
-    * bit-for-bit (the first ANN-shaped near-dup path with a FULL oracle —
-    * IVF's trained centroids cannot be mirrored in SQL; this closed-form
-    * sketch can).
-    *
-    * Scale shape: the band join shuffles (band, sub-bucket, vec_id)
-    * triples — a few bytes per row, never the vectors; `distinct`
-    * de-duplicates candidates ACROSS bands behind an aggregate barrier
-    * before any verify work; the verify fetches vectors by two shuffled
-    * equi-joins on vec_id and runs one codegen'd dot per surviving pair.
-    * `bandBits` is the precision knob: recall per pair with bit-agreement
-    * probability p is `1 − (1 − p^bandBits)^bands`, so wider bands prune
-    * harder but miss more borderline pairs — production tunes it to the
-    * target similarity exactly as MinHash banding tunes to Jaccard.
-    */
   /** (vec_id, band, bb) triples: each vector's `bucket` split into
     * `bands` sub-buckets of `bandBits` bits — static shifts unrolled via
     * `inline`, so the explode stays one narrow codegen'd projection.
@@ -795,19 +775,85 @@ object Similarity {
           shiftright(col("bucket"), b * bandBits).bitwiseAND(lit(mask)).as("bb"))): _*)))
   }
 
-  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
-                      nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
-    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+  /** Exact-duplicate pre-pass for the embedding pair path (the
+    * [[Dedup.dupGroups]] mirror): BITWISE-identical vectors collapse to one
+    * representative (min vec_id) before any bucketing. A duplicate-heavy
+    * corpus — the same image embedded from two crawls — otherwise lands k
+    * copies in identical band buckets and turns the candidate join k²;
+    * sketching representatives bounds the join by DISTINCT vectors and
+    * doc-level pairs re-expand combinatorially afterwards (inherent output
+    * size, not join-state size). Grouping is on the raw float array —
+    * exact equality, no hash-collision class at all.
+    */
+  private def vecGroups(embeddings: DataFrame): DataFrame = {
+    val keyed = embeddings.select(col("vec_id"), col("embedding"))
+    val reps = keyed.groupBy("embedding").agg(min("vec_id").as("rep"))
+    // barrier: membership feeds the rep filter, the eligibility semi-join
+    // and both expansion joins — reuse one exchange instead of re-running
+    // the vector-wide groupBy per consumer
+    keyed.join(reps, Seq("embedding")).select(col("rep"), col("vec_id"))
+      .repartition(col("rep"))
+  }
+
+  /** Distinct rep-level LSH candidate pairs — exposed for the duplication
+    * stress spec ([[lshNearDupPairs]]' candidate state must be EXACTLY
+    * flat under corpus duplication, the DedupStressSpec bound).
+    */
+  def lshCandidates(embeddings: DataFrame, nbits: Int = 16, bandBits: Int = 4,
+                    dim: Int = 64): DataFrame = {
+    val members = vecGroups(embeddings)
+    val repEmb = embeddings.join(
+      members.filter(col("rep") === col("vec_id")).select("vec_id"), Seq("vec_id"), "left_semi")
+    repCandidates(repEmb, nbits, bandBits, dim)
+  }
+
+  private def repCandidates(repEmb: DataFrame, nbits: Int, bandBits: Int,
+                            dim: Int): DataFrame = {
     val bands = nbits / bandBits
-    val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
-    val p0 = cand.as("a")
+    val cand = bandExplode(lshBuckets(repEmb, nbits, dim), bands, bandBits)
+    cand.as("a")
       .join(cand.as("b"),
         col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
       .distinct()
-    val d = prepared(embeddings)
-    p0
+  }
+
+  /** LSH-bucketed near-dup pairs, exactly verified — the banded-candidate
+    * pipeline of text MinHash LSH ([[Dedup.minhashPairs]]), transplanted
+    * to embeddings: the `nbits`-bit sign bucket splits into
+    * `nbits/bandBits` bands; REPRESENTATIVE vectors ([[vecGroups]] — the
+    * dup-group pre-pass, mirrored from the text family) sharing ANY
+    * band's sub-bucket become candidates; candidates are verified with
+    * exact cosine and filtered at `threshold`, so false positives are
+    * impossible and output hash-checks bit-for-bit (the first ANN-shaped
+    * near-dup path with a FULL oracle — IVF's trained centroids cannot be
+    * mirrored in SQL; this closed-form sketch can). Doc-level pairs
+    * re-expand after verification: intra-group pairs at cosine 1.0
+    * (identical vectors, nonzero norm), cross-group pairs inheriting
+    * their representatives' cosine verbatim.
+    *
+    * Scale shape: the band join shuffles (band, sub-bucket, vec_id)
+    * triples — a few bytes per row, never the vectors — and is bounded by
+    * DISTINCT vectors regardless of duplication (spec'd exactly flat at
+    * 10×); `distinct` de-duplicates candidates ACROSS bands behind an
+    * aggregate barrier before any verify work; the verify fetches vectors
+    * by two shuffled equi-joins on vec_id and runs one codegen'd dot per
+    * surviving pair. `bandBits` is the precision knob: recall per pair
+    * with bit-agreement probability p is `1 − (1 − p^bandBits)^bands`, so
+    * wider bands prune harder but miss more borderline pairs — production
+    * tunes it to the target similarity exactly as MinHash banding tunes
+    * to Jaccard.
+    */
+  def lshNearDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                      nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val members = vecGroups(embeddings)
+    val repEmb = embeddings.join(
+      members.filter(col("rep") === col("vec_id")).select("vec_id"), Seq("vec_id"), "left_semi")
+    val p0 = repCandidates(repEmb, nbits, bandBits, dim)
+    val d = prepared(repEmb)
+    val repPairs = p0
       .join(d.select(col("vec_id").as("vec_id1"), col("v").as("v1"), col("nrm").as("nrm1")),
         Seq("vec_id1"))
       .join(d.select(col("vec_id").as("vec_id2"), col("v").as("v2"), col("nrm").as("nrm2")),
@@ -815,6 +861,23 @@ object Similarity {
       .select(col("vec_id1"), col("vec_id2"),
         (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // re-expansion: identical vectors trivially pair at cosine 1.0 — but
+    // ONLY for nonzero-norm groups (a zero vector's cosine is NaN and
+    // never passes the threshold today; expansion must not invent pairs
+    // the verify would reject)
+    val eligible = members.join(
+      d.filter(col("nrm") > lit(0.0)).select(col("vec_id").as("rep")), Seq("rep"), "left_semi")
+    val intra = eligible.as("a")
+      .join(eligible.as("b"),
+        col("a.rep") === col("b.rep") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"),
+        lit(1.0).as("cosine"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("vec_id1"), col("vec_id").as("m1")), Seq("vec_id1"))
+      .join(members.select(col("rep").as("vec_id2"), col("vec_id").as("m2")), Seq("vec_id2"))
+      .select(least(col("m1"), col("m2")).as("vec_id1"),
+        greatest(col("m1"), col("m2")).as("vec_id2"), col("cosine"))
+    intra.unionByName(cross)
       .orderBy("vec_id1", "vec_id2")
   }
 

@@ -70,4 +70,45 @@ class SimilarityStressSpec extends SparkSpec {
     assert(occ2 / occ1 < 2.0 && occ3 / occ1 < 2.0,
       s"per-cell occupancy must stay flat as cells grow in number: $occ1 -> $occ2 -> $occ3")
   }
+
+  test("LSH at 10x duplication: candidate state exactly flat, output = exact expansion") {
+    // the DedupStressSpec bound, mirrored onto the embedding LSH path: a
+    // duplicate-heavy corpus (same image embedded from ten crawls) must
+    // leave the rep-level band-join state EXACTLY flat — the vecGroups
+    // pre-pass bounds candidates by DISTINCT vectors — while the emitted
+    // pairs equal the 1x result's combinatorial expansion (intra-group at
+    // cosine 1.0, cross-group inheriting the representative cosine).
+    val Off = 10000000L
+    val Copies = 10
+    val base = Tables.embeddings(spark, sf).localCheckpoint()
+    val amplified = (0 until Copies)
+      .map(k => base.withColumn("vec_id", col("vec_id") + lit(k * Off)))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
+
+    val c1 = Similarity.lshCandidates(base).count()
+    val c10 = Similarity.lshCandidates(amplified).count()
+    info(s"rep-level LSH candidates: 1x = $c1, 10x = $c10")
+    assert(c10 == c1, s"candidate state must be bounded by distinct vectors: $c1 -> $c10")
+
+    val p1 = Similarity.lshNearDupPairs(base, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val p10 = Similarity.lshNearDupPairs(amplified, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = scala.collection.mutable.Map[(Long, Long), Double]()
+    for (((i, j), s) <- p1; a <- 0 until Copies; b <- 0 until Copies) {
+      val (x, y) = (i + a * Off, j + b * Off)
+      expected((math.min(x, y), math.max(x, y))) = s
+    }
+    val ids = base.select("vec_id").collect().map(_.getLong(0))
+    for (t <- ids; a <- 0 until Copies; b <- (a + 1) until Copies)
+      expected((t + a * Off, t + b * Off)) = 1.0
+    assert(p10.size == expected.size,
+      s"pair count ${p10.size} != expected expansion ${expected.size}")
+    assert(p10 == expected, {
+      val missing = expected.keySet -- p10.keySet
+      val extra = p10.keySet -- expected.keySet
+      s"expansion mismatch: ${missing.take(5)} missing, ${extra.take(5)} extra"
+    })
+  }
 }
