@@ -20,16 +20,25 @@ object Tables {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as raw nanos (legacy conf, applied once per
-    * session) and floor-convert to microsecond TimestampType — the same
-    * truncation DuckDB applies, so oracle comparisons agree.
+  /** `events.ts` has shipped under two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects outright, so it is read as raw nanos (legacy conf, applied once
+    * per session) and floor-converted to microsecond TimestampType, the same
+    * truncation DuckDB applies — and plain TIMESTAMP(MICROS) (NTZ), which
+    * needs only a cast to session-time TimestampType. Dispatch on the
+    * schema actually read so either generation loads identically; every
+    * downstream operator sees microsecond TimestampType either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (nanosReady.add(spark))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
