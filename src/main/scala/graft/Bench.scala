@@ -60,6 +60,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    // Trailing compact line (round-9 verdict next-round 2): the driver
+    // keeps only the last 2000 chars of output, and the main JSON prints
+    // the total FIRST — so all nine BENCH_rN.json artifacts lost total_s
+    // to the tail capture. This second line is ≤ ~80 chars, so the tail
+    // always carries the headline numbers.
+    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -895,10 +895,17 @@ object Dedup {
     *    threshold, group-expanded — the minhash `pairs` precedent applied
     *    to the simhash side: serving the DEFAULT threshold is one scan,
     *    not an 8-stage join pipeline per call
+    *  - `containmentPairs` — directed Broder containment pairs at the
+    *    default threshold (v4; round-9 verdict next-round 1: containment
+    *    was the last family member whose verified pairs re-ran the
+    *    df-cap + intersection self-join per call — the heaviest query in
+    *    the bench — while its six siblings served from parquet). The
+    *    shingle `index` stays the path for other-threshold probes.
     */
   case class SketchTables(members: DataFrame, index: DataFrame,
                           stoplist: DataFrame, pairs: DataFrame,
-                          simhash: DataFrame, simhashPairs: DataFrame)
+                          simhash: DataFrame, simhashPairs: DataFrame,
+                          containmentPairs: DataFrame)
 
   /** Build the dedup sketch family ONCE per corpus snapshot and commit it
     * under `dir` — the [[Similarity.persistIndex]] pattern applied to the
@@ -940,6 +947,12 @@ object Dedup {
     // staging discipline: nothing re-sketches an upstream stage)
     simhashPairsFromSketch(spark.read.parquet(s"$dir/simhash"), members, 2)
       .write.mode("overwrite").parquet(s"$dir/simhash_pairs")
+    // default-threshold directed containment pairs over the READ-BACK
+    // index + members (v4): the df-cap + intersection self-join runs once
+    // per snapshot here instead of once per serving call
+    containmentPairs(documents, threshold, n,
+        membersOpt = Some(members), indexOpt = Some(index))
+      .write.mode("overwrite").parquet(s"$dir/containment_pairs")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -952,7 +965,8 @@ object Dedup {
       stoplist = spark.read.parquet(s"$dir/stoplist"),
       pairs = spark.read.parquet(s"$dir/pairs"),
       simhash = spark.read.parquet(s"$dir/simhash"),
-      simhashPairs = spark.read.parquet(s"$dir/simhash_pairs"))
+      simhashPairs = spark.read.parquet(s"$dir/simhash_pairs"),
+      containmentPairs = spark.read.parquet(s"$dir/containment_pairs"))
 
   /** DuckDB oracle fragments. */
   object Sql {

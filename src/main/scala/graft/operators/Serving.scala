@@ -114,7 +114,7 @@ object Serving {
       .filter(col("e.ts") > col("signup_ts"))
       .select(col("e.user_id")).distinct()
     signups.agg(count(lit(1)).as("signed_up"))
-      .crossJoin(converted.agg(count(lit(1)).as("converted")))
+      .crossJoin(broadcast(converted.agg(count(lit(1)).as("converted"))))
   }
 
   /** Daily active users + event volume — the per-day rollup every serving

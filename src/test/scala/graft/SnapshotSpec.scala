@@ -183,6 +183,34 @@ class SnapshotSpec extends SparkSpec {
       s"index-fed jaccard must read only snapshot tables:\n${jacScans.mkString("\n")}")
   }
 
+  test("containment pairs serve from the persisted v4 table, never rescan the index (r9 next-round 1)") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    val cp = SparkEntry.queries("q_containment_pairs")(spark, sf)
+    assert(cp.count() > 0, "sf0.01 plants containment-grade near-dups")
+    // FileScan toString truncates the location path, so assert the
+    // snapshot root (like the sibling specs) + single-scan plan shape:
+    // serving is ONE parquet scan, no documents read, no index self-join
+    val cpScans = scansOf(cp)
+    assert(cpScans.size == 1 && cpScans.forall(_.contains("graft_dedup")),
+      s"containment serving must be one snapshot-table scan:\n${cpScans.mkString("\n")}")
+    assert(cpScans.forall(!_.contains("documents.parquet")),
+      "the served path must never scan documents")
+    // the persisted table must equal the direct index-fed computation at
+    // the registry's default threshold (same contract the minhash `pairs`
+    // table honors in the rebuild spec above)
+    val tables = SparkEntry.queries("q_dup_clusters")(spark, sf) // ensure family built
+    tables.count()
+    val direct = Dedup.containmentPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val served = cp.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == direct,
+      s"persisted containment pairs must equal the direct computation (served=${served.size}, direct=${direct.size})")
+  }
+
   test("simhash + incremental dedup serve from persisted sketches (r8 next-round 3)") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
