@@ -725,6 +725,57 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The 100 TB quantized SERVING composition (round-9 verdict next-round
+    * 4): int8 codes ranked inside sign-LSH band candidates — the 4× memory
+    * win (int8 corpus instead of float32) AND candidate pruning
+    * (bucket-occupancy-bounded rank windows instead of corpus-wide ones)
+    * in one pipeline, vs [[quantizedTopK]]'s deliberate full-scan baseline
+    * shape. Both halves are closed-form/integer — deterministic
+    * [[lshPlaneWeights]] hyperplanes, one global quantization scale that
+    * factors out of the ranking, order-free integer dots — so unlike the
+    * trained IVF serving twin the whole probe → candidate → integer-rank
+    * pipeline mirrors into SQL and hash-checks end to end. Recall@k vs
+    * [[bruteForceTopK]] is additionally spec-asserted.
+    *
+    * Bucketing runs on the RAW vectors while scoring uses unit-normalized
+    * codes: the sign of ⟨v, h⟩ is invariant under the positive per-vector
+    * norm, so both sides see the same buckets and the composition stays
+    * coherent.
+    *
+    * Scale shape: bucketing is a narrow scan-speed projection (zero
+    * training, zero broadcast state); the probe set (numQueries × bands
+    * rows) is the only broadcast; candidates dedup across bands behind an
+    * aggregate barrier before any scoring; the code fetch joins shuffle
+    * int8 code arrays (~dim bytes/row), never float vectors; rank windows
+    * are bounded by bucket occupancy, not the corpus.
+    */
+  def quantizedTopKServe(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
+                         nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val bands = nbits / bandBits
+    val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
+    val probes = cand.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bb"))
+    val p0 = cand.join(broadcast(probes), Seq("band", "bb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val codes = quantizeEmbeddings(embeddings).select(col("vec_id"), col("codes"))
+    val scored = p0
+      .join(codes.select(col("vec_id").as("query_id"), col("codes").as("qcodes")),
+        Seq("query_id"))
+      .join(codes, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qcodes"), col("codes"),
+            (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential
     * left-fold dot product matching [[graft.functions.VectorFunctions]].
     */

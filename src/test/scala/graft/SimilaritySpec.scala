@@ -184,6 +184,57 @@ class SimilaritySpec extends SparkSpec {
     } finally q.unpersist()
   }
 
+  test("quantized serve: LSH-bounded candidates, int ranking, high recall vs exact (r9 next-round 4)") {
+    val r = Similarity.quantizedTopKServe(emb, numQueries = 3, k = 10).collect()
+    val byQ = r.groupBy(_.getLong(0))
+    assert(byQ.keySet.subsetOf(Set(0L, 1L, 2L)))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 10, "candidate sets can under-fill k, never overflow it")
+      assert(!rows.exists(_.getLong(1) == q), "no self-match")
+      val dots = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("qdot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b }, "descending qdot")
+    }
+    // candidate containment: the serve composition may only rank vectors
+    // the LSH front-end surfaced — same candidate generator as lshTopK
+    // with k = corpus, so every served id must be an LSH candidate
+    val lshCand = Similarity.lshTopK(emb, numQueries = 3, k = Int.MaxValue).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(r.map(r2 => (r2.getLong(0), r2.getLong(1))).toSet.subsetOf(lshCand),
+      "served pairs must come from the LSH candidate sets")
+    // recall decomposition vs bruteForceTopK: the serve's gap = LSH
+    // candidate misses (the front-end prunes low-cosine "neighbors" that
+    // pad exhaustive top-10 on a mostly-dissimilar corpus — by design) +
+    // int8 rounding (should be ~zero). So assert each part where it is
+    // meaningful: (a) against exact-cosine ranking over the SAME candidate
+    // generator (lshTopK), quantization may lose almost nothing; (b) in
+    // the high-similarity regime the 4x4-bit banding is tuned for
+    // (cosine >= 0.4, the family's near-dup threshold), recall vs brute
+    // force must be high.
+    val exactRows = Similarity.bruteForceTopK(emb, numQueries = 5, k = 10).collect()
+    val served = Similarity.quantizedTopKServe(emb, numQueries = 5, k = 10).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    val exact = exactRows.map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    info(f"quantized-serve recall@10 vs brute force = ${(exact & served).size.toDouble / exact.size}%.2f")
+    val lshExact = Similarity.lshTopK(emb, numQueries = 5, k = 10).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    val vsLsh = (lshExact & served).size.toDouble / lshExact.size
+    info(f"quantized-serve agreement with exact-cosine LSH serve = $vsLsh%.2f")
+    assert(vsLsh >= 0.9, s"int8 ranking may not lose candidates LSH surfaced: $vsLsh")
+    val highSim = exactRows.filter(_.getAs[Double]("cosine") >= 0.4)
+      .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    if (highSim.nonEmpty) {
+      val hsRecall = (highSim & served).size.toDouble / highSim.size
+      info(f"quantized-serve recall@10 on cosine>=0.4 neighbors = $hsRecall%.2f (n=${highSim.size})")
+      assert(hsRecall >= 0.9, s"high-similarity recall too low: $hsRecall")
+    }
+    // a planted near-identical copy of a query shares every sign bit AND
+    // quantizes to (near-)identical codes -> must surface at rank 1
+    val dup = emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(1000000L))
+    val planted = Similarity.quantizedTopKServe(emb.union(dup), numQueries = 1, k = 10)
+      .filter(col("query_id") === 0L).collect().sortBy(_.getAs[Int]("rank"))
+    assert(planted.head.getLong(1) == 1000000L, "planted duplicate must rank first")
+  }
+
   test("Lloyd training lifts recall where raw hash seeds put a cell boundary on the query") {
     import spark.implicits._
     // Vectors lie on a smooth arc (angle θ ∈ [0°, 90°] in the (d0, d1)
