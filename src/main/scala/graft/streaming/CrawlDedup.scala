@@ -42,15 +42,19 @@ object CrawlDedup {
   /** Start the crawl-dedup stream over `docs` (a streaming DataFrame with
     * `doc_id`/`text`), deduping against the [[Dedup.buildDedupIndex]]
     * table at `baseIndexDir`. Outputs under `outDir`: `clean/`, `pairs/`,
-    * `index_delta/` (all epoch-partitioned) + the stream checkpoint.
+    * `index_delta/` (all epoch-partitioned) + the stream checkpoint
+    * (defaults under `outDir`; [[Pipeline.startCrawlDedup]] passes its
+    * own per-query dir to honor the topology's shared checkpoint root —
+    * T4).
     */
   def start(docs: DataFrame, baseIndexDir: String, outDir: String,
-            threshold: Double = 0.8): StreamingQuery = {
+            threshold: Double = 0.8,
+            checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val base = spark.read.parquet(baseIndexDir)
     docs.writeStream
       .outputMode("append")
-      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir/_checkpoint"))
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
         runBatch(batch.toDF(), base, outDir, epoch, threshold)
       }

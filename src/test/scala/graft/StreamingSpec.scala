@@ -429,4 +429,53 @@ class StreamingSpec extends SparkSpec {
       .drop("ts_str")) ==
       rows(Serving.alertsRecent(alertsBatch, None, 24 * 3650, 100000).drop("ts_str")))
   }
+
+  test("closed loop covers the crawl path: streamed clean/ equals batch dedupDelta across epochs (r9 next-round 5)") {
+    // The crawl-dedup stream runs as a fifth topology member (two sources,
+    // five queries, shared store + checkpoint roots), and its epoch-
+    // partitioned clean/ output must equal what the BATCH incremental
+    // operator answers when driven sequentially with the same growing
+    // index — the stream is the batch operator's composition, not a
+    // different algorithm.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val base = tmp("crawlloop")
+    val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
+    val events = MemoryStream[EventRec]
+    val docs = MemoryStream[(Long, String)]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val queries = p.startAllWithCrawl(events.toDF(),
+      docs.toDF().toDF("doc_id", "text"), s"$base/index")
+    val epochs = Seq(
+      Seq((10L, text("alpha")), (11L, text("novelA")), (12L, text("novelB"))),
+      Seq((20L, text("novelA")), (21L, text("novelC"))))
+    try {
+      assert(queries.length == 5)
+      epochs.foreach { batch =>
+        events.addData(ev(batch.head._1, "2024-01-01 10:00:00"))
+        docs.addData(batch.toIndexedSeq: _*)
+        queries.foreach(_.processAllAvailable())
+      }
+    } finally queries.foreach(_.stop())
+    // batch replay: same epochs through dedupDelta with the same growing
+    // index discipline (clean docs' signatures appended between epochs)
+    var index = spark.read.parquet(s"$base/index")
+    val batchClean = scala.collection.mutable.Set[(Long, Long)]()
+    epochs.zipWithIndex.foreach { case (batch, i) =>
+      val delta = batch.toDF("doc_id", "text")
+      val dupIds = Dedup.dedupDelta(index, delta, 0.8)
+        .select("delta_id").collect().map(_.getLong(0)).toSet
+      val clean = delta.filter(!col("doc_id").isin(dupIds.toSeq: _*))
+      batchClean ++= clean.collect().map(r => (r.getLong(0), i.toLong))
+      index = index.unionByName(Dedup.buildDedupIndex(clean))
+    }
+    val streamed = spark.read.parquet(s"${p.crawlStorePath}/clean")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("epoch").longValue())).toSet
+    assert(streamed == batchClean.toSet,
+      s"streamed clean set must equal the batch answer: $streamed vs $batchClean")
+  }
 }
