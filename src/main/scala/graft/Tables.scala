@@ -20,6 +20,37 @@ object Tables {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** Parquet logical-type annotation of the `ts` column, read from one
+    * part file's FOOTER — driver-side metadata only, no Spark job — and
+    * memoized per table path (round-9 ADVICE-1: the LongType dispatch arm
+    * below ASSUMED any INT64 `ts` was nanoseconds; a generation shipping
+    * plain INT64 millis/micros would have been silently divided by 1000
+    * with no error. The annotation distinguishes the cases exactly).
+    */
+  private val tsAnnotationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tsAnnotation(spark: SparkSession, table: String): String =
+    tsAnnotationCache.computeIfAbsent(table, _ => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(conf)
+      val part =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .minBy(_.getName)
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) "absent"
+        else Option(schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation)
+          .map(_.toString).getOrElse("none")
+      } finally reader.close()
+    })
+
   /** `events.ts` has shipped under two physical types across testdata
     * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
     * rejects outright, so it is read as raw nanos (legacy conf, applied once
@@ -27,17 +58,33 @@ object Tables {
     * truncation DuckDB applies — and plain TIMESTAMP(MICROS) (NTZ), which
     * needs only a cast to session-time TimestampType. Dispatch on the
     * schema actually read so either generation loads identically; every
-    * downstream operator sees microsecond TimestampType either way.
+    * downstream operator sees microsecond TimestampType either way. Both
+    * dispatch arms now guard their assumptions loudly (round-9 ADVICE):
+    * the INT64 arm verifies the footer says NANOS before dividing, and the
+    * NTZ arm refuses non-UTC sessions instead of silently shifting
+    * instants.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (nanosReady.add(spark))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val table = s"$dir/events.parquet"
+    val raw = spark.read.parquet(table)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        val ann = tsAnnotation(spark, table)
+        require(ann.contains("NANOS"),
+          s"events.ts read as INT64 but its parquet logical type is '$ann', not " +
+            "TIMESTAMP(NANOS) — the ts div 1000 nanos->micros conversion would " +
+            "silently misconvert it; teach Tables.events this generation's unit")
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ holding UTC wall-clock instants; casting " +
+            s"to TimestampType under session timezone '$tz' would silently shift " +
+            "them — set spark.sql.session.timeZone=UTC (every graft session builder does)")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(s"$dir/documents.parquet")

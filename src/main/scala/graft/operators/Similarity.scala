@@ -753,14 +753,27 @@ object Similarity {
                          nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val bands = nbits / bandBits
-    val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
-    val probes = cand.filter(col("vec_id") < numQueries)
+    quantizedTopKServeFrom(
+      quantizeEmbeddings(embeddings).select(col("vec_id"), col("codes")),
+      bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits),
+      numQueries, k)
+  }
+
+  /** [[quantizedTopKServe]] over ALREADY-MATERIALIZED serving tables —
+    * what the registry runs against the [[persistAnnServe]]-persisted
+    * snapshot, so no process re-quantizes or re-buckets the corpus per
+    * call (the dedup-family amortization discipline applied to the ANN
+    * serving side). `codes` is (vec_id, codes); `bands` is the
+    * (vec_id, band, bb) triple table.
+    */
+  def quantizedTopKServeFrom(codes: DataFrame, bands: DataFrame,
+                             numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val probes = bands.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("bb"))
-    val p0 = cand.join(broadcast(probes), Seq("band", "bb"))
+    val p0 = bands.join(broadcast(probes), Seq("band", "bb"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    val codes = quantizeEmbeddings(embeddings).select(col("vec_id"), col("codes"))
     val scored = p0
       .join(codes.select(col("vec_id").as("query_id"), col("codes").as("qcodes")),
         Seq("query_id"))
@@ -775,6 +788,31 @@ object Similarity {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  /** Build the ANN serving snapshot ONCE per corpus: the int8 code table
+    * and the LSH band-triple table, committed under a content-stamped
+    * marker ([[graft.sources.SnapshotStore]] — the same pattern as the
+    * IVF index and the dedup sketch family). Construction is two scans
+    * (a scalar max reduction + narrow projections), but serving must not
+    * re-pay even that per call — and at 100 TB the code table IS the
+    * served copy of the corpus (4× smaller than the floats), so
+    * materializing it is the point, not an optimization.
+    */
+  def persistAnnServe(embeddings: DataFrame, dir: String, nbits: Int = 16,
+                      bandBits: Int = 4, dim: Int = 64, stamp: String = ""): Unit = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val spark = embeddings.sparkSession
+    quantizeEmbeddings(embeddings).select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    bandExplode(lshBuckets(embeddings, nbits, dim), nbits / bandBits, bandBits)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
+  }
+
+  /** Load a [[persistAnnServe]]-ed snapshot: (codes, bands). */
+  def loadAnnServe(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/bands"))
 
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential
     * left-fold dot product matching [[graft.functions.VectorFunctions]].

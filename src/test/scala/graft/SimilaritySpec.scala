@@ -233,6 +233,18 @@ class SimilaritySpec extends SparkSpec {
     val planted = Similarity.quantizedTopKServe(emb.union(dup), numQueries = 1, k = 10)
       .filter(col("query_id") === 0L).collect().sortBy(_.getAs[Int]("rank"))
     assert(planted.head.getLong(1) == 1000000L, "planted duplicate must rank first")
+    // registry serving reads ONLY the persisted annserve snapshot (codes +
+    // band triples) — never embeddings — and answers identically to the
+    // inline composition
+    val reg = SparkEntry.queries("q_quantized_topk_serve")(spark, sf)
+    val regRows = reg.collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSeq
+    val inlineRows = Similarity.quantizedTopKServe(emb).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSeq
+    assert(regRows == inlineRows, "snapshot-served ranking must equal the inline composition")
+    val scans = reg.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_annserve")),
+      s"serving must read only the annserve snapshot:\n${scans.mkString("\n")}")
   }
 
   test("Lloyd training lifts recall where raw hash seeds put a cell boundary on the query") {
