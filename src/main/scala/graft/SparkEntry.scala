@@ -68,12 +68,13 @@ object SparkEntry {
   private def dedupTables(s: SparkSession, d: String): Dedup.SketchTables = {
     dedupTablesCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    // the "dedup-v4:" prefix versions the family's LAYOUT (v2 added the
+    // the "dedup-v5:" prefix versions the family's LAYOUT (v2 added the
     // simhash sketch, v3 its default-threshold verified pairs, v4 the
-    // directed containment pairs): a marker committed by an older build
-    // fails the stamp compare and rebuilds in place, instead of
-    // half-loading a directory that predates a table
-    val stamp = "dedup-v4:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // directed containment pairs, v5 the jaccard + stop-list-stripped
+    // pairs): a marker committed by an older build fails the stamp
+    // compare and rebuilds in place, instead of half-loading a directory
+    // that predates a table
+    val stamp = "dedup-v5:" + graft.sources.SnapshotStore.fingerprint(s, src)
     dedupTablesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -948,10 +949,12 @@ object SparkEntry {
         |SELECT shingle, df FROM c WHERE df >= 2
         |ORDER BY df DESC, shingle LIMIT 20""".stripMargin)),
 
+    // Served from the family's persisted default-threshold table (v5 —
+    // the containment/simhash precedent applied to the last per-call
+    // intersection pipelines); [[Dedup.jaccardPairs]] over the persisted
+    // index remains the any-threshold path.
     ("q_jaccard_pairs",
-      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
-        membersOpt = Some(dupMembers(s, d)),
-        indexOpt = Some(shingleIndexFrame(s, d))),
+      (s, d) => dedupTables(s, d).jaccardPairs.orderBy("doc_id1", "doc_id2"),
       Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
         |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
         |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
@@ -1038,10 +1041,7 @@ object SparkEntry {
     // through template chrome no longer pair and jaccard is scored over
     // post-strip sets; the df-cap still guards whatever the miner missed.
     ("q_stoplist_pairs",
-      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), 0.5, maxDf = 50,
-        membersOpt = Some(dupMembers(s, d)),
-        stopHashesOpt = Some(Dedup.stopListHashes(hotShinglesFrame(s, d))),
-        indexOpt = Some(shingleIndexFrame(s, d))),
+      (s, d) => dedupTables(s, d).stoplistPairs.orderBy("doc_id1", "doc_id2"),
       Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
         |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
         |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),

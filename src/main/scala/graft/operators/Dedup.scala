@@ -901,11 +901,17 @@ object Dedup {
     *    df-cap + intersection self-join per call — the heaviest query in
     *    the bench — while its six siblings served from parquet). The
     *    shingle `index` stays the path for other-threshold probes.
+    *  - `jaccardPairs` / `stoplistPairs` — the exact n-gram Jaccard pairs
+    *    at the default threshold, without and with the mined stop-list
+    *    strip (v5 — the same amortization applied to the last two
+    *    per-call intersection pipelines; each was ~2.4 s of df-cap +
+    *    self-join per serving call).
     */
   case class SketchTables(members: DataFrame, index: DataFrame,
                           stoplist: DataFrame, pairs: DataFrame,
                           simhash: DataFrame, simhashPairs: DataFrame,
-                          containmentPairs: DataFrame)
+                          containmentPairs: DataFrame,
+                          jaccardPairs: DataFrame, stoplistPairs: DataFrame)
 
   /** Build the dedup sketch family ONCE per corpus snapshot and commit it
     * under `dir` — the [[Similarity.persistIndex]] pattern applied to the
@@ -923,7 +929,8 @@ object Dedup {
     */
   def persistSketchTables(documents: DataFrame, dir: String,
                           threshold: Double = 0.8, n: Int = 3,
-                          topK: Int = 20, stamp: String = ""): Unit = {
+                          topK: Int = 20, stamp: String = "",
+                          jaccardThreshold: Double = 0.5): Unit = {
     val spark = documents.sparkSession
     dupGroups(documents).write.mode("overwrite").parquet(s"$dir/members")
     val members = spark.read.parquet(s"$dir/members")
@@ -953,6 +960,17 @@ object Dedup {
     containmentPairs(documents, threshold, n,
         membersOpt = Some(members), indexOpt = Some(index))
       .write.mode("overwrite").parquet(s"$dir/containment_pairs")
+    // default-threshold exact jaccard pairs, plain and stop-list-stripped
+    // (v5): the last two per-call intersection pipelines move onto the
+    // build side; the index remains the any-threshold probe path
+    jaccardPairs(documents, jaccardThreshold, n,
+        membersOpt = Some(members), indexOpt = Some(index))
+      .write.mode("overwrite").parquet(s"$dir/jaccard_pairs")
+    jaccardPairs(documents, jaccardThreshold, n,
+        membersOpt = Some(members),
+        stopHashesOpt = Some(stopListHashes(spark.read.parquet(s"$dir/stoplist"))),
+        indexOpt = Some(index))
+      .write.mode("overwrite").parquet(s"$dir/stoplist_pairs")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -966,7 +984,9 @@ object Dedup {
       pairs = spark.read.parquet(s"$dir/pairs"),
       simhash = spark.read.parquet(s"$dir/simhash"),
       simhashPairs = spark.read.parquet(s"$dir/simhash_pairs"),
-      containmentPairs = spark.read.parquet(s"$dir/containment_pairs"))
+      containmentPairs = spark.read.parquet(s"$dir/containment_pairs"),
+      jaccardPairs = spark.read.parquet(s"$dir/jaccard_pairs"),
+      stoplistPairs = spark.read.parquet(s"$dir/stoplist_pairs"))
 
   /** DuckDB oracle fragments. */
   object Sql {

@@ -209,6 +209,23 @@ class SnapshotSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(served == direct,
       s"persisted containment pairs must equal the direct computation (served=${served.size}, direct=${direct.size})")
+    // v5: the jaccard + stop-list-stripped pairs honor the same contract —
+    // single snapshot scan, equal to the direct index-fed computation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacServed = SparkEntry.queries("q_jaccard_pairs")(spark, sf)
+    assert(scansOf(jacServed).size == 1,
+      "jaccard serving must be one snapshot-table scan")
+    assert(triples(jacServed) == triples(Dedup.jaccardPairs(docs, 0.5)),
+      "persisted jaccard pairs must equal the direct computation")
+    val stopServed = SparkEntry.queries("q_stoplist_pairs")(spark, sf)
+    assert(scansOf(stopServed).size == 1,
+      "stoplist-pair serving must be one snapshot-table scan")
+    val stopDirect = Dedup.jaccardPairs(docs, 0.5,
+      stopHashesOpt = Some(Dedup.stopListHashes(Dedup.hotShingles(docs))))
+    assert(triples(stopServed) == triples(stopDirect),
+      "persisted stop-list-stripped pairs must equal the direct computation")
   }
 
   test("simhash + incremental dedup serve from persisted sketches (r8 next-round 3)") {
