@@ -162,19 +162,20 @@ object SparkEntry {
       })._2
   }
 
-  /** PERSISTED ANN serving snapshot — the int8 code table + LSH band
-    * triples behind `q_quantized_topk_serve` ([[Similarity
+  /** PERSISTED ANN serving snapshot — the int8 code table, LSH band
+    * triples and default-threshold verified near-dup pairs behind
+    * `q_quantized_topk_serve`/`q_lsh_neardup_pairs` ([[Similarity
     * .persistAnnServe]]): built once per embeddings snapshot, then every
-    * serving call — any process — is two parquet scans + the probe join,
-    * never a re-quantization or re-bucketing pass. Same per-call
-    * staleness contract as [[dedupTables]]/[[ivfTables]].
+    * serving call — any process — is parquet scans + the probe join,
+    * never a re-quantization, re-bucketing or re-verify pass. Same
+    * per-call staleness contract as [[dedupTables]]/[[ivfTables]].
     */
   private val annServeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, (DataFrame, DataFrame))]()
-  private def annServeTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, (DataFrame, DataFrame, DataFrame))]()
+  private def annServeTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     annServeCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
-    val stamp = "annserve-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "annserve-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     annServeCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -1486,8 +1487,11 @@ object SparkEntry {
     // verify at 0.4. The oracle mirrors the ALGORITHM (buckets -> bands
     // -> verify), so recall vs the exhaustive q_cosine_pairs is a spec
     // concern (SimilaritySpec), not a compare artifact.
+    // Served from the annserve snapshot's persisted default-threshold
+    // pairs (v2 — the lexical minhash `pairs` precedent on the embedding
+    // side); [[Similarity.lshNearDupPairs]] remains the any-threshold path.
     ("q_lsh_neardup_pairs",
-      (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d), 0.4),
+      (s, d) => annServeTables(s, d)._3.orderBy("vec_id1", "vec_id2"),
       Some(s"""WITH g AS (SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
         |m AS (SELECT g.rep, e.vec_id FROM embeddings e JOIN g ON e.embedding = g.embedding),
         |d AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
@@ -1593,7 +1597,7 @@ object SparkEntry {
     // checkable; recall@10 vs brute force is spec'd in SimilaritySpec.
     ("q_quantized_topk_serve",
       (s, d) => {
-        val (codes, bands) = annServeTables(s, d)
+        val (codes, bands, _) = annServeTables(s, d)
         Similarity.quantizedTopKServeFrom(codes, bands)
           .withColumn("rank", col("rank").cast("long"))
       },

@@ -799,20 +799,29 @@ object Similarity {
     * materializing it is the point, not an optimization.
     */
   def persistAnnServe(embeddings: DataFrame, dir: String, nbits: Int = 16,
-                      bandBits: Int = 4, dim: Int = 64, stamp: String = ""): Unit = {
+                      bandBits: Int = 4, dim: Int = 64, stamp: String = "",
+                      pairThreshold: Double = 0.4): Unit = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val spark = embeddings.sparkSession
     quantizeEmbeddings(embeddings).select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     bandExplode(lshBuckets(embeddings, nbits, dim), nbits / bandBits, bandBits)
       .write.mode("overwrite").parquet(s"$dir/bands")
+    // default-threshold verified near-dup pairs (v2) — the lexical
+    // family's minhash `pairs` precedent on the embedding side: the
+    // bucket + candidate + exact-verify pipeline runs once per corpus
+    // snapshot; serving the default threshold is one scan, and the
+    // inline [[lshNearDupPairs]] stays the any-threshold path
+    lshNearDupPairs(embeddings, pairThreshold, nbits, bandBits, dim)
+      .write.mode("overwrite").parquet(s"$dir/pairs")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** Load a [[persistAnnServe]]-ed snapshot: (codes, bands). */
+  /** Load a [[persistAnnServe]]-ed snapshot: (codes, bands, pairs). */
   def loadAnnServe(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/bands"))
+                   dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/pairs"))
 
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential
     * left-fold dot product matching [[graft.functions.VectorFunctions]].

@@ -72,6 +72,18 @@ class SimilaritySpec extends SparkSpec {
     val planted = Similarity.lshNearDupPairs(emb.union(dups), 0.999)
       .filter(col("vec_id2") === col("vec_id1") + 1000000L)
     assert(planted.count() == 5, "all planted near-identical pairs must be recalled")
+    // registry serving: the persisted default-threshold pairs table must
+    // equal the inline computation and be served as one snapshot scan
+    val reg = SparkEntry.queries("q_lsh_neardup_pairs")(spark, sf)
+    val regSet = reg.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inlineSet = Similarity.lshNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(regSet == inlineSet, "persisted LSH pairs must equal the inline computation")
+    val scans = reg.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.size == 1 && scans.forall(_.contains("graft_annserve")),
+      s"LSH pair serving must be one annserve snapshot scan:\n${scans.mkString("\n")}")
   }
 
   test("LSH top-k: candidate-bounded shape, descending ranks, planted duplicate at rank 1") {
