@@ -171,11 +171,11 @@ object SparkEntry {
     * per-call staleness contract as [[dedupTables]]/[[ivfTables]].
     */
   private val annServeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, (DataFrame, DataFrame, DataFrame))]()
-  private def annServeTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Similarity.AnnServeTables)]()
+  private def annServeTables(s: SparkSession, d: String): Similarity.AnnServeTables = {
     annServeCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
-    val stamp = "annserve-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "annserve-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     annServeCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -1491,7 +1491,7 @@ object SparkEntry {
     // pairs (v2 — the lexical minhash `pairs` precedent on the embedding
     // side); [[Similarity.lshNearDupPairs]] remains the any-threshold path.
     ("q_lsh_neardup_pairs",
-      (s, d) => annServeTables(s, d)._3.orderBy("vec_id1", "vec_id2"),
+      (s, d) => annServeTables(s, d).pairs.orderBy("vec_id1", "vec_id2"),
       Some(s"""WITH g AS (SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
         |m AS (SELECT g.rep, e.vec_id FROM embeddings e JOIN g ON e.embedding = g.embedding),
         |d AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
@@ -1597,8 +1597,8 @@ object SparkEntry {
     // checkable; recall@10 vs brute force is spec'd in SimilaritySpec.
     ("q_quantized_topk_serve",
       (s, d) => {
-        val (codes, bands, _) = annServeTables(s, d)
-        Similarity.quantizedTopKServeFrom(codes, bands)
+        val snap = annServeTables(s, d)
+        Similarity.quantizedTopKServeFrom(snap.codes, snap.bands)
           .withColumn("rank", col("rank").cast("long"))
       },
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
@@ -1606,6 +1606,41 @@ object SparkEntry {
         |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
         |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
         |q AS (SELECT vec_id AS query_id, band, bb FROM c WHERE vec_id < 5),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.vec_id
+        |  FROM c c2 JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.vec_id <> q.query_id),
+        |qz AS (${Similarity.Sql.quantized}),
+        |scored AS (SELECT p0.query_id, p0.vec_id,
+        |  ${Similarity.Sql.intDot("qd.codes", "cd.codes")} AS qdot
+        |  FROM p0 JOIN qz qd ON p0.query_id = qd.vec_id
+        |          JOIN qz cd ON p0.vec_id = cd.vec_id)
+        |SELECT query_id, vec_id, qdot, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // The ANN QUERY-SERVING endpoint: an arbitrary (query_id, embedding)
+    // frame — here corpus ids 5..9 standing in for external requests —
+    // bucketed with the snapshot's closed-form planes, quantized on the
+    // snapshot's grid (the persisted meta row), ranked by integer dots
+    // against the persisted codes. The batch kernel of the streaming
+    // query service (streaming.AnnStream); everything stays integer /
+    // closed-form, so the full request path hash-checks.
+    ("q_ann_query_serve",
+      (s, d) => {
+        val snap = annServeTables(s, d)
+        val qs = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.quantizedTopKForQueries(qs, snap)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |q AS (SELECT vec_id AS query_id, band, bb FROM c
+        |  WHERE vec_id >= 5 AND vec_id < 10),
         |p0 AS (SELECT DISTINCT q.query_id, c2.vec_id
         |  FROM c c2 JOIN q ON c2.band = q.band AND c2.bb = q.bb
         |  WHERE c2.vec_id <> q.query_id),

@@ -803,8 +803,15 @@ object Similarity {
                       pairThreshold: Double = 0.4): Unit = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val spark = embeddings.sparkSession
-    quantizeEmbeddings(embeddings).select(col("vec_id"), col("codes"))
+    val quantized = quantizeEmbeddings(embeddings)
+    quantized.select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
+    // the one-row quantization geometry (v3): max|x| over the unit-
+    // normalized corpus — what an INCOMING query vector must be quantized
+    // with so its integer dots are commensurable with the stored codes
+    // (per-query re-derivation would change the grid per request)
+    quantized.select((col("scale") * lit(127.0)).as("max_abs")).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
     bandExplode(lshBuckets(embeddings, nbits, dim), nbits / bandBits, bandBits)
       .write.mode("overwrite").parquet(s"$dir/bands")
     // default-threshold verified near-dup pairs (v2) — the lexical
@@ -817,11 +824,80 @@ object Similarity {
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** Load a [[persistAnnServe]]-ed snapshot: (codes, bands, pairs). */
+  /** A [[persistAnnServe]]-ed snapshot's four tables + the quantization
+    * grid: codes, band triples, verified default-threshold pairs, and
+    * max|x| over the unit-normalized corpus.
+    */
+  case class AnnServeTables(codes: DataFrame, bands: DataFrame,
+                            pairs: DataFrame, maxAbs: Double)
+
+  /** Load a [[persistAnnServe]]-ed snapshot. The one-row meta read is a
+    * driver-side head over a single-row parquet — load-time, not
+    * per-query.
+    */
   def loadAnnServe(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): (DataFrame, DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/pairs"))
+                   dir: String): AnnServeTables =
+    AnnServeTables(
+      codes = spark.read.parquet(s"$dir/codes"),
+      bands = spark.read.parquet(s"$dir/bands"),
+      pairs = spark.read.parquet(s"$dir/pairs"),
+      maxAbs = spark.read.parquet(s"$dir/meta").head().getDouble(0))
+
+  /** Quantized ANN top-k for an ARBITRARY query-vector frame — the
+    * serving-endpoint form of [[quantizedTopKServeFrom]], and the batch
+    * kernel of the streaming query service ([[graft.streaming.AnnStream]]):
+    * `queries` is any (query_id, embedding) frame — a REST batch, a
+    * micro-batch of a query stream — not a corpus-id prefix. Each query
+    * vector is sign-LSH-bucketed with the same closed-form planes the
+    * snapshot's band table was built from and int8-quantized on the
+    * SNAPSHOT's grid (`maxAbs` from the meta table — a fresh per-batch
+    * grid would make integer dots incommensurable with the stored codes);
+    * candidates and ranking then proceed exactly as the registry serve
+    * path. In-corpus query ids exclude their own row, so feeding corpus
+    * vectors reproduces [[quantizedTopKServeFrom]] bit-for-bit (spec'd).
+    *
+    * Scale shape: per batch, the broadcast is queries × bands rows; the
+    * corpus-side work is the same band-triple join + code fetch as the
+    * registry path — nothing scans the float embeddings.
+    */
+  def quantizedTopKForQueries(queries: DataFrame, snap: AnnServeTables,
+                              k: Int = 10, nbits: Int = 16,
+                              bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val w = lshPlaneWeights(nbits, dim)
+    val bucket = (0 until nbits).map { i =>
+      when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nrm = sqrt(dot(col("v"), col("v")))
+    val qcodes = transform(col("v"), x =>
+      greatest(lit(-127L), least(lit(127L),
+        floor(x / nrm * lit(127.0) / lit(snap.maxAbs) + lit(0.5))))
+        .cast("int"))
+    val qb = queries
+      .select(col("query_id"), toDoubleVec(col("embedding")).as("v"))
+      .select(col("query_id"), bucket.as("bucket"), qcodes.as("qcodes"))
+    val probes = bandExplode(
+        qb.select(col("query_id").as("vec_id"), col("bucket")),
+        nbits / bandBits, bandBits)
+      .select(col("vec_id").as("query_id"), col("band"), col("bb"))
+    val p0 = snap.bands.join(broadcast(probes), Seq("band", "bb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = p0
+      .join(broadcast(qb.select(col("query_id"), col("qcodes"))), Seq("query_id"))
+      .join(snap.codes, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qcodes"), col("codes"),
+            (a, b) => (a * b).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+    val rw = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 
   /** DuckDB oracle fragments: double-cast vectors + explicit sequential
     * left-fold dot product matching [[graft.functions.VectorFunctions]].

@@ -259,6 +259,26 @@ class SimilaritySpec extends SparkSpec {
       s"serving must read only the annserve snapshot:\n${scans.mkString("\n")}")
   }
 
+  test("query-serving endpoint reproduces the registry serve path on corpus vectors") {
+    // quantizedTopKForQueries re-buckets and re-quantizes its query
+    // vectors from floats; on in-corpus vectors that must land exactly on
+    // the persisted codes/buckets (same closed-form planes, same
+    // persisted grid), so the endpoint must equal quantizedTopKServeFrom
+    // bit-for-bit — the guarantee that an external request and a corpus
+    // row with the same embedding get the same answer
+    val base = java.nio.file.Files.createTempDirectory("annq").toString
+    Similarity.persistAnnServe(emb, base, stamp = "t")
+    val snap = Similarity.loadAnnServe(spark, base)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Int]("rank"))).toSeq
+    assert(rows(Similarity.quantizedTopKForQueries(qs, snap)) ==
+      rows(Similarity.quantizedTopKServeFrom(snap.codes, snap.bands)),
+      "endpoint answers must equal the registry serve path on corpus vectors")
+  }
+
   test("Lloyd training lifts recall where raw hash seeds put a cell boundary on the query") {
     import spark.implicits._
     // Vectors lie on a smooth arc (angle θ ∈ [0°, 90°] in the (d0, d1)
