@@ -228,6 +228,28 @@ class SnapshotSpec extends SparkSpec {
       "persisted stop-list-stripped pairs must equal the direct computation")
   }
 
+  test("keyword search serves from the persisted inverted index, In-pruned, parity with index-free") {
+    import graft.operators.TextAnalysis
+    val terms = Seq("hash", "join", "vector")
+    val served = SparkEntry.queries("q_keyword_search")(spark, sf)
+    served.count()
+    // plan: only graft_search scans, and the postings scan pushes the
+    // terms down as an In filter (the index-pruning the design promises)
+    val scans = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_search")),
+      s"search serving must read only the index:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("PushedFilters") && s.contains("In(tok")),
+      s"the terms must push down to the postings scan:\n${scans.mkString("\n")}")
+    // parity: identical rows (score fold included) vs the index-free path
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val free = TextAnalysis.keywordSearch(
+      spark.read.parquet(s"$sf/documents.parquet"), terms, k = 10)
+    assert(rows(served) == rows(free),
+      "index-served search must equal the index-free operator exactly")
+  }
+
   test("simhash + incremental dedup serve from persisted sketches (r8 next-round 3)") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
