@@ -893,6 +893,47 @@ object SparkEntry {
         |SELECT doc_id, score, n_terms_matched FROM p
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // The search QUERY-SERVING endpoint: a (query_id, terms) request
+    // frame answered from the persisted inverted index — per-query
+    // ranking (one request must not starve another's budget), same
+    // rational idf + sorted fold as q_keyword_search. The batch kernel
+    // of the streaming search service (streaming.SearchStream).
+    ("q_search_queries",
+      (s, d) => {
+        val reqs = Seq(
+          (1L, Seq("hash", "join")),
+          (2L, Seq("vector", "stream")),
+          (3L, Seq("query")))
+        import s.implicits._
+        TextAnalysis.keywordSearchForQueries(searchIndex(s, d),
+            reqs.toDF("query_id", "terms"), k = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH reqs AS (
+        |  SELECT * FROM (VALUES (1, ['hash', 'join']), (2, ['vector', 'stream']),
+        |    (3, ['query'])) AS v(query_id, terms)),
+        |qt AS (SELECT query_id, unnest(terms) AS tok FROM reqs),
+        |f AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |lex AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT qt.query_id, f.doc_id, f.tok,
+        |    f.tf * (n_total - lex.df + 0.5) / (lex.df + 0.5) AS w
+        |  FROM f JOIN qt USING (tok) JOIN lex USING (tok) CROSS JOIN t),
+        |p AS (SELECT query_id, doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+        |      x -> x.w)), (a, b) -> a + b) AS score,
+        |  count(*) AS n_terms_matched
+        |  FROM s GROUP BY query_id, doc_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |  n_terms_matched, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM p)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total
     // order, so the top-k cut and ranks are deterministic.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines over the
@@ -288,6 +289,41 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_matched"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** [[keywordSearchFrom]] for an ARBITRARY request frame — the
+    * serving-endpoint form, and the batch kernel of the streaming search
+    * service ([[graft.streaming.SearchStream]]): `queries` is any
+    * (query_id, terms: array<string>) frame. Per request the scoring is
+    * exactly [[keywordSearch]]'s (rational idf against the snapshot's
+    * lexicon + corpus size, sorted-term fold, `score DESC, doc_id` rank),
+    * so a one-row request frame reproduces [[keywordSearchFrom]] minus
+    * the global limit — ranking is per query here (row_number ≤ k), since
+    * one request must not starve another's result budget.
+    *
+    * Scale shape: requests explode to (query_id, tok) pairs — the only
+    * broadcast; postings are hit by one equi-join on `tok` (bucket-pruned
+    * at cluster scale); per-query ranking windows are bounded by matched
+    * postings, never the corpus.
+    */
+  def keywordSearchForQueries(index: SearchIndex, queries: DataFrame,
+                              k: Int = 10): DataFrame = {
+    val qt = queries.select(col("query_id"), explode(col("terms")).as("tok"))
+    val tf = index.postings.join(broadcast(qt), Seq("tok"))
+    val scored = tf
+      .join(broadcast(index.lexicon.join(qt.select("tok").distinct(), Seq("tok"))), Seq("tok"))
+      .withColumn("w",
+        col("tf") * (lit(index.nTotal) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .groupBy("query_id", "doc_id")
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("tok"), col("w")))),
+          lit(0.0), (acc, x) => acc + x.getField("w")).as("score"),
+        count(lit(1)).as("n_terms_matched"))
+    val rw = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
   }
 
   /** Vocabulary builder — the corpus-wide token frequency table that seeds
