@@ -308,7 +308,11 @@ object TextAnalysis {
     */
   def keywordSearchForQueries(index: SearchIndex, queries: DataFrame,
                               k: Int = 10): DataFrame = {
-    val qt = queries.select(col("query_id"), explode(col("terms")).as("tok"))
+    // explode_distinct: a request repeating a term must not double its
+    // weight — [[keywordSearch]]'s isin filter dedups implicitly, and the
+    // endpoint must score identically for the same term SET
+    val qt = queries
+      .select(col("query_id"), explode(array_distinct(col("terms"))).as("tok"))
     val tf = index.postings.join(broadcast(qt), Seq("tok"))
     val scored = tf
       .join(broadcast(index.lexicon.join(qt.select("tok").distinct(), Seq("tok"))), Seq("tok"))

@@ -39,6 +39,12 @@ class SearchStreamSpec extends SparkSpec {
     two.values.foreach { rows =>
       assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
     }
+    // a request repeating a term scores as if the term appeared once —
+    // the single-query path's implicit isin dedup, made explicit here
+    val dup = TextAnalysis.keywordSearchForQueries(index,
+        Seq((9L, Seq("hash", "hash", "join"))).toDF("query_id", "terms"), k = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(dup == multi, "duplicate request terms must not change scoring")
   }
 
   test("streamed search batches answer from the index and equal the batch kernel per epoch") {
