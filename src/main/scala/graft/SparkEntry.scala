@@ -232,6 +232,36 @@ object SparkEntry {
   private val WITH_NORM_ALERTS =
     s"WITH norm AS ($NORM), alerts AS (SELECT * FROM norm WHERE severity IN ('high','critical'))"
 
+  /** Unrolled k-stage DuckDB mirror of [[TextAnalysis.bpeMerges]]: per
+    * round a pair-count CTE, a deterministic argmax CTE, and the SAME
+    * greedy merge fold (list_reduce over a struct-lifted symbol list).
+    * Generated programmatically so the oracle's round count always
+    * matches the registry call.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val stages = (1 to k).map { i =>
+      s"pc$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count " +
+        s"FROM (SELECT freq, unnest(list_transform(seg[1:len(seg)-1], " +
+        s"(x, j) -> struct_pack(l := x, r := seg[j+1]))) AS p FROM seg${i - 1}) " +
+        "GROUP BY 1, 2), " +
+        s"best$i AS (SELECT l, r, pair_count FROM pc$i " +
+        "ORDER BY pair_count DESC, l, r LIMIT 1), " +
+        s"fold$i AS (SELECT freq, list_reduce(list_prepend('', seg), " +
+        "(a, x) -> CASE WHEN ends_with(a, ' ' || b.l) AND x = b.r " +
+        "THEN a || x ELSE a || ' ' || x END) AS f " +
+        s"FROM seg${i - 1}, best$i b), " +
+        s"seg$i AS (SELECT freq, list_filter(string_split(f, ' '), s -> s <> '') AS seg FROM fold$i)"
+    }
+    val unions = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, pair_count FROM best$i")
+      .mkString(" UNION ALL ")
+    "WITH words AS (SELECT tok AS w, count(*) AS freq " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+      "seg0 AS (SELECT freq, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
+      stages.mkString(", ") + " " + unions + " ORDER BY merge_rank"
+  }
+
   // ---------------------------------------------------------------- registry
 
   /** (name, spark query, optional DuckDB oracle). Single source of truth. */
@@ -933,6 +963,15 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, doc_id) AS rank FROM p)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // BPE merge induction (tokenizer training's iterative heart): k
+    // in-plan rounds of pair-count -> deterministic argmax -> greedy
+    // fold re-segmentation, no driver loop over data. The oracle unrolls
+    // the identical k stages in SQL, so even this iterative operator
+    // hash-checks end to end.
+    ("q_bpe_merges",
+      (s, d) => TextAnalysis.bpeMerges(Tables.documents(s, d), 5),
+      Some(bpeOracleSql(5))),
 
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total

@@ -351,6 +351,87 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
 
+  /** Greedy left-to-right non-overlapping pair merge — BPE's
+    * re-segmentation step as a STRING fold over the symbol array: the
+    * accumulator is the space-delimited segmentation built so far, and a
+    * symbol `s == b` arriving while the accumulator ends with ` a` is
+    * appended WITHOUT the separator (fusing ` a` into ` ab`); everything
+    * else appends with one. Space-delimited tokens make the endswith
+    * test exact (` a` matches only a whole last symbol `a`), and a
+    * just-merged symbol can never re-merge in-round (`ab` ≠ `a` — so
+    * "aaaa" under (a,a) becomes [aa, aa], the textbook greedy
+    * semantics). A string fold rather than a struct-accumulator fold
+    * because the oracle must mirror it operation-for-operation and
+    * DuckDB 1.0's `list_reduce` silently drops struct accumulator state
+    * (probed directly; plain VARCHAR accumulators fold left-to-right
+    * correctly on both engines).
+    */
+  private def mergeFold(seg: Column, a: Column, b: Column): Column = {
+    val folded = aggregate(seg, lit(""),
+      (acc, s) =>
+        when(endswith(acc, concat(lit(" "), a)) && s === b, concat(acc, s))
+          .otherwise(concat(acc, lit(" "), s)))
+    filter(split(folded, " "), s => s =!= "")
+  }
+
+  /** BPE merge induction — the iterative heart of byte-pair-encoding
+    * tokenizer training, completing the induction chain [[vocabulary]]
+    * (seed counts) → [[collocations]] (phrase signals) → merges (the
+    * actual tokenizer artifact). Words are weighted by corpus frequency
+    * (one row per word TYPE — the standard formulation), segmented to
+    * characters, and `numMerges` rounds each (1) sum adjacent-pair
+    * frequencies, (2) pick the argmax under the TOTAL order
+    * `pair_count DESC, l ASC, r ASC` (deterministic at ties — the
+    * classic "low/lower/newest" fixture is spec'd), (3) re-segment by
+    * [[mergeFold]]. Output: one row per merge
+    * (merge_rank, lhs, rhs, merged, pair_count).
+    *
+    * Fully IN-PLAN: the argmax is a `limit(1)` frame cross-joined back
+    * broadcast — no `.collect()`, no driver loop over data; the only
+    * driver actions are the per-round `localCheckpoint`s that truncate
+    * the fold lineage (the [[Dedup.duplicateClusters]] fixpoint
+    * precedent — without them round k's plan would nest k folds deep and
+    * re-run every earlier round per consumer). Scale shape: all heavy
+    * work is vocab-sized (word TYPES, not corpus tokens — the token
+    * stream reduces in the first map-side-combined aggregate), each
+    * round is one hash aggregate + a TakeOrderedAndProject argmax + a
+    * narrow fold projection.
+    *
+    * Rounds after pair exhaustion (tiny corpora) emit nothing — the
+    * output then has fewer than `numMerges` rows rather than fabricated
+    * merges.
+    */
+  def bpeMerges(documents: DataFrame, numMerges: Int = 5): DataFrame = {
+    val words = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words
+      .select(col("freq"), filter(split(col("w"), ""), s => s =!= "").as("seg"))
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to numMerges) {
+      val pc = seg
+        .select(col("freq"), explode(expr(
+          "transform(slice(seg, 1, size(seg)-1), (x, j) -> struct(x AS l, seg[j+1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("pair_count"))
+      val best = pc
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .select(lit(i.toLong).as("merge_rank"), col("l"), col("r"), col("pair_count"))
+        .localCheckpoint()
+      rounds += best
+      seg = seg
+        .crossJoin(broadcast(best.select(col("l").as("_ml"), col("r").as("_mr"))))
+        .select(col("freq"), mergeFold(col("seg"), col("_ml"), col("_mr")).as("seg"))
+        .localCheckpoint()
+    }
+    rounds.reduce(_ unionByName _)
+      .select(col("merge_rank"), col("l").as("lhs"), col("r").as("rhs"),
+        concat(col("l"), col("r")).as("merged"), col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
   /** PMI-style bigram collocation mining — the phrase-induction step that
     * follows [[vocabulary]] in tokenizer/phrase-table construction: find
     * adjacent token pairs that co-occur far more than their unigram

@@ -47,6 +47,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(real.forall(x => x._2 <= x._1 && x._2 >= 1L), "1 <= df <= tf")
   }
 
+  test("BPE merges: the classic low/lower/newest fixture induces the textbook merge table") {
+    import spark.implicits._
+    // Sennrich's worked example shape: low x3, lower x2, newest x1.
+    // Hand-derived rounds (argmax under pair_count DESC, l ASC, r ASC):
+    //   1: (l,o)=5 ties (o,w)=5, l-ASC picks (l,o) -> "lo"
+    //   2: (lo,w)=5 -> "low"
+    //   3: (e,r)=2 ties (low,e)=2, "e" < "low" -> "er"
+    //   4: (low,er)=2 -> "lower"
+    //   5: all count-1 pairs from "newest"; (e,s) wins the total order
+    val fixture = Seq(
+      (1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(fixture, numMerges = 5).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (1L, "l", "o", "lo", 5L),
+      (2L, "lo", "w", "low", 5L),
+      (3L, "e", "r", "er", 2L),
+      (4L, "low", "er", "lower", 2L),
+      (5L, "e", "s", "es", 1L)), s"textbook merge table expected: ${r.toSeq}")
+    // counting is OVERLAPPING (3 (a,a) pairs per "aaaa" — Sennrich's
+    // reference counter), but the MERGE is greedy non-overlapping:
+    // "aaaa" under (a,a) segments to [aa, aa], so round 2 merges (aa,aa)
+    // — a merged symbol never re-merges in-round
+    val rep = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val rr = TextAnalysis.bpeMerges(rep, numMerges = 2).collect()
+      .map(x => (x.getLong(0), x.getString(3), x.getLong(4)))
+    assert(rr.toSeq == Seq((1L, "aa", 6L), (2L, "aaaa", 2L)),
+      s"overlap-counted, greedily-merged rounds expected: ${rr.toSeq}")
+    // pair exhaustion emits fewer rows, never fabricated merges
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(tiny, numMerges = 3).count() == 1)
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val r1 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val r2 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
