@@ -250,6 +250,23 @@ class SnapshotSpec extends SparkSpec {
       "index-served search must equal the index-free operator exactly")
   }
 
+  test("BPE merges serve from the persisted tokenizer table, equal to the direct training run") {
+    import graft.operators.TextAnalysis
+    val served = SparkEntry.queries("q_bpe_merges")(spark, sf)
+    served.count()
+    val scans = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.size == 1 && scans.forall(_.contains("graft_bpe")),
+      s"merge serving must be one snapshot-table scan:\n${scans.mkString("\n")}")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, String, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val direct = TextAnalysis.bpeMerges(
+      spark.read.parquet(s"$sf/documents.parquet"), 5)
+    assert(rows(served) == rows(direct),
+      "persisted merges must equal the direct training run")
+  }
+
   test("simhash + incremental dedup serve from persisted sketches (r8 next-round 3)") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
