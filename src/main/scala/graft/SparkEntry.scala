@@ -175,7 +175,9 @@ object SparkEntry {
   private def annServeTables(s: SparkSession, d: String): Similarity.AnnServeTables = {
     annServeCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
-    val stamp = "annserve-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v4: the meta row stores the RAW grid maximum (v3 stored scale*127,
+    // which does not round-trip m in IEEE double — a 1-ulp grid skew)
+    val stamp = "annserve-v4:" + graft.sources.SnapshotStore.fingerprint(s, src)
     annServeCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -281,7 +283,8 @@ object SparkEntry {
         s"l || r AS merged, pair_count FROM best$i")
       .mkString(" UNION ALL ")
     "WITH words AS (SELECT tok AS w, count(*) AS freq " +
-      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1), " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE tok <> '' GROUP BY 1), " +
       "seg0 AS (SELECT freq, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
       stages.mkString(", ") + " " + unions + " ORDER BY merge_rank"
   }
@@ -966,7 +969,8 @@ object SparkEntry {
       Some("""WITH reqs AS (
         |  SELECT * FROM (VALUES (1, ['hash', 'join']), (2, ['vector', 'stream']),
         |    (3, ['query'])) AS v(query_id, terms)),
-        |qt AS (SELECT query_id, unnest(terms) AS tok FROM reqs),
+        |qt AS (SELECT DISTINCT query_id, tok FROM
+        |  (SELECT query_id, unnest(terms) AS tok FROM reqs)),
         |f AS (
         |  SELECT doc_id, tok, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -22,15 +22,20 @@ object Tables {
 
   /** Parquet logical-type annotation of the `ts` column, read from one
     * part file's FOOTER — driver-side metadata only, no Spark job — and
-    * memoized per table path (round-9 ADVICE-1: the LongType dispatch arm
-    * below ASSUMED any INT64 `ts` was nanoseconds; a generation shipping
-    * plain INT64 millis/micros would have been silently divided by 1000
-    * with no error. The annotation distinguishes the cases exactly).
+    * memoized per (path, content fingerprint) so an IN-PLACE regeneration
+    * of the table mid-session re-reads the footer instead of serving the
+    * previous generation's annotation (the per-call staleness contract
+    * every snapshot family follows; a path-only memo would let a cached
+    * NANOS verdict wave through a regenerated plain-INT64 table — the
+    * exact silent misconversion the guard exists to stop). (Round-9
+    * ADVICE-1: the LongType dispatch arm below ASSUMED any INT64 `ts`
+    * was nanoseconds; the annotation distinguishes the cases exactly.)
     */
   private val tsAnnotationCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def tsAnnotation(spark: SparkSession, table: String): String =
-    tsAnnotationCache.computeIfAbsent(table, _ => {
+  private def tsAnnotation(spark: SparkSession, table: String): String = {
+    val key = table + "@" + graft.sources.SnapshotStore.fingerprint(spark, table)
+    tsAnnotationCache.computeIfAbsent(key, _ => {
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(table)
       val fs = p.getFileSystem(conf)
@@ -50,6 +55,7 @@ object Tables {
           .map(_.toString).getOrElse("none")
       } finally reader.close()
     })
+  }
 
   /** `events.ts` has shipped under two physical types across testdata
     * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader

@@ -698,7 +698,13 @@ object Similarity {
           greatest(lit(-127L), least(lit(127L),
             floor(x * lit(127.0) / col("m") + lit(0.5))))
             .cast("int")).as("codes"),
-        (col("m") / lit(127.0)).as("scale"))
+        (col("m") / lit(127.0)).as("scale"),
+        // the raw grid maximum rides along for persistAnnServe's meta:
+        // reconstructing it as scale*127 does NOT round-trip in IEEE
+        // double (~1 ulp for some m), and a query quantized on a 1-ulp-
+        // perturbed grid can land a boundary component in the adjacent
+        // code — breaking bit-for-bit parity data-dependently
+        col("m").as("max_abs"))
   }
 
   /** Quantized cosine top-k: [[bruteForceTopK]]'s plan shape (broadcast
@@ -803,14 +809,19 @@ object Similarity {
                       pairThreshold: Double = 0.4): Unit = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val spark = embeddings.sparkSession
-    val quantized = quantizeEmbeddings(embeddings)
+    // one corpus-wide quantization pass feeds BOTH the code table and the
+    // meta row (localCheckpoint barrier — without it the meta's limit(1)
+    // re-runs the corpus-wide max aggregate; the persistSketchTables
+    // staging discipline applied to the build side)
+    val quantized = quantizeEmbeddings(embeddings).localCheckpoint()
     quantized.select(col("vec_id"), col("codes"))
       .write.mode("overwrite").parquet(s"$dir/codes")
-    // the one-row quantization geometry (v3): max|x| over the unit-
-    // normalized corpus — what an INCOMING query vector must be quantized
-    // with so its integer dots are commensurable with the stored codes
-    // (per-query re-derivation would change the grid per request)
-    quantized.select((col("scale") * lit(127.0)).as("max_abs")).limit(1)
+    // the one-row quantization geometry (v3): the RAW max|x| over the
+    // unit-normalized corpus — what an INCOMING query vector must be
+    // quantized with so its integer dots are commensurable with the
+    // stored codes (a per-query re-derived or ulp-perturbed grid would
+    // shift boundary components into adjacent codes)
+    quantized.select(col("max_abs")).limit(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
     bandExplode(lshBuckets(embeddings, nbits, dim), nbits / bandBits, bandBits)
       .write.mode("overwrite").parquet(s"$dir/bands")
@@ -853,8 +864,17 @@ object Similarity {
     * SNAPSHOT's grid (`maxAbs` from the meta table — a fresh per-batch
     * grid would make integer dots incommensurable with the stored codes);
     * candidates and ranking then proceed exactly as the registry serve
-    * path. In-corpus query ids exclude their own row, so feeding corpus
-    * vectors reproduces [[quantizedTopKServeFrom]] bit-for-bit (spec'd).
+    * path.
+    *
+    * `excludeSelf` controls the one place the two id NAMESPACES (request
+    * ids vs corpus vec_ids) meet: with it true (default), a request
+    * whose id happens to equal a corpus vec_id never receives that
+    * corpus row — required for in-corpus queries (feeding corpus vectors
+    * under their own ids then reproduces [[quantizedTopKServeFrom]]
+    * bit-for-bit, spec'd), but WRONG for external requests with a
+    * colliding numbering; pass false when request ids are not corpus
+    * ids. Zero-norm request vectors are unanswerable under cosine
+    * (their codes would be null) and are dropped, not served garbage.
     *
     * Scale shape: per batch, the broadcast is queries × bands rows; the
     * corpus-side work is the same band-triple join + code fetch as the
@@ -862,7 +882,8 @@ object Similarity {
     */
   def quantizedTopKForQueries(queries: DataFrame, snap: AnnServeTables,
                               k: Int = 10, nbits: Int = 16,
-                              bandBits: Int = 4, dim: Int = 64): DataFrame = {
+                              bandBits: Int = 4, dim: Int = 64,
+                              excludeSelf: Boolean = true): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val w = lshPlaneWeights(nbits, dim)
     val bucket = (0 until nbits).map { i =>
@@ -876,13 +897,14 @@ object Similarity {
         .cast("int"))
     val qb = queries
       .select(col("query_id"), toDoubleVec(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")) > lit(0.0))
       .select(col("query_id"), bucket.as("bucket"), qcodes.as("qcodes"))
     val probes = bandExplode(
         qb.select(col("query_id").as("vec_id"), col("bucket")),
         nbits / bandBits, bandBits)
       .select(col("vec_id").as("query_id"), col("band"), col("bb"))
     val p0 = snap.bands.join(broadcast(probes), Seq("band", "bb"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"))
       .distinct()
     val scored = p0

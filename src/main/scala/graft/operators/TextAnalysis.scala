@@ -404,6 +404,10 @@ object TextAnalysis {
   def bpeMerges(documents: DataFrame, numMerges: Int = 5): DataFrame = {
     val words = documents
       .select(explode(tokens(col("text"))).as("w"))
+      // empty word types (double/leading/trailing spaces in a document)
+      // would give a zero-length seg whose slice(…, size-1) length is -1
+      // — a runtime crash, and the DuckDB mirror filters them too
+      .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
     var seg = words
       .select(col("freq"), filter(split(col("w"), ""), s => s =!= "").as("seg"))

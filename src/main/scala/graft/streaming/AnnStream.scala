@@ -43,9 +43,13 @@ object AnnStream {
       .start()
   }
 
-  /** One micro-batch (factored out so batch specs can drive it directly). */
+  /** One micro-batch (factored out so batch specs can drive it directly).
+    * Request ids are an EXTERNAL namespace here, so the kernel's
+    * in-corpus self-exclusion is off — a request whose id happens to
+    * collide with a corpus vec_id must still receive that vector.
+    */
   def runBatch(batch: DataFrame, snap: Similarity.AnnServeTables,
                outDir: String, epoch: Long, k: Int = 10): Unit =
-    Similarity.quantizedTopKForQueries(batch, snap, k)
+    Similarity.quantizedTopKForQueries(batch, snap, k, excludeSelf = false)
       .write.mode("overwrite").parquet(s"$outDir/topk/epoch=$epoch")
 }

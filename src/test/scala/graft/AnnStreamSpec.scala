@@ -42,10 +42,10 @@ class AnnStreamSpec extends SparkSpec {
     val b0 = Seq(reqs(0), reqs(1)).toDF("query_id", "embedding")
     val b1 = Seq(reqs(2), reqs(3)).toDF("query_id", "embedding")
     assert(key(out.filter(col("epoch") === 0).drop("epoch")) ==
-      key(Similarity.quantizedTopKForQueries(b0, snap)),
+      key(Similarity.quantizedTopKForQueries(b0, snap, excludeSelf = false)),
       "epoch 0 must equal the batch kernel's answer")
     assert(key(out.filter(col("epoch") === 1).drop("epoch")) ==
-      key(Similarity.quantizedTopKForQueries(b1, snap)),
+      key(Similarity.quantizedTopKForQueries(b1, snap, excludeSelf = false)),
       "epoch 1 must equal the batch kernel's answer")
     // every request got answers, ranked 1..k, no self-matches possible
     // (request ids are disjoint from corpus ids)
@@ -61,5 +61,29 @@ class AnnStreamSpec extends SparkSpec {
     AnnStream.runBatch(b1, snap, s"$base/out", epoch = 1L)
     assert(key(spark.read.parquet(s"$base/out/topk")) == before,
       "replayed epoch must be idempotent")
+  }
+
+  test("request-id namespace: colliding external ids still receive the corpus vector; zero vectors drop") {
+    val base = Files.createTempDirectory("annids").toString
+    Similarity.persistAnnServe(emb, s"$base/snap", stamp = "s")
+    val snap = Similarity.loadAnnServe(spark, s"$base/snap")
+    val v0 = emb.filter(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // request id 0 carries corpus vector 0: under the external-namespace
+    // contract (excludeSelf = false, the AnnStream path) corpus vec 0 —
+    // the exact-match neighbor — must rank first, not vanish
+    val colliding = Seq((0L, v0)).toDF("query_id", "embedding")
+    val served = Similarity.quantizedTopKForQueries(colliding, snap, excludeSelf = false)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(served.head.getLong(1) == 0L,
+      "the colliding-id corpus vector must be served, and first")
+    // a zero request vector is unanswerable under cosine: dropped, and
+    // the rest of the batch is unaffected
+    val withZero = Seq((50L, Array.fill(v0.length)(0f)), (51L, v0))
+      .toDF("query_id", "embedding")
+    val zr = Similarity.quantizedTopKForQueries(withZero, snap, excludeSelf = false)
+      .collect().groupBy(_.getLong(0))
+    assert(!zr.contains(50L), "zero-norm request must be dropped, not served garbage")
+    assert(zr(51L).nonEmpty, "the healthy request in the same batch still answers")
   }
 }

@@ -79,6 +79,17 @@ class LlmOpsSpec extends SparkSpec {
     // pair exhaustion emits fewer rows, never fabricated merges
     val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeMerges(tiny, numMerges = 3).count() == 1)
+    // duplication invariance: copying the corpus k times scales every
+    // pair count by k uniformly, so the merge SEQUENCE is unchanged —
+    // the robustness a crawl full of duplicate pages needs from its
+    // tokenizer training run
+    val dup10 = (0 until 10).map(i =>
+        fixture.withColumn("doc_id", col("doc_id") + lit(i * 100L)))
+      .reduce(_ unionByName _)
+    val scaled = TextAnalysis.bpeMerges(dup10, numMerges = 5).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(4)))
+    assert(scaled.toSeq == r.toSeq.map(x => (x._1, x._2, x._3, x._5 * 10)),
+      s"10x duplication must scale counts 10x and keep the merge sequence: ${scaled.toSeq}")
   }
 
   test("fingerprint is deterministic and content-sensitive") {
