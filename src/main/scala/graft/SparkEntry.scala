@@ -264,7 +264,10 @@ object SparkEntry {
     * Generated programmatically so the oracle's round count always
     * matches the registry call.
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** The shared training prefix of both BPE oracles: words, char seg0,
+    * and k rounds of pair-count → argmax → string-fold re-segmentation.
+    */
+  private def bpeStagesSql(k: Int): String = {
     val stages = (1 to k).map { i =>
       s"pc$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS pair_count " +
         s"FROM (SELECT freq, unnest(list_transform(seg[1:len(seg)-1], " +
@@ -278,15 +281,43 @@ object SparkEntry {
         s"FROM seg${i - 1}, best$i b), " +
         s"seg$i AS (SELECT freq, list_filter(string_split(f, ' '), s -> s <> '') AS seg FROM fold$i)"
     }
+    "words AS (SELECT tok AS w, count(*) AS freq " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
+      "WHERE tok <> '' GROUP BY 1), " +
+      "seg0 AS (SELECT freq, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
+      stages.mkString(", ")
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
         s"l || r AS merged, pair_count FROM best$i")
       .mkString(" UNION ALL ")
-    "WITH words AS (SELECT tok AS w, count(*) AS freq " +
-      "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
-      "WHERE tok <> '' GROUP BY 1), " +
-      "seg0 AS (SELECT freq, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
-      stages.mkString(", ") + " " + unions + " ORDER BY merge_rank"
+    "WITH " + bpeStagesSql(k) + " " + unions + " ORDER BY merge_rank"
+  }
+
+  /** Encode oracle: re-derive the k merges (identical stages — equality
+    * with the persisted table is separately hash-proven by
+    * q_bpe_merges), then apply the same string folds to every word TYPE
+    * and join occurrences back — the mirror of [[TextAnalysis.bpeEncode]].
+    */
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val applies = (1 to k).map { i =>
+      s"wfold$i AS (SELECT w, list_reduce(list_prepend('', seg), " +
+        "(a, x) -> CASE WHEN ends_with(a, ' ' || b.l) AND x = b.r " +
+        "THEN a || x ELSE a || ' ' || x END) AS f " +
+        s"FROM wseg${i - 1}, best$i b), " +
+        s"wseg$i AS (SELECT w, list_filter(string_split(f, ' '), s -> s <> '') AS seg FROM wfold$i)"
+    }
+    "WITH " + bpeStagesSql(k) + ", " +
+      "wseg0 AS (SELECT w, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
+      applies.mkString(", ") + ", " +
+      "occ AS (SELECT doc_id, CAST(p.i - 1 AS INTEGER) AS pos, p.w AS w " +
+      "FROM (SELECT doc_id, unnest(list_transform(" +
+      "list_filter(string_split(text, ' '), t -> t <> ''), " +
+      "(w, i) -> struct_pack(w := w, i := i))) AS p FROM documents)) " +
+      s"SELECT o.doc_id, o.pos, o.w AS word, array_to_string(ws.seg, ' ') AS encoded " +
+      s"FROM occ o JOIN wseg$k ws ON o.w = ws.w ORDER BY doc_id, pos"
   }
 
   // ---------------------------------------------------------------- registry
@@ -1002,6 +1033,21 @@ object SparkEntry {
     ("q_bpe_merges",
       (s, d) => bpeMergesTable(s, d).orderBy("merge_rank"),
       Some(bpeOracleSql(5))),
+
+    // BPE ENCODE: the persisted merge table applied to the corpus — the
+    // tokenizer's encode step. The k-row artifact is read driver-side at
+    // plan build (take on a committed snapshot table, the loadAnnServe
+    // meta precedent) and folded through as literals; the oracle
+    // re-derives the same merges (hash-proven equal by q_bpe_merges) and
+    // applies the identical string folds.
+    ("q_bpe_encode",
+      (s, d) => {
+        val merges = bpeMergesTable(s, d).orderBy("merge_rank")
+          .select("lhs", "rhs").take(5)
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        TextAnalysis.bpeEncode(Tables.documents(s, d), merges)
+      },
+      Some(bpeEncodeOracleSql(5))),
 
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total

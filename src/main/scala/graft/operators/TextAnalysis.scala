@@ -436,6 +436,36 @@ object TextAnalysis {
       .orderBy("merge_rank")
   }
 
+  /** BPE ENCODING — applying a trained merge table ([[bpeMerges]]) to
+    * re-tokenize the corpus, the encode step every downstream tokenizer
+    * consumer runs. `merges` is the rank-ordered (lhs, rhs) artifact —
+    * a handful of rows read from the persisted merge table, passed as
+    * literals exactly like a query's terms. Each word TYPE is segmented
+    * to characters and folded through the merges in rank order
+    * ([[mergeFold]] per merge — identical greedy semantics to
+    * training's re-segmentation, so encoding the training corpus
+    * reproduces training's final segmentation); occurrences then join
+    * the vocab-sized encoding back, so the per-word fold work is paid
+    * once per TYPE, not per token.
+    *
+    * Output: (doc_id, pos, word, encoded) — `encoded` the space-joined
+    * piece sequence, one row per word occurrence, totally ordered.
+    */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val occ = documents.select(col("doc_id"),
+      posexplode(filter(tokens(col("text")), w => w =!= "")).as(Seq("pos", "w")))
+    val encoded = merges.foldLeft(
+        occ.select("w").distinct()
+          .withColumn("seg", filter(split(col("w"), ""), s => s =!= ""))) {
+        case (df, (a, b)) =>
+          df.withColumn("seg", mergeFold(col("seg"), lit(a), lit(b)))
+      }
+      .select(col("w"), array_join(col("seg"), " ").as("encoded"))
+    occ.join(encoded, Seq("w"))
+      .select(col("doc_id"), col("pos"), col("w").as("word"), col("encoded"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** PMI-style bigram collocation mining — the phrase-induction step that
     * follows [[vocabulary]] in tokenizer/phrase-table construction: find
     * adjacent token pairs that co-occur far more than their unigram

@@ -92,6 +92,28 @@ class LlmOpsSpec extends SparkSpec {
       s"10x duplication must scale counts 10x and keep the merge sequence: ${scaled.toSeq}")
   }
 
+  test("BPE encode applies trained merges and reproduces training's final segmentation") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(fixture, numMerges = 5).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncode(fixture, merges).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    // after [lo, low, er, lower, es]: low -> "low", lower -> "lower",
+    // newest -> n e w es t (es merged, rest single chars)
+    assert(enc.toSeq == Seq(
+      (1L, 0, "low", "low"), (1L, 1, "low", "low"), (1L, 2, "low", "low"),
+      (2L, 0, "lower", "lower"), (2L, 1, "lower", "lower"),
+      (3L, 0, "newest", "n e w es t")), s"expected textbook encoding: ${enc.toSeq}")
+    // an UNSEEN word encodes with the same merges without retraining:
+    // s|l|o|w|e|r -> (l,o) -> (lo,w) -> (e,r) -> (low,er) -> [s, lower]
+    val unseen = Seq((9L, "slower")).toDF("doc_id", "text")
+    val u = TextAnalysis.bpeEncode(unseen, merges).head()
+    assert(u.getString(3) == "s lower", s"unseen 'slower' must reuse the merge chain: ${u.getString(3)}")
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val r1 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val r2 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
