@@ -155,12 +155,20 @@ object Relational {
     * a pipeline keeps alongside any sketch it trusts. The raw estimate
     * and rel_err are engine-specific, so this frame is rows-only in the
     * registry; [[approxDistinctBound]] is its hash-comparable witness.
+    *
+    * The sketch runs at `rsd` = 1%, five standard deviations inside the
+    * bound's 5%: rsd is a STANDARD DEVIATION, not a guarantee, and at
+    * the default 5% the realized error sits beyond 1σ for ~1/3 of
+    * (dataset, cardinality) draws — the sf0.1 events table was exactly
+    * such a draw (realized 5.4%), flipping the oracle-asserted
+    * within_bound contract while both smaller SFs passed. At 5σ the
+    * contract holds for any realistic regeneration, not by luck.
     */
-  def approxDistinctReport(events: DataFrame): DataFrame =
+  def approxDistinctReport(events: DataFrame, rsd: Double = 0.01): DataFrame =
     events
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       // divide by greatest(exact,1): an event type whose user_ids are all
       // NULL has exact_users = 0, and a 0 divisor would NULL rel_err and
       // every bound column derived from it — approxDistinctBound's oracle
