@@ -226,7 +226,7 @@ object SparkEntry {
       else {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_bpe")
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
-          TextAnalysis.bpeMerges(Tables.documents(s, d), 5)
+          TextAnalysis.bpeMerges(Tables.documents(s, d), DefaultBpeMerges)
             .write.mode("overwrite").parquet(s"$dir/merges")
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
@@ -258,14 +258,22 @@ object SparkEntry {
   private val WITH_NORM_ALERTS =
     s"WITH norm AS ($NORM), alerts AS (SELECT * FROM norm WHERE severity IN ('high','critical'))"
 
-  /** Unrolled k-stage DuckDB mirror of [[TextAnalysis.bpeMerges]]: per
-    * round a pair-count CTE, a deterministic argmax CTE, and the SAME
-    * greedy merge fold (list_reduce over a struct-lifted symbol list).
-    * Generated programmatically so the oracle's round count always
-    * matches the registry call.
+  /** The registry's BPE merge count. Referenced by the persisted-table
+    * build, the registry's artifact read, and BOTH generated oracles —
+    * one site, so the four can never silently disagree.
     */
-  /** The shared training prefix of both BPE oracles: words, char seg0,
-    * and k rounds of pair-count → argmax → string-fold re-segmentation.
+  private val DefaultBpeMerges = 5
+
+  /** The shared training chain of both BPE oracles: words, char seg0,
+    * and k rounds of pair-count → argmax → string-fold re-segmentation,
+    * each stage carrying `w` so the final `seg<k>` doubles as every word
+    * type's ENCODING (the encode oracle reads it directly instead of
+    * re-folding a parallel chain). The fold stage LEFT JOINs its argmax
+    * ON true: an exhausted corpus leaves `best<i>` empty, the NULL pair
+    * makes every fold step take the ELSE branch, and the seg chain
+    * passes through unchanged — matching the Spark side, which simply
+    * has fewer merges to apply. Generated programmatically so the
+    * oracles' round count always matches the registry call.
     */
   private def bpeStagesSql(k: Int): String = {
     val stages = (1 to k).map { i =>
@@ -275,19 +283,20 @@ object SparkEntry {
         "GROUP BY 1, 2), " +
         s"best$i AS (SELECT l, r, pair_count FROM pc$i " +
         "ORDER BY pair_count DESC, l, r LIMIT 1), " +
-        s"fold$i AS (SELECT freq, list_reduce(list_prepend('', seg), " +
+        s"fold$i AS (SELECT w, freq, list_reduce(list_prepend('', seg), " +
         "(a, x) -> CASE WHEN ends_with(a, ' ' || b.l) AND x = b.r " +
         "THEN a || x ELSE a || ' ' || x END) AS f " +
-        s"FROM seg${i - 1}, best$i b), " +
-        s"seg$i AS (SELECT freq, list_filter(string_split(f, ' '), s -> s <> '') AS seg FROM fold$i)"
+        s"FROM seg${i - 1} LEFT JOIN best$i b ON true), " +
+        s"seg$i AS (SELECT w, freq, list_filter(string_split(f, ' '), s -> s <> '') AS seg FROM fold$i)"
     }
     "words AS (SELECT tok AS w, count(*) AS freq " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) " +
       "WHERE tok <> '' GROUP BY 1), " +
-      "seg0 AS (SELECT freq, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
+      "seg0 AS (SELECT w, freq, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
       stages.mkString(", ")
   }
 
+  /** Unrolled k-stage DuckDB mirror of [[TextAnalysis.bpeMerges]]. */
   private def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
@@ -296,29 +305,19 @@ object SparkEntry {
     "WITH " + bpeStagesSql(k) + " " + unions + " ORDER BY merge_rank"
   }
 
-  /** Encode oracle: re-derive the k merges (identical stages — equality
-    * with the persisted table is separately hash-proven by
-    * q_bpe_merges), then apply the same string folds to every word TYPE
-    * and join occurrences back — the mirror of [[TextAnalysis.bpeEncode]].
+  /** Encode oracle — the mirror of [[TextAnalysis.bpeEncode]]: the
+    * training chain's final `seg<k>` IS every word type's encoding
+    * (merge equality with the persisted artifact is separately
+    * hash-proven by q_bpe_merges), so this just joins occurrences back.
     */
-  private def bpeEncodeOracleSql(k: Int): String = {
-    val applies = (1 to k).map { i =>
-      s"wfold$i AS (SELECT w, list_reduce(list_prepend('', seg), " +
-        "(a, x) -> CASE WHEN ends_with(a, ' ' || b.l) AND x = b.r " +
-        "THEN a || x ELSE a || ' ' || x END) AS f " +
-        s"FROM wseg${i - 1}, best$i b), " +
-        s"wseg$i AS (SELECT w, list_filter(string_split(f, ' '), s -> s <> '') AS seg FROM wfold$i)"
-    }
+  private def bpeEncodeOracleSql(k: Int): String =
     "WITH " + bpeStagesSql(k) + ", " +
-      "wseg0 AS (SELECT w, list_filter(string_split(w, ''), s -> s <> '') AS seg FROM words), " +
-      applies.mkString(", ") + ", " +
       "occ AS (SELECT doc_id, CAST(p.i - 1 AS INTEGER) AS pos, p.w AS w " +
       "FROM (SELECT doc_id, unnest(list_transform(" +
       "list_filter(string_split(text, ' '), t -> t <> ''), " +
       "(w, i) -> struct_pack(w := w, i := i))) AS p FROM documents)) " +
       s"SELECT o.doc_id, o.pos, o.w AS word, array_to_string(ws.seg, ' ') AS encoded " +
-      s"FROM occ o JOIN wseg$k ws ON o.w = ws.w ORDER BY doc_id, pos"
-  }
+      s"FROM occ o JOIN seg$k ws ON o.w = ws.w ORDER BY doc_id, pos"
 
   // ---------------------------------------------------------------- registry
 
@@ -1032,7 +1031,7 @@ object SparkEntry {
     // once per corpus snapshot); the operator remains the any-k path.
     ("q_bpe_merges",
       (s, d) => bpeMergesTable(s, d).orderBy("merge_rank"),
-      Some(bpeOracleSql(5))),
+      Some(bpeOracleSql(DefaultBpeMerges))),
 
     // BPE ENCODE: the persisted merge table applied to the corpus — the
     // tokenizer's encode step. The k-row artifact is read driver-side at
@@ -1043,11 +1042,11 @@ object SparkEntry {
     ("q_bpe_encode",
       (s, d) => {
         val merges = bpeMergesTable(s, d).orderBy("merge_rank")
-          .select("lhs", "rhs").take(5)
+          .select("lhs", "rhs").take(DefaultBpeMerges)
           .map(r => (r.getString(0), r.getString(1))).toSeq
         TextAnalysis.bpeEncode(Tables.documents(s, d), merges)
       },
-      Some(bpeEncodeOracleSql(5))),
+      Some(bpeEncodeOracleSql(DefaultBpeMerges))),
 
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total

@@ -193,7 +193,10 @@ object Relational {
     * the rows-only [[approxDistinctReport]] dump next to this.
     */
   def approxDistinctBound(events: DataFrame, relErr: Double = 0.05): DataFrame =
-    approxDistinctReport(events)
+    // the sketch precision is DERIVED from the asserted bound (5σ
+    // inside it), so a caller tightening relErr keeps the margin instead
+    // of silently reverting to the flakiness this ratio exists to kill
+    approxDistinctReport(events, rsd = relErr / 5.0)
       .select(col("event_type"), col("exact_users"),
         floor(col("rel_err") / relErr).cast("long").as("rel_err_bucket"),
         (col("rel_err") < relErr).cast("int").as("within_bound"))
