@@ -836,6 +836,32 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS rel_err_bucket, CAST(1 AS INT) AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // the GK-sketch twin of q_approx_distinct_bound: the approx-percentile
+    // rank contract (|rank − p·N| ≤ N/accuracy) asserted through exact
+    // order-statistic brackets both engines compute bit-identically; the
+    // literal within_bound = 1 means a drifting estimate hash-mismatches
+    // the artifact. Rank arithmetic is interpolated from ONE Scala
+    // constant so both engines floor/ceil the same doubles.
+    ("q_approx_percentile_bound",
+      (s, d) => Relational.approxPercentileBound(Tables.lineitem(s, d), accuracy = 1000),
+      Some(s"""WITH h AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, l_quantity,
+        |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum FROM h),
+        |n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1),
+        |j AS (SELECT cum.*, n.n FROM cum JOIN n USING (l_returnflag))
+        |SELECT l_returnflag, n,
+        |  min(CASE WHEN cum >= greatest(1, CAST(floor(${0.5 - 0.001} * n) AS BIGINT))
+        |    THEN l_quantity END) AS p50_lo,
+        |  min(CASE WHEN cum >= least(n, CAST(ceil(${0.5 + 0.001} * n) AS BIGINT))
+        |    THEN l_quantity END) AS p50_hi,
+        |  min(CASE WHEN cum >= greatest(1, CAST(floor(${0.9 - 0.001} * n) AS BIGINT))
+        |    THEN l_quantity END) AS p90_lo,
+        |  min(CASE WHEN cum >= least(n, CAST(ceil(${0.9 + 0.001} * n) AS BIGINT))
+        |    THEN l_quantity END) AS p90_hi,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM j GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin)),
+
     ("q_intersect_users",
       (s, d) => Relational.usersIntersect(Tables.events(s, d), "purchase", "error"),
       Some("""SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
@@ -1106,6 +1132,24 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    / 512) AS BIGINT) AS pack_id
         |FROM documents ORDER BY lang, shard, doc_id""".stripMargin)),
+
+    // exact-token-budget mixing: the mixture stated in tokens (training-
+    // recipe units) rather than stratifiedSample's keep-probabilities;
+    // greedy cut in portable-hash order per (lang, shard) stratum, budget
+    // share = budget/8 per shard (en 4800 -> 600/shard, others 2400 ->
+    // 300/shard, matching Corpus.DefaultTokenBudgets)
+    ("q_token_budget_mix",
+      (s, d) => Corpus.tokenBudgetMix(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (doc_id % 1000003) * 2654435761 AS h FROM documents),
+        |c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS cum_before FROM t)
+        |SELECT doc_id, lang, shard, n_tokens, cum_before FROM c
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 300
+        |  WHEN 'de' THEN 300 WHEN 'fr' THEN 300 WHEN 'es' THEN 300 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)),
 
     // ---- LLM-data pipeline: deduplication (north star)
     ("q_dedup_exact",
@@ -1464,6 +1508,35 @@ object SparkEntry {
         |SELECT doc_id, lang, source FROM corp
         |WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))
         |ORDER BY doc_id""".stripMargin)),
+
+    // EXACT SUBSTRING (span-level) dedup: every token position covered by
+    // a cross-document 8-gram is excised and the document rewritten —
+    // document-level ops above keep or drop whole texts, this one removes
+    // the shared passages themselves (exact duplicates come back empty).
+    // The oracle mirrors the whole pipeline on gram STRINGS (the Spark
+    // side joins on 64-bit gram hashes — the jaccardPairs collision-risk
+    // class) and reassembles clean_text with an ordered string_agg.
+    ("q_strip_dup_spans",
+      (s, d) => Dedup.stripDupSpans(Tables.documents(s, d), k = 8),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS pos FROM toks),
+        |grams AS (SELECT doc_id, pos,
+        |  list_aggregate(t[pos:pos+7], 'string_agg', ' ') AS g FROM g0),
+        |hot AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+        |  FROM grams WHERE g IN (SELECT g FROM hot)),
+        |cv AS (SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(t) AS tok,
+        |  unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text
+        |  FROM tok tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+        |  WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cv.nc, 0) AS BIGINT) AS n_dropped,
+        |  CAST(coalesce(cv.nc, 0) AS DOUBLE) / len(d.t) AS dup_frac,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM toks d LEFT JOIN cv USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // END-TO-END training-data pipeline: quality filter → benchmark
     // decontamination → near-dedup greedy drop, composed from the SHARED

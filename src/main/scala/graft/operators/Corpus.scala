@@ -92,6 +92,53 @@ object Corpus {
         floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
   }
 
+  /** Default per-language TOKEN budgets for [[tokenBudgetMix]] — the
+    * mixture knob stated the way training recipes state it (tokens per
+    * domain), sized so every language keeps a strict subset of the
+    * synthetic corpus at all test SFs.
+    */
+  val DefaultTokenBudgets: Map[String, Long] =
+    Map("en" -> 4800L, "zh" -> 2400L, "de" -> 2400L, "fr" -> 2400L, "es" -> 2400L)
+
+  /** EXACT-token-budget corpus mixing: keep documents per language until
+    * the language's token budget is exhausted. [[stratifiedSample]] states
+    * the mixture as keep-probabilities; real training recipes state it in
+    * tokens ("30B of code, 10B of wiki") — this operator is that
+    * contract, deterministic and auditable.
+    *
+    * Selection: within each (lang, shard) stratum — shard = doc_id mod
+    * `shards`, budget share = budget(lang) / shards (floor) — documents
+    * are taken in PORTABLE-HASH order (the [[stratifiedSample]] modular
+    * hash, then doc_id: pseudo-random w.r.t. corpus position yet
+    * reproducible by any engine, and id-stable as the corpus grows) and
+    * kept while the stratum's exclusive token prefix is under its share;
+    * the document that crosses the line is kept, so each stratum lands
+    * within one document of its share and the language within `shards`
+    * documents of its budget — the standard greedy cut.
+    *
+    * Scale: the [[packSequences]] window discipline — per-(lang, shard)
+    * cumulative sums bound every reducer at corpus/(|langs|·shards) rows
+    * and `shards` scales with the cluster; budget accounting never
+    * crosses a reducer.
+    */
+  def tokenBudgetMix(documents: DataFrame,
+                     budgets: Map[String, Long] = DefaultTokenBudgets,
+                     shards: Int = 8): DataFrame = {
+    val shareMap = map(budgets.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v / shards)) }: _*)
+    val w = Window.partitionBy("lang", "shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)).as("h"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("cum_before") <
+        coalesce(element_at(shareMap, col("lang")), lit(0L)))
+      .select("doc_id", "lang", "shard", "n_tokens", "cum_before")
+  }
+
   /** Token-budget document CHUNKING with overlap — the training-prep step
     * between cleaning and packing: every document splits into windows of
     * at most `maxTokens` whitespace tokens, consecutive chunks sharing

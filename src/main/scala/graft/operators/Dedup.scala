@@ -823,6 +823,65 @@ object Dedup {
     corpus.join(contamination(corpus, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** EXACT SUBSTRING (span-level) deduplication: rewrite every document
+    * with each token position covered by a cross-document k-gram removed —
+    * the span-removal counterpart of the document-level near-dedup family
+    * (duplicated passages are memorization fuel even when the surrounding
+    * documents differ; document-level ops keep or drop whole texts, this
+    * one excises the shared spans — quoted boilerplate, syndicated
+    * passages — and an exact duplicate, covered end to end, comes back
+    * empty). "Cross-document" means the k-gram occurs in ≥ 2 DISTINCT
+    * doc_ids, so within-document repetition alone never triggers removal
+    * (that is [[graft.operators.TextAnalysis.repetition]]'s axis), and
+    * the span is stripped from EVERY document carrying it — the keep-one-
+    * occurrence variant is the composition exactDedup ∘ stripDupSpans.
+    *
+    * Shape: posexplode of the one-pass codegen'd k-gram hashes
+    * ([[graft.functions.Sketches.shingleHashes]] raw form — NON-distinct,
+    * document order, so array position IS the gram's token start) → per-
+    * gram distinct-doc count (map-side-combined hash aggregate) → left-semi
+    * back to the position stream → per-doc seed collection. Coverage
+    * expansion and reassembly then happen INSIDE the row (seed starts →
+    * covered positions → filter-with-index over the token array): tokens
+    * are never shuffled, and the only wide stages are gram-hash aggregates
+    * — the inverted-index shape of [[jaccardPairs]] MINUS its self-join,
+    * so no df-cap is needed (a corpus-wide hot gram costs one aggregate
+    * row here, not k² candidate pairs).
+    *
+    * Per-row reassembly is O(tokens · covered) array-membership work,
+    * bounded by the longest document; for corpora with multi-thousand-
+    * token documents the (doc_id, pos) seed frame is the hand-off to an
+    * exploded anti-join reassembly with identical semantics.
+    */
+  def stripDupSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    // repartition by h: one exchange feeds BOTH the distinct-doc count and
+    // the probe side of the semi-join (the shingleIndex precedent), and the
+    // barrier stops CollapseProject re-inlining the gram expression
+    val grams = documents.select(col("doc_id"),
+      posexplode(graft.functions.Sketches.shingleHashes(col("text"), k))
+        .as(Seq("pos", "h")))
+      .repartition(col("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("h")
+    val seeds = grams.join(dup, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("seeds"))
+    val covered = array_distinct(flatten(transform(
+      coalesce(col("seeds"), array().cast("array<int>")),
+      p => sequence(p, p + lit(k - 1)))))
+    documents.join(seeds, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        covered.as("covered"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_dropped"),
+        (size(col("covered")).cast("double") / size(col("toks")))
+          .as("dup_frac"),
+        concat_ws(" ", filter(col("toks"),
+          (t, i) => !array_contains(col("covered"), i))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs with EXACT hamming-≤-k semantics.
     *
     * 30-bit SimHash over token polynomial hashes (one-pass custom expression

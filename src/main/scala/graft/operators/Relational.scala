@@ -202,6 +202,51 @@ object Relational {
         (col("rel_err") < relErr).cast("int").as("within_bound"))
       .orderBy("event_type")
 
+  /** The approx-percentile (GK / QuantileSummaries) RANK bound promoted
+    * into the oracle-checked surface — the [[approxDistinctBound]]
+    * pattern applied to the other sketch a 100 TB pipeline trusts daily.
+    * `approx_percentile(x, p, accuracy)` guarantees the returned element's
+    * exact rank r satisfies |r − p·N| ≤ εN with ε = 1/accuracy; since
+    * value-at-rank is monotone, that is exactly "the estimate lies between
+    * the exact order statistics at ranks ⌊(p−ε)N⌋ and ⌈(p+ε)N⌉". Both
+    * bracket values are computed EXACTLY from the per-group value
+    * histogram — groupBy (group, value) counts (map-side combined), a
+    * cumulative sum over the value domain (window partitions bounded by
+    * |domain|, never by N — no global or per-row window), then
+    * min-value-with-cum≥r conditional aggregates. DuckDB mirrors the
+    * brackets bit-for-bit (integer counts, the same double rank
+    * arithmetic) and asserts `within_bound` as literal 1: an estimate
+    * drifting outside its contracted rank window hash-mismatches the
+    * correctness artifact itself. The estimate's raw value stays out of
+    * the output — it is engine-specific, the bound is not.
+    */
+  def approxPercentileBound(lineitem: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val apx = lineitem.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(l_quantity, array(0.5D, 0.9D), $accuracy)").as("apx"))
+    val cum = lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("l_returnflag").orderBy("l_quantity")))
+    def rLo(p: Double) =
+      greatest(lit(1L), floor((lit(p) - eps) * col("n")).cast("long"))
+    def rHi(p: Double) =
+      least(col("n"), ceil((lit(p) + eps) * col("n")).cast("long"))
+    def valAt(r: org.apache.spark.sql.Column) =
+      min(when(col("cum") >= r, col("l_quantity")))
+    cum.join(apx, "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"), col("apx"))
+      .agg(valAt(rLo(0.5)).as("p50_lo"), valAt(rHi(0.5)).as("p50_hi"),
+        valAt(rLo(0.9)).as("p90_lo"), valAt(rHi(0.9)).as("p90_hi"))
+      .select(col("l_returnflag"), col("n"),
+        col("p50_lo"), col("p50_hi"), col("p90_lo"), col("p90_hi"),
+        (element_at(col("apx"), 1).between(col("p50_lo"), col("p50_hi")) &&
+          element_at(col("apx"), 2).between(col("p90_lo"), col("p90_hi")))
+          .cast("int").as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+
   /** As-of join: for each event, the user's most recent order at or before
     * the event time — the canonical time-series operator Spark lacks as a
     * built-in. Composed from existing operators (preference (a) of the build

@@ -49,6 +49,37 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("token-budget mix: greedy hash-order cut lands within one doc of each " +
+    "stratum's share; planted fixture exact") {
+    import spark.implicits._
+    // single lang, shards=1 -> one stratum; ids small enough that the
+    // portable-hash order (id * 2654435761) is id order, so the greedy
+    // cut is hand-checkable: cum_before 0, 4, 8 kept (< 10), 12 dropped
+    val fixture = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "e f g h"),
+      (3L, "en", "i j k l"), (4L, "en", "m n o p"))
+      .toDF("doc_id", "lang", "text")
+    val got = Corpus.tokenBudgetMix(fixture, Map("en" -> 10L), shards = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (2L, 4L), (3L, 8L)), s"got: $got")
+    // real corpus: every (lang, shard) stratum's kept tokens stay under
+    // share + its own last doc (greedy overshoot bound), and the mix is a
+    // strict subset with every language represented
+    val mix = Corpus.tokenBudgetMix(docs)
+    assert(mix.count() > 0 && mix.count() < docs.count())
+    val langs = mix.select("lang").distinct().count()
+    assert(langs == docs.select("lang").distinct().count(), "no language starved")
+    val share = Corpus.DefaultTokenBudgets.map { case (k, v) => k -> v / 8 }
+    mix.groupBy("lang", "shard")
+      .agg(sum("n_tokens").as("kept"), max("n_tokens").as("biggest"))
+      .collect().foreach { r =>
+        val cap = share(r.getString(0))
+        assert(r.getLong(2) < cap + r.getLong(3),
+          s"stratum ${r.getString(0)}/${r.getLong(1)} kept ${r.getLong(2)} " +
+            s"beyond share $cap + one doc")
+      }
+  }
+
   test("corpus stats: per-language report is internally consistent and complete") {
     val r = Corpus.corpusStats(docs).collect()
     assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")

@@ -357,6 +357,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(clean == Set(3L))
   }
 
+  test("strip-dup-spans: shared runs excised from every carrier, uniques kept, " +
+    "within-doc repetition and short docs untouched") {
+    import spark.implicits._
+    // k=3: docs 1 & 2 share the 4-token run "p q r s" (two overlapping
+    // 3-grams — covered positions are the union of their windows); docs
+    // 3 & 4 are exact duplicates (covered end to end — both come back
+    // empty); doc 5 is shorter than k (no grams, untouched); doc 6
+    // repeats a gram WITHIN itself only (one distinct doc_id — not
+    // cross-document duplication, untouched).
+    val fixture = Seq(
+      (1L, "u1 u2 p q r s t1"),
+      (2L, "v1 p q r s v2 v3"),
+      (3L, "x y z w"),
+      (4L, "x y z w"),
+      (5L, "a b"),
+      (6L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val r = Dedup.stripDupSpans(fixture, k = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(4))).toSeq
+    assert(r == Seq(
+      (1L, 7L, 4L, "u1 u2 t1"),
+      (2L, 7L, 4L, "v1 v2 v3"),
+      (3L, 4L, 4L, ""),
+      (4L, 4L, 4L, ""),
+      (5L, 2L, 0L, "a b"),
+      (6L, 9L, 0L, "m n o m n o m n o")), s"got: $r")
+    // dup_frac is the rational n_dropped / n_tokens
+    val fracs = Dedup.stripDupSpans(fixture, k = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(fracs(1L) == 4.0 / 7 && fracs(3L) == 1.0 && fracs(5L) == 0.0)
+    // non-vacuous on the real corpus: some spans removed, not everything
+    val real = Dedup.stripDupSpans(docs, k = 8)
+    val touched = real.filter(col("n_dropped") > 0).count()
+    assert(touched > 0 && touched < docs.count(),
+      s"span removal should touch some but not all docs (touched=$touched)")
+  }
+
   test("incremental dedup: corpus side reads ONLY the signature index") {
     import spark.implicits._
     val indexPath = java.nio.file.Files.createTempDirectory("dedupidx").toString + "/idx"

@@ -70,6 +70,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx-percentile bound: brackets are exact order statistics and the " +
+    "GK estimate sits inside them") {
+    val r = Relational.approxPercentileBound(lineitem).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (lo50, hi50) = (row.getDouble(2), row.getDouble(3))
+      val (lo90, hi90) = (row.getDouble(4), row.getDouble(5))
+      assert(lo50 <= hi50 && lo90 <= hi90 && hi50 <= hi90,
+        s"bracket ordering broken: $row")
+      assert(row.getInt(6) == 1, s"estimate escaped its rank contract: $row")
+    }
+    // brackets agree with exact interpolated percentiles: the exact p-th
+    // value lies inside its own bracket too (value-at-rank monotonicity)
+    val flags = r.map(_.getString(0))
+    flags.foreach { f =>
+      val exact = lineitem.filter(col("l_returnflag") === f)
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D))")).head()
+        .getSeq[Double](0)
+      val row = r.find(_.getString(0) == f).get
+      assert(exact(0) >= row.getDouble(2) - 1 && exact(0) <= row.getDouble(3) + 1)
+      assert(exact(1) >= row.getDouble(4) - 1 && exact(1) <= row.getDouble(5) + 1)
+    }
+  }
+
   test("set ops are consistent: |A∩B| + |A∖B| = |A|") {
     val inter = Relational.usersIntersect(events, "purchase", "error").count()
     val exc   = Relational.usersExcept(events, "purchase", "error").count()
