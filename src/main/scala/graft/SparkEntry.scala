@@ -1538,6 +1538,68 @@ object SparkEntry {
         |FROM toks d LEFT JOIN cv USING (doc_id) LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // SPAN-LEVEL decontamination over the same %11 split as
+    // q_contamination: the benchmark-overlapping 5-gram positions are
+    // excised and the document kept, instead of dropped whole
+    ("q_decontaminate_spans",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminateSpans(
+          docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
+      },
+      Some("""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |bg AS (SELECT DISTINCT list_aggregate(t[pos:pos+4], 'string_agg', ' ') AS g
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS pos
+        |        FROM (SELECT string_split(text, ' ') AS t FROM bench))),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corp),
+        |cg AS (SELECT doc_id, pos, list_aggregate(t[pos:pos+4], 'string_agg', ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS pos FROM toks)),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS cpos
+        |  FROM cg WHERE g IN (SELECT g FROM bg)),
+        |cv AS (SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(t) AS tok,
+        |  unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text
+        |  FROM tok tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+        |  WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cv.nc, 0) AS BIGINT) AS n_dropped,
+        |  CAST(coalesce(cv.nc, 0) AS DOUBLE) / len(d.t) AS contaminated_frac,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM toks d LEFT JOIN cv USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
+    // WITHIN-doc repetition stripping (k=2): later occurrences of a bigram
+    // already seen in the same document are excised, first survives — the
+    // repair-side of q_repetition's measurement. The Spark side is a pure
+    // projection (array_position over the in-row gram array); the oracle
+    // states the identical semantics relationally (pos > min pos per
+    // (doc, gram))
+    ("q_strip_self_repetition",
+      (s, d) => Dedup.stripSelfRepetition(Tables.documents(s, d), k = 2),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, pos, list_aggregate(t[pos:pos+1], 'string_agg', ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS pos FROM toks)),
+        |m AS (SELECT doc_id, g, min(pos) AS mp FROM grams GROUP BY 1, 2),
+        |cov AS (SELECT DISTINCT gr.doc_id,
+        |  unnest(generate_series(gr.pos, gr.pos + 1)) AS cpos
+        |  FROM grams gr JOIN m ON gr.doc_id = m.doc_id AND gr.g = m.g
+        |  WHERE gr.pos > m.mp),
+        |cv AS (SELECT doc_id, count(*) AS nc FROM cov GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(t) AS tok,
+        |  unnest(generate_series(1, len(t))) AS pos FROM toks),
+        |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text
+        |  FROM tok tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+        |  WHERE cov.cpos IS NULL GROUP BY tk.doc_id)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cv.nc, 0) AS BIGINT) AS n_dropped,
+        |  CAST(coalesce(cv.nc, 0) AS DOUBLE) / len(d.t) AS rep_frac,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM toks d LEFT JOIN cv USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // END-TO-END training-data pipeline: quality filter → benchmark
     // decontamination → near-dedup greedy drop, composed from the SHARED
     // pairs/members tables. Near-dup pairs are pairwise content

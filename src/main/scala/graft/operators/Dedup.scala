@@ -857,29 +857,97 @@ object Dedup {
     // repartition by h: one exchange feeds BOTH the distinct-doc count and
     // the probe side of the semi-join (the shingleIndex precedent), and the
     // barrier stops CollapseProject re-inlining the gram expression
-    val grams = documents.select(col("doc_id"),
-      posexplode(graft.functions.Sketches.shingleHashes(col("text"), k))
-        .as(Seq("pos", "h")))
-      .repartition(col("h"))
+    val grams = posGrams(documents, k).repartition(col("h"))
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2).select("h")
-    val seeds = grams.join(dup, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("pos")).as("seeds"))
+    stripSeeds(documents, grams.join(dup, Seq("h"), "left_semi"), k)
+  }
+
+  /** The (doc_id, pos, h) k-gram POSITION stream shared by the span-strip
+    * family: non-distinct gram hashes in document order, so the explode
+    * ordinal IS the gram's token start (0-based).
+    */
+  private def posGrams(documents: DataFrame, k: Int): DataFrame =
+    documents.select(col("doc_id"),
+      posexplode(graft.functions.Sketches.shingleHashes(col("text"), k))
+        .as(Seq("pos", "h")))
+
+  /** Shared back-end of the span-strip family: collect each document's
+    * seed starts, expand to covered token positions and reassemble the
+    * surviving text INSIDE the row (no token-level shuffle — the only
+    * wide stage is the one seed aggregation).
+    */
+  private def stripSeeds(documents: DataFrame, seedPos: DataFrame, k: Int,
+                         fracName: String = "dup_frac"): DataFrame = {
+    val seeds = seedPos.groupBy("doc_id").agg(collect_set(col("pos")).as("seeds"))
     val covered = array_distinct(flatten(transform(
       coalesce(col("seeds"), array().cast("array<int>")),
       p => sequence(p, p + lit(k - 1)))))
-    documents.join(seeds, Seq("doc_id"), "left")
+    reassembled(documents.join(seeds, Seq("doc_id"), "left")
       .select(col("doc_id"), split(col("text"), " ").as("toks"),
-        covered.as("covered"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(col("covered")).cast("long").as("n_dropped"),
-        (size(col("covered")).cast("double") / size(col("toks")))
-          .as("dup_frac"),
-        concat_ws(" ", filter(col("toks"),
-          (t, i) => !array_contains(col("covered"), i))).as("clean_text"))
+        covered.as("covered")), fracName)
+  }
+
+  /** Rebuild `clean_text` from a (doc_id, toks, covered) frame: drop the
+    * covered ordinals, keep document order, report the drop accounting.
+    */
+  private def reassembled(frame: DataFrame, fracName: String): DataFrame =
+    frame.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(col("covered")).cast("long").as("n_dropped"),
+      (size(col("covered")).cast("double") / size(col("toks")))
+        .as(fracName),
+      concat_ws(" ", filter(col("toks"),
+        (t, i) => !array_contains(col("covered"), i))).as("clean_text"))
       .orderBy("doc_id")
+
+  /** SPAN-LEVEL decontamination: instead of dropping every document that
+    * collides with the benchmark set ([[decontaminate]] — which loses the
+    * whole document to one quoted test item), excise exactly the token
+    * positions covered by a benchmark n-gram and keep the rest. The
+    * benchmark gram set is DISTINCT and benchmark-sized, so it rides a
+    * broadcast semi-join against the corpus position stream — the corpus
+    * is scanned once, nothing corpus-sized shuffles, same join geometry
+    * as [[contamination]].
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 5): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(shingleHashes(col("text"), n)).as("h")).distinct()
+    stripSeeds(corpus,
+      posGrams(corpus, n).join(broadcast(bGrams), Seq("h"), "left_semi"), n,
+      fracName = "contaminated_frac")
+  }
+
+  /** WITHIN-document repetition stripping: every later occurrence of a
+    * k-gram already seen earlier in the SAME document is excised (the
+    * first occurrence survives) — the repair-side counterpart of
+    * [[graft.operators.TextAnalysis.repetition]]'s measurement, for the
+    * looping/stutter artifacts scraped text is full of. Cross-document
+    * duplication is deliberately out of scope here (that is
+    * [[stripDupSpans]]); the two compose.
+    *
+    * Pure projection — repetition is a per-row property, so the whole
+    * operator is higher-order functions over the in-order gram-hash
+    * array: seed = ordinal whose hash first occurs earlier
+    * (`array_position` is 1-based first-match), then the shared covered-
+    * position expansion and reassembly. No shuffle, no state, scan-speed
+    * at any corpus size; per-row cost is O(len²) bounded by the longest
+    * document (the [[stripDupSpans]] reassembly bound).
+    */
+  def stripSelfRepetition(documents: DataFrame, k: Int = 2): DataFrame = {
+    val g = col("g")
+    val seeds = filter(
+      transform(g, (h, i) => when(array_position(g, h) < i + 1, i)),
+      x => x.isNotNull)
+    val covered = array_distinct(flatten(transform(seeds,
+      p => sequence(p, p + lit(k - 1)))))
+    reassembled(documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        graft.functions.Sketches.shingleHashes(col("text"), k).as("g"))
+      .select(col("doc_id"), col("toks"), covered.as("covered")),
+      fracName = "rep_frac")
   }
 
   /** SimHash near-dup pairs with EXACT hamming-≤-k semantics.

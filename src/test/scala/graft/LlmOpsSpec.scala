@@ -393,6 +393,51 @@ class LlmOpsSpec extends SparkSpec {
       s"span removal should touch some but not all docs (touched=$touched)")
   }
 
+  test("decontaminate-spans: benchmark-overlapping positions excised, document " +
+    "kept; whole-doc drop is the strictly lossier alternative") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // one benchmark 5-gram mid-document: its 6-token cover is excised,
+      // the original head/tail survive
+      (1L, "head1 head2 alpha beta gamma delta epsilon tail1 tail2"),
+      // no full 5-gram shared -> untouched
+      (2L, "alpha beta gamma something delta epsilon zeta filler")).toDF("doc_id", "text")
+    val r = Dedup.decontaminateSpans(corpus, bench, n = 5).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getString(4))).toSeq
+    assert(r == Seq(
+      (1L, 5L, "head1 head2 tail1 tail2"),
+      (2L, 0L, "alpha beta gamma something delta epsilon zeta filler")), s"got: $r")
+    // vs decontaminate: doc 1 is dropped whole there, kept (clean) here
+    assert(Dedup.decontaminate(corpus, bench, n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("strip-self-repetition: later occurrences of a repeated bigram excised, " +
+    "first survives; cross-doc duplication out of scope") {
+    import spark.implicits._
+    val fixture = Seq(
+      // "a b" repeats at positions 0 and 3: the second occurrence's cover
+      // {3,4} is excised; "b c" at 1 survives as a first occurrence
+      (1L, "a b c a b d"),
+      // no repeated bigram -> untouched
+      (2L, "p q r s"),
+      // identical to doc 4 — but cross-doc duplication must NOT trigger
+      (3L, "x y z w"),
+      (4L, "x y z w")).toDF("doc_id", "text")
+    val r = Dedup.stripSelfRepetition(fixture, k = 2).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getString(4))).toSeq
+    assert(r == Seq(
+      (1L, 2L, "a b c d"),
+      (2L, 0L, "p q r s"),
+      (3L, 0L, "x y z w"),
+      (4L, 0L, "x y z w")), s"got: $r")
+    // degenerate looping text collapses to its first period
+    val loop = Seq((9L, "m n m n m n m n")).toDF("doc_id", "text")
+    val lr = Dedup.stripSelfRepetition(loop, k = 2).head()
+    assert(lr.getString(4) == "m n" && lr.getLong(2) == 6L, s"got: $lr")
+  }
+
   test("incremental dedup: corpus side reads ONLY the signature index") {
     import spark.implicits._
     val indexPath = java.nio.file.Files.createTempDirectory("dedupidx").toString + "/idx"
