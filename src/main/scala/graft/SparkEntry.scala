@@ -959,6 +959,56 @@ object SparkEntry {
         |  n_tokens >= 20 AND punct_ratio < 0.1 AND unique_ratio > 0.3 AS keep
         |FROM q ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style rule gate (token-count bounds, mean-token-length
+    // bounds, duplicate-bigram ceiling, stopword-presence floor) — the
+    // other canonical quality filter beside q_quality_filter's C4 rules;
+    // per-rule flags emitted so a drop is auditable
+    ("q_gopher_filter",
+      (s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+        |  CASE WHEN len(string_split(text, ' ')) > 1 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+        |      AS DOUBLE) / (len(string_split(text, ' ')) - 1)
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  CAST(${TextAnalysis.Sql.stopHits} AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_token_len, dup_bigram_frac, stop_hits,
+        |  n_tokens >= 50 AND n_tokens <= 100000 AS len_ok,
+        |  mean_token_len >= 3.0 AND mean_token_len <= 10.0 AS tok_len_ok,
+        |  dup_bigram_frac <= 0.2 AS rep_ok,
+        |  stop_hits >= 2 AS stop_ok,
+        |  n_tokens >= 50 AND n_tokens <= 100000
+        |    AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+        |    AND dup_bigram_frac <= 0.2 AND stop_hits >= 2 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Bigram-LM fluency (the CCNet perplexity-filter signal): corpus-MLE
+    // conditional probabilities, arithmetic mean per doc — log dropped
+    // for rational cross-engine arithmetic, per-doc sum folded in
+    // POSITION order on both sides so double addition is pinned
+    ("q_lm_fluency",
+      (s, d) => TextAnalysis.lmFluency(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |bc AS (SELECT l, r, count(*) AS c_xy FROM bo GROUP BY l, r),
+        |hc AS (SELECT l, sum(c_xy) AS c_x FROM bc GROUP BY l),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo JOIN bc USING (l, r) JOIN hc USING (l)),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // zero-filled dataset-card histogram over the composite quality score;
     // empty buckets are EMITTED (a distribution audit that silently drops
     // empty ranges reads as coverage it doesn't have)
@@ -1120,6 +1170,32 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 WHEN 'de' THEN 20
         |            WHEN 'fr' THEN 20 WHEN 'es' THEN 20 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
+
+    // temperature-based (α=0.5) multilingual sampling: keep-rates derived
+    // from the corpus's own language counts (sqrt is IEEE-correctly-
+    // rounded → cross-engine bit-exact, unlike pow; the Σ sqrt(n_l) fold
+    // is pinned to sorted-language order), quantized to integer
+    // thresholds against the portable modular hash — the kept set is
+    // integer-exact on both engines
+    ("q_temperature_sample",
+      (s, d) => Corpus.temperatureSample(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(lang := lang,
+        |      sq := sqrt(CAST(n_l AS DOUBLE))))), x -> x.sq)),
+        |    (a, b) -> a + b) AS s_total,
+        |  sum(n_l) AS n_total FROM c),
+        |r AS (SELECT lang, n_l,
+        |  CAST(floor(least(1.0, 0.5 * CAST(n_total AS DOUBLE)
+        |    / (s_total * sqrt(CAST(n_l AS DOUBLE)))) * 1048576.0) AS BIGINT)
+        |    AS threshold
+        |  FROM c CROSS JOIN s)
+        |SELECT d.doc_id, d.lang,
+        |  ((d.doc_id % 1000003) * 2654435761) % 1048576 AS bucket,
+        |  r.n_l, r.threshold
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ((d.doc_id % 1000003) * 2654435761) % 1048576 < r.threshold
+        |ORDER BY d.doc_id""".stripMargin)),
 
     // packing strata are (lang, shard = doc_id mod 8): per-shard budget
     // accounting bounds every reducer at corpus/(|langs|·shards) rows

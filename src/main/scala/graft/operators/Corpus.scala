@@ -139,6 +139,53 @@ object Corpus {
       .select("doc_id", "lang", "shard", "n_tokens", "cum_before")
   }
 
+  /** Temperature-based (α-) multilingual sampling — the XLM-R/mT5 mixing
+    * rule: languages are kept in proportion to `p_l^α` rather than their
+    * natural share `p_l`, flattening the distribution so high-resource
+    * languages stop drowning the tail. α is FIXED at 0.5 because `sqrt` is
+    * IEEE-754 correctly rounded — bit-identical across engines — while
+    * `pow` is libm-dependent; the repo's log-dropping precedent applied to
+    * the exponent.
+    *
+    * Derivation (all from corpus statistics — unlike [[stratifiedSample]]
+    * the rates are DATA-DRIVEN, the second pass a real mixing recipe
+    * needs): with `S = Σ_l sqrt(n_l)` (folded in sorted-language order to
+    * pin double addition), language l's target share is `sqrt(n_l)/S`, so
+    * at total target `f·N` its keep-rate is
+    * `r_l = min(1, f·N / (S·sqrt(n_l)))` — rarer languages keep MORE of
+    * themselves. Selection quantizes `r_l` to an integer threshold
+    * `floor(r_l·2^20)` against the portable modular hash bucket of
+    * [[stratifiedSample]], so the kept SET is integer-exact, id-stable
+    * under corpus growth, and reproducible by any engine.
+    *
+    * Scale shape: one language-count aggregation (|langs| rows), a 1-row
+    * fold, a broadcast of the |langs|-row rate table, then a scan-side
+    * predicate — no shuffle touches the corpus.
+    */
+  def temperatureSample(documents: DataFrame,
+                        targetFrac: Double = 0.5): DataFrame = {
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val totals = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("lang"),
+          sqrt(col("n_l").cast("double")).as("sq")))),
+        lit(0.0), (acc, x) => acc + x.getField("sq")).as("s_total"),
+      sum(col("n_l")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_l"),
+        floor(least(lit(1.0),
+          lit(targetFrac) * col("n_total").cast("double")
+            / (col("s_total") * sqrt(col("n_l").cast("double")))) * lit(1048576.0))
+          .cast("long").as("threshold"))
+    val bucket =
+      pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L), lit(1048576L))
+    documents
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("bucket") < col("threshold"))
+      .select("doc_id", "lang", "bucket", "n_l", "threshold")
+  }
+
   /** Token-budget document CHUNKING with overlap — the training-prep step
     * between cleaning and packing: every document splits into windows of
     * at most `maxTokens` whitespace tokens, consecutive chunks sharing

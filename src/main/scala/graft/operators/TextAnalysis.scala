@@ -509,6 +509,95 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-style rule filter — the OTHER canonical quality gate beside
+    * [[qualityFilter]]'s C4 rules (Rae et al. 2021 §A1.1): token-count
+    * bounds, mean-token-length bounds, a duplicate-bigram ceiling, and a
+    * minimum stopword presence. Emitted as per-rule flags plus the
+    * composite `keep` (the qualityFilter audit discipline: a silently
+    * filtering corpus rots).
+    *
+    * The mean token length derives from the whitespace identity
+    * `chars = Σ len(tok) + (n − 1)` — `(len(text) − n + 1) / n` — so it
+    * needs no second pass over the tokens; the duplicate-bigram fraction
+    * is [[repetition]]'s `1 − distinct/total` signal inlined at n = 2.
+    * Pure narrow projection (array/regexp expressions only): runs at scan
+    * speed with zero shuffle at any corpus size, and every ratio stays in
+    * the exact-double regime the oracle mirrors bit-for-bit.
+    */
+  def gopherFilter(documents: DataFrame, minTokens: Int = 50,
+                   maxTokens: Int = 100000, minMeanTokLen: Double = 3.0,
+                   maxMeanTokLen: Double = 10.0, maxDupBigram: Double = 0.2,
+                   minStopHits: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanLen = (length(col("text")) - n + 1).cast("double") / n.cast("double")
+    val grams = Dedup.shinglesRaw(col("text"), 2)
+    val dupFrac = when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    documents.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      meanLen.as("mean_token_len"),
+      dupFrac.as("dup_bigram_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (n >= minTokens && n <= maxTokens).as("len_ok"),
+      (meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen).as("tok_len_ok"),
+      (dupFrac <= maxDupBigram).as("rep_ok"),
+      (stopHits >= minStopHits).as("stop_ok"),
+      (n >= minTokens && n <= maxTokens &&
+        meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen &&
+        dupFrac <= maxDupBigram && stopHits >= minStopHits).as("keep"))
+  }
+
+  /** Bigram-LM fluency score — the CCNet/KenLM perplexity-filter signal
+    * re-expressed so it hash-checks across engines: the corpus's own
+    * bigram MLE scores each document by the MEAN conditional probability
+    * of its bigram stream, `mean over positions i of
+    * P(w[i+1] | w[i]) = c(w[i], w[i+1]) / Σ_y c(w[i], y)`. Natural text
+    * (frequent transitions) scores high; shuffled/degenerate text scores
+    * low — the same ranking use as log-perplexity, with the `log` (libm,
+    * not cross-engine bit-stable) DROPPED for rational arithmetic and the
+    * geometric mean replaced by the arithmetic mean (a monotone-equivalent
+    * quality signal, not a calibrated perplexity — documented, like the
+    * BM25 idf and PMI ratio precedents).
+    *
+    * Determinism: every ratio is an exact-integer-derived double division;
+    * the per-document sum folds in POSITION order via `aggregate()` over a
+    * sorted struct array (the [[keywordSearch]] sorted-fold precedent), so
+    * double addition order is pinned on both engines.
+    *
+    * Scale shape: the bigram-occurrence stream reduces map-side to a
+    * vocab²-bounded count table before its shuffle; the history table is a
+    * vocab-bounded re-aggregation of those counts (NOT a second corpus
+    * pass); scoring is two equi-joins on token keys (AQE may broadcast
+    * when runtime stats permit) and one per-document hash aggregate.
+    * Documents with fewer than 2 tokens have no bigrams and drop out, as
+    * in [[repetition]].
+    */
+  def lmFluency(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val pairs = documents
+      .select(col("doc_id"),
+        posexplode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t)),
+          (a, b) => struct(a.as("l"), b.as("r")))))
+      .select(col("doc_id"), col("pos"), col("col.l").as("l"), col("col.r").as("r"))
+    val bi = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_xy"))
+    val hist = bi.groupBy("l").agg(sum(col("c_xy")).as("c_x"))
+    pairs
+      .join(bi, Seq("l", "r"))
+      .join(hist, Seq("l"))
+      .withColumn("ratio", col("c_xy").cast("double") / col("c_x").cast("double"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("ratio")))),
+          lit(0.0), (acc, x) => acc + x.getField("ratio")).as("ratio_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ratio_sum") / col("n_bigrams").cast("double")).as("fluency"))
+  }
+
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
     val fingerprint: String =

@@ -201,4 +201,41 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top2.length == 2 && top2.head == 10L, s"k must keep the best-scored docs: $top2")
   }
+
+  test("temperature sample: rarer languages keep a larger fraction, thresholds honor the α=0.5 formula") {
+    val r = Corpus.temperatureSample(docs).cache()
+    // deterministic and id-stable
+    val s1 = r.collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.temperatureSample(docs).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.nonEmpty)
+    // per-language: threshold matches min(1, f·N/(S·sqrt(n_l)))·2^20 exactly
+    val counts = docs.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val s = counts.toSeq.sortBy(_._1).map(c => math.sqrt(c._2.toDouble))
+      .foldLeft(0.0)(_ + _)
+    val thresholds = r.select("lang", "threshold").distinct().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    counts.foreach { case (lang, nl) =>
+      val expected =
+        math.floor(math.min(1.0, 0.5 * n / (s * math.sqrt(nl.toDouble))) * 1048576.0).toLong
+      assert(thresholds.get(lang).forall(_ == expected),
+        s"$lang threshold ${thresholds.get(lang)} != $expected")
+    }
+    // the flattening property: a rarer language's keep-RATE strictly
+    // exceeds a more common one's (rate ∝ 1/sqrt(n_l) until the clamp)
+    val (rareLang, nRare) = counts.minBy(_._2)
+    val (bigLang, nBig) = counts.maxBy(_._2)
+    if (nRare < nBig) {
+      def rate(nl: Long) = math.min(1.0, 0.5 * n / (s * math.sqrt(nl.toDouble)))
+      assert(rate(nRare) > rate(nBig) || rate(nRare) == 1.0,
+        s"α-sampling must flatten: $rareLang ${rate(nRare)} !> $bigLang ${rate(nBig)}")
+    }
+    // kept set is a subset selected by the documented modular-hash rule
+    r.collect().foreach { row =>
+      val bucket = ((row.getLong(0) % 1000003L) * 2654435761L % 1048576L + 1048576L) % 1048576L
+      assert(row.getLong(2) == bucket && bucket < row.getLong(4))
+    }
+    r.unpersist()
+  }
 }

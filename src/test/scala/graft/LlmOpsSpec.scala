@@ -589,4 +589,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(asSet((1L, 3L, 1.0)) && asSet((3L, 1L, 1.0)), s"intra-group both directions: ${c.toSeq}")
     assert(c.length == 4, s"exactly the four directed pairs: ${c.toSeq}")
   }
+
+  test("gopher filter: each rule gates its planted violator, clean doc keeps") {
+    import spark.implicits._
+    // 60 tokens, all bigrams distinct, stopwords present, mean length ~4
+    val clean = (Seq.tabulate(30)(i => s"word$i the").mkString(" "), 1L)
+    val short = ("the cat is on the mat", 2L)                        // < 50 tokens
+    val longToks = (Seq.fill(60)("incomprehensibilities").mkString(" "), 3L) // mean len > 10
+    val repeaty = (("the end " * 30).trim, 4L)                       // dup bigrams
+    val noStops = (Seq.fill(60)("widget gadget sprocket").mkString(" "), 5L) // no stopwords
+    val fixture = Seq(clean, short, longToks, repeaty, noStops)
+      .map { case (t, id) => (id, t) }.toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFilter(fixture).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(5), x.getBoolean(6),
+        x.getBoolean(7), x.getBoolean(8), x.getBoolean(9))).toMap
+    assert(r(1L) == ((true, true, true, true, true)), s"clean doc keeps: ${r(1L)}")
+    assert(!r(2L)._1 && !r(2L)._5, "short doc drops on the length rule")
+    assert(!r(3L)._2 && !r(3L)._5, "oversized mean token length drops")
+    assert(!r(4L)._3 && !r(4L)._5, "bigram-looping doc drops on the repetition rule")
+    assert(!r(5L)._4 && !r(5L)._5, "stopword-free doc drops on the stop rule")
+    // real corpus: the gate is NON-vacuous in both directions
+    val real = TextAnalysis.gopherFilter(docs)
+    assert(real.filter(col("keep")).count() > 0, "some real docs must keep")
+    assert(real.filter(!col("keep")).count() > 0, "some real docs must drop")
+  }
+
+  test("lm fluency: frequent transitions outscore rare ones; degenerate text maxes out") {
+    import spark.implicits._
+    // corpus: "a b" transition dominates a's history (3 of 4); "a c" is rare
+    val fixture = Seq(
+      (1L, "a b a b a b"),  // P(b|a)=3/4 at every a-position; P(a|b)=2/2=1
+      (2L, "a c"),          // P(c|a)=1/4 — the rare transition
+      (3L, "x")             // single token: no bigrams, must drop out
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmFluency(fixture).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L), "tokenless-of-bigrams doc 3 drops out")
+    val d1 = r(0); val d2 = r(1)
+    // doc1: positions a->b (3/4), b->a (1), a->b, b->a, a->b = (3·0.75 + 2·1)/5
+    assert(d1._2 == 5L && math.abs(d1._3 - (3 * 0.75 + 2 * 1.0) / 5) < 1e-12,
+      s"hand-computed doc1 fluency: $d1")
+    assert(d2._2 == 1L && math.abs(d2._3 - 0.25) < 1e-12, s"doc2 is the rare transition: $d2")
+    assert(d1._3 > d2._3, "frequent transitions must outscore rare ones")
+    // a self-looping degenerate doc scores a perfect 1.0 under its own MLE
+    val loop = TextAnalysis.lmFluency(Seq((9L, "z z z z z")).toDF("doc_id", "text"))
+      .collect().head
+    assert(loop.getDouble(2) == 1.0, "single-transition text is its own perfect LM")
+    // real corpus: scores are proper probabilities means, and they spread
+    val real = TextAnalysis.lmFluency(docs)
+    assert(real.filter(col("fluency") <= 0 || col("fluency") > 1).count() == 0)
+    assert(real.select(countDistinct(col("fluency"))).head.getLong(0) > 10,
+      "the signal must actually spread over the corpus")
+  }
 }
