@@ -210,6 +210,27 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED bigram-LM model — fluency scoring's training aggregation
+    * ([[TextAnalysis.persistLmModel]]) runs once per documents snapshot;
+    * `q_lm_fluency_serve` and the streaming scorer
+    * ([[graft.streaming.FluencyStream]]) read the committed count tables.
+    */
+  private val lmModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, TextAnalysis.LmModel)]()
+  private def lmModel(s: SparkSession, d: String): TextAnalysis.LmModel = {
+    lmModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "lm-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    lmModelCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_lm")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
+          TextAnalysis.persistLmModel(Tables.documents(s, d), dir, stamp = stamp)
+        (stamp, TextAnalysis.loadLmModel(s, dir))
+      })._2
+  }
+
   /** PERSISTED BPE merge table — tokenizer training is the definition of
     * a once-per-corpus-snapshot batch job; the default-k merge table is
     * committed like every other family and `q_bpe_merges` serves it as
@@ -993,6 +1014,30 @@ object SparkEntry {
     // POSITION order on both sides so double addition is pinned
     ("q_lm_fluency",
       (s, d) => TextAnalysis.lmFluency(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |bc AS (SELECT l, r, count(*) AS c_xy FROM bo GROUP BY l, r),
+        |hc AS (SELECT l, sum(c_xy) AS c_x FROM bc GROUP BY l),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo JOIN bc USING (l, r) JOIN hc USING (l)),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // The fluency SERVING twin: scoring against the persisted frozen
+    // model (graft_lm family) instead of retraining per call. On the
+    // training corpus the conditionals are identical, so the oracle is
+    // q_lm_fluency's verbatim — a hash-check that the persisted model
+    // reproduces the in-plan training exactly.
+    ("q_lm_fluency_serve",
+      (s, d) => TextAnalysis.lmFluencyFrom(lmModel(s, d), Tables.documents(s, d))
+        .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),

@@ -577,18 +577,41 @@ object TextAnalysis {
     * in [[repetition]].
     */
   def lmFluency(documents: DataFrame): DataFrame = {
+    val pairs = bigramStream(documents)
+    val bi = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_xy"))
+    scoreBigrams(pairs, bi, bi.groupBy("l").agg(sum(col("c_xy")).as("c_x")))
+  }
+
+  /** The (doc_id, pos, l, r) bigram-occurrence stream of [[lmFluency]] —
+    * one narrow projection + bounded posexplode, shared by training and
+    * scoring so both sides see byte-identical transitions.
+    */
+  private def bigramStream(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val pairs = documents
+    documents
       .select(col("doc_id"),
         posexplode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t)),
           (a, b) => struct(a.as("l"), b.as("r")))))
       .select(col("doc_id"), col("pos"), col("col.l").as("l"), col("col.r").as("r"))
-    val bi = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_xy"))
-    val hist = bi.groupBy("l").agg(sum(col("c_xy")).as("c_x"))
+  }
+
+  /** Shared scoring kernel: per-occurrence conditional ratios against the
+    * given count tables, folded per document in position order. LEFT
+    * joins so a transition the model has never seen (possible only when
+    * scoring a frame the model was NOT trained on) scores probability
+    * 0.0 — the natural OOV penalty of an MLE model; when the counts are
+    * self-trained the joins never miss and this reduces to [[lmFluency]]'s
+    * inner semantics exactly (parity spec'd).
+    */
+  private def scoreBigrams(pairs: DataFrame, bi: DataFrame,
+                           hist: DataFrame): DataFrame =
     pairs
-      .join(bi, Seq("l", "r"))
-      .join(hist, Seq("l"))
-      .withColumn("ratio", col("c_xy").cast("double") / col("c_x").cast("double"))
+      .join(bi, Seq("l", "r"), "left")
+      .join(hist, Seq("l"), "left")
+      .withColumn("ratio",
+        when(col("c_xy").isNotNull && col("c_x").isNotNull,
+          col("c_xy").cast("double") / col("c_x").cast("double"))
+          .otherwise(lit(0.0)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -596,7 +619,50 @@ object TextAnalysis {
           lit(0.0), (acc, x) => acc + x.getField("ratio")).as("ratio_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("ratio_sum") / col("n_bigrams").cast("double")).as("fluency"))
+
+  /** Persist the trained bigram LM behind [[lmFluencyFrom]] — the CCNet
+    * deployment shape: the model (a KenLM in the original; corpus-MLE
+    * bigram counts here) is trained ONCE on a reference corpus snapshot,
+    * then applied to any amount of incoming data — a crawl stream, a
+    * candidate corpus — without touching the training corpus again. Two
+    * tables under the standard content-stamped commit protocol:
+    *
+    *  - `bigrams` — (l, r, c_xy): the transition counts; one map-side-
+    *    combined hash aggregate over the bigram stream
+    *  - `hist`    — (l, c_x): per-history totals, derived from the
+    *    READ-BACK bigrams (staging discipline), so the conditionals
+    *    normalize exactly over what was stored
+    */
+  def persistLmModel(documents: DataFrame, dir: String, stamp: String = ""): Unit = {
+    val spark = documents.sparkSession
+    bigramStream(documents)
+      .groupBy("l", "r").agg(count(lit(1)).as("c_xy"))
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    spark.read.parquet(s"$dir/bigrams")
+      .groupBy("l").agg(sum(col("c_xy")).as("c_x"))
+      .write.mode("overwrite").parquet(s"$dir/hist")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
+
+  /** A [[persistLmModel]]-ed snapshot: transition counts + history totals. */
+  case class LmModel(bigrams: DataFrame, hist: DataFrame)
+
+  /** Load a [[persistLmModel]]-ed snapshot. */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession, dir: String): LmModel =
+    LmModel(
+      bigrams = spark.read.parquet(s"$dir/bigrams"),
+      hist = spark.read.parquet(s"$dir/hist"))
+
+  /** [[lmFluency]] scoring against a FROZEN persisted model — the batch
+    * kernel of the streaming scorer ([[graft.streaming.FluencyStream]])
+    * and the serving path of `q_lm_fluency_serve`: per call the training
+    * aggregation is replaced by two parquet scans of vocab-bounded count
+    * tables; only the frame being scored pays its bigram explode. Scoring
+    * the training corpus itself reproduces [[lmFluency]] bit-for-bit
+    * (every transition hits); an unseen transition scores 0.0.
+    */
+  def lmFluencyFrom(model: LmModel, documents: DataFrame): DataFrame =
+    scoreBigrams(bigramStream(documents), model.bigrams, model.hist)
 
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
