@@ -1180,6 +1180,22 @@ object SparkEntry {
         |  FROM t GROUP BY token)
         |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
 
+    // approx_top_k (frequent-items sketch) heavy hitters with the bound
+    // promoted into the oracle-checked surface — the approx_distinct /
+    // approx_percentile witness pattern applied to the third daily-use
+    // sketch: the oracle asserts exact top-k tokens + literal
+    // rel_err_bucket 0 + within_bound 1, so an estimate drifting past the
+    // bound (or a heavy hitter dropped by the sketch) hash-mismatches
+    // its row in CORRECTNESS itself
+    ("q_approx_topk_bound",
+      (s, d) => TextAnalysis.approxTopTokensBound(Tables.documents(s, d)),
+      Some("""WITH tf AS (SELECT tok, count(*) AS tf FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |SELECT tok, tf, CAST(0 AS BIGINT) AS rel_err_bucket,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM tf ORDER BY tf DESC, tok LIMIT 10""".stripMargin)),
+
     // PMI-style bigram collocation mining (phrase induction over the
     // vocabulary): score = tf_xy*N/(tf_x*tf_y) — the PMI core with log
     // dropped (monotone, so ranking is identical and the arithmetic stays

@@ -366,6 +366,52 @@ object TextAnalysis {
     * (probed directly; plain VARCHAR accumulators fold left-to-right
     * correctly on both engines).
     */
+  /** The approx-top-k (frequent-items sketch) bound promoted into the
+    * oracle-checked surface — the [[graft.operators.Relational]]
+    * `approxDistinctBound`/`approxPercentileBound` pattern applied to the
+    * THIRD sketch a 100 TB pipeline trusts daily: `approx_top_k` is the
+    * one-pass bounded-memory heavy-hitters path when the full
+    * [[vocabulary]] aggregate is too large to materialize (the sketch
+    * tracks `maxItems` candidates regardless of vocabulary size).
+    *
+    * Emits the EXACT top-k tokens (`tf DESC, tok ASC` — [[vocabulary]]'s
+    * deterministic total order, which DuckDB mirrors) with the sketch's
+    * estimate mapped onto the bound grid: `rel_err_bucket` =
+    * ⌊|est − tf| / (relErr·tf)⌋ (0 ⇔ inside) and `within_bound` (1/0 —
+    * 0 also when the sketch MISSED a true heavy hitter entirely). DuckDB
+    * cannot reproduce the estimator, so the oracle asserts the contract
+    * as literals: any heavy hitter whose estimate drifts past the bound
+    * (or drops out of the sketch) hash-mismatches its row and the
+    * correctness artifact witnesses the violation. `estK` requests the
+    * sketch's list far past k so boundary count-ties cannot eject a true
+    * top-k member from the comparison frame.
+    *
+    * Scale shape: the sketch side is one partial-aggregated pass with
+    * O(maxItems) state per partition; the exact side (the witness) is
+    * [[vocabulary]]'s map-side-combined aggregate + TakeOrderedAndProject,
+    * affordable at audit scale; the comparison join is ≤ estK rows,
+    * broadcast.
+    */
+  def approxTopTokensBound(documents: DataFrame, k: Int = 10, estK: Int = 64,
+                           maxItems: Int = 10000,
+                           relErr: Double = 0.05): DataFrame = {
+    val toks = documents.select(explode(tokens(col("text"))).as("tok"))
+    val est = toks
+      .agg(expr(s"approx_top_k(tok, $estK, $maxItems)").as("est"))
+      .select(explode(col("est")).as("e"))
+      .select(col("e.item").as("tok"), col("e.count").as("est_count"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("tok")).limit(k)
+    exact.join(broadcast(est), Seq("tok"), "left")
+      .select(col("tok"), col("tf"),
+        floor(abs(coalesce(col("est_count"), lit(0L)) - col("tf")).cast("double")
+          / (lit(relErr) * col("tf"))).cast("long").as("rel_err_bucket"),
+        (col("est_count").isNotNull &&
+          abs(col("est_count") - col("tf")).cast("double") < lit(relErr) * col("tf"))
+          .cast("int").as("within_bound"))
+      .orderBy(col("tf").desc, col("tok"))
+  }
+
   private def mergeFold(seg: Column, a: Column, b: Column): Column = {
     val folded = aggregate(seg, lit(""),
       (acc, s) =>

@@ -614,6 +614,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(real.filter(!col("keep")).count() > 0, "some real docs must drop")
   }
 
+  test("approx top-k bound: exact regime witnesses, eviction regime still finds the heavy hitter") {
+    import spark.implicits._
+    // real corpus: vocab (~31 tokens) far under maxItems -> sketch exact,
+    // every contract column at its literal
+    val r = TextAnalysis.approxTopTokensBound(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(r.length == 10)
+    assert(r.forall(x => x._3 == 0L && x._4 == 1), s"exact-regime sketch must sit inside the bound: ${r.toSeq}")
+    // membership/order equals the exact vocabulary top-k
+    val exact = TextAnalysis.vocabulary(docs, k = 10).collect().map(_.getString(0)).toSeq
+    assert(r.map(_._1).toSeq == exact, "bound frame must carry the exact top-k in its order")
+    // eviction regime: 5000 distinct rare tokens vs maxItems=64 — the
+    // sketch CANNOT track the tail, but the frequent-items guarantee
+    // (err <= ~3.5N/maxMapSize) must still surface the planted heavy
+    // hitter with a usable estimate
+    val heavy = (1 to 1000).map(i => (i.toLong, "heavyhitter"))
+    val tail = (1 to 5000).map(i => ((i + 10000).toLong, s"rare$i"))
+    val planted = (heavy ++ tail).toDF("doc_id", "text")
+    val b = TextAnalysis.approxTopTokensBound(planted, k = 1, estK = 64,
+      maxItems = 64, relErr = 0.5).collect()
+    assert(b.length == 1 && b.head.getString(0) == "heavyhitter")
+    assert(b.head.getInt(3) == 1,
+      s"the 1000/6000 heavy hitter must survive 64-slot eviction within 50%: ${b.head}")
+  }
+
   test("lm fluency: frequent transitions outscore rare ones; degenerate text maxes out") {
     import spark.implicits._
     // corpus: "a b" transition dominates a's history (3 of 4); "a c" is rare
