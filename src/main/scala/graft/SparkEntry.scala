@@ -531,6 +531,22 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS active_users, count(*) AS event_count
         |FROM events GROUP BY day ORDER BY day""".stripMargin)),
 
+    // cohort retention: users cohort by first-event week; each
+    // (cohort_week, weeks_since) cell counts users still active. Both
+    // weeks Monday-truncated, so the day difference is a multiple of 7
+    // and the division is integer-exact on both engines.
+    ("q_retention_cohorts",
+      (s, d) => Serving.retentionCohorts(Tables.events(s, d)),
+      Some("""WITH weekly AS (SELECT DISTINCT user_id,
+        |  date_trunc('week', ts) AS event_week FROM events),
+        |cohorts AS (SELECT user_id, min(event_week) AS cohort_week
+        |  FROM weekly GROUP BY user_id)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cohort_week, event_week) / 7 AS BIGINT) AS weeks_since,
+        |  count(DISTINCT w.user_id) AS active_users
+        |FROM weekly w JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- window variants (SURVEY.md T2 extensions)
     ("q_sliding_window",
       (s, d) => StreamAggregates.slidingCounts(norm(s, d))

@@ -127,6 +127,32 @@ object Serving {
         count(lit(1)).as("event_count"))
       .orderBy("day")
 
+  /** Cohort retention — the dashboard analytic behind every "week-N
+    * retention" curve: users cohort by the week of their FIRST event,
+    * and each (cohort_week, weeks_since) cell counts the cohort's users
+    * still active that many weeks later. Week arithmetic stays exact:
+    * both sides are Monday-truncated, so the day difference is a
+    * multiple of 7 and the division is integer-exact on both engines.
+    *
+    * Scale shape: the (user, week) activity grid is distinct-reduced
+    * BEFORE the cohort join (rows ∝ users × active-weeks, not events);
+    * first-event weeks and the grid shuffle on the SAME user_id key, so
+    * the join reuses the exchange; the final cell aggregate is
+    * |weeks|²-bounded. No window functions anywhere.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("event_week"))
+      .distinct()
+    val cohorts = weekly.groupBy("user_id").agg(min(col("event_week")).as("cohort_week"))
+    weekly.join(cohorts, Seq("user_id"))
+      .groupBy(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("event_week"), col("cohort_week")) / 7).cast("long").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   /** GET /metrics/producer (producer/.../KafkaProducerService.java:100-145,
     * A7): running count/sum/min/max/avg over the value stream plus a
     * throughput rate — the producer's LongAdder metrics as one aggregation.

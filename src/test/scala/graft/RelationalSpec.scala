@@ -150,4 +150,21 @@ class RelationalSpec extends SparkSpec {
       assert(got == want, s"n=$n")
     }
   }
+
+  test("retention cohorts: week-0 equals cohort size, cells never exceed it, users conserved") {
+    val r = Serving.retentionCohorts(events).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.nonEmpty && r.forall(_._2 >= 0))
+    val byCohort = r.groupBy(_._1)
+    byCohort.foreach { case (week, cells) =>
+      val w0 = cells.find(_._2 == 0L)
+      assert(w0.isDefined, s"cohort $week must have a week-0 cell (its own signup week)")
+      assert(cells.forall(_._3 <= w0.get._3),
+        s"no later week may exceed the cohort's size: $week ${cells.toSeq}")
+    }
+    // every user belongs to exactly one cohort: week-0 cells sum to the user count
+    val users = events.select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum == users,
+      "cohort week-0 sizes must partition the user base")
+  }
 }
