@@ -277,6 +277,30 @@ class Pipeline(
                         baseIndexDir: String): Seq[StreamingQuery] =
     startAll(events) :+ startCrawlDedup(docs, baseIndexDir)
 
+  def fluencyStorePath: String = s"$storeRoot/fluency"
+
+  /** LM-fluency gating as a topology member: the [[FluencyStream]] scorer
+    * over the crawl source against a frozen persisted model, writing
+    * `clean/` and `rejected/` under the shared store root with its own
+    * checkpoint dir like every sibling.
+    */
+  def startFluencyGate(docs: DataFrame, modelDir: String,
+                       threshold: Double = 0.05): StreamingQuery =
+    FluencyStream.start(docs, modelDir, fluencyStorePath, threshold,
+      checkpointDir = Some(s"$checkpointRoot/fluency-gate"))
+
+  /** The full curation topology: the four event queries, plus dedup AND
+    * fluency gating both tapping the same crawl source — six concurrent
+    * queries over two sources, the shape of a real ingest deployment
+    * (every crawl doc is simultaneously deduped against the corpus and
+    * quality-scored against the reference model).
+    */
+  def startAllWithCuration(events: DataFrame, docs: DataFrame,
+                           baseIndexDir: String, modelDir: String,
+                           threshold: Double = 0.05): Seq[StreamingQuery] =
+    startAllWithCrawl(events, docs, baseIndexDir) :+
+      startFluencyGate(docs, modelDir, threshold)
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 

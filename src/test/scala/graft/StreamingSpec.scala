@@ -478,4 +478,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClean.toSet,
       s"streamed clean set must equal the batch answer: $streamed vs $batchClean")
   }
+
+  test("full curation topology: dedup and fluency gate both tap the crawl source; " +
+    "the gate's split equals the frozen-model batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis}
+    def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val base = tmp("curation")
+    val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
+    // reference model: trained on a fluent mini-corpus ("a b" dominant)
+    TextAnalysis.persistLmModel(
+      Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text"),
+      s"$base/lm", stamp = "spec")
+    val events = MemoryStream[EventRec]
+    val docs = MemoryStream[(Long, String)]
+    val p = new Pipeline(spark, tmp("store"), tmp("ckpt"))
+    val queries = p.startAllWithCuration(events.toDF(),
+      docs.toDF().toDF("doc_id", "text"), s"$base/index", s"$base/lm",
+      threshold = 0.5)
+    // fluent known-transition doc, low-fluency doc, OOV crawl-novel doc
+    val batch = Seq((10L, "a b a b a b"), (11L, "a c"), (12L, text("novel")))
+    try {
+      assert(queries.length == 6)
+      events.addData(ev(10L, "2024-01-01 10:00:00"))
+      docs.addData(batch.toIndexedSeq: _*)
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+    // the SAME crawl batch reached both curation streams
+    val deduped = spark.read.parquet(s"${p.crawlStorePath}/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deduped == Set(10L, 11L, 12L), s"all three docs are corpus-novel: $deduped")
+    val gateClean = spark.read.parquet(s"${p.fluencyStorePath}/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gateRejected = spark.read.parquet(s"${p.fluencyStorePath}/rejected")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch kernel replay: identical split
+    val model = TextAnalysis.loadLmModel(spark, s"$base/lm")
+    val kernel = TextAnalysis.lmFluencyFrom(model, batch.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expectClean = batch.map(_._1).filter(id => kernel.get(id).exists(_ >= 0.5)).toSet
+    assert(gateClean == expectClean && gateRejected == batch.map(_._1).toSet -- expectClean,
+      s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
+  }
 }
