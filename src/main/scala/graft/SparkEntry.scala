@@ -808,6 +808,28 @@ object SparkEntry {
         |FROM cw WINDOW w AS (PARTITION BY city ORDER BY window_start)
         |ORDER BY city, window_start""".stripMargin)),
 
+    // anomalous-window detection: the z-test multiplied through by N² so
+    // the flagged set is decided entirely in integer arithmetic —
+    // (x·N − Σ)² > z²·(N·Σx² − Σ²) — bit-exact on both engines (products
+    // in DECIMAL(38,0) / HUGEINT; no float mean/variance/sqrt anywhere)
+    ("q_anomalous_windows",
+      (s, d) => Relational.anomalousWindows(agg(s, d), z = 3),
+      Some(s"""$WITH_NORM_AGG,
+        |cw AS (SELECT city, window_start, CAST(sum(event_count) AS BIGINT) AS event_count
+        |  FROM agg GROUP BY city, window_start),
+        |st AS (SELECT city, count(*) AS n_windows,
+        |  CAST(sum(event_count) AS BIGINT) AS sum_count,
+        |  CAST(sum(event_count * event_count) AS BIGINT) AS sumsq_count
+        |  FROM cw GROUP BY city)
+        |SELECT city, window_start, event_count, n_windows, sum_count, sumsq_count
+        |FROM cw JOIN st USING (city)
+        |WHERE n_windows > 1 AND
+        |  (CAST(event_count AS HUGEINT) * n_windows - sum_count)
+        |    * (CAST(event_count AS HUGEINT) * n_windows - sum_count)
+        |  > 9 * (CAST(n_windows AS HUGEINT) * sumsq_count
+        |    - CAST(sum_count AS HUGEINT) * sum_count)
+        |ORDER BY city, window_start""".stripMargin)),
+
     // salted two-phase aggregation: results are EXACTLY the plain groupBy —
     // the oracle is the direct SQL; the salt only reshapes the shuffle.
     ("q_salted_counts",

@@ -319,6 +319,41 @@ object Relational {
       .orderBy("city", "window_start")
   }
 
+  /** Anomalous-window detection — the monitoring analytic behind every
+    * "traffic spike" alert: per city, windows whose event count deviates
+    * from the city's mean by more than `z` standard deviations. The
+    * z-test is evaluated ENTIRELY in integer arithmetic — multiply
+    * `(x − μ)² > z²σ²` through by N²:
+    * `(x·N − Σ)² > z²·(N·Σx² − Σ²)` — so the flagged set is bit-exact on
+    * any engine (no float mean, no float variance, no sqrt). The sums
+    * are exact 64-bit integers; the products run in DECIMAL(38,0)
+    * (HUGEINT on the oracle side) so the comparison cannot overflow at
+    * any realistic scale.
+    *
+    * Scale shape: one map-side-combined per-window aggregate, one
+    * |cities|-row stats aggregate broadcast back, then a scan-side
+    * predicate — no window functions, no second shuffle. Cities with a
+    * single window have no variance and emit nothing.
+    */
+  def anomalousWindows(windowedAgg: DataFrame, z: Int = 2): DataFrame = {
+    val perWindow = windowedAgg
+      .groupBy("city", "window_start")
+      .agg(sum("event_count").cast("long").as("event_count"))
+    val stats = perWindow.groupBy("city").agg(
+      count(lit(1)).as("n_windows"),
+      sum(col("event_count")).as("sum_count"),
+      sum(col("event_count") * col("event_count")).as("sumsq_count"))
+    val dec = "decimal(38,0)"
+    val dev = col("event_count").cast(dec) * col("n_windows") - col("sum_count")
+    val varN2 = col("n_windows").cast(dec) * col("sumsq_count") -
+      col("sum_count").cast(dec) * col("sum_count")
+    perWindow.join(broadcast(stats), Seq("city"))
+      .filter(col("n_windows") > 1 && dev * dev > lit(z * z) * varN2)
+      .select(col("city"), col("window_start"), col("event_count"),
+        col("n_windows"), col("sum_count"), col("sumsq_count"))
+      .orderBy("city", "window_start")
+  }
+
   /** Bucketed interval/range join: for each high-value "anchor" event,
     * the other events of the SAME user inside `[ts - hours, ts + hours)`
     * — aggregated per anchor (neighbor count + latest neighbor id) so the

@@ -151,6 +151,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("anomalous windows: integer z-test flags the planted spike; the exact-2σ boundary does not flag") {
+    import spark.implicits._
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00")
+    // 6 windows, one 10× spike: a single outlier among N points sits at
+    // √(N−1)σ, so N=6 puts it past 2σ -> flagged
+    val spiky = (0 to 5).map(i => ("x", ts(i), if (i == 5) 10L else 1L))
+      .toDF("city", "window_start", "event_count")
+    val flagged = Relational.anomalousWindows(spiky).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(flagged.toSeq == Seq(("x", 10L)), s"only the spike flags: ${flagged.toSeq}")
+    // N=5 puts the same spike at EXACTLY 2σ — strict inequality must not
+    // flag it (the integer predicate decides the boundary bit-exactly,
+    // where float variance could tip either way)
+    val boundary = (0 to 4).map(i => ("x", ts(i), if (i == 4) 10L else 1L))
+      .toDF("city", "window_start", "event_count")
+    assert(Relational.anomalousWindows(boundary).count() == 0,
+      "exactly 2σ is not > 2σ")
+    // a flat city never flags
+    val flat = (0 to 5).map(i => ("y", ts(i), 3L)).toDF("city", "window_start", "event_count")
+    assert(Relational.anomalousWindows(flat).count() == 0)
+  }
+
   test("retention cohorts: week-0 equals cohort size, cells never exceed it, users conserved") {
     val r = Serving.retentionCohorts(events).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
