@@ -525,6 +525,31 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s) AS signed_up,
         |       (SELECT count(*) FROM c) AS converted""".stripMargin)),
 
+    // ordered 3-step funnel: first-signup < first-view < first-purchase
+    // per user — conditional-min FILTER aggregation, one pass, no joins
+    ("q_funnel_ordered",
+      (s, d) => Serving.orderedFunnel(Tables.events(s, d)),
+      Some("""WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_signup) AS signed_up,
+        |  count(CASE WHEN t_signup < t_view THEN 1 END) AS then_viewed,
+        |  count(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 END)
+        |    AS then_purchased
+        |FROM f""".stripMargin)),
+
+    // day × hour PIVOT heatmap: static explicit hour list (h0..h23) so
+    // the schema is data-independent; empty cells zero-filled
+    ("q_day_hour_heatmap",
+      (s, d) => Serving.dayHourHeatmap(Tables.events(s, d)),
+      Some(s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  ${(0 to 23).map(h =>
+             s"CAST(count(CASE WHEN hour(ts) = $h THEN 1 END) AS BIGINT) AS h$h")
+             .mkString(", ")}
+        |FROM events GROUP BY day ORDER BY day""".stripMargin)),
+
     ("q_daily_active",
       (s, d) => Serving.dailyActive(Tables.events(s, d)),
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

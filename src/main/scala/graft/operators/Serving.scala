@@ -117,6 +117,49 @@ object Serving {
       .crossJoin(broadcast(converted.agg(count(lit(1)).as("converted"))))
   }
 
+  /** ORDERED multi-step funnel — [[conversionFunnel]]'s 3-step sequenced
+    * big sibling: users whose FIRST signup precedes their first view
+    * precedes their first purchase, the "did they follow the journey in
+    * order" question funnel analytics actually asks (the unordered pair
+    * count overstates conversion whenever a purchase predates the
+    * signup).
+    *
+    * One conditional-min aggregation per user (`min(ts) FILTER
+    * (type = step)` for all three steps in a single pass — no per-step
+    * scans, no joins), then a 1-row count aggregate over the step
+    * predicates. Two shuffles total, the second over user-level rows.
+    */
+  def orderedFunnel(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    firsts.agg(
+      count(col("t_signup")).as("signed_up"),
+      count(when(col("t_signup") < col("t_view"), lit(1))).as("then_viewed"),
+      count(when(col("t_signup") < col("t_view") &&
+        col("t_view") < col("t_purchase"), lit(1))).as("then_purchased"))
+  }
+
+  /** Day × hour activity heatmap via PIVOT — the wide layout a dashboard
+    * grid renders directly: one row per day, one column per hour-of-day
+    * (`h0`..`h23`, explicit value list so the schema is static — a
+    * discovery pivot would need an extra pass AND make the output schema
+    * data-dependent), zero-filled so empty cells read as 0 activity, not
+    * missing data. One aggregation pass; the pivot itself is a map-side
+    * reshape of the (day, hour) counts.
+    */
+  def dayHourHeatmap(events: DataFrame): DataFrame = {
+    val hours = (0 to 23).toList
+    events
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .pivot(hour(col("ts")), hours)
+      .agg(count(lit(1)))
+      .select(col("day") +: hours.map(h =>
+        coalesce(col(s"`$h`"), lit(0L)).as(s"h$h")): _*)
+      .orderBy("day")
+  }
+
   /** Daily active users + event volume — the per-day rollup every serving
     * dashboard needs; one shuffle, distinct-per-group.
     */

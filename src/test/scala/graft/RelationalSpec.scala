@@ -173,6 +173,34 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.anomalousWindows(flat).count() == 0)
   }
 
+  test("ordered funnel: out-of-order journeys are excluded, steps monotone") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: in order; user 2: purchase BEFORE view (unordered funnel
+    // would count it); user 3: signup only
+    val fx = Seq(
+      (1L, "signup", t("2024-01-01 10:00:00")), (1L, "view", t("2024-01-01 11:00:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      (2L, "signup", t("2024-01-01 10:00:00")), (2L, "purchase", t("2024-01-01 11:00:00")),
+      (2L, "view", t("2024-01-01 12:00:00")),
+      (3L, "signup", t("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Serving.orderedFunnel(fx).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)),
+      s"3 signups, 2 viewed after, only user 1 purchased in order: $r")
+    // real corpus: the funnel narrows monotonically
+    val real = Serving.orderedFunnel(events).head()
+    assert(real.getLong(0) >= real.getLong(1) && real.getLong(1) >= real.getLong(2))
+    assert(real.getLong(2) > 0, "the ordered funnel must be non-vacuous on the corpus")
+  }
+
+  test("day-hour heatmap: cells conserve the event count, empty cells are zero") {
+    val r = Serving.dayHourHeatmap(events).collect()
+    val total = r.map(row => (1 to 24).map(row.getLong).sum).sum
+    assert(total == events.count(), "heatmap cells must partition all events")
+    assert(r.forall(_.length == 25), "day + 24 static hour columns")
+  }
+
   test("retention cohorts: week-0 equals cohort size, cells never exceed it, users conserved") {
     val r = Serving.retentionCohorts(events).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
