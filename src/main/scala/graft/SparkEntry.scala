@@ -615,6 +615,38 @@ object SparkEntry {
     // `WHERE false` (round-8 VERDICT-1 — the same vacuity rule as the
     // non-vacuous q_anti_join_events twin). At 2 the row is non-vacuous at
     // every SF (1 row sf0.01, 7 rows sf0.1).
+    // Rolling alert suppression (paging throttle): per (city, severity)
+    // an alert emits only if >= 24h passed since the last EMITTED alert —
+    // prefix-dependent (no window function expresses it), folded in-row
+    // per key; the oracle replays the identical fold as a string-
+    // accumulator list_reduce (the mergeFold precedent), so even this
+    // sequential operator hash-checks end to end.
+    ("q_alert_throttle",
+      (s, d) => graft.streaming.Stateful.alertThrottleBatch(alertsOf(s, d))
+        .select(col("city"), col("severity"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_id")),
+      Some(s"""$WITH_NORM_ALERTS,
+        |seqs AS (SELECT city, severity,
+        |  list_transform(list_sort(list(struct_pack(ts := ts, event_id := event_id))),
+        |    x -> CAST(epoch_us(x.ts) AS VARCHAR) || ':' || CAST(x.event_id AS VARCHAR)) AS seq
+        |  FROM alerts GROUP BY city, severity),
+        |folded AS (SELECT city, severity,
+        |  list_reduce(list_prepend('-1|', seq), (acc, e) ->
+        |    CASE WHEN CAST(string_split(acc, '|')[1] AS BIGINT) < 0
+        |           OR CAST(string_split(e, ':')[1] AS BIGINT)
+        |              - CAST(string_split(acc, '|')[1] AS BIGINT) >= 86400000000
+        |      THEN string_split(e, ':')[1] || '|' || string_split(acc, '|')[2]
+        |           || string_split(e, ':')[2] || ','
+        |      ELSE acc END) AS acc
+        |  FROM seqs),
+        |ids AS (SELECT CAST(unnest(string_split(rtrim(string_split(acc, '|')[2], ','),
+        |  ',')) AS BIGINT) AS event_id FROM folded)
+        |SELECT a.city, a.severity, strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  a.event_id
+        |FROM alerts a JOIN ids USING (event_id)
+        |ORDER BY city, severity, ts, event_id""".stripMargin)),
+
     ("q_severity_streaks",
       (s, d) => graft.streaming.Stateful.severityStreaksBatch(norm(s, d), minStreak = 2)
         .select(col("city"), col("streak"),

@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 case class StreakAlert(city: String, streak: Int, last_ts: Timestamp)
 
+case class ThrottledAlert(city: String, severity: String, ts: Timestamp,
+                          event_id: Long)
+
 /** Custom keyed state beyond windowed aggregation (SURVEY.md §7.2 M3 /
   * build-brief Structured Streaming bullet): per-city consecutive
   * high-severity streak detection via `flatMapGroupsWithState` — state that
@@ -72,6 +75,93 @@ object Stateful {
           state.update(streak)
           alerts.iterator
       }
+  }
+
+  /** Rolling alert SUPPRESSION (throttle) — the second custom keyed-state
+    * operator: per (city, severity), an alert is emitted only if at least
+    * `gapMinutes` have passed since the last EMITTED alert for that key —
+    * the paging-system dedup window that stops an incident from firing a
+    * page per event. Unlike the fixed-bucket "first per hour" rollup this
+    * is a ROLLING window anchored at the previous emission, which makes it
+    * prefix-dependent: no window function expresses it (each decision
+    * depends on the previous decision, not on the data alone), so it is
+    * exactly the `flatMapGroupsWithState` shape.
+    *
+    * State per key is ONE Long (the last emitted event-time in micros;
+    * MinValue = never) — O(1) regardless of history, carried across
+    * micro-batches so an alert early in batch N+1 is correctly suppressed
+    * by an emission late in batch N. Within a batch the group's rows are
+    * processed in (event-time, event_id) order for determinism, with the
+    * same buffered-group memory note as [[severityStreaks]].
+    */
+  def alertThrottle(alerts: DataFrame,
+                    gapMinutes: Int = 1440): Dataset[ThrottledAlert] = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    alerts
+      .selectExpr("city", "severity", "ts", "event_id")
+      .as[(String, String, Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Timestamp, Long)],
+         state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val buf = rows.map { case (_, _, t, id) =>
+            (t.getTime * 1000 + (t.getNanos % 1000000) / 1000, id)
+          }.toArray
+          java.util.Arrays.sort(buf, Ordering[(Long, Long)])
+          val out = Seq.newBuilder[ThrottledAlert]
+          buf.foreach { case (us, id) =>
+            if (last == Long.MinValue || us - last >= gapUs) {
+              val t = new Timestamp(us / 1000)
+              t.setNanos((us % 1000000L).toInt * 1000)
+              out += ThrottledAlert(key._1, key._2, t, id)
+              last = us
+            }
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+
+  /** BATCH formulation of [[alertThrottle]] — per key the alert sequence
+    * folds in one in-row `aggregate()` pass over the sorted (ts, id)
+    * array, the accumulator carrying (last-emitted micros, emitted rows):
+    * the emission rule is inherently sequential, and the in-row fold is
+    * how a fold stays inside codegen with no driver loop (the
+    * [[graft.operators.TextAnalysis]] mergeFold precedent). The DuckDB
+    * oracle replays the identical fold as a string-accumulator
+    * `list_reduce` — so even this prefix-dependent operator hash-checks
+    * end to end.
+    *
+    * Scale ceiling: the collected per-key array is bounded by alerts per
+    * (city, severity) — the [[severityStreaksBatch]] per-city note, one
+    * key narrower; a caller with huge per-key alert histories should
+    * time-segment first (the [[severityStreaksBatchSegmented]] stitch
+    * carries one Long of state across segment edges, which is exactly
+    * this operator's state too).
+    */
+  def alertThrottleBatch(alerts: DataFrame,
+                         gapMinutes: Int = 1440): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val zero = struct(lit(Long.MinValue).as("last"),
+      expr("CAST(array() AS ARRAY<STRUCT<ts: TIMESTAMP, event_id: BIGINT>>)").as("out"))
+    alerts
+      .groupBy("city", "severity")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id")))).as("seq"))
+      .withColumn("acc", aggregate(col("seq"), zero, (acc, x) => {
+        val emit = acc.getField("last") === lit(Long.MinValue) ||
+          unix_micros(x.getField("ts")) - acc.getField("last") >= lit(gapUs)
+        when(emit, struct(
+          unix_micros(x.getField("ts")).as("last"),
+          concat(acc.getField("out"), array(x)).as("out")))
+          .otherwise(acc)
+      }))
+      .select(col("city"), col("severity"), explode(col("acc.out")).as("e"))
+      .select(col("city"), col("severity"), col("e.ts").as("ts"),
+        col("e.event_id").as("event_id"))
+      .orderBy("city", "severity", "ts", "event_id")
   }
 
   /** BATCH formulation of [[severityStreaks]] — the classic

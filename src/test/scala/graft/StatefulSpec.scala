@@ -228,6 +228,46 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alert throttle: rolling suppression carries across micro-batches; stream equals batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val alerts = CityEvents.normalize(input.toDF())
+      .filter(org.apache.spark.sql.functions.col("severity").isin("high", "critical"))
+    val q = Stateful.alertThrottle(alerts, gapMinutes = 60)
+      .writeStream.outputMode("append").format("memory").queryName("throttle").start()
+    // all user 0 -> SF; value 300 -> high
+    val batches = Seq(
+      // batch 1: 10:00 emits; 10:30 suppressed (rolling: < 60m after EMITTED)
+      Seq(ev(1, "2024-01-01 10:00:00", 300), ev(2, "2024-01-01 10:30:00", 300)),
+      // batch 2: 10:59 still suppressed BY THE BATCH-1 EMISSION (state
+      // carries; a per-batch reset would emit it); 11:00 exactly at the
+      // gap emits
+      Seq(ev(3, "2024-01-01 10:59:00", 300), ev(4, "2024-01-01 11:00:00", 300)),
+      // batch 3: 11:30 suppressed by the 11:00 emission — NOT by 10:59
+      // (suppression anchors at emissions, never at suppressed alerts)
+      Seq(ev(5, "2024-01-01 11:30:00", 300)))
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      val got = spark.table("throttle").collect()
+        .map(r => r.getAs[Long]("event_id")).sorted.toSeq
+      assert(got == Seq(1L, 4L), s"only 10:00 and 11:00 emit: $got")
+    } finally q.stop()
+    // batch twin on the SAME flattened data: identical emissions
+    val batchAlerts = CityEvents.normalize(
+      batches.flatten.toDF()).filter(
+      org.apache.spark.sql.functions.col("severity").isin("high", "critical"))
+    val folded = Stateful.alertThrottleBatch(batchAlerts, gapMinutes = 60)
+      .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+    assert(folded == Seq(1L, 4L), s"batch fold must equal the stream: $folded")
+    // corpus non-vacuity at the registry's 24h gap: something suppressed
+    val corpusAlerts = graft.operators.StreamAggregates.alerts(
+      CityEvents.normalize(Tables.events(spark, sf)))
+    val emitted = Stateful.alertThrottleBatch(corpusAlerts).count()
+    assert(emitted > 0 && emitted < corpusAlerts.count(),
+      s"the 24h throttle must both emit and suppress on the corpus: $emitted of ${corpusAlerts.count()}")
+  }
+
   test("kafka record stage: key=city, value=full-row JSON (S3)") {
     val norm = CityEvents.normalize(Tables.events(spark, sf))
     val recs = EventStreamSource.toKafkaRecords(norm)
