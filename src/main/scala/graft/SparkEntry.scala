@@ -618,34 +618,37 @@ object SparkEntry {
     // Rolling alert suppression (paging throttle): per (city, severity)
     // an alert emits only if >= 24h passed since the last EMITTED alert —
     // prefix-dependent (no window function expresses it), folded in-row
-    // per key; the oracle replays the identical fold as a string-
-    // accumulator list_reduce (the mergeFold precedent), so even this
-    // sequential operator hash-checks end to end.
+    // per key. The oracle replays the emission chain as a RECURSIVE CTE
+    // (each step: the argmin-(ts, id) alert at least the gap after the
+    // previous emission) — NOT as a list_reduce fold: DuckDB 1.0's
+    // list_reduce cross-contaminates accumulators across rows in a
+    // vectorized batch (two cities came back with identical emission
+    // lists; correct when filtered to one key — probed directly, the
+    // second such landmine after the struct-accumulator loss the BPE
+    // oracle dodged). Even this sequential operator hash-checks end to
+    // end.
     ("q_alert_throttle",
       (s, d) => graft.streaming.Stateful.alertThrottleBatch(alertsOf(s, d))
         .select(col("city"), col("severity"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
           col("event_id")),
-      Some(s"""$WITH_NORM_ALERTS,
-        |seqs AS (SELECT city, severity,
-        |  list_transform(list_sort(list(struct_pack(ts := ts, event_id := event_id))),
-        |    x -> CAST(epoch_us(x.ts) AS VARCHAR) || ':' || CAST(x.event_id AS VARCHAR)) AS seq
-        |  FROM alerts GROUP BY city, severity),
-        |folded AS (SELECT city, severity,
-        |  list_reduce(list_prepend('-1|', seq), (acc, e) ->
-        |    CASE WHEN CAST(string_split(acc, '|')[1] AS BIGINT) < 0
-        |           OR CAST(string_split(e, ':')[1] AS BIGINT)
-        |              - CAST(string_split(acc, '|')[1] AS BIGINT) >= 86400000000
-        |      THEN string_split(e, ':')[1] || '|' || string_split(acc, '|')[2]
-        |           || string_split(e, ':')[2] || ','
-        |      ELSE acc END) AS acc
-        |  FROM seqs),
-        |ids AS (SELECT CAST(unnest(string_split(rtrim(string_split(acc, '|')[2], ','),
-        |  ',')) AS BIGINT) AS event_id FROM folded)
-        |SELECT a.city, a.severity, strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-        |  a.event_id
-        |FROM alerts a JOIN ids USING (event_id)
-        |ORDER BY city, severity, ts, event_id""".stripMargin)),
+      Some(s"""WITH RECURSIVE norm AS ($NORM),
+        |alerts AS (SELECT * FROM norm WHERE severity IN ('high','critical')),
+        |ordered AS (SELECT city, severity, ts, event_id,
+        |  row_number() OVER (PARTITION BY city, severity ORDER BY ts, event_id) AS rn
+        |  FROM alerts),
+        |em AS (
+        |  SELECT city, severity, ts, event_id FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT city, severity, nxt.ts AS ts, nxt.id AS event_id FROM (
+        |    SELECT em.city, em.severity,
+        |      (SELECT min(struct_pack(ts := o.ts, id := o.event_id)) FROM ordered o
+        |        WHERE o.city = em.city AND o.severity = em.severity
+        |          AND o.ts >= em.ts + INTERVAL '24 hours') AS nxt
+        |    FROM em) t WHERE nxt IS NOT NULL
+        |)
+        |SELECT city, severity, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id
+        |FROM em ORDER BY city, severity, ts, event_id""".stripMargin)),
 
     ("q_severity_streaks",
       (s, d) => graft.streaming.Stateful.severityStreaksBatch(norm(s, d), minStreak = 2)
