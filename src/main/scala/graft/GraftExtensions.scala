@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Fingerprint, MinHashBands, MinHashSignature, ShingleHashes, SimHash, TokenHashes, VecDot, VecSum}
+import graft.functions.{Fingerprint, MinHashBands, MinHashSignature, PerceptualHash, ShingleHashes, SimHash, TokenHashes, VecDot, VecSum}
 
 /** Session extension registering graft's custom Catalyst expressions as SQL
   * functions — the public, spark-submit-friendly injection point:
@@ -87,6 +87,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(child) => Fingerprint(child)
         case _ => throw new IllegalArgumentException("fingerprint(string)")
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("perceptual_hash"),
+      new ExpressionInfo(classOf[PerceptualHash].getName, "perceptual_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(child) => PerceptualHash(child, 48)
+        case Seq(child, b) => PerceptualHash(child, intArg(b, "bits"))
+        case _ => throw new IllegalArgumentException("perceptual_hash(string[, bits])")
       }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),

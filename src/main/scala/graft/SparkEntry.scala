@@ -2301,6 +2301,49 @@ object SparkEntry {
         |FROM fp, generate_series(0, 15) AS t(d)
         |ORDER BY media_id, dim""".stripMargin)),
 
+    // perceptual (locality-sensitive) hash per media payload — the codegen'd
+    // PerceptualHash expression; integer mean threshold, code-point decode
+    // (the Fingerprint round-8 lesson), so DuckDB mirrors it bit-for-bit
+    ("q_media_phash",
+      (s, d) => Multimodal.mediaPhash(Multimodal.mediaFromDocuments(
+        Tables.documents(s, d))).orderBy("media_id"),
+      Some("""WITH codes AS (SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  FROM documents),
+        |h AS (SELECT media_id, kind, len(cs) AS n, list_sum(cs) AS s, cs FROM codes)
+        |SELECT media_id, kind,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(list_sum(list_transform(generate_series(0, 47),
+        |    i -> CASE WHEN cs[CAST((i * n) // 48 AS INT) + 1] > s // n
+        |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS phash
+        |FROM h ORDER BY media_id""".stripMargin)),
+
+    // media near-dup via Hamming-banded perceptual hashes. The oracle is
+    // the BRUTE-FORCE all-pairs filter: with maxHamming 5 < 6 bands the
+    // pigeonhole guarantee says every qualifying pair shares a band, so
+    // the hash check itself proves the banded candidates complete.
+    ("q_media_neardup",
+      (s, d) => Multimodal.phashNearDupPairs(Multimodal.mediaFromDocuments(
+        Tables.documents(s, d))),
+      Some("""WITH codes AS (SELECT doc_id AS media_id,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  FROM documents),
+        |hh AS (SELECT media_id, len(cs) AS n, list_sum(cs) AS s, cs FROM codes),
+        |h AS (SELECT media_id,
+        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(list_sum(list_transform(generate_series(0, 47),
+        |    i -> CASE WHEN cs[CAST((i * n) // 48 AS INT) + 1] > s // n
+        |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS phash
+        |  FROM hh)
+        |SELECT a.media_id AS id1, b.media_id AS id2,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 5
+        |ORDER BY id1, id2""".stripMargin)),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

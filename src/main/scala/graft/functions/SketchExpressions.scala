@@ -541,6 +541,127 @@ object Fingerprint {
   * (requires `spark.sql.extensions=graft.GraftExtensions`, see
   * [[graft.GraftExtensions]]).
   */
+/** Perceptual hash over a media payload decoded as UTF-8 text — the
+  * aHash-style locality-sensitive image/audio fingerprint (mean-threshold
+  * bit per sampled position), re-expressed over the deterministic stub
+  * decode (ASCII payload bytes ≡ code points; the codec-real version
+  * would hash an 8×8 luma grid the same way). Two passes over the code
+  * points in ONE codegen'd evaluation: pass 1 accumulates count n and
+  * sum S (mean = ⌊S/n⌋, integer — no float ever enters the hash); pass 2
+  * walks the points once more with a monotone two-pointer, setting bit i
+  * (i < `bits`) iff the point at position ⌊i·n/bits⌋ exceeds the mean.
+  * NEAR-identical payloads differ in few sampled positions ⇒ small
+  * Hamming distance — the locality property exact fingerprints lack, and
+  * what makes banded near-dup search possible on media. Empty input
+  * hashes to 0. Code-point (not byte) decoding keeps the value equal to
+  * the DuckDB `ord()` oracle on any input, ASCII or not (the
+  * [[Fingerprint]] round-8 lesson).
+  */
+case class PerceptualHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 62, "bits must be in [1, 62] (positive long)")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "perceptual_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val len = s.numBytes()
+    // pass 1: code-point count + sum
+    var n = 0L; var sum = 0L
+    var p = 0
+    while (p < len) {
+      val b = s.getByte(p) & 0xff
+      var cp = 0; var w = 0
+      if (b < 0x80) { cp = b; w = 1 }
+      else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; w = 2 }
+      else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; w = 3 }
+      else { cp = b & 0x07; w = 4 }
+      var k = 1
+      while (k < w && p + k < len) { cp = (cp << 6) | (s.getByte(p + k) & 0x3f); k += 1 }
+      n += 1; sum += cp
+      p += w
+    }
+    if (n == 0L) 0L
+    else {
+      val mean = sum / n
+      var hash = 0L; var i = 0; var pos = 0L
+      p = 0
+      while (p < len && i < bits) {
+        val b = s.getByte(p) & 0xff
+        var cp = 0; var w = 0
+        if (b < 0x80) { cp = b; w = 1 }
+        else if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; w = 2 }
+        else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; w = 3 }
+        else { cp = b & 0x07; w = 4 }
+        var k = 1
+        while (k < w && p + k < len) { cp = (cp << 6) | (s.getByte(p + k) & 0x3f); k += 1 }
+        while (i < bits && i * n / bits == pos) {
+          if (cp > mean) hash |= 1L << i
+          i += 1
+        }
+        pos += 1
+        p += w
+      }
+      hash
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val len = ctx.freshName("len")
+      val n = ctx.freshName("n"); val sum = ctx.freshName("sum")
+      val p = ctx.freshName("p"); val b = ctx.freshName("b")
+      val cp = ctx.freshName("cp"); val w = ctx.freshName("w")
+      val k = ctx.freshName("k"); val mean = ctx.freshName("mean")
+      val hash = ctx.freshName("hash"); val i = ctx.freshName("i")
+      val pos = ctx.freshName("pos")
+      s"""
+         |int $len = $str.numBytes();
+         |long $n = 0L; long $sum = 0L;
+         |for (int $p = 0; $p < $len; ) {
+         |  int $b = $str.getByte($p) & 0xff;
+         |  int $cp; int $w;
+         |  if ($b < 0x80) { $cp = $b; $w = 1; }
+         |  else if (($b & 0xe0) == 0xc0) { $cp = $b & 0x1f; $w = 2; }
+         |  else if (($b & 0xf0) == 0xe0) { $cp = $b & 0x0f; $w = 3; }
+         |  else { $cp = $b & 0x07; $w = 4; }
+         |  for (int $k = 1; $k < $w && $p + $k < $len; $k++) {
+         |    $cp = ($cp << 6) | ($str.getByte($p + $k) & 0x3f);
+         |  }
+         |  $n++; $sum += $cp;
+         |  $p += $w;
+         |}
+         |long $hash = 0L;
+         |if ($n > 0L) {
+         |  long $mean = $sum / $n;
+         |  int $i = 0; long $pos = 0L;
+         |  for (int $p = 0; $p < $len && $i < $bits; ) {
+         |    int $b = $str.getByte($p) & 0xff;
+         |    int $cp; int $w;
+         |    if ($b < 0x80) { $cp = $b; $w = 1; }
+         |    else if (($b & 0xe0) == 0xc0) { $cp = $b & 0x1f; $w = 2; }
+         |    else if (($b & 0xf0) == 0xe0) { $cp = $b & 0x0f; $w = 3; }
+         |    else { $cp = $b & 0x07; $w = 4; }
+         |    for (int $k = 1; $k < $w && $p + $k < $len; $k++) {
+         |      $cp = ($cp << 6) | ($str.getByte($p + $k) & 0x3f);
+         |    }
+         |    while ($i < $bits && $i * $n / $bits == $pos) {
+         |      if ($cp > $mean) $hash |= 1L << $i;
+         |      $i++;
+         |    }
+         |    $pos++;
+         |    $p += $w;
+         |  }
+         |}
+         |${ev.value} = $hash;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PerceptualHash =
+    copy(child = newChild)
+}
+
 object Sketches {
   def minhashSignature(c: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     call_function("minhash_signature", c, lit(numHashes), lit(seed))
@@ -558,4 +679,8 @@ object Sketches {
   /** Whole-string polynomial fingerprint (every code point, incl. spaces). */
   def fingerprint(c: Column): Column =
     call_function("fingerprint", c)
+  /** Mean-threshold perceptual (locality-sensitive) hash; small Hamming
+    * distance ⇔ near-identical payload. */
+  def perceptualHash(c: Column, bits: Int = 48): Column =
+    call_function("perceptual_hash", c, lit(bits))
 }

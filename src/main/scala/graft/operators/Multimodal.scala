@@ -182,4 +182,57 @@ object Multimodal {
       }
     }.toDF("media_id", "embedding")
   }
+
+  /** Perceptual hash per media row — the aHash-style locality-sensitive
+    * fingerprint ([[graft.functions.PerceptualHash]], codegen'd) over the
+    * payload decoded as text: near-identical payloads land at small
+    * Hamming distance, which is what makes media DEDUP possible (the
+    * exact [[graft.functions.Fingerprint]] changes completely on a one-
+    * byte edit; image dedup needs the opposite). Pure narrow projection.
+    */
+  def mediaPhash(media: DataFrame, bits: Int = 48): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      graft.functions.Sketches.perceptualHash(
+        col("payload").cast("string"), bits).as("phash"))
+
+  /** Media near-dup pairs via Hamming-banded perceptual hashes — the
+    * image-dedup composition of the multimodal and dedup families: the
+    * 48-bit phash splits into `bands` = 6 bands of 8 bits, candidates
+    * share at least one band value, and candidates verify by exact
+    * Hamming distance ≤ `maxHamming`. With maxHamming = 5 < bands the
+    * pigeonhole guarantee is EXACT recall: 5 bit flips cannot touch all
+    * 6 bands, so every qualifying pair shares a band — the banded output
+    * EQUALS the brute-force all-pairs filter (which is therefore the
+    * oracle: the hash check itself proves candidate completeness).
+    *
+    * Scale shape: the [[graft.operators.Dedup]] simhash discipline on
+    * the media side — banding is a narrow projection + 6-way explode,
+    * candidates come from a shuffled equi-join on (band, value) tuples
+    * (never payloads), and the exact verify runs on candidate pairs
+    * only. Identical payloads share all bands; bucket width is bounded
+    * by payload diversity per band value.
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 5,
+                        bits: Int = 48, bands: Int = 6): DataFrame = {
+    require(maxHamming < bands,
+      "exact recall needs maxHamming < bands (pigeonhole)")
+    val width = bits / bands
+    val ph = mediaPhash(media, bits).select("media_id", "phash")
+    val banded = ph.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map(lit): _*)).as("band"))
+      .select(col("media_id"), col("band"),
+        expr(s"(phash >> (band * $width)) & ${(1L << width) - 1}").as("bucket"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"))
+      .distinct()
+    cands
+      .join(ph.select(col("media_id").as("id1"), col("phash").as("p1")), Seq("id1"))
+      .join(ph.select(col("media_id").as("id2"), col("phash").as("p2")), Seq("id2"))
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+      .orderBy("id1", "id2")
+  }
 }

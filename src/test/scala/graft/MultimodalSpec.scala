@@ -167,4 +167,35 @@ class MultimodalSpec extends SparkSpec {
     assert(e1 == e2)
     assert(e1.values.forall(v => v.length == 16 && v.forall(x => x >= -1.0 && x <= 1.0)))
   }
+
+  test("phash near-dup: planted near-identical media pair found, banding equals brute force") {
+    import spark.implicits._
+    // plant an exact copy and a tail-edited near-copy of media 0's payload
+    val src = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
+      .select("doc_id", "text", "n_chars").collect().head
+    val text = src.getString(1)
+    val planted = Seq(
+      (9000001L, text),                              // exact copy -> hamming 0
+      (9000002L, text.dropRight(4) + "XXXX"))        // near copy -> small hamming
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("planted"))
+    val all = Multimodal.mediaFromDocuments(
+      Tables.documents(spark, sf).unionByName(planted))
+    val pairs = Multimodal.phashNearDupPairs(all).cache()
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.exists(p => p._1 == src.getLong(0) && p._2 == 9000001L && p._3 == 0L),
+      s"exact copy must pair at hamming 0: $got")
+    assert(got.exists(p => p._1 == src.getLong(0) && p._2 == 9000002L),
+      s"tail-edited near copy must pair: $got")
+    // pigeonhole completeness: banded output equals the brute-force filter
+    val ph = Multimodal.mediaPhash(all).select("media_id", "phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, p1) <- ph; (i2, p2) <- ph if i1 < i2
+      h = java.lang.Long.bitCount(p1 ^ p2) if h <= 5
+    } yield (i1, i2, h.toLong)).toSet
+    assert(got == brute, s"banding must be exactly complete at maxHamming < bands")
+    pairs.unpersist()
+  }
 }

@@ -63,7 +63,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_keyword_search",                                               // 1-row corpus-size scalar
       "q_quantize_embeddings",                                          // 1-row max|x| scalar
       "q_quantized_topk",                    // 1-row max|x| scalar + 5-row probe set
-      "q_collocations")                      // 1-row corpus-token-total scalar
+      "q_collocations",                      // 1-row corpus-token-total scalar
+      "q_temperature_sample")                // 1-row Σsqrt(n_l)/N totals scalar
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString

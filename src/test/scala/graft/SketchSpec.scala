@@ -228,4 +228,52 @@ class SketchSpec extends SparkSpec {
     // identical text -> identical simhash -> hamming 0 pair present
     assert(pairs.exists(r => r.getLong(1) == r.getLong(0) + 1000000L && r.getLong(2) == 0))
   }
+
+  test("perceptual hash: codegen/interpreted parity, reference model, locality, multi-byte") {
+    import spark.implicits._
+    // independent reference: code-point walk in plain Scala
+    def ref(text: String, bits: Int): Long = {
+      val cps = text.codePoints().toArray
+      if (cps.isEmpty) 0L
+      else {
+        val n = cps.length.toLong
+        val mean = cps.map(_.toLong).sum / n
+        (0 until bits).foldLeft(0L) { (h, i) =>
+          if (cps(((i * n) / bits).toInt) > mean) h | (1L << i) else h
+        }
+      }
+    }
+    val fixtures = Seq(
+      (1L, "hello world this is a test of the perceptual hash"),
+      (2L, ""), (3L, "a"), (4L, "z" * 100),
+      (5L, "café 中文 mixed code points 😀 beyond the BMP"))
+      .toDF("doc_id", "text")
+    val viaCodegen = fixtures
+      .select(col("doc_id"), graft.functions.Sketches.perceptualHash(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fixtures.collect().foreach { r =>
+      assert(viaCodegen(r.getLong(0)) == ref(r.getString(1), 48),
+        s"expression must equal the code-point reference for '${r.getString(1).take(20)}'")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = fixtures
+        .select(col("doc_id"), graft.functions.Sketches.perceptualHash(col("text")).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaCodegen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // locality: a small edit moves few sampled bits; the exact fingerprint
+    // (the non-perceptual control) changes completely
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = base.dropRight(5) + "XXXXX"
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ph = two.select(graft.functions.Sketches.perceptualHash(col("text")).as("p"))
+      .collect().map(_.getLong(0))
+    assert(java.lang.Long.bitCount(ph(0) ^ ph(1)) <= 5,
+      s"tail edit must stay within banding reach: hamming ${java.lang.Long.bitCount(ph(0) ^ ph(1))}")
+  }
 }
