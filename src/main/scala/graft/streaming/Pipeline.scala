@@ -168,6 +168,23 @@ class Pipeline(
       .foreach(new KeyedForeachWriter(s"$storeRoot/alerts_rows"))
       .start()
 
+  /** Throttled (suppression-windowed) alert stream — [[Stateful.alertThrottle]]
+    * as a topology member: the alert stream deduped to at most one page
+    * per (city, severity) per gap, landing in the named in-memory sink
+    * (the assertable stand-in for a pager webhook; the batch twin is
+    * oracle-checked as `q_alert_throttle`).
+    */
+  def startThrottledAlerts(events: DataFrame, gapMinutes: Int = 1440,
+                           queryName: String = "throttled_alerts"): StreamingQuery =
+    Stateful.alertThrottle(
+        StreamAggregates.alerts(normalized(events)), gapMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointRoot/throttled-alerts")
+      .start()
+
   /** Stream-STREAM interval join (SURVEY.md §2.4 extension): each alert
     * joined to the events of the same city in the 5 minutes before it —
     * the burst-context query, as the canonical watermarked stream-stream

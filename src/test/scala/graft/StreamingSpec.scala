@@ -479,6 +479,30 @@ class StreamingSpec extends SparkSpec {
       s"streamed clean set must equal the batch answer: $streamed vs $batchClean")
   }
 
+  test("throttled-alerts topology member: suppression-windowed pages equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[EventRec]
+    val p = new Pipeline(spark, tmp("thrstore"), tmp("thrckpt"))
+    val q = p.startThrottledAlerts(events.toDF(), gapMinutes = 60, queryName = "thr_topo")
+    // value 300 -> high severity; user 1 -> NYC
+    val fixture = Seq(
+      ev(1, "2024-01-01 10:00:00", v = 300), // emits
+      ev(2, "2024-01-01 10:30:00", v = 300), // suppressed
+      ev(3, "2024-01-01 11:00:00", v = 300)) // exactly at the gap: emits
+    try {
+      events.addData(fixture.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("thr_topo").collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      val want = graft.streaming.Stateful.alertThrottleBatch(
+        graft.operators.StreamAggregates.alerts(
+          graft.operators.CityEvents.normalize(fixture.toDF())), gapMinutes = 60)
+        .collect().map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(got == Seq(1L, 3L) && got == want,
+        s"topology member must match the oracle-checked batch twin: $got vs $want")
+    } finally q.stop()
+  }
+
   test("full curation topology: dedup and fluency gate both tap the crawl source; " +
     "the gate's split equals the frozen-model batch kernel") {
     import spark.implicits._
