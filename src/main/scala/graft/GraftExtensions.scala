@@ -92,9 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("perceptual_hash"),
       new ExpressionInfo(classOf[PerceptualHash].getName, "perceptual_hash"),
       (args: Seq[Expression]) => args match {
-        case Seq(child) => PerceptualHash(child, 48)
-        case Seq(child, b) => PerceptualHash(child, intArg(b, "bits"))
-        case _ => throw new IllegalArgumentException("perceptual_hash(string[, bits])")
+        case Seq(child) => PerceptualHash(child, 48, 2)
+        case Seq(child, b) => PerceptualHash(child, intArg(b, "bits"), 2)
+        case Seq(child, b, st) =>
+          PerceptualHash(child, intArg(b, "bits"), intArg(st, "stride"))
+        case _ => throw new IllegalArgumentException("perceptual_hash(string[, bits[, stride]])")
       }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),

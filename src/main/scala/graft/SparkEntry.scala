@@ -1278,6 +1278,20 @@ object SparkEntry {
         |  FROM t GROUP BY token)
         |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
 
+    // vocabulary-coverage / OOV-rate report: the tokenizer-health metric;
+    // the in/out boundary is vocabulary's total-ordered top-k cut
+    ("q_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM t
+        |  GROUP BY token ORDER BY tf DESC, token LIMIT 20))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(CASE WHEN token NOT IN (SELECT token FROM v) THEN 1 END) AS n_oov,
+        |  CAST(count(CASE WHEN token NOT IN (SELECT token FROM v) THEN 1 END)
+        |    AS DOUBLE) / count(*) AS oov_rate
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // approx_top_k (frequent-items sketch) heavy hitters with the bound
     // promoted into the oracle-checked surface — the approx_distinct /
     // approx_percentile witness pattern applied to the third daily-use
@@ -2302,8 +2316,9 @@ object SparkEntry {
         |ORDER BY media_id, dim""".stripMargin)),
 
     // perceptual (locality-sensitive) hash per media payload — the codegen'd
-    // PerceptualHash expression; integer mean threshold, code-point decode
-    // (the Fingerprint round-8 lesson), so DuckDB mirrors it bit-for-bit
+    // PerceptualHash expression: dHash gradient sign between consecutive
+    // evenly-spaced samples (all-integer, code-point decode — the
+    // Fingerprint round-8 lesson), so DuckDB mirrors it bit-for-bit
     ("q_media_phash",
       (s, d) => Multimodal.mediaPhash(Multimodal.mediaFromDocuments(
         Tables.documents(s, d))).orderBy("media_id"),
@@ -2311,14 +2326,17 @@ object SparkEntry {
         |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
         |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
         |  FROM documents),
-        |h AS (SELECT media_id, kind, len(cs) AS n, list_sum(cs) AS s, cs FROM codes)
-        |SELECT media_id, kind,
-        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST(list_sum(list_transform(generate_series(0, 47),
-        |    i -> CASE WHEN cs[CAST((i * n) // 48 AS INT) + 1] > s // n
+        |hh AS (SELECT media_id, kind, len(cs) AS n, cs FROM codes),
+        |sm AS (SELECT media_id, kind, list_transform(generate_series(0, 48),
+        |  j -> cs[CAST(least(j * 2, n - 1) AS INT) + 1]) AS smp FROM hh WHERE n > 0),
+        |h AS (SELECT media_id, kind,
+        |  CAST(list_sum(list_transform(generate_series(0, 47),
+        |    i -> CASE WHEN smp[CAST(i AS INT) + 1] > smp[CAST(i AS INT) + 2]
         |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS phash
-        |FROM h ORDER BY media_id""".stripMargin)),
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM sm
+        |  UNION ALL SELECT media_id, kind, CAST(0 AS BIGINT) FROM hh WHERE n = 0)
+        |SELECT media_id, kind, phash FROM h ORDER BY media_id""".stripMargin)),
 
     // media near-dup via Hamming-banded perceptual hashes. The oracle is
     // the BRUTE-FORCE all-pairs filter: with maxHamming 5 < 6 bands the
@@ -2330,14 +2348,16 @@ object SparkEntry {
       Some("""WITH codes AS (SELECT doc_id AS media_id,
         |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
         |  FROM documents),
-        |hh AS (SELECT media_id, len(cs) AS n, list_sum(cs) AS s, cs FROM codes),
+        |hh AS (SELECT media_id, len(cs) AS n, cs FROM codes),
+        |sm AS (SELECT media_id, list_transform(generate_series(0, 48),
+        |  j -> cs[CAST(least(j * 2, n - 1) AS INT) + 1]) AS smp FROM hh WHERE n > 0),
         |h AS (SELECT media_id,
-        |  CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-        |  ELSE CAST(list_sum(list_transform(generate_series(0, 47),
-        |    i -> CASE WHEN cs[CAST((i * n) // 48 AS INT) + 1] > s // n
+        |  CAST(list_sum(list_transform(generate_series(0, 47),
+        |    i -> CASE WHEN smp[CAST(i AS INT) + 1] > smp[CAST(i AS INT) + 2]
         |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) END AS phash
-        |  FROM hh)
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM sm
+        |  UNION ALL SELECT media_id, CAST(0 AS BIGINT) FROM hh WHERE n = 0)
         |SELECT a.media_id AS id1, b.media_id AS id2,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.media_id < b.media_id

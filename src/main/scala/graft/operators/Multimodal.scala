@@ -183,17 +183,20 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
-  /** Perceptual hash per media row — the aHash-style locality-sensitive
-    * fingerprint ([[graft.functions.PerceptualHash]], codegen'd) over the
-    * payload decoded as text: near-identical payloads land at small
-    * Hamming distance, which is what makes media DEDUP possible (the
-    * exact [[graft.functions.Fingerprint]] changes completely on a one-
-    * byte edit; image dedup needs the opposite). Pure narrow projection.
+  /** Perceptual hash per media row — the dHash-style (gradient-sign)
+    * locality-sensitive fingerprint ([[graft.functions.PerceptualHash]],
+    * codegen'd) over the payload decoded as text: near-identical payloads
+    * land at small Hamming distance, which is what makes media DEDUP
+    * possible (the exact [[graft.functions.Fingerprint]] changes
+    * completely on a one-byte edit; image dedup needs the opposite), and
+    * the difference bits are near-balanced so band buckets stay small
+    * (the expression's scaladoc has the measured aHash-bias numbers).
+    * Pure narrow projection.
     */
-  def mediaPhash(media: DataFrame, bits: Int = 48): DataFrame =
+  def mediaPhash(media: DataFrame, bits: Int = 48, stride: Int = 2): DataFrame =
     media.select(col("media_id"), col("kind"),
       graft.functions.Sketches.perceptualHash(
-        col("payload").cast("string"), bits).as("phash"))
+        col("payload").cast("string"), bits, stride).as("phash"))
 
   /** Media near-dup pairs via Hamming-banded perceptual hashes — the
     * image-dedup composition of the multimodal and dedup families: the

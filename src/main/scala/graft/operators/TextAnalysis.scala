@@ -366,6 +366,31 @@ object TextAnalysis {
     * (probed directly; plain VARCHAR accumulators fold left-to-right
     * correctly on both engines).
     */
+  /** Vocabulary-coverage / OOV-rate report — the tokenizer-health metric a
+    * training-data pipeline tracks per corpus snapshot: for each document,
+    * the fraction of token OCCURRENCES outside the top-`k` vocabulary
+    * ([[vocabulary]]'s deterministic `tf DESC, token ASC` cut, so the
+    * in/out boundary is total-ordered on both engines). A rising OOV rate
+    * is the early warning that the tokenizer no longer fits the data mix.
+    *
+    * Scale shape: the vocabulary reduces to k rows and broadcasts; the
+    * token stream joins it in one pass and re-aggregates per document
+    * map-side — no corpus-sized shuffle beyond the doc_id aggregate.
+    */
+  def vocabCoverage(documents: DataFrame, k: Int = 20): DataFrame = {
+    val vocab = vocabulary(documents, k)
+      .select(col("token"), lit(1).as("in_vocab"))
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** The approx-top-k (frequent-items sketch) bound promoted into the
     * oracle-checked surface — the [[graft.operators.Relational]]
     * `approxDistinctBound`/`approxPercentileBound` pattern applied to the

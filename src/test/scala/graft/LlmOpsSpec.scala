@@ -614,6 +614,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(real.filter(!col("keep")).count() > 0, "some real docs must drop")
   }
 
+  test("vocab coverage: planted OOV counted exactly, in-vocab doc at zero, corpus conserves") {
+    import spark.implicits._
+    // vocab k=2 over this corpus is {a, b} (tf 4, 3); doc 3 mixes 2 OOV of 4
+    val fixture = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "a zz b qq"), (4L, "xx yy")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(fixture, k = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((4L, 0L, 0.0)) && r(2L) == ((2L, 0L, 0.0)))
+    assert(r(3L) == ((4L, 2L, 0.5)), s"doc 3 half OOV: ${r(3L)}")
+    assert(r(4L) == ((2L, 2L, 1.0)), s"doc 4 fully OOV: ${r(4L)}")
+    // real corpus: token totals conserve and rates are proper fractions
+    val real = TextAnalysis.vocabCoverage(docs).cache()
+    assert(real.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    val totalToks = docs.select(explode(split(col("text"), " "))).count()
+    assert(real.agg(sum("n_tokens")).head.getLong(0) == totalToks)
+    real.unpersist()
+  }
+
   test("approx top-k bound: exact regime witnesses, eviction regime still finds the heavy hitter") {
     import spark.implicits._
     // real corpus: vocab (~31 tokens) far under maxItems -> sketch exact,

@@ -231,15 +231,15 @@ class SketchSpec extends SparkSpec {
 
   test("perceptual hash: codegen/interpreted parity, reference model, locality, multi-byte") {
     import spark.implicits._
-    // independent reference: code-point walk in plain Scala
-    def ref(text: String, bits: Int): Long = {
+    // independent reference: code-point walk in plain Scala (dHash —
+    // gradient sign between consecutive fixed-stride samples, end-clamped)
+    def ref(text: String, bits: Int, stride: Int = 2): Long = {
       val cps = text.codePoints().toArray
       if (cps.isEmpty) 0L
       else {
-        val n = cps.length.toLong
-        val mean = cps.map(_.toLong).sum / n
+        val smp = (0 to bits).map(j => cps(math.min(j * stride, cps.length - 1)))
         (0 until bits).foldLeft(0L) { (h, i) =>
-          if (cps(((i * n) / bits).toInt) > mean) h | (1L << i) else h
+          if (smp(i) > smp(i + 1)) h | (1L << i) else h
         }
       }
     }
