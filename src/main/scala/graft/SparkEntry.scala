@@ -231,6 +231,27 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED media-fingerprint family — perceptual hashes + verified
+    * near-dup pairs ([[Multimodal.persistMediaPhash]]) built once per
+    * documents snapshot; both media-dedup queries serve as one scan.
+    */
+  private val mediaPhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Multimodal.MediaPhashTables)]()
+  private def mediaPhashTables(s: SparkSession, d: String): Multimodal.MediaPhashTables = {
+    mediaPhashCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "mediaphash-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    mediaPhashCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_media")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
+          Multimodal.persistMediaPhash(
+            Multimodal.mediaFromDocuments(Tables.documents(s, d)), dir, stamp = stamp)
+        (stamp, Multimodal.loadMediaPhash(s, dir))
+      })._2
+  }
+
   /** PERSISTED BPE merge table — tokenizer training is the definition of
     * a once-per-corpus-snapshot batch job; the default-k merge table is
     * committed like every other family and `q_bpe_merges` serves it as
@@ -2316,12 +2337,13 @@ object SparkEntry {
         |ORDER BY media_id, dim""".stripMargin)),
 
     // perceptual (locality-sensitive) hash per media payload — the codegen'd
-    // PerceptualHash expression: dHash gradient sign between consecutive
-    // evenly-spaced samples (all-integer, code-point decode — the
-    // Fingerprint round-8 lesson), so DuckDB mirrors it bit-for-bit
+    // PerceptualHash expression: dHash gradient sign on a fixed-stride
+    // sample grid (all-integer, code-point decode — the Fingerprint
+    // round-8 lesson), so DuckDB mirrors it bit-for-bit. Served from the
+    // persisted graft_media family (one scan); the oracle recomputes from
+    // text, hash-proving the persisted table equals direct computation.
     ("q_media_phash",
-      (s, d) => Multimodal.mediaPhash(Multimodal.mediaFromDocuments(
-        Tables.documents(s, d))).orderBy("media_id"),
+      (s, d) => mediaPhashTables(s, d).phash.orderBy("media_id"),
       Some("""WITH codes AS (SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
         |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
@@ -2338,13 +2360,15 @@ object SparkEntry {
         |  UNION ALL SELECT media_id, kind, CAST(0 AS BIGINT) FROM hh WHERE n = 0)
         |SELECT media_id, kind, phash FROM h ORDER BY media_id""".stripMargin)),
 
-    // media near-dup via Hamming-banded perceptual hashes. The oracle is
-    // the BRUTE-FORCE all-pairs filter: with maxHamming 5 < 6 bands the
-    // pigeonhole guarantee says every qualifying pair shares a band, so
-    // the hash check itself proves the banded candidates complete.
+    // media near-dup via Hamming-banded perceptual hashes, served from
+    // the family's persisted verified pairs (one scan; the banded build
+    // runs once per corpus snapshot off the read-back hash table). The
+    // oracle is the BRUTE-FORCE all-pairs filter: with maxHamming 5 < 6
+    // bands the pigeonhole guarantee says every qualifying pair shares a
+    // band, so the hash check proves the banded candidates complete AND
+    // the persisted table current.
     ("q_media_neardup",
-      (s, d) => Multimodal.phashNearDupPairs(Multimodal.mediaFromDocuments(
-        Tables.documents(s, d))),
+      (s, d) => mediaPhashTables(s, d).nearDupPairs.orderBy("id1", "id2"),
       Some("""WITH codes AS (SELECT doc_id AS media_id,
         |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
         |  FROM documents),

@@ -216,11 +216,19 @@ object Multimodal {
     * by payload diversity per band value.
     */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int = 5,
-                        bits: Int = 48, bands: Int = 6): DataFrame = {
+                        bits: Int = 48, bands: Int = 6): DataFrame =
+    phashNearDupPairsFrom(mediaPhash(media, bits).select("media_id", "phash"),
+      maxHamming, bits, bands)
+
+  /** [[phashNearDupPairs]] over an ALREADY-COMPUTED (media_id, phash)
+    * frame — the serving split that lets the pairs build run off the
+    * persisted hash table instead of re-hashing payloads.
+    */
+  def phashNearDupPairsFrom(ph: DataFrame, maxHamming: Int = 5,
+                            bits: Int = 48, bands: Int = 6): DataFrame = {
     require(maxHamming < bands,
       "exact recall needs maxHamming < bands (pigeonhole)")
     val width = bits / bands
-    val ph = mediaPhash(media, bits).select("media_id", "phash")
     val banded = ph.select(col("media_id"), col("phash"),
       explode(array((0 until bands).map(lit): _*)).as("band"))
       .select(col("media_id"), col("band"),
@@ -238,4 +246,35 @@ object Multimodal {
       .select(col("id1"), col("id2"), col("hamming"))
       .orderBy("id1", "id2")
   }
+
+  /** Persist the media-fingerprint family — hash table + default-threshold
+    * verified near-dup pairs — once per corpus snapshot under the standard
+    * content-stamped commit protocol (the dedup/annserve precedent applied
+    * to the media side): per-call serving is ONE parquet scan for either
+    * query; [[phashNearDupPairsFrom]] over the hash table remains the
+    * other-threshold path.
+    *
+    *  - `phash` — (media_id, kind, phash): the codegen'd hash, one narrow
+    *    pass over payloads
+    *  - `neardup_pairs` — (id1, id2, hamming): banded + verified at the
+    *    default maxHamming, built from the READ-BACK hash table (staging
+    *    discipline)
+    */
+  def persistMediaPhash(media: DataFrame, dir: String, stamp: String = ""): Unit = {
+    val spark = media.sparkSession
+    mediaPhash(media).write.mode("overwrite").parquet(s"$dir/phash")
+    phashNearDupPairsFrom(
+        spark.read.parquet(s"$dir/phash").select("media_id", "phash"))
+      .write.mode("overwrite").parquet(s"$dir/neardup_pairs")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
+  }
+
+  /** A [[persistMediaPhash]]-ed snapshot. */
+  case class MediaPhashTables(phash: DataFrame, nearDupPairs: DataFrame)
+
+  /** Load a [[persistMediaPhash]]-ed snapshot. */
+  def loadMediaPhash(spark: SparkSession, dir: String): MediaPhashTables =
+    MediaPhashTables(
+      phash = spark.read.parquet(s"$dir/phash"),
+      nearDupPairs = spark.read.parquet(s"$dir/neardup_pairs"))
 }

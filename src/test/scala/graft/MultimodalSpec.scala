@@ -168,6 +168,27 @@ class MultimodalSpec extends SparkSpec {
     assert(e1.values.forall(v => v.length == 16 && v.forall(x => x >= -1.0 && x <= 1.0)))
   }
 
+  test("persisted media-phash family: snapshot serving equals direct computation, snapshot-only scans") {
+    val dir = java.nio.file.Files.createTempDirectory("mediaphash").toString
+    Multimodal.persistMediaPhash(media, dir, stamp = "spec")
+    val t = Multimodal.loadMediaPhash(spark, dir)
+    val directHash = Multimodal.mediaPhash(media).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val servedHash = t.phash.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(servedHash == directHash, "persisted hash table must equal direct computation")
+    val directPairs = Multimodal.phashNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val servedPairs = t.nearDupPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(servedPairs == directPairs, "persisted pairs must equal the direct operator")
+    // serving scans ONLY the snapshot — never payloads
+    val leaves = t.nearDupPairs.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains(dir) && !leaves.contains("documents"),
+      s"pairs serving must read the snapshot alone:\n$leaves")
+  }
+
   test("phash near-dup: planted near-identical media pair found, banding equals brute force") {
     import spark.implicits._
     // plant an exact copy and a tail-edited near-copy of media 0's payload
