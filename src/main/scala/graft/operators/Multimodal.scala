@@ -247,6 +247,37 @@ object Multimodal {
       .orderBy("id1", "id2")
   }
 
+  /** Perceptual-hash DELTA dedup — the media-side analog of
+    * [[Dedup.dedupDelta]]: a small delta of freshly-hashed media matched
+    * against the CORPUS hash table (never payloads), returning
+    * (corpus_id, delta_id, hamming) for every delta row within
+    * `maxHamming` of a corpus row. Candidates come from the same
+    * pigeonhole banding as [[phashNearDupPairsFrom]] — corpus-side work
+    * ∝ corpus hash rows (narrow), join cost ∝ shared band buckets — so
+    * recall is exact for maxHamming < bands.
+    */
+  def phashDedupDelta(corpusPh: DataFrame, deltaPh: DataFrame,
+                      maxHamming: Int = 5, bits: Int = 48,
+                      bands: Int = 6): DataFrame = {
+    require(maxHamming < bands,
+      "exact recall needs maxHamming < bands (pigeonhole)")
+    val width = bits / bands
+    def banded(ph: DataFrame) = ph
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .select(col("media_id"), col("phash"), col("band"),
+        expr(s"(phash >> (band * $width)) & ${(1L << width) - 1}").as("bucket"))
+    banded(corpusPh.select("media_id", "phash")).as("c")
+      .join(banded(deltaPh.select("media_id", "phash")).as("d"),
+        col("c.band") === col("d.band") && col("c.bucket") === col("d.bucket"))
+      .select(col("c.media_id").as("corpus_id"), col("d.media_id").as("delta_id"),
+        col("c.phash").as("p1"), col("d.phash").as("p2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("corpus_id", "delta_id", "hamming")
+  }
+
   /** Persist the media-fingerprint family — hash table + default-threshold
     * verified near-dup pairs — once per corpus snapshot under the standard
     * content-stamped commit protocol (the dedup/annserve precedent applied
