@@ -131,9 +131,11 @@ object Stateful {
     * the emission rule is inherently sequential, and the in-row fold is
     * how a fold stays inside codegen with no driver loop (the
     * [[graft.operators.TextAnalysis]] mergeFold precedent). The DuckDB
-    * oracle replays the identical fold as a string-accumulator
-    * `list_reduce` — so even this prefix-dependent operator hash-checks
-    * end to end.
+    * oracle replays the emission chain as a RECURSIVE CTE — a
+    * string-accumulator `list_reduce` mirror was probed first and hit
+    * DuckDB 1.0's cross-row accumulator contamination at sf0.1 (see the
+    * registry comment) — so even this prefix-dependent operator
+    * hash-checks end to end at all three SFs.
     *
     * Scale ceiling: the collected per-key array is bounded by alerts per
     * (city, severity) — the [[severityStreaksBatch]] per-city note, one
