@@ -2388,6 +2388,36 @@ object SparkEntry {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 5
         |ORDER BY id1, id2""".stripMargin)),
 
+    // reverse-media-search endpoint: an arbitrary request frame hashed
+    // and banded against the persisted corpus hash table (fingerprints
+    // only — the MediaDedup serving shape); in-corpus probes return their
+    // neighbors, self excluded. Brute-force oracle (pigeonhole-complete).
+    ("q_media_lookup",
+      (s, d) => {
+        val probes = Multimodal.mediaFromDocuments(
+          Tables.documents(s, d).filter(col("doc_id") < 30))
+          .withColumnRenamed("media_id", "query_id")
+        Multimodal.phashLookup(mediaPhashTables(s, d).phash, probes)
+      },
+      Some("""WITH codes AS (SELECT doc_id AS media_id,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  FROM documents),
+        |hh AS (SELECT media_id, len(cs) AS n, cs FROM codes),
+        |sm AS (SELECT media_id, list_transform(generate_series(0, 48),
+        |  j -> cs[CAST(least(j * 2, n - 1) AS INT) + 1]) AS smp FROM hh WHERE n > 0),
+        |h AS (SELECT media_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 47),
+        |    i -> CASE WHEN smp[CAST(i AS INT) + 1] > smp[CAST(i AS INT) + 2]
+        |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM sm
+        |  UNION ALL SELECT media_id, CAST(0 AS BIGINT) FROM hh WHERE n = 0)
+        |SELECT q.media_id AS query_id, c.media_id AS media_id,
+        |  CAST(bit_count(xor(q.phash, c.phash)) AS BIGINT) AS hamming
+        |FROM h q JOIN h c ON q.media_id < 30 AND c.media_id <> q.media_id
+        |WHERE bit_count(xor(q.phash, c.phash)) <= 5
+        |ORDER BY query_id, c.media_id""".stripMargin)),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

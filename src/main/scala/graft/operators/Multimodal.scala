@@ -278,6 +278,27 @@ object Multimodal {
       .select("corpus_id", "delta_id", "hamming")
   }
 
+  /** Reverse-media-search endpoint — "find the corpus media near THIS
+    * payload": an arbitrary (query_id, kind, payload) request frame is
+    * hashed with the same codegen'd expression and matched against the
+    * corpus HASH table via the banded [[phashDedupDelta]] kernel
+    * (pigeonhole-exact for maxHamming < bands), excluding a query's own
+    * corpus row so an in-corpus probe returns its neighbors, not itself.
+    * Per request the corpus is touched only through its fingerprints —
+    * the serving shape [[graft.streaming.MediaDedup]] runs per
+    * micro-batch.
+    */
+  def phashLookup(corpusPh: DataFrame, queries: DataFrame,
+                  maxHamming: Int = 5): DataFrame = {
+    val qPh = mediaPhash(queries.withColumnRenamed("query_id", "media_id"))
+      .select(col("media_id"), col("phash"))
+    phashDedupDelta(corpusPh.select("media_id", "phash"), qPh, maxHamming)
+      .select(col("delta_id").as("query_id"), col("corpus_id").as("media_id"),
+        col("hamming"))
+      .filter(col("query_id") =!= col("media_id"))
+      .orderBy("query_id", "media_id")
+  }
+
   /** Persist the media-fingerprint family — hash table + default-threshold
     * verified near-dup pairs — once per corpus snapshot under the standard
     * content-stamped commit protocol (the dedup/annserve precedent applied

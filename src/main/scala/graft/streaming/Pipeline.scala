@@ -318,6 +318,19 @@ class Pipeline(
     startAllWithCrawl(events, docs, baseIndexDir) :+
       startFluencyGate(docs, modelDir, threshold)
 
+  def mediaStorePath: String = s"$storeRoot/media"
+
+  /** Media-ingest dedup as a topology member: the [[MediaDedup]] stream
+    * over a (media_id, kind, payload) source, fingerprint-matched against
+    * the persisted corpus hash table, outputs under the shared store root
+    * with its own checkpoint dir like every sibling — the third ingest
+    * stream beside crawl dedup and the fluency gate.
+    */
+  def startMediaDedup(media: DataFrame, basePhashDir: String,
+                      maxHamming: Int = 5): StreamingQuery =
+    MediaDedup.start(media, basePhashDir, mediaStorePath, maxHamming,
+      checkpointDir = Some(s"$checkpointRoot/media-dedup"))
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 

@@ -189,6 +189,26 @@ class MultimodalSpec extends SparkSpec {
       s"pairs serving must read the snapshot alone:\n$leaves")
   }
 
+  test("phash lookup endpoint: probes return their neighbors, never themselves, brute-force complete") {
+    import spark.implicits._
+    val corpusPh = Multimodal.mediaPhash(media).select("media_id", "phash")
+    // probe with an in-corpus payload: must return its near-dups, not itself
+    val probeSrc = Tables.documents(spark, sf).orderBy("doc_id").limit(5)
+    val probes = Multimodal.mediaFromDocuments(probeSrc)
+      .withColumnRenamed("media_id", "query_id")
+    val got = Multimodal.phashLookup(corpusPh, probes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.forall(p => p._1 != p._2), "a probe must never match itself")
+    // brute-force completeness over the probe set
+    val ph = corpusPh.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val probeIds = probeSrc.collect().map(_.getLong(0)).toSet
+    val brute = (for {
+      q <- probeIds.toSeq; (c, cp) <- ph if c != q
+      h = java.lang.Long.bitCount(ph(q) ^ cp) if h <= 5
+    } yield (q, c, h.toLong)).toSet
+    assert(got == brute, s"lookup must equal brute force over probes: ${got.size} vs ${brute.size}")
+  }
+
   test("phash near-dup: planted near-identical media pair found, banding equals brute force") {
     import spark.implicits._
     // plant an exact copy and a tail-edited near-copy of media 0's payload
