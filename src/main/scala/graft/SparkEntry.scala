@@ -571,6 +571,21 @@ object SparkEntry {
              .mkString(", ")}
         |FROM events GROUP BY day ORDER BY day""".stripMargin)),
 
+    // rolling 7-day active users (WAU): contribute-then-count — the
+    // (user, day) grid distinct-reduces, each row explodes into its <= 7
+    // window-end days, one distinct-count per day finishes; no per-day
+    // rescan, no windowed distinct. Trailing windows drain past the last
+    // data day by design (the window emptying is part of the curve).
+    ("q_rolling_active",
+      (s, d) => Serving.rollingActive(Tables.events(s, d)),
+      Some("""WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |w AS (SELECT user_id, unnest(generate_series(day,
+        |  day + INTERVAL '6 days', INTERVAL '1 day')) AS window_end FROM ud)
+        |SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("q_daily_active",
       (s, d) => Serving.dailyActive(Tables.events(s, d)),
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -1298,6 +1313,33 @@ object SparkEntry {
         |v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |  FROM t GROUP BY token)
         |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
+
+    // filter-agreement calibration cross-tab: C4 keep × Gopher keep —
+    // the off-diagonal cells are where curation thresholds need eyes
+    ("q_filter_agreement",
+      (s, d) => TextAnalysis.filterAgreement(Tables.documents(s, d)),
+      Some(s"""WITH c4 AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3 AS c4_keep
+        |  FROM documents),
+        |gf AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) >= 50 AND len(string_split(text, ' ')) <= 100000
+        |  AND (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |  AND (CASE WHEN len(string_split(text, ' ')) > 1 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+        |      AS DOUBLE) / (len(string_split(text, ' ')) - 1)
+        |    ELSE 0.0 END) <= 0.2
+        |  AND ${TextAnalysis.Sql.stopHits} >= 2 AS gopher_keep
+        |  FROM documents)
+        |SELECT c4.c4_keep, gf.gopher_keep, count(*) AS n_docs
+        |FROM c4 JOIN gf USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // vocabulary-coverage / OOV-rate report: the tokenizer-health metric;
     // the in/out boundary is vocabulary's total-ordered top-k cut

@@ -196,6 +196,28 @@ object Serving {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** Rolling 7-day active users (WAU curve) — for each calendar day, the
+    * distinct users active in the trailing 7-day window. The scale shape
+    * is contribute-then-count, NOT a per-day rescan: the (user, day)
+    * activity grid distinct-reduces first (rows ∝ users × active-days),
+    * each grid row explodes into the ≤ 7 window-end days it contributes
+    * to, and one distinct-count per window day finishes — no self-join
+    * against a day dimension, no windowed distinct (which no engine
+    * streams). Emitted days are those with ≥ 1 active window, so the
+    * curve starts at the first day of data.
+    */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+          expr("INTERVAL 1 DAY"))).as("window_end"))
+      .groupBy(date_format(col("window_end"), "yyyy-MM-dd").as("window_end"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("window_end")
+
   /** GET /metrics/producer (producer/.../KafkaProducerService.java:100-145,
     * A7): running count/sum/min/max/avg over the value stream plus a
     * throughput rate — the producer's LongAdder metrics as one aggregation.

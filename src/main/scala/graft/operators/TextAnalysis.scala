@@ -366,6 +366,23 @@ object TextAnalysis {
     * (probed directly; plain VARCHAR accumulators fold left-to-right
     * correctly on both engines).
     */
+  /** Filter-agreement audit — the calibration cross-tab between the two
+    * rule gates ([[qualityFilter]]'s C4 rules × [[gopherFilter]]'s Gopher
+    * rules): how many documents each keep/drop combination holds. The
+    * off-diagonal cells are the interesting ones — documents one filter
+    * keeps and the other drops are exactly where a curation pipeline's
+    * thresholds need human eyes. One equi-join on doc_id + a 4-group
+    * aggregate; combinations with zero documents are absent (both
+    * engines agree).
+    */
+  def filterAgreement(documents: DataFrame): DataFrame =
+    qualityFilter(documents).select(col("doc_id"), col("keep").as("c4_keep"))
+      .join(gopherFilter(documents).select(col("doc_id"), col("keep").as("gopher_keep")),
+        Seq("doc_id"))
+      .groupBy("c4_keep", "gopher_keep")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("c4_keep", "gopher_keep")
+
   /** Vocabulary-coverage / OOV-rate report — the tokenizer-health metric a
     * training-data pipeline tracks per corpus snapshot: for each document,
     * the fraction of token OCCURRENCES outside the top-`k` vocabulary

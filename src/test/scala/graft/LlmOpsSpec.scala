@@ -614,6 +614,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(real.filter(!col("keep")).count() > 0, "some real docs must drop")
   }
 
+  test("filter agreement: cells partition the corpus, planted disagreement lands off-diagonal") {
+    import spark.implicits._
+    val r = TextAnalysis.filterAgreement(docs).collect()
+      .map(x => ((x.getBoolean(0), x.getBoolean(1)), x.getLong(2))).toMap
+    assert(r.values.sum == docs.count(), "cells must partition the corpus")
+    // a 25-token clean doc: C4 keeps (>= 20 tokens), Gopher drops (< 50)
+    val disagree = (Seq.tabulate(12)(i => s"word$i the").mkString(" ") + " extra", 1L)
+    val fx = Seq(disagree).map { case (t, id) => (id, t) }.toDF("doc_id", "text")
+    val cell = TextAnalysis.filterAgreement(fx).collect()
+      .map(x => ((x.getBoolean(0), x.getBoolean(1)), x.getLong(2))).toMap
+    assert(cell == Map((true, false) -> 1L),
+      s"C4-keep/Gopher-drop must land in the off-diagonal cell: $cell")
+  }
+
   test("vocab coverage: planted OOV counted exactly, in-vocab doc at zero, corpus conserves") {
     import spark.implicits._
     // vocab k=2 over this corpus is {a, b} (tf 4, 3); doc 3 mixes 2 OOV of 4

@@ -201,6 +201,27 @@ class RelationalSpec extends SparkSpec {
     assert(r.forall(_.length == 25), "day + 24 static hour columns")
   }
 
+  test("rolling active: each user-day feeds exactly its 7 trailing windows; WAU >= DAU") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one user, one active day -> seven windows of exactly 1, then silence
+    val solo = Seq((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 15:00:00")))
+      .toDF("user_id", "ts")
+    val r = Serving.rollingActive(solo).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.length == 7 && r.forall(_._2 == 1L), s"7 windows of 1: ${r.toSeq}")
+    assert(r.head._1 == "2024-01-01" && r.last._1 == "2024-01-07")
+    // real corpus: every window's WAU >= that day's DAU, and the curve
+    // extends exactly 6 drain days past the last active day
+    val wau = Serving.rollingActive(events).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    val dau = Serving.dailyActive(events).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    dau.foreach { case (day, n) =>
+      assert(wau(day) >= n, s"WAU($day)=${wau(day)} < DAU=$n") }
+    assert(wau.size == dau.size + 6, "6 drain windows past the last data day")
+  }
+
   test("retention cohorts: week-0 equals cohort size, cells never exceed it, users conserved") {
     val r = Serving.retentionCohorts(events).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
