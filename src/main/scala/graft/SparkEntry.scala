@@ -2041,6 +2041,100 @@ object SparkEntry {
         |  AND d.doc_id NOT IN (SELECT vec_id2 FROM sdrop)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // The full clean pipeline in its SCALE shape: identical quality ->
+    // decontaminate -> lexical near-dedup stages, but the semantic stage
+    // reads the annserve snapshot's PERSISTED sign-LSH verified pairs
+    // (restricted to survivors) instead of exact all-pairs cosine —
+    // restriction commutes with LSH banding (a pair's bands depend only
+    // on its own vectors), so the composition stays fully hash-checkable
+    // while every expensive stage serves from a snapshot table. This is
+    // the composition a 100 TB deployment actually runs; the exact-cosine
+    // q_pipeline_full_clean stays as its validation baseline.
+    ("q_pipeline_scale_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        val q = corpus.join(
+          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val decon = Dedup.decontaminate(q, bench, 5)
+        val drop = nearDupPairs(s, d)
+          .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
+          .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
+          .select(col("doc_id2").as("doc_id")).distinct()
+        val lex = decon.join(drop, Seq("doc_id"), "left_anti")
+        val sem = annServeTables(s, d).pairs
+          .join(lex.select(col("doc_id").as("vec_id1")), Seq("vec_id1"), "left_semi")
+          .join(lex.select(col("doc_id").as("vec_id2")), Seq("vec_id2"), "left_semi")
+          .select(col("vec_id2").as("doc_id")).distinct()
+        lex.join(sem, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some(s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |q AS (SELECT * FROM corp WHERE
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM q)),
+        |dcn AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))),
+        |sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |dropset AS (SELECT DISTINCT doc_id2 FROM pairs
+        |  WHERE doc_id1 IN (SELECT doc_id FROM dcn)
+        |    AND doc_id2 IN (SELECT doc_id FROM dcn)),
+        |lex AS (SELECT doc_id FROM dcn
+        |  WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)),
+        |lg AS (SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |lm AS (SELECT lg.rep, e.vec_id FROM embeddings e JOIN lg ON e.embedding = lg.embedding),
+        |ld AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
+        |  WHERE vec_id IN (SELECT rep FROM lg)),
+        |lb AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM ld),
+        |lc AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM lb CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |lp0 AS (SELECT DISTINCT a.vec_id AS vec_id1, c2.vec_id AS vec_id2
+        |  FROM lc a JOIN lc c2 ON a.band = c2.band AND a.bb = c2.bb
+        |    AND a.vec_id < c2.vec_id),
+        |lp AS (SELECT lp0.vec_id1, lp0.vec_id2,
+        |  ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |  FROM lp0 JOIN ld a ON lp0.vec_id1 = a.vec_id
+        |          JOIN ld b2 ON lp0.vec_id2 = b2.vec_id),
+        |lrp AS (SELECT * FROM lp WHERE cosine >= 0.4),
+        |lelig AS (SELECT lm.rep, lm.vec_id FROM lm JOIN ld ON lm.rep = ld.vec_id
+        |  WHERE sqrt(${Similarity.Sql.dot("ld.v", "ld.v")}) > 0),
+        |lintra AS (SELECT a.vec_id AS vec_id1, b2.vec_id AS vec_id2
+        |  FROM lelig a JOIN lelig b2 ON a.rep = b2.rep AND a.vec_id < b2.vec_id),
+        |lxg AS (SELECT least(m1.vec_id, m2.vec_id) AS vec_id1,
+        |  greatest(m1.vec_id, m2.vec_id) AS vec_id2
+        |  FROM lrp JOIN lm m1 ON lrp.vec_id1 = m1.rep
+        |           JOIN lm m2 ON lrp.vec_id2 = m2.rep),
+        |spairs AS (SELECT vec_id1, vec_id2 FROM lintra
+        |  UNION ALL SELECT vec_id1, vec_id2 FROM lxg),
+        |semdrop AS (SELECT DISTINCT vec_id2 FROM spairs
+        |  WHERE vec_id1 IN (SELECT doc_id FROM lex)
+        |    AND vec_id2 IN (SELECT doc_id FROM lex))
+        |SELECT d2.doc_id, d2.lang, d2.source FROM documents d2
+        |WHERE d2.doc_id IN (SELECT doc_id FROM lex)
+        |  AND d2.doc_id NOT IN (SELECT vec_id2 FROM semdrop)
+        |ORDER BY d2.doc_id""".stripMargin)),
+
     // dataset-card composition report per language
     ("q_corpus_stats",
       (s, d) => Corpus.corpusStats(Tables.documents(s, d)),

@@ -614,6 +614,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(real.filter(!col("keep")).count() > 0, "some real docs must drop")
   }
 
+  test("scale-shape clean pipeline keeps a superset of the exact-cosine baseline") {
+    // LSH band candidates are a subset of all pairs, so the scale-shape
+    // semantic stage can only drop FEWER docs than the exact baseline —
+    // survivors must contain the baseline's survivors, never lose one
+    val full = SparkEntry.queries("q_pipeline_full_clean")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val scale = SparkEntry.queries("q_pipeline_scale_clean")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full.nonEmpty && full.subsetOf(scale),
+      s"exact-baseline survivors must survive the LSH stage too: ${(full -- scale).take(5)}")
+  }
+
   test("filter agreement: cells partition the corpus, planted disagreement lands off-diagonal") {
     import spark.implicits._
     val r = TextAnalysis.filterAgreement(docs).collect()
