@@ -2135,6 +2135,17 @@ object SparkEntry {
         |  AND d2.doc_id NOT IN (SELECT vec_id2 FROM semdrop)
         |ORDER BY d2.doc_id""".stripMargin)),
 
+    // per-source duplication report: content identity via the codegen'd
+    // 64-bit fingerprint so the distinct shuffles hashes, not documents;
+    // the oracle mirrors the identical fingerprint
+    ("q_dup_rate_by_source",
+      (s, d) => Corpus.dupRateBySource(Tables.documents(s, d)),
+      Some(s"""SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT ${TextAnalysis.Sql.fingerprint}) AS n_distinct,
+        |  1.0 - CAST(count(DISTINCT ${TextAnalysis.Sql.fingerprint}) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // dataset-card composition report per language
     ("q_corpus_stats",
       (s, d) => Corpus.corpusStats(Tables.documents(s, d)),

@@ -186,6 +186,28 @@ object Corpus {
       .select("doc_id", "lang", "bucket", "n_l", "threshold")
   }
 
+  /** Per-source duplication report — the dataset-card number that answers
+    * "which source is feeding duplicates": per source, document count,
+    * distinct-content count and the exact-duplicate rate. Content
+    * identity is the codegen'd polynomial
+    * [[graft.operators.TextAnalysis.fingerprintCol]] (64-bit), so the
+    * distinct shuffles 8-byte hashes instead of document bytes — at
+    * 100 TB that is the difference between a countDistinct that runs and
+    * one that moves the corpus; the DuckDB oracle mirrors the identical
+    * fingerprint, keeping the report hash-checkable.
+    */
+  def dupRateBySource(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        graft.operators.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (lit(1.0) - countDistinct(col("fp")).cast("double")
+          / count(lit(1)).cast("double")).as("dup_rate"))
+      .orderBy("source")
+
   /** Token-budget document CHUNKING with overlap — the training-prep step
     * between cleaning and packing: every document splits into windows of
     * at most `maxTokens` whitespace tokens, consecutive chunks sharing

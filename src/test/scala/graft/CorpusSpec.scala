@@ -202,6 +202,24 @@ class CorpusSpec extends SparkSpec {
     assert(top2.length == 2 && top2.head == 10L, s"k must keep the best-scored docs: $top2")
   }
 
+  test("dup rate by source: planted duplicates raise exactly their source's rate") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma", "clean_src"), (2L, "delta epsilon zeta", "clean_src"),
+      (3L, "the same text", "dup_src"), (4L, "the same text", "dup_src"),
+      (5L, "the same text", "dup_src"), (6L, "something else", "dup_src"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.dupRateBySource(fixture).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("clean_src") == ((2L, 2L, 0.0)), s"no dups: ${r("clean_src")}")
+    assert(r("dup_src")._1 == 4L && r("dup_src")._2 == 2L &&
+      math.abs(r("dup_src")._3 - 0.5) < 1e-12, s"3 copies of 4 docs: ${r("dup_src")}")
+    // real corpus: rates are proper fractions, docs conserved per source
+    val real = Corpus.dupRateBySource(docs).collect()
+    assert(real.map(_.getLong(1)).sum == docs.count())
+    assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) < 1.0))
+  }
+
   test("temperature sample: rarer languages keep a larger fraction, thresholds honor the α=0.5 formula") {
     val r = Corpus.temperatureSample(docs).cache()
     // deterministic and id-stable
