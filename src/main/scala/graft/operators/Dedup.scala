@@ -490,16 +490,30 @@ object Dedup {
     * max struct is exactly (longest, lowest-id-among-longest) — one
     * aggregate on the (small) cluster frame, no per-cluster sort.
     */
-  def nearDedupKeepBest(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val clusters = clustersFromPairs(pairs)
+  def nearDedupKeepBest(documents: DataFrame, pairs: DataFrame): DataFrame =
+    documents.join(keepBestDrop(documents, clustersFromPairs(pairs)),
+      Seq("doc_id"), "left_anti")
+
+  /** The keep-best policy's DROP SET over an already-computed cluster
+    * frame (doc_id, cluster_id): every clustered document except each
+    * cluster's (longest `n_chars`, smallest doc_id on ties) survivor.
+    * Exposed separately so a materialized clusters table feeds the drop
+    * without re-running label propagation per consumer
+    * ([[persistSketchTables]] stores both; round-10 verdict next-round 2).
+    * Documents without an `n_chars` column fall back to `length(text)` —
+    * the corpus tables carry both and they agree by construction.
+    */
+  def keepBestDrop(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val quality =
+      if (documents.columns.contains("n_chars"))
+        documents.select(col("doc_id"), col("n_chars"))
+      else documents.select(col("doc_id"), length(col("text")).as("n_chars"))
     val best = clusters
-      .join(documents.select(col("doc_id"), col("n_chars")), "doc_id")
+      .join(quality, "doc_id")
       .groupBy("cluster_id")
       .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("b"))
       .select((-col("b.neg_id")).as("doc_id"))
-    val dropped = clusters.select("doc_id")
-      .join(best, Seq("doc_id"), "left_anti")
-    documents.join(dropped, Seq("doc_id"), "left_anti")
+    clusters.select("doc_id").join(best, Seq("doc_id"), "left_anti")
   }
 
   /** Duplicate clusters over the near-dup pairs graph: every document that
@@ -1033,12 +1047,19 @@ object Dedup {
     *    strip (v5 — the same amortization applied to the last two
     *    per-call intersection pipelines; each was ~2.4 s of df-cap +
     *    self-join per serving call).
+    *  - `clusters` / `keepBestDrop` — the converged connected-component
+    *    min-labels over `pairs` and the keep-best policy's drop set over
+    *    them (v6 — both are threshold-determined snapshot state;
+    *    `q_dup_clusters` and `q_dedup_keep_best` were re-running fixpoint
+    *    label propagation per serving call — round-10 verdict
+    *    next-round 2).
     */
   case class SketchTables(members: DataFrame, index: DataFrame,
                           stoplist: DataFrame, pairs: DataFrame,
                           simhash: DataFrame, simhashPairs: DataFrame,
                           containmentPairs: DataFrame,
-                          jaccardPairs: DataFrame, stoplistPairs: DataFrame)
+                          jaccardPairs: DataFrame, stoplistPairs: DataFrame,
+                          clusters: DataFrame, keepBestDrop: DataFrame)
 
   /** Build the dedup sketch family ONCE per corpus snapshot and commit it
     * under `dir` — the [[Similarity.persistIndex]] pattern applied to the
@@ -1098,6 +1119,20 @@ object Dedup {
         stopHashesOpt = Some(stopListHashes(spark.read.parquet(s"$dir/stoplist"))),
         indexOpt = Some(index))
       .write.mode("overwrite").parquet(s"$dir/stoplist_pairs")
+    // converged duplicate-cluster assignment over the READ-BACK pairs
+    // (v6; round-10 verdict next-round 2: `q_dup_clusters` and
+    // `q_dedup_keep_best` each re-ran fixpoint label propagation per
+    // serving call over pairs that were already a persisted table —
+    // clusters are threshold-determined, so the fixpoint is snapshot
+    // state, not query work)...
+    clustersFromPairs(
+        spark.read.parquet(s"$dir/pairs").select("doc_id1", "doc_id2"))
+      .write.mode("overwrite").parquet(s"$dir/clusters")
+    // ...and the keep-best drop set over the READ-BACK clusters: the
+    // per-cluster argmax is also threshold-determined, so serving the
+    // keep-best corpus is one anti-join against this table
+    keepBestDrop(documents, spark.read.parquet(s"$dir/clusters"))
+      .write.mode("overwrite").parquet(s"$dir/keepbest_drop")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -1113,7 +1148,9 @@ object Dedup {
       simhashPairs = spark.read.parquet(s"$dir/simhash_pairs"),
       containmentPairs = spark.read.parquet(s"$dir/containment_pairs"),
       jaccardPairs = spark.read.parquet(s"$dir/jaccard_pairs"),
-      stoplistPairs = spark.read.parquet(s"$dir/stoplist_pairs"))
+      stoplistPairs = spark.read.parquet(s"$dir/stoplist_pairs"),
+      clusters = spark.read.parquet(s"$dir/clusters"),
+      keepBestDrop = spark.read.parquet(s"$dir/keepbest_drop"))
 
   /** DuckDB oracle fragments. */
   object Sql {

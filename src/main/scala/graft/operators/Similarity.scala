@@ -511,7 +511,8 @@ object Similarity {
     */
   def persistIndex(embeddings: DataFrame, dir: String, cellSize: Int = 128,
                    trainIters: Int = 2, cprobe: Int = 4,
-                   probeDepth: Int = 3, stamp: String = ""): Unit = {
+                   probeDepth: Int = 3, stamp: String = "",
+                   pairThreshold: Double = 0.4, pairNprobe: Int = 3): Unit = {
     val spark = embeddings.sparkSession
     trainIvfCoarse(embeddings, cellSize, trainIters)
       .write.mode("overwrite").parquet(s"$dir/coarse")
@@ -524,6 +525,15 @@ object Similarity {
     val index = IvfIndex(coarse, spark.read.parquet(s"$dir/fine"))
     ivfAssign(embeddings, index, cprobe, probeDepth)
       .write.mode("overwrite").parquet(s"$dir/lists")
+    // default-threshold verified near-dup pairs from the READ-BACK lists
+    // (round-10 verdict next-round 1: this was the last pair family whose
+    // candidate generation + exact verify re-ran per serving call while
+    // its six lexical/LSH siblings served from parquet). Computed over the
+    // persisted lists — the same frame serving would read — so the stored
+    // pairs are by construction what [[ivfNearDupServe]] produces, and the
+    // inline call stays the any-threshold / any-nprobe probe path.
+    ivfNearDupServe(spark.read.parquet(s"$dir/lists"), pairThreshold, pairNprobe)
+      .write.mode("overwrite").parquet(s"$dir/pairs")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -550,6 +560,14 @@ object Similarity {
                 dir: String): (IvfIndex, DataFrame) =
     (IvfIndex(spark.read.parquet(s"$dir/coarse"), spark.read.parquet(s"$dir/fine")),
       spark.read.parquet(s"$dir/lists"))
+
+  /** Load a [[persistIndex]]-ed snapshot's verified default-threshold
+    * near-dup pairs — one parquet scan; [[ivfNearDupServe]] over the
+    * loaded lists remains the path for other thresholds / probe depths.
+    */
+  def loadIndexPairs(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest fine centroid through the two-level index; each query probes
@@ -657,6 +675,39 @@ object Similarity {
       .agg(min(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_id1", "vec_id2")
+  }
+
+  /** RECALL-CONTRACT witness over the two persisted near-dup pair
+    * families (round-10 verdict next-round 3): of the exactly-verified
+    * sign-LSH pairs at a threshold (the [[lshNearDupPairs]] table — fully
+    * oracle-mirrored, so its COUNT is something DuckDB can recompute),
+    * the fraction the trained-centroid IVF path ([[ivfNearDupPairs]])
+    * also found, asserted against `bound` as a literal `within_bound`
+    * column. The output carries ONLY oracle-computable columns plus the
+    * contract literals — the IVF-dependent recall itself is folded into
+    * the 0/1 flag — so a hash compare pins the contract: if centroid
+    * drift ever drops IVF recall below `bound`, `within_bound` flips to 0
+    * and the artifact goes red (the `approxDistinctBound` /
+    * `approxPercentileBound` witness precedent, promoting the IVF
+    * family's spec-only recall assertion into the hash-checked surface).
+    *
+    * One semi-join on id pairs + one two-column aggregate — both inputs
+    * are the already-persisted pair tables, so the witness never touches
+    * embeddings, lists, or buckets.
+    */
+  def ivfRecallBound(ivfPairs: DataFrame, exactPairs: DataFrame,
+                     bound: Double = 0.95): DataFrame = {
+    val marked = exactPairs.select(col("vec_id1"), col("vec_id2"))
+      .join(ivfPairs.select(col("vec_id1"), col("vec_id2"))
+          .withColumn("hit", lit(1L)),
+        Seq("vec_id1", "vec_id2"), "left")
+    marked
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_exact_pairs"),
+        lit(bound).as("recall_bound"),
+        (col("n_found") >= col("n_exact_pairs") * lit(bound))
+          .cast("int").as("within_bound"))
   }
 
   /** Per-tensor symmetric int8 quantization of the embedding column — the

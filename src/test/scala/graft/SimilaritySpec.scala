@@ -547,6 +547,34 @@ class SimilaritySpec extends SparkSpec {
     val inlinePairs = Similarity.ivfNearDupPairs(embFromFile, 0.4,
       indexOpt = Some(idx), assignedOpt = Some(lists)).collect().toSeq
     assert(pairs.collect().toSeq == inlinePairs)
+    // v2 (round-10 next-round 1): the snapshot also carries the verified
+    // default-threshold pairs — serving them is ONE index-scan, and the
+    // stored rows equal the per-call serve over the same lists exactly
+    val stored = Similarity.loadIndexPairs(spark, idxDir)
+    val storedScans = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(storedScans.size == 1 && storedScans.forall(_.contains("idx")),
+      s"persisted pairs must serve from one snapshot scan:\n${storedScans.mkString("\n")}")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(keyed(stored) == keyed(pairs),
+      "the persisted pairs table must equal ivfNearDupServe over the persisted lists")
+  }
+
+  test("ivfRecallBound: witness pins the contract and flips when recall drops (r10 next-round 3)") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("vec_id1", "vec_id2")
+    // full recall: flag 1, exact-pair count oracle-checkable
+    val r1 = Similarity.ivfRecallBound(exact, exact, 0.95).collect()(0)
+    assert(r1.getLong(0) == 4 && r1.getInt(2) == 1)
+    // 3/4 found: below 0.95 → 0; at bound 0.75 the >= compare passes
+    val part = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("vec_id1", "vec_id2")
+    assert(Similarity.ivfRecallBound(part, exact, 0.95).collect()(0).getInt(2) == 0)
+    assert(Similarity.ivfRecallBound(part, exact, 0.75).collect()(0).getInt(2) == 1)
+    // extra IVF-only pairs never inflate recall (left-join on exact side)
+    val sup = part.unionByName(Seq((9L, 10L), (11L, 12L)).toDF("vec_id1", "vec_id2"))
+    assert(Similarity.ivfRecallBound(sup, exact, 0.95).collect()(0).getInt(2) == 0)
   }
 
   test("ivfTopK plans lazily: building + optimizing the query runs zero jobs") {

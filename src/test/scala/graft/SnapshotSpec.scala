@@ -165,15 +165,38 @@ class SnapshotSpec extends SparkSpec {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).filter(_.contains("FileScan")).toSeq
-    // q_dup_clusters' fixpoint truncates lineage at checkpoints, so its
-    // final plan has no file leaves at all — but its INPUT (the pairs
-    // frame the rounds consumed) must be the snapshot table, and nothing
-    // in the remaining plan may touch documents
+    // dedup-v6: the converged cluster assignment is itself a snapshot
+    // table (round-10 next-round 2) — serving q_dup_clusters is ONE
+    // parquet scan, never a label-propagation fixpoint per call
     val clusterScans = scansOf(SparkEntry.queries("q_dup_clusters")(spark, sf))
-    assert(clusterScans.forall(_.contains("graft_dedup")),
-      s"cluster propagation must read only the pairs table:\n${clusterScans.mkString("\n")}")
+    assert(clusterScans.size == 1 && clusterScans.forall(_.contains("graft_dedup")),
+      s"cluster serving must be one snapshot-table scan:\n${clusterScans.mkString("\n")}")
     assert(clusterScans.forall(!_.contains("documents.parquet")),
       "the served path must never scan documents")
+    // ...and keep-best is one anti-join of documents against the
+    // persisted drop set: exactly a documents scan + a snapshot scan
+    // (counted over the full plan text — AQE folds both leaves into one
+    // AdaptiveSparkPlan node, so collectLeaves undercounts here)
+    val kbPlan = SparkEntry.queries("q_dedup_keep_best")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(kbPlan).length == 2 &&
+        kbPlan.contains("graft_dedup") && kbPlan.contains("documents.parquet"),
+      s"keep-best must be documents anti-join drop-set:\n$kbPlan")
+    // the persisted tables equal the direct computations over the same
+    // persisted pairs (the containment/jaccard equality contract)
+    val pairsTbl = graft.operators.Dedup.loadSketchTables(spark,
+      graft.sources.SnapshotStore.snapshotDir(spark, s"$sf/documents.parquet", "graft_dedup"))
+    def idPairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idPairs(pairsTbl.clusters) ==
+      idPairs(graft.operators.Dedup.clustersFromPairs(
+        pairsTbl.pairs.select("doc_id1", "doc_id2"))),
+      "persisted clusters must equal fixpoint propagation over the persisted pairs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(pairsTbl.keepBestDrop.collect().map(_.getLong(0)).toSet ==
+      graft.operators.Dedup.keepBestDrop(docs, pairsTbl.clusters)
+        .collect().map(_.getLong(0)).toSet,
+      "persisted drop set must equal the per-cluster argmax over the persisted clusters")
     val pairScans = scansOf(SparkEntry.queries("q_minhash_pairs")(spark, sf))
     assert(pairScans.nonEmpty && pairScans.forall(_.contains("graft_dedup")),
       s"pair serving must read only snapshot tables:\n${pairScans.mkString("\n")}")
