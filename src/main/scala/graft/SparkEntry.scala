@@ -1408,7 +1408,9 @@ object SparkEntry {
       Some("""WITH tf AS (SELECT tok, count(*) AS tf FROM (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |  GROUP BY tok)
-        |SELECT tok, tf, CAST(0 AS BIGINT) AS rel_err_bucket,
+        |SELECT tok, tf,
+        |  CAST((SELECT count(*) <= 10000 FROM tf) AS INT) AS in_regime,
+        |  CAST(0 AS BIGINT) AS rel_err_bucket,
         |  CAST(1 AS INT) AS within_bound
         |FROM tf ORDER BY tf DESC, tok LIMIT 10""".stripMargin)),
 

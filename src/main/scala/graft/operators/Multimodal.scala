@@ -282,20 +282,26 @@ object Multimodal {
     * payload": an arbitrary (query_id, kind, payload) request frame is
     * hashed with the same codegen'd expression and matched against the
     * corpus HASH table via the banded [[phashDedupDelta]] kernel
-    * (pigeonhole-exact for maxHamming < bands), excluding a query's own
-    * corpus row so an in-corpus probe returns its neighbors, not itself.
-    * Per request the corpus is touched only through its fingerprints —
-    * the serving shape [[graft.streaming.MediaDedup]] runs per
-    * micro-batch.
+    * (pigeonhole-exact for maxHamming < bands). Per request the corpus is
+    * touched only through its fingerprints — the serving shape
+    * [[graft.streaming.MediaDedup]] runs per micro-batch.
+    *
+    * `excludeSelf` (default true) assumes query ids LIVE IN the corpus id
+    * space: an in-corpus probe then returns its neighbors, not itself.
+    * For an EXTERNAL request numbering that assumption is wrong — a
+    * request id colliding with an unrelated corpus media_id would
+    * silently drop that legitimate neighbor — so pass false when request
+    * ids are not corpus ids (round-10 ADVICE-2).
     */
   def phashLookup(corpusPh: DataFrame, queries: DataFrame,
-                  maxHamming: Int = 5): DataFrame = {
+                  maxHamming: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     val qPh = mediaPhash(queries.withColumnRenamed("query_id", "media_id"))
       .select(col("media_id"), col("phash"))
-    phashDedupDelta(corpusPh.select("media_id", "phash"), qPh, maxHamming)
+    val matched = phashDedupDelta(corpusPh.select("media_id", "phash"), qPh, maxHamming)
       .select(col("delta_id").as("query_id"), col("corpus_id").as("media_id"),
         col("hamming"))
-      .filter(col("query_id") =!= col("media_id"))
+    (if (excludeSelf) matched.filter(col("query_id") =!= col("media_id"))
+     else matched)
       .orderBy("query_id", "media_id")
   }
 

@@ -326,9 +326,10 @@ object Relational {
     * `(x − μ)² > z²σ²` through by N²:
     * `(x·N − Σ)² > z²·(N·Σx² − Σ²)` — so the flagged set is bit-exact on
     * any engine (no float mean, no float variance, no sqrt). The sums
-    * are exact 64-bit integers; the products run in DECIMAL(38,0)
-    * (HUGEINT on the oracle side) so the comparison cannot overflow at
-    * any realistic scale.
+    * AND the products run in DECIMAL(38,0) (HUGEINT on the oracle side)
+    * so the comparison cannot overflow at any realistic scale; the
+    * Σ/Σx² output columns are presented as BIGINT, an exact cast
+    * whenever they fit the column type at all.
     *
     * Scale shape: one map-side-combined per-window aggregate, one
     * |cities|-row stats aggregate broadcast back, then a scan-side
@@ -336,21 +337,28 @@ object Relational {
     * single window have no variance and emit nothing.
     */
   def anomalousWindows(windowedAgg: DataFrame, z: Int = 2): DataFrame = {
+    val dec = "decimal(38,0)"
     val perWindow = windowedAgg
       .groupBy("city", "window_start")
       .agg(sum("event_count").cast("long").as("event_count"))
+    // the inner sums ALSO run in decimal (round-10 ADVICE-1: a plain
+    // 64-bit sum-of-squares wraps silently in non-ANSI Spark past 2^63
+    // while the oracle's HUGEINT doesn't, so at extreme per-window counts
+    // the flagged set would diverge from the no-overflow contract); the
+    // BIGINT presentation cast below is exact at any scale the columns
+    // themselves can represent
     val stats = perWindow.groupBy("city").agg(
       count(lit(1)).as("n_windows"),
-      sum(col("event_count")).as("sum_count"),
-      sum(col("event_count") * col("event_count")).as("sumsq_count"))
-    val dec = "decimal(38,0)"
-    val dev = col("event_count").cast(dec) * col("n_windows") - col("sum_count")
-    val varN2 = col("n_windows").cast(dec) * col("sumsq_count") -
-      col("sum_count").cast(dec) * col("sum_count")
+      sum(col("event_count").cast(dec)).as("sum_count_d"),
+      sum(col("event_count").cast(dec) * col("event_count")).as("sumsq_count_d"))
+    val dev = col("event_count").cast(dec) * col("n_windows") - col("sum_count_d")
+    val varN2 = col("n_windows").cast(dec) * col("sumsq_count_d") -
+      col("sum_count_d") * col("sum_count_d")
     perWindow.join(broadcast(stats), Seq("city"))
       .filter(col("n_windows") > 1 && dev * dev > lit(z * z) * varN2)
       .select(col("city"), col("window_start"), col("event_count"),
-        col("n_windows"), col("sum_count"), col("sumsq_count"))
+        col("n_windows"), col("sum_count_d").cast("long").as("sum_count"),
+        col("sumsq_count_d").cast("long").as("sumsq_count"))
       .orderBy("city", "window_start")
   }
 

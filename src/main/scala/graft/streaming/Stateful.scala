@@ -66,8 +66,10 @@ object Stateful {
               streak += 1
               if (streak == minStreak) {
                 val us = p >>> 1
-                val t = new Timestamp(us / 1000)
-                t.setNanos((us % 1000000L).toInt * 1000)
+                // floorDiv/floorMod: truncation-toward-zero would shift
+                // pre-epoch micros by +1ms vs the batch twin (r10 ADVICE-4)
+                val t = new Timestamp(Math.floorDiv(us, 1000L))
+                t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
                 alerts += StreakAlert(city, streak, t)
               }
             } else streak = 0
@@ -114,8 +116,9 @@ object Stateful {
           val out = Seq.newBuilder[ThrottledAlert]
           buf.foreach { case (us, id) =>
             if (last == Long.MinValue || us - last >= gapUs) {
-              val t = new Timestamp(us / 1000)
-              t.setNanos((us % 1000000L).toInt * 1000)
+              // floorDiv/floorMod: exact pre-epoch round-trip (r10 ADVICE-4)
+              val t = new Timestamp(Math.floorDiv(us, 1000L))
+              t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
               out += ThrottledAlert(key._1, key._2, t, id)
               last = us
             }

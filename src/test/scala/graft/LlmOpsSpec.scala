@@ -661,26 +661,36 @@ class LlmOpsSpec extends SparkSpec {
   test("approx top-k bound: exact regime witnesses, eviction regime still finds the heavy hitter") {
     import spark.implicits._
     // real corpus: vocab (~31 tokens) far under maxItems -> sketch exact,
-    // every contract column at its literal
+    // in_regime = 1 and every contract column at its literal
     val r = TextAnalysis.approxTopTokensBound(docs).collect()
-      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2), x.getLong(3), x.getInt(4)))
     assert(r.length == 10)
-    assert(r.forall(x => x._3 == 0L && x._4 == 1), s"exact-regime sketch must sit inside the bound: ${r.toSeq}")
+    assert(r.forall(x => x._3 == 1 && x._4 == 0L && x._5 == 1),
+      s"exact-regime sketch must sit inside the bound: ${r.toSeq}")
     // membership/order equals the exact vocabulary top-k
     val exact = TextAnalysis.vocabulary(docs, k = 10).collect().map(_.getString(0)).toSeq
     assert(r.map(_._1).toSeq == exact, "bound frame must carry the exact top-k in its order")
     // eviction regime: 5000 distinct rare tokens vs maxItems=64 — the
     // sketch CANNOT track the tail, but the frequent-items guarantee
     // (err <= ~3.5N/maxMapSize) must still surface the planted heavy
-    // hitter with a usable estimate
+    // hitter with a usable estimate. gateToRegime = false keeps the hard
+    // assertion live out of regime (the r10 ADVICE-3 gate would
+    // otherwise render it vacuous here — which the LAST assert checks)
     val heavy = (1 to 1000).map(i => (i.toLong, "heavyhitter"))
     val tail = (1 to 5000).map(i => ((i + 10000).toLong, s"rare$i"))
     val planted = (heavy ++ tail).toDF("doc_id", "text")
     val b = TextAnalysis.approxTopTokensBound(planted, k = 1, estK = 64,
-      maxItems = 64, relErr = 0.5).collect()
+      maxItems = 64, relErr = 0.5, gateToRegime = false).collect()
     assert(b.length == 1 && b.head.getString(0) == "heavyhitter")
-    assert(b.head.getInt(3) == 1,
+    assert(b.head.getInt(2) == 0, "5001 distinct tokens vs 64 slots is out of regime")
+    assert(b.head.getInt(4) == 1,
       s"the 1000/6000 heavy hitter must survive 64-slot eviction within 50%: ${b.head}")
+    // the gated (oracle-surface) form is vacuous-by-construction out of
+    // regime: literals pinned regardless of estimator drift
+    val g = TextAnalysis.approxTopTokensBound(planted, k = 1, estK = 64,
+      maxItems = 64, relErr = 0.5).collect()
+    assert(g.head.getInt(2) == 0 && g.head.getLong(3) == 0L && g.head.getInt(4) == 1,
+      s"out-of-regime gated contract must pin its literals: ${g.head}")
   }
 
   test("lm fluency: frequent transitions outscore rare ones; degenerate text maxes out") {

@@ -58,7 +58,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_hot_shingles",                                                  // 1-row k-th-df cut scalar
       "q_cosine_topk",                                                   // 5-row broadcast query set
       "q_ann_ivf_topk",                                                  // centroid-set scoring
-      "q_ivf_neardup_pairs",                                             // centroid-set scoring
+      "q_approx_topk_bound",                 // 1-row sketch-regime scalar
       "q_user_quartiles",                                                // 1-row splits + offsets rows
       "q_keyword_search",                                               // 1-row corpus-size scalar
       "q_quantize_embeddings",                                          // 1-row max|x| scalar
