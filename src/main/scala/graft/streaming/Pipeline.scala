@@ -331,6 +331,20 @@ class Pipeline(
     MediaDedup.start(media, basePhashDir, mediaStorePath, maxHamming,
       checkpointDir = Some(s"$checkpointRoot/media-dedup"))
 
+  def mediaSearchStorePath: String = s"$storeRoot/media-search"
+
+  /** Reverse-media-search serving as a topology member (round-10 verdict
+    * next-round 5): the [[MediaSearchStream]] request service over a
+    * (query_id, kind, payload) probe source against the same persisted
+    * corpus hash table the ingest stream dedups with, outputs under the
+    * shared store root with its own checkpoint dir like every sibling —
+    * the serving twin of [[startMediaDedup]]'s ingest twin.
+    */
+  def startMediaSearch(queries: DataFrame, phashDir: String,
+                       maxHamming: Int = 5): StreamingQuery =
+    MediaSearchStream.start(queries, phashDir, mediaSearchStorePath, maxHamming,
+      checkpointDir = Some(s"$checkpointRoot/media-search"))
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 
