@@ -346,6 +346,7 @@ object SparkEntry {
     * one site, so the four can never silently disagree.
     */
   private val DefaultBpeMerges = 5
+  private val DefaultUnigramKeep = 3
 
   /** The shared training chain of both BPE oracles: words, char seg0,
     * and k rounds of pair-count → argmax → string-fold re-segmentation,
@@ -387,6 +388,39 @@ object SparkEntry {
       .mkString(" UNION ALL ")
     "WITH " + bpeStagesSql(k) + " " + unions + " ORDER BY merge_rank"
   }
+
+  /** Unigram-vocab oracle — the mirror of [[TextAnalysis.unigramVocab]]:
+    * piece counts from the unrolled chain's final `seg<k>`, the exact
+    * HUGEINT numerator/denominator folds (position order, matching the
+    * Spark DECIMAL(38,0) folds bit-for-bit after the one double
+    * division), and the same (gain, count, piece) keep-cut.
+    */
+  private def unigramVocabOracleSql(k: Int, keep: Int): String =
+    "WITH " + bpeStagesSql(k) + ", " +
+      s"pcs AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count " +
+      s"FROM (SELECT unnest(seg) AS piece, freq FROM seg$k) GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(piece_count) AS BIGINT) AS t_occ, " +
+      "count(*) AS n_vocab FROM pcs), " +
+      "cc AS (SELECT piece AS ch, piece_count AS ch_count FROM pcs WHERE len(piece) = 1), " +
+      "ex AS (SELECT piece, unnest(list_transform(string_split(piece, ''), " +
+      "(c, j) -> struct_pack(c := c, j := j))) AS u FROM pcs), " +
+      "pch AS (SELECT ex.piece, u.j AS pos, coalesce(cc.ch_count, CAST(0 AS BIGINT)) AS c_cnt " +
+      "FROM ex LEFT JOIN cc ON u.c = cc.ch), " +
+      "den AS (SELECT piece, list_reduce(list_prepend(CAST(1 AS HUGEINT), " +
+      "list_transform(list(c_cnt + 1 ORDER BY pos), x -> CAST(x AS HUGEINT))), " +
+      "(a, x) -> a * x) AS den_exact FROM pch GROUP BY piece), " +
+      "num AS (SELECT pcs.piece, list_reduce(list_prepend(CAST(piece_count + 1 AS HUGEINT), " +
+      "list_transform(range(2, len(piece) + 1), x -> CAST(t_occ + n_vocab AS HUGEINT))), " +
+      "(a, x) -> a * x) AS num_exact FROM pcs, tot), " +
+      "sc AS (SELECT pcs.piece, CAST(len(pcs.piece) AS INT) AS piece_len, pcs.piece_count, " +
+      "CASE WHEN len(pcs.piece) = 1 THEN CAST(1.0 AS DOUBLE) " +
+      "ELSE CAST(num_exact AS DOUBLE) / CAST(den_exact AS DOUBLE) END AS gain " +
+      "FROM pcs JOIN num USING (piece) JOIN den USING (piece)), " +
+      s"kp AS (SELECT piece FROM sc WHERE piece_len > 1 " +
+      s"ORDER BY gain DESC, piece_count DESC, piece LIMIT $keep) " +
+      "SELECT piece, piece_len, piece_count, gain, " +
+      "CAST(piece_len = 1 OR piece IN (SELECT piece FROM kp) AS INT) AS kept " +
+      "FROM sc ORDER BY piece"
 
   /** Encode oracle — the mirror of [[TextAnalysis.bpeEncode]]: the
     * training chain's final `seg<k>` IS every word type's encoding
@@ -1344,6 +1378,24 @@ object SparkEntry {
       },
       Some(bpeEncodeOracleSql(DefaultBpeMerges))),
 
+    // UNIGRAM-LM vocabulary pruning (the SentencePiece induction, seeded
+    // from the persisted BPE segmentation — round-10 verdict next-round
+    // 6): smoothed unigram piece probabilities from the segment counts,
+    // each multi-char piece scored by its per-occurrence likelihood gain
+    // over the character fallback as an exact integer ratio (one double
+    // division — no logs, no libm), top-`keep` kept. The oracle re-walks
+    // the identical unrolled BPE stages, integer folds, and cut, so the
+    // whole pruning decision hash-checks end to end.
+    ("q_unigram_vocab",
+      (s, d) => {
+        val merges = bpeMergesTable(s, d).orderBy("merge_rank")
+          .select("lhs", "rhs").take(DefaultBpeMerges)
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        TextAnalysis.unigramVocab(Tables.documents(s, d), merges,
+          DefaultUnigramKeep)
+      },
+      Some(unigramVocabOracleSql(DefaultBpeMerges, DefaultUnigramKeep))),
+
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total
     // order, so the top-k cut and ranks are deterministic.
@@ -2192,6 +2244,57 @@ object SparkEntry {
         |  1.0 - CAST(count(DISTINCT ${TextAnalysis.Sql.fingerprint}) AS DOUBLE)
         |    / count(*) AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // DATASET-CARD composition (round-10 verdict next-round 7): the one
+    // per-source report a curator ships — dup rate, token totals, both
+    // quality gates' keep counts, OOV rate — pure composition of the
+    // existing audit frames (each already hash-green standalone), joined
+    // on doc_id and re-aggregated per source. The oracle re-walks every
+    // component's own mirror inside one query.
+    ("q_dataset_card",
+      (s, d) => Corpus.datasetCard(Tables.documents(s, d)),
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM t
+        |  GROUP BY token ORDER BY tf DESC, token LIMIT 20)),
+        |cov AS (SELECT doc_id, count(*) AS n_tokens,
+        |  count(CASE WHEN token NOT IN (SELECT token FROM v) THEN 1 END) AS n_oov
+        |  FROM t GROUP BY doc_id),
+        |q AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS unique_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+        |  CASE WHEN len(string_split(text, ' ')) > 1 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+        |      AS DOUBLE) / (len(string_split(text, ' ')) - 1)
+        |    ELSE 0.0 END AS dup_bigram_frac,
+        |  CAST(${TextAnalysis.Sql.stopHits} AS BIGINT) AS stop_hits
+        |  FROM documents),
+        |flags AS (SELECT doc_id,
+        |  CASE WHEN n_toks >= 20 AND punct_ratio < 0.1 AND unique_ratio > 0.3
+        |    THEN 1 ELSE 0 END AS c4_keep,
+        |  CASE WHEN n_toks >= 50 AND n_toks <= 100000
+        |    AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+        |    AND dup_bigram_frac <= 0.2 AND stop_hits >= 2
+        |    THEN 1 ELSE 0 END AS gopher_keep
+        |  FROM q)
+        |SELECT d.source, count(*) AS n_docs,
+        |  count(DISTINCT ${TextAnalysis.Sql.fingerprint}) AS n_distinct,
+        |  1.0 - CAST(count(DISTINCT ${TextAnalysis.Sql.fingerprint}) AS DOUBLE)
+        |    / count(*) AS dup_rate,
+        |  CAST(sum(cov.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(cov.n_tokens) AS DOUBLE) / count(*) AS avg_doc_tokens,
+        |  CAST(sum(flags.c4_keep) AS BIGINT) AS n_c4_keep,
+        |  CAST(sum(flags.gopher_keep) AS BIGINT) AS n_gopher_keep,
+        |  CAST(sum(cov.n_oov) AS DOUBLE) / sum(cov.n_tokens) AS oov_rate
+        |FROM documents d JOIN cov USING (doc_id) JOIN flags USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
     // dataset-card composition report per language
     ("q_corpus_stats",

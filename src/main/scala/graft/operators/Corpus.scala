@@ -241,4 +241,48 @@ object Corpus {
         least(size(col("t")) - col("chunk_id") * stride, lit(maxTokens))
           .cast("long").as("n_tokens"))
   }
+
+  /** DATASET-CARD composition — the single per-source report a data
+    * curator ships with a corpus snapshot (round-10 verdict next-round
+    * 7), composed PURELY from the existing audit frames: exact dup-rate
+    * over content fingerprints ([[dupRateBySource]]'s identity), token
+    * totals, both canonical quality gates'
+    * ([[graft.operators.TextAnalysis.qualityFilter]] C4 /
+    * [[graft.operators.TextAnalysis.gopherFilter]] Gopher) keep counts,
+    * and the tokenizer-health OOV rate
+    * ([[graft.operators.TextAnalysis.vocabCoverage]]) — one row per
+    * source, every number the respective standalone query publishes.
+    *
+    * Scale shape: each component frame is a NARROW per-doc projection
+    * (flags, counts, one fingerprint long — never text) co-shuffled on
+    * doc_id into the final per-source aggregate; the vocabulary side is
+    * [[graft.operators.TextAnalysis.vocabCoverage]]'s k-row broadcast.
+    * All ratios are the exact one-divide doubles their source operators
+    * emit, so the composed report hash-checks like its parts.
+    */
+  def datasetCard(documents: DataFrame, vocabK: Int = 20): DataFrame = {
+    import graft.operators.TextAnalysis
+    val base = documents.select(col("doc_id"), col("source"),
+      TextAnalysis.fingerprintCol(col("text")).as("fp"))
+    val c4 = TextAnalysis.qualityFilter(documents)
+      .select(col("doc_id"), col("keep").cast("long").as("c4_keep"))
+    val gopher = TextAnalysis.gopherFilter(documents)
+      .select(col("doc_id"), col("keep").cast("long").as("gopher_keep"))
+    val cov = TextAnalysis.vocabCoverage(documents, vocabK)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"))
+    base.join(c4, "doc_id").join(gopher, "doc_id").join(cov, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (lit(1.0) - countDistinct(col("fp")).cast("double")
+          / count(lit(1)).cast("double")).as("dup_rate"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_doc_tokens"),
+        sum(col("c4_keep")).as("n_c4_keep"),
+        sum(col("gopher_keep")).as("n_gopher_keep"),
+        (sum(col("n_oov")).cast("double")
+          / sum(col("n_tokens")).cast("double")).as("oov_rate"))
+      .orderBy("source")
+  }
 }

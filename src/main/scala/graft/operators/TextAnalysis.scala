@@ -580,6 +580,94 @@ object TextAnalysis {
       .orderBy("doc_id", "pos")
   }
 
+  /** UNIGRAM-LM VOCABULARY PRUNING — the second canonical tokenizer
+    * induction beside [[bpeMerges]] (the SentencePiece shape, Kudo 2018):
+    * seed a piece vocabulary from a BPE segmentation of the corpus (the
+    * standard "seed from BPE" initialization), estimate unigram piece
+    * probabilities from the segment counts (the hard-EM E-step over the
+    * seed segmentation), and PRUNE to the pieces whose likelihood
+    * contribution most exceeds their always-available character fallback
+    * — the SentencePiece pruning signal, scored per occurrence so the
+    * arithmetic stays exact (see below).
+    *
+    * Per piece x with Laplace-smoothed probability p(x) = (c_x+1)/(T+|V|)
+    * (c = summed segment counts over word TYPES weighted by frequency,
+    * T = total piece occurrences, V = the seed vocabulary), the score is
+    * the per-occurrence likelihood RATIO of keeping x vs re-segmenting
+    * it into characters:
+    *   gain(x) = p(x) / Π_i p(char_i(x))
+    *           = (c_x+1) · (T+|V|)^(m−1) / Π_i (c_i+1)     (m = |x|)
+    * — numerator and denominator are EXACT integers (DECIMAL(38,0) /
+    * HUGEINT, position-order folds), and the one double division is
+    * bit-identical cross-engine (the [[collocations]] log-free
+    * precedent: a log-likelihood score would hit libm rounding). The
+    * full SentencePiece criterion weights the loss by c_x; ranking by
+    * the per-occurrence ratio with `piece_count DESC, piece ASC`
+    * tie-breaks keeps the cut total AND hash-checkable.
+    *
+    * Output: one row per seed piece — (piece, piece_len, piece_count,
+    * gain, kept) — the whole pruning decision as an auditable artifact.
+    * Single characters are always kept (the alphabet is the fallback and
+    * must stay encodable); multi-char pieces keep the top `keep` by
+    * (gain DESC, piece_count DESC, piece ASC).
+    *
+    * Scale shape: segmentation folds run once per word TYPE; all piece
+    * tables are vocab-sized; the (T, |V|) totals are a 1-row broadcast;
+    * the keep-cut is TakeOrderedAndProject + a marker semi-join (no
+    * partition-less Window); nothing rescans the corpus after the one
+    * word-type aggregate.
+    */
+  def unigramVocab(documents: DataFrame, merges: Seq[(String, String)],
+                   keep: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    val words = documents
+      .select(explode(filter(tokens(col("text")), w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val seg = merges.foldLeft(
+        words.withColumn("seg", filter(split(col("w"), ""), s => s =!= ""))) {
+        case (df, (a, b)) =>
+          df.withColumn("seg", mergeFold(col("seg"), lit(a), lit(b)))
+      }
+    val pieceCounts = seg
+      .select(explode(col("seg")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("piece_count"))
+    val totals = pieceCounts.agg(
+      sum("piece_count").as("t_occ"), count(lit(1)).as("n_vocab"))
+    val charCounts = pieceCounts.filter(length(col("piece")) === 1)
+      .select(col("piece").as("ch"), col("piece_count").as("ch_count"))
+    // Π (c_i + 1) over the piece's characters, in POSITION order (a char
+    // swallowed by merges everywhere may have no standalone count → 0)
+    val den = pieceCounts
+      .select(col("piece"),
+        posexplode(filter(split(col("piece"), ""), s => s =!= ""))
+          .as(Seq("pos", "c")))
+      .join(charCounts, col("c") === col("ch"), "left")
+      .select(col("piece"), col("pos"),
+        coalesce(col("ch_count"), lit(0L)).as("c_cnt"))
+      .groupBy("piece")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c_cnt")))).as("arr"))
+      .select(col("piece"),
+        aggregate(col("arr"), lit(1).cast(dec),
+          (acc, x) => acc * (x("c_cnt") + lit(1)).cast(dec)).as("den_exact"))
+    val scored = pieceCounts.join(den, "piece").crossJoin(broadcast(totals))
+      .select(col("piece"), length(col("piece")).as("piece_len"),
+        col("piece_count"),
+        when(length(col("piece")) === 1, lit(1.0)).otherwise(
+          aggregate(sequence(lit(2), length(col("piece"))),
+              (col("piece_count") + lit(1)).cast(dec),
+              (acc, _) => acc * (col("t_occ") + col("n_vocab")).cast(dec))
+            .cast("double") / col("den_exact").cast("double")).as("gain"))
+    val topk = scored.filter(col("piece_len") > 1)
+      .orderBy(col("gain").desc, col("piece_count").desc, col("piece"))
+      .limit(keep)
+      .select(col("piece").as("kp"))
+    scored
+      .join(broadcast(topk), col("piece") === col("kp"), "left")
+      .select(col("piece"), col("piece_len"), col("piece_count"), col("gain"),
+        (col("piece_len") === 1 || col("kp").isNotNull).cast("int").as("kept"))
+      .orderBy("piece")
+  }
+
   /** PMI-style bigram collocation mining — the phrase-induction step that
     * follows [[vocabulary]] in tokenizer/phrase-table construction: find
     * adjacent token pairs that co-occur far more than their unigram

@@ -220,6 +220,38 @@ class CorpusSpec extends SparkSpec {
     assert(real.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) < 1.0))
   }
 
+  test("dataset card equals its standalone component reports per source (r10 next-round 7)") {
+    val card = Corpus.datasetCard(docs).collect().map(r =>
+      r.getString(0) -> r).toMap
+    // dup-rate block ≡ dupRateBySource row for row
+    val dup = Corpus.dupRateBySource(docs).collect()
+    assert(dup.nonEmpty && dup.forall { d =>
+      val c = card(d.getString(0))
+      c.getLong(1) == d.getLong(1) && c.getLong(2) == d.getLong(2) &&
+        c.getDouble(3) == d.getDouble(3)
+    }, "card dup-rate columns must equal the standalone report")
+    // quality-gate keep counts ≡ the standalone filters aggregated by source
+    def keepBySource(f: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      f.select(col("doc_id"), col("keep")).join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(sum(col("keep").cast("long")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c4 = keepBySource(TextAnalysis.qualityFilter(docs))
+    val gop = keepBySource(TextAnalysis.gopherFilter(docs))
+    assert(card.forall { case (s, r) =>
+      r.getLong(6) == c4(s) && r.getLong(7) == gop(s) },
+      "card keep counts must equal the standalone gates")
+    // OOV block ≡ vocabCoverage aggregated by source
+    val cov = TextAnalysis.vocabCoverage(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum("n_tokens").as("t"), sum("n_oov").as("o"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(card.forall { case (s, r) =>
+      r.getLong(4) == cov(s)._1 &&
+        r.getDouble(8) == cov(s)._2.toDouble / cov(s)._1.toDouble },
+      "card OOV columns must equal the aggregated coverage report")
+  }
+
   test("temperature sample: rarer languages keep a larger fraction, thresholds honor the α=0.5 formula") {
     val r = Corpus.temperatureSample(docs).cache()
     // deterministic and id-stable

@@ -114,6 +114,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(u.getString(3) == "s lower", s"unseen 'slower' must reuse the merge chain: ${u.getString(3)}")
   }
 
+  test("unigram vocab pruning: hand-computed gains, alphabet always kept, cut honors the order (r10 next-round 6)") {
+    import spark.implicits._
+    // pieces after merging (a,b): ab(count 2), c(1), d(1); T=4, |V|=3.
+    // gain(ab) = (2+1)·(4+3)^(2−1) / ((c_a+1)(c_b+1)) = 21/1 — the chars
+    // a,b never stand alone (count 0), making the fallback maximally
+    // expensive and the exact-integer arithmetic hand-checkable
+    val docs1 = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.unigramVocab(docs1, Seq(("a", "b")), keep = 1).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getDouble(3), x.getInt(4)))
+    assert(r1.toSet == Set(("ab", 2, 2L, 21.0, 1), ("c", 1, 1L, 1.0, 1),
+      ("d", 1, 1L, 1.0, 1)), s"hand-computed fixture: ${r1.toSeq}")
+    // two competing multi-char pieces, keep=1: the cut keeps the higher
+    // gain (cd: (2+1)·5 = 15 beats ab: (1+1)·5 = 10) and PRUNES the
+    // other — single chars unaffected by the cut
+    val docs2 = Seq((1L, "ab cd cd")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.unigramVocab(docs2, Seq(("a", "b"), ("c", "d")), keep = 1)
+      .collect().map(x => x.getString(0) -> ((x.getDouble(3), x.getInt(4)))).toMap
+    assert(r2("cd") == (15.0, 1) && r2("ab") == (10.0, 0),
+      s"keep=1 must keep the higher-gain piece and prune the other: $r2")
+    // a char swallowed everywhere (zero standalone count) still prices
+    // the fallback via smoothing — no division blowup, gain finite
+    assert(r2.values.forall(v => !v._1.isInfinite && !v._1.isNaN))
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val r1 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val r2 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -64,6 +64,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_quantize_embeddings",                                          // 1-row max|x| scalar
       "q_quantized_topk",                    // 1-row max|x| scalar + 5-row probe set
       "q_collocations",                      // 1-row corpus-token-total scalar
+      "q_unigram_vocab",                     // 1-row (T, |V|) totals scalar
       "q_temperature_sample")                // 1-row Σsqrt(n_l)/N totals scalar
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -99,6 +100,23 @@ class PlanShapeSpec extends SparkSpec {
       if (globals.isEmpty) None else Some(name)
     }
     assert(offenders.isEmpty, s"partition-less Window in: $offenders")
+  }
+
+  test("dataset-card composition joins narrow frames without scan explosion (r10 next-round 7)") {
+    // the card composes FOUR audit frames; each is a narrow projection of
+    // the documents scan, so the whole report must cost exactly the five
+    // scans its components need (base fingerprints, C4 flags, Gopher
+    // flags, coverage tokens, vocabulary) — a regression that re-derives
+    // a component per output column would multiply this
+    val df = SparkEntry.queries("q_dataset_card")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert("FileScan".r.findAllIn(plan).length == 5,
+      s"composition must hold at five component scans:\n$plan")
+    // no component drags the full document row through its join: text
+    // never survives past a projection into a join build side
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,lang"),
+      "components must prune to the columns they derive from")
   }
 
   test("windowed aggregation is two-phase (map-side partial aggregation)") {
