@@ -410,8 +410,8 @@ object SparkEntry {
     * Spark DECIMAL(38,0) folds bit-for-bit after the one double
     * division), and the same (gain, count, piece) keep-cut.
     */
-  private def unigramVocabOracleSql(k: Int, keep: Int): String =
-    "WITH " + bpeStagesSql(k) + ", " +
+  private def unigramStagesSql(k: Int, keep: Int): String =
+    bpeStagesSql(k) + ", " +
       s"pcs AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count " +
       s"FROM (SELECT unnest(seg) AS piece, freq FROM seg$k) GROUP BY 1), " +
       "tot AS (SELECT CAST(sum(piece_count) AS BIGINT) AS t_occ, " +
@@ -432,10 +432,48 @@ object SparkEntry {
       "ELSE CAST(num_exact AS DOUBLE) / CAST(den_exact AS DOUBLE) END AS gain " +
       "FROM pcs JOIN num USING (piece) JOIN den USING (piece)), " +
       s"kp AS (SELECT piece FROM sc WHERE piece_len > 1 " +
-      s"ORDER BY gain DESC, piece_count DESC, piece LIMIT $keep) " +
+      s"ORDER BY gain DESC, piece_count DESC, piece LIMIT $keep)"
+
+  private def unigramVocabOracleSql(k: Int, keep: Int): String =
+    "WITH " + unigramStagesSql(k, keep) + " " +
       "SELECT piece, piece_len, piece_count, gain, " +
       "CAST(piece_len = 1 OR piece IN (SELECT piece FROM kp) AS INT) AS kept " +
       "FROM sc ORDER BY piece"
+
+  /** Encode oracle — the mirror of [[TextAnalysis.unigramEncode]]: the
+    * kept pieces fold into one length-desc list and each word type runs
+    * the identical greedy longest-prefix fold, bounded by word length
+    * via the dummy-element list_reduce init trick from the BPE stages.
+    * The fold state is a single `<pos>|<segments>` VARCHAR, parsed at
+    * the FIRST pipe each step — DuckDB's list_reduce miscompiles STRUCT
+    * and nested-LIST accumulators (the vectorization-bug family the
+    * round-10 alert-throttle oracle hit; reproduced here: the scalar
+    * fields fold correctly while the list field collapses), but scalar
+    * VARCHAR accumulation is exactly what the proven BPE fold uses.
+    */
+  private def unigramEncodeOracleSql(k: Int, keep: Int): String = {
+    // the greedy step's chosen piece (longest kept prefix, else the char
+    // at the cursor); `ap` is the cursor parse spelled inline
+    val ap = "CAST(substr(a, 1, strpos(a, '|') - 1) AS BIGINT)"
+    val pc = s"coalesce(list_filter(ps, q -> substr(w, $ap, len(q)) = q)[1], " +
+      s"substr(w, $ap, 1))"
+    "WITH " + unigramStagesSql(k, keep) + ", " +
+      "kpl AS (SELECT coalesce(list(piece ORDER BY len(piece) DESC, piece), " +
+      "CAST([] AS VARCHAR[])) AS ps FROM kp), " +
+      "enc AS (SELECT w, list_reduce(list_prepend('1|', " +
+      "list_transform(range(1, len(w) + 1), i -> '')), " +
+      s"(a, x) -> CASE WHEN $ap > len(w) THEN a ELSE " +
+      s"CAST($ap + len($pc) AS VARCHAR) || '|' || " +
+      s"substr(a, strpos(a, '|') + 1) || ' ' || $pc END) AS st " +
+      "FROM (SELECT DISTINCT w FROM words), kpl), " +
+      "occ AS (SELECT doc_id, CAST(p.i - 1 AS INTEGER) AS pos, p.w AS w " +
+      "FROM (SELECT doc_id, unnest(list_transform(" +
+      "list_filter(string_split(text, ' '), t -> t <> ''), " +
+      "(w, i) -> struct_pack(w := w, i := i))) AS p FROM documents)) " +
+      "SELECT o.doc_id, o.pos, o.w AS word, " +
+      "substr(st, strpos(st, '|') + 2) AS encoded " +
+      "FROM occ o JOIN enc ON o.w = enc.w ORDER BY doc_id, pos"
+  }
 
   /** Encode oracle — the mirror of [[TextAnalysis.bpeEncode]]: the
     * training chain's final `seg<k>` IS every word type's encoding
@@ -1407,6 +1445,17 @@ object SparkEntry {
     ("q_unigram_vocab",
       (s, d) => bpeTables(s, d)._2.orderBy("piece"),
       Some(unigramVocabOracleSql(DefaultBpeMerges, DefaultUnigramKeep))),
+
+    // UNIGRAM ENCODE: the pruned vocabulary applied to the corpus — the
+    // chain's apply step, consumed IN-PLAN from the persisted artifact
+    // (kept pieces fold into a 1-row length-ordered array broadcast; no
+    // driver read). Greedy longest-prefix with char fallback is tie-free
+    // by construction (equal-length prefix matches are equal strings), so
+    // the segmentation hash-checks like q_bpe_encode.
+    ("q_unigram_encode",
+      (s, d) => TextAnalysis.unigramEncode(Tables.documents(s, d),
+        bpeTables(s, d)._2),
+      Some(unigramEncodeOracleSql(DefaultBpeMerges, DefaultUnigramKeep))),
 
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total

@@ -668,6 +668,50 @@ object TextAnalysis {
       .orderBy("piece")
   }
 
+  /** UNIGRAM-VOCAB ENCODING — applying a pruned [[unigramVocab]] artifact
+    * to segment the corpus: per word TYPE, greedy longest-prefix-match
+    * over the KEPT multi-char pieces with the single-character fallback
+    * (the WordPiece-style deterministic decode of a pruned vocabulary —
+    * the log-free stand-in for unigram Viterbi, whose likelihood argmax
+    * would reintroduce the float-transcendental arithmetic the whole
+    * tokenizer chain avoids). A character outside the vocabulary passes
+    * through as its own singleton piece, so any word — including unseen
+    * ones — encodes without retraining (the [[bpeEncode]] contract).
+    *
+    * The artifact is consumed IN-PLAN: the kept pieces fold into a 1-row
+    * (length-desc-ordered) array broadcast — no driver read of the vocab
+    * table, and two distinct same-length pieces can never prefix-match
+    * the same position (they would be equal), so the longest-first order
+    * is a total tie-free match rule on both engines. Per-word work is a
+    * bounded fold (word length steps, each a filter over the tiny piece
+    * array); occurrences join the type-level encoding back exactly like
+    * [[bpeEncode]].
+    */
+  def unigramEncode(documents: DataFrame, vocab: DataFrame): DataFrame = {
+    val kp = vocab.filter(col("kept") === 1 && col("piece_len") > 1)
+      .agg(sort_array(collect_list(
+        struct((-col("piece_len")).as("nl"), col("piece")))).as("ps"))
+    val occ = documents.select(col("doc_id"),
+      posexplode(filter(tokens(col("text")), w => w =!= "")).as(Seq("pos", "w")))
+    val encoded = occ.select("w").distinct().crossJoin(broadcast(kp))
+      .select(col("w"),
+        aggregate(sequence(lit(1), length(col("w"))),
+          struct(lit(1).as("p"), typedLit(Seq.empty[String]).as("seg")),
+          (acc, _) => {
+            val matched = filter(col("ps"),
+              x => col("w").substr(acc("p"), -x("nl")) === x("piece"))
+            val piece = when(size(matched) > 0, element_at(matched, 1)("piece"))
+              .otherwise(col("w").substr(acc("p"), lit(1)))
+            when(acc("p") > length(col("w")), acc)
+              .otherwise(struct((acc("p") + length(piece)).as("p"),
+                concat(acc("seg"), array(piece)).as("seg")))
+          },
+          acc => array_join(acc("seg"), " ")).as("encoded"))
+    occ.join(encoded, Seq("w"))
+      .select(col("doc_id"), col("pos"), col("w").as("word"), col("encoded"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** PMI-style bigram collocation mining — the phrase-induction step that
     * follows [[vocabulary]] in tokenizer/phrase-table construction: find
     * adjacent token pairs that co-occur far more than their unigram

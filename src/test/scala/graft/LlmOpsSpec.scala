@@ -138,6 +138,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(r2.values.forall(v => !v._1.isInfinite && !v._1.isNaN))
   }
 
+  test("unigram encode: longest kept prefix wins, pruned and unknown pieces fall back to characters") {
+    import spark.implicits._
+    val vocab = Seq(
+      ("ab", 2, 5L, 20.0, 1), ("abc", 3, 2L, 30.0, 1),  // both kept
+      ("cd", 2, 9L, 40.0, 0),                            // PRUNED: must not match
+      ("a", 1, 3L, 1.0, 1), ("c", 1, 1L, 1.0, 1))
+      .toDF("piece", "piece_len", "piece_count", "gain", "kept")
+    val docs = Seq((1L, "abcab cdx"), (2L, "zq")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramEncode(docs, vocab).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getString(3)))
+    // greedy longest-first: abc beats ab at position 1; the pruned cd
+    // segments as chars; chars outside the vocab (x, z, q) pass through
+    assert(r.toSeq == Seq(
+      (1L, 0, "abcab", "abc ab"), (1L, 1, "cdx", "c d x"),
+      (2L, 0, "zq", "z q")), s"greedy longest-match encoding: ${r.toSeq}")
+    // chain integrity on the real path: encoding with the corpus-trained
+    // pruned vocab reconstructs every word exactly (concat of pieces)
+    val merges = TextAnalysis.bpeMerges(docs, 2).collect()
+      .map(x => (x.getString(1), x.getString(2))).toSeq
+    val trained = TextAnalysis.unigramVocab(docs, merges, keep = 2)
+    val enc = TextAnalysis.unigramEncode(docs, trained).collect()
+    assert(enc.forall(x => x.getString(3).replace(" ", "") == x.getString(2)),
+      "pieces must concatenate back to the word")
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val r1 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val r2 = TextAnalysis.fingerprints(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

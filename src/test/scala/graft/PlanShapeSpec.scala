@@ -65,6 +65,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_quantized_topk",                    // 1-row max|x| scalar + 5-row probe set
       "q_collocations",                      // 1-row corpus-token-total scalar
       "q_unigram_vocab",                     // 1-row (T, |V|) totals scalar
+      "q_unigram_encode",                    // 1-row kept-piece array scalar
       "q_temperature_sample")                // 1-row Σsqrt(n_l)/N totals scalar
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
