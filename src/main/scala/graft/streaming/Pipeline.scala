@@ -331,6 +331,18 @@ class Pipeline(
     MediaDedup.start(media, basePhashDir, mediaStorePath, maxHamming,
       checkpointDir = Some(s"$checkpointRoot/media-dedup"))
 
+  def tokenizeStorePath: String = s"$storeRoot/tokenize"
+
+  /** Frozen-tokenizer encoding as a topology member: the
+    * [[TokenizeStream]] service over the crawl source against the
+    * persisted pruned vocabulary, writing per-epoch encodings under the
+    * shared store root with its own checkpoint dir like every sibling —
+    * the tokenizer chain's serving twin beside the fluency gate's.
+    */
+  def startTokenize(docs: DataFrame, vocabDir: String): StreamingQuery =
+    TokenizeStream.start(docs, vocabDir, tokenizeStorePath,
+      checkpointDir = Some(s"$checkpointRoot/tokenize"))
+
   def mediaSearchStorePath: String = s"$storeRoot/media-search"
 
   /** Reverse-media-search serving as a topology member (round-10 verdict
