@@ -271,30 +271,59 @@ object SparkEntry {
     * re-ran the full normalize + window aggregate per call; now the agg
     * table commits once per events snapshot, PARTITIONED BY CITY (the
     * reference's DynamoDB partition key — city-equality serving prunes to
-    * one partition directory), and the ten serving/dashboard consumers
-    * are scans. `q_windowed_agg` itself stays a LIVE computation — it is
+    * one partition directory), and the serving/dashboard consumers
+    * are scans. v2 extends the family to the reference's full
+    * three-table surface: `city-events` (normalized rows — the raw store
+    * whose 30-day TTL bounds growth in the reference) and `city-alerts`
+    * beside the aggregations, each city-partitioned, feeding the
+    * events/alerts serving queries and the keyed-state operators' batch
+    * formulations the way the deployed system feeds them (from the
+    * stores, not the stream). `q_windowed_agg` itself stays a LIVE computation — it is
     * the centerpiece operator benchmark, and its green hash against the
     * same oracle doubles as the proof the persisted table equals the
     * in-plan aggregate. Same per-call staleness contract as every family.
     */
   private val aggStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
-  private def aggTable(s: SparkSession, d: String): DataFrame = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, (DataFrame, DataFrame, DataFrame))]()
+  private def servingStore(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     aggStoreCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/events.parquet"
-    val stamp = "agg-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // "agg-v2:" versions the store LAYOUT (v2 added the city-events and
+    // city-alerts tables beside the aggregations — the reference's full
+    // three-table DynamoDB surface)
+    val stamp = "agg-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     aggStoreCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_agg")
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
-          agg(s, d).write.mode("overwrite").partitionBy("city")
-            .parquet(s"$dir/agg")
+          // repartition by the partition column first so each city lands
+          // as one well-sized file instead of shufflePartitions-many
+          // shards per directory (at real scale the repartition key would
+          // gain a file-sizing second column; at the gate SFs one file
+          // per city is the right layout)
+          agg(s, d).repartition(col("city"))
+            .write.mode("overwrite").partitionBy("city").parquet(s"$dir/agg")
+          // the city-events table (normalized rows, the reference's raw
+          // store with its 30-day TTL bounding growth) and the
+          // city-alerts table, both city-partitioned like their
+          // DynamoDB partition key
+          norm(s, d).repartition(col("city"))
+            .write.mode("overwrite").partitionBy("city").parquet(s"$dir/events")
+          alertsOf(s, d).repartition(col("city"))
+            .write.mode("overwrite").partitionBy("city").parquet(s"$dir/alerts")
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
-        (stamp, s.read.parquet(s"$dir/agg"))
+        (stamp, (s.read.parquet(s"$dir/agg"),
+          s.read.parquet(s"$dir/events"), s.read.parquet(s"$dir/alerts")))
       })._2
   }
+  private def aggTable(s: SparkSession, d: String): DataFrame =
+    servingStore(s, d)._1
+  private def eventsTable(s: SparkSession, d: String): DataFrame =
+    servingStore(s, d)._2
+  private def alertsTable(s: SparkSession, d: String): DataFrame =
+    servingStore(s, d)._3
   /** [[aggFlat]] over the persisted store — the serving-side shape. */
   private def aggFlatTable(s: SparkSession, d: String): DataFrame =
     aggTable(s, d).withColumn("severities", array_join(col("severities"), ","))
@@ -604,11 +633,11 @@ object SparkEntry {
 
     // ---- serving layer: the 7 REST endpoints (SURVEY.md §2.11)
     ("q_health",
-      (s, d) => Serving.health(norm(s, d)),
+      (s, d) => Serving.health(eventsTable(s, d)),
       Some(s"""$WITH_NORM SELECT 'healthy' AS status, count(*) AS events_seen FROM norm""")),
 
     ("q_events_by_city",
-      (s, d) => Serving.eventsByCity(norm(s, d), "NYC", 20),
+      (s, d) => Serving.eventsByCity(eventsTable(s, d), "NYC", 20),
       Some(s"""$WITH_NORM
         |SELECT event_id, rec_id, ts_str, city, event_type, severity, description
         |FROM norm WHERE city = 'NYC'
@@ -627,7 +656,7 @@ object SparkEntry {
         |FROM agg GROUP BY city ORDER BY total_events DESC, city""".stripMargin)),
 
     ("q_alerts_recent",
-      (s, d) => Serving.alertsRecent(alertsOf(s, d), None, 24),
+      (s, d) => Serving.alertsRecent(alertsTable(s, d), None, 24),
       Some(s"""$WITH_NORM_ALERTS
         |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
         |FROM alerts
@@ -637,7 +666,7 @@ object SparkEntry {
     // 96h window: wide enough to return rows at the sf0.01 gate (a 0-row
     // pass verifies nothing)
     ("q_alerts_city_recent",
-      (s, d) => Serving.alertsRecent(alertsOf(s, d), Some("Chicago"), 96),
+      (s, d) => Serving.alertsRecent(alertsTable(s, d), Some("Chicago"), 96),
       Some(s"""$WITH_NORM_ALERTS
         |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
         |FROM alerts
@@ -655,7 +684,7 @@ object SparkEntry {
     // endpoint at several (city, eventType, hours, limit) combos; one extra
     // fixture per endpoint family keeps the parameterization honest)
     ("q_events_by_city_sf",
-      (s, d) => Serving.eventsByCity(norm(s, d), "SF", 3),
+      (s, d) => Serving.eventsByCity(eventsTable(s, d), "SF", 3),
       Some(s"""$WITH_NORM
         |SELECT event_id, rec_id, ts_str, city, event_type, severity, description
         |FROM norm WHERE city = 'SF'
@@ -668,7 +697,7 @@ object SparkEntry {
         |FROM agg WHERE city = 'Boston' GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     ("q_alerts_seattle_12h",
-      (s, d) => Serving.alertsRecent(alertsOf(s, d), Some("Seattle"), 12),
+      (s, d) => Serving.alertsRecent(alertsTable(s, d), Some("Seattle"), 12),
       Some(s"""$WITH_NORM_ALERTS
         |SELECT event_id, city, ts_str, event_type, severity, description, rec_id
         |FROM alerts
@@ -693,7 +722,7 @@ object SparkEntry {
       Some(s"""$WITH_NORM_AGG SELECT CAST(sum(event_count) AS BIGINT) AS total_events FROM agg""")),
 
     ("q_alert_severity_counts",
-      (s, d) => Serving.alertSeverityCounts(alertsOf(s, d), s).orderBy("severity"),
+      (s, d) => Serving.alertSeverityCounts(alertsTable(s, d), s).orderBy("severity"),
       Some(s"""$WITH_NORM_ALERTS
         |SELECT s.severity, coalesce(c.alert_count, 0) AS alert_count
         |FROM (VALUES ('high'), ('critical')) s(severity)
@@ -829,7 +858,7 @@ object SparkEntry {
     // oracle dodged). Even this sequential operator hash-checks end to
     // end.
     ("q_alert_throttle",
-      (s, d) => graft.streaming.Stateful.alertThrottleBatch(alertsOf(s, d))
+      (s, d) => graft.streaming.Stateful.alertThrottleBatch(alertsTable(s, d))
         .select(col("city"), col("severity"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
           col("event_id")),
