@@ -152,14 +152,16 @@ object SparkEntry {
     ivfTablesCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
     // staleness re-checked per call, same contract as dedupTables above.
-    // "ivf-v3:" versions the snapshot LAYOUT AND BUILD GEOMETRY (v2 added
+    // "ivf-v4:" versions the snapshot LAYOUT AND BUILD GEOMETRY (v2 added
     // the verified default-threshold near-dup pairs — round-10 verdict
     // next-round 1; v3 deepened the multi-probe lists to depth 4, lifting
     // measured pair recall vs the persisted LSH exact pairs from 0.87 to
-    // 0.98 at sf0.1 — the `q_ivf_recall_bound` witness asserts ≥ 0.95):
+    // 0.98 at sf0.1 — the `q_ivf_recall_bound` witness asserts ≥ 0.95;
+    // v4 partitions the lists by cell_rank so serving prunes to the
+    // probe depth it needs at the directory level):
     // a marker committed by an older build fails the stamp compare and
     // rebuilds in place instead of half-loading a pairs-less directory.
-    val stamp = "ivf-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "ivf-v4:" + graft.sources.SnapshotStore.fingerprint(s, src)
     ivfTablesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {

@@ -523,8 +523,12 @@ object Similarity {
     // lazy per-level caches are dead weight from here on (round-8 ADVICE-3)
     levels.foreach(_.unpersist(false))
     val index = IvfIndex(coarse, spark.read.parquet(s"$dir/fine"))
+    // partitioned by probe rank: the top-k serve path reads ONLY the
+    // home-cell slice (cell_rank = 1) and near-dup serving reads ranks
+    // ≤ nprobe — directory-level pruning instead of scanning the full
+    // depth-`probeDepth` expansion per query
     ivfAssign(embeddings, index, cprobe, probeDepth)
-      .write.mode("overwrite").parquet(s"$dir/lists")
+      .write.mode("overwrite").partitionBy("cell_rank").parquet(s"$dir/lists")
     // default-threshold verified near-dup pairs from the READ-BACK lists
     // (round-10 verdict next-round 1: this was the last pair family whose
     // candidate generation + exact verify re-ran per serving call while
