@@ -122,6 +122,22 @@ object TextAnalysis {
     * `keep`, so a pipeline can audit WHY a document dropped (filtering
     * silently is how corpora rot).
     */
+  /** Row-local C4 keep predicate over the `text` column — the exact
+    * conjunction [[qualityFilter]] emits, exposed so
+    * [[filterAgreement]]'s cross-tab can derive both gates in ONE scan
+    * (round 11: the doc_id-join form paid ~1 s of shuffle at sf0.1 for
+    * flags that are pure projections).
+    */
+  private def c4KeepCol(minTokens: Int, maxPunct: Double,
+                        minUnique: Double): Column = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast("double") / n.cast("double")
+    val punctRatio = size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+      .cast("double") / length(col("text")).cast("double")
+    n >= minTokens && punctRatio < maxPunct && uniqRatio > minUnique
+  }
+
   def qualityFilter(documents: DataFrame, minTokens: Int = 20,
                     maxPunct: Double = 0.1, minUnique: Double = 0.3): DataFrame = {
     val toks = tokens(col("text"))
@@ -137,7 +153,7 @@ object TextAnalysis {
       (n >= minTokens).as("len_ok"),
       (punctRatio < maxPunct).as("punct_ok"),
       (uniqRatio > minUnique).as("unique_ok"),
-      (n >= minTokens && punctRatio < maxPunct && uniqRatio > minUnique).as("keep"))
+      c4KeepCol(minTokens, maxPunct, minUnique).as("keep"))
   }
 
   /** Polynomial rolling-hash fingerprint over the character stream:
@@ -371,14 +387,17 @@ object TextAnalysis {
     * rules): how many documents each keep/drop combination holds. The
     * off-diagonal cells are the interesting ones — documents one filter
     * keeps and the other drops are exactly where a curation pipeline's
-    * thresholds need human eyes. One equi-join on doc_id + a 4-group
-    * aggregate; combinations with zero documents are absent (both
-    * engines agree).
+    * thresholds need human eyes. Both gates are row-local predicates of
+    * the SAME text column, so the cross-tab is one scan + a 4-group
+    * map-side-combined aggregate — zero shuffle before the 4 rows
+    * (round 11: the earlier doc_id-join form paid ~1 s of shuffle at
+    * sf0.1 for flags the scan already had side by side). Combinations
+    * with zero documents are absent (both engines agree).
     */
   def filterAgreement(documents: DataFrame): DataFrame =
-    qualityFilter(documents).select(col("doc_id"), col("keep").as("c4_keep"))
-      .join(gopherFilter(documents).select(col("doc_id"), col("keep").as("gopher_keep")),
-        Seq("doc_id"))
+    documents.select(
+        c4KeepCol(20, 0.1, 0.3).as("c4_keep"),
+        gopherKeepCol(50, 100000, 3.0, 10.0, 0.2, 2).as("gopher_keep"))
       .groupBy("c4_keep", "gopher_keep")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("c4_keep", "gopher_keep")
@@ -770,6 +789,25 @@ object TextAnalysis {
     * speed with zero shuffle at any corpus size, and every ratio stays in
     * the exact-double regime the oracle mirrors bit-for-bit.
     */
+  /** Row-local Gopher keep predicate — [[c4KeepCol]]'s twin for the
+    * [[gopherFilter]] rule gate, shared with [[filterAgreement]].
+    */
+  private def gopherKeepCol(minTokens: Int, maxTokens: Int,
+                            minMeanTokLen: Double, maxMeanTokLen: Double,
+                            maxDupBigram: Double, minStopHits: Int): Column = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanLen = (length(col("text")) - n + 1).cast("double") / n.cast("double")
+    val grams = Dedup.shinglesRaw(col("text"), 2)
+    val dupFrac = when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+      .otherwise(lit(0.0))
+    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    n >= minTokens && n <= maxTokens &&
+      meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen &&
+      dupFrac <= maxDupBigram && stopHits >= minStopHits
+  }
+
   def gopherFilter(documents: DataFrame, minTokens: Int = 50,
                    maxTokens: Int = 100000, minMeanTokLen: Double = 3.0,
                    maxMeanTokLen: Double = 10.0, maxDupBigram: Double = 0.2,
@@ -792,9 +830,8 @@ object TextAnalysis {
       (meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen).as("tok_len_ok"),
       (dupFrac <= maxDupBigram).as("rep_ok"),
       (stopHits >= minStopHits).as("stop_ok"),
-      (n >= minTokens && n <= maxTokens &&
-        meanLen >= minMeanTokLen && meanLen <= maxMeanTokLen &&
-        dupFrac <= maxDupBigram && stopHits >= minStopHits).as("keep"))
+      gopherKeepCol(minTokens, maxTokens, minMeanTokLen, maxMeanTokLen,
+        maxDupBigram, minStopHits).as("keep"))
   }
 
   /** Bigram-LM fluency score — the CCNet/KenLM perplexity-filter signal
