@@ -2669,15 +2669,49 @@ object SparkEntry {
     // ids) come from the lists' home-cell slice — the timed path is three
     // parquet scans + probing, never embeddings rescans or training
     // (no-rescan spec'd in SimilaritySpec).
+    // nprobe = 16 is from a measured sweep at sf0.1 (6 → 0.60 recall@10
+    // vs exact, 10 → 0.78, 14 → 0.98, 16/20 → 1.00): query-side probing
+    // is the cheap recall knob — candidates per query = nprobe·cellSize,
+    // trivial against the probe's rank window — and 16 holds 10/10 per
+    // query at every SF, asserted by the q_ivf_topk_recall_bound witness.
     ("q_ann_ivf_topk",
       (s, d) => {
         val (idx, lists, _) = ivfTables(s, d)
         val queries = lists
           .filter(col("cell_rank") === 1 && col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
-        Similarity.ivfTopKServe(idx, lists, queries)
+        Similarity.ivfTopKServe(idx, lists, queries, nprobe = 16)
       },
       None),
+
+    // RECALL-CONTRACT witness for the top-k family (the q_ivf_recall_bound
+    // precedent): per query, the overlap of the IVF answer with the
+    // fully-oracled exact top-k, folded into a within_bound literal at
+    // 0.8 (measured 1.0 at every SF under nprobe 16 — see above). With
+    // this, EVERY rows-only query's approximation contract lives in the
+    // hash-checked surface.
+    ("q_ivf_topk_recall_bound",
+      (s, d) => {
+        val (idx, lists, _) = ivfTables(s, d)
+        val queries = lists
+          .filter(col("cell_rank") === 1 && col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+        Similarity.topKRecallBound(
+          Similarity.ivfTopKServe(idx, lists, queries, nprobe = 16),
+          Similarity.bruteForceTopK(Tables.embeddings(s, d)), 0.8)
+      },
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id, ${Similarity.Sql.cosine("qv", "v")} AS cosine
+        |  FROM d CROSS JOIN q WHERE vec_id <> query_id),
+        |ex AS (SELECT query_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 10)
+        |SELECT query_id, count(*) AS n_exact,
+        |  CAST(0.8 AS DOUBLE) AS recall_bound,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM ex GROUP BY query_id ORDER BY query_id""".stripMargin)),
 
     // IVF-cell near-dup pairs: the scale path behind q_cosine_pairs /
     // q_semantic_dedup. Cell-geometry recall has no closed-form bound, so

@@ -714,6 +714,31 @@ object Similarity {
           .cast("int").as("within_bound"))
   }
 
+  /** [[ivfRecallBound]]'s per-query twin for TOP-K serving: of each
+    * query's exact top-k (the fully-oracled [[bruteForceTopK]] rows),
+    * the fraction the approximate path also returned, folded into a
+    * per-query `within_bound` literal — promoting the last rows-only
+    * family's recall contract (IVF top-k; trained centroids cannot be
+    * SQL-mirrored) into the hash-checked surface. Only oracle-computable
+    * columns plus the contract literals are emitted; one id-pair
+    * semi-join + a per-query two-column aggregate.
+    */
+  def topKRecallBound(approxTopK: DataFrame, exactTopK: DataFrame,
+                      bound: Double = 0.8): DataFrame = {
+    val marked = exactTopK.select(col("query_id"), col("vec_id"))
+      .join(approxTopK.select(col("query_id"), col("vec_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+    marked.groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("query_id"), col("n_exact"),
+        lit(bound).as("recall_bound"),
+        (col("n_found") >= col("n_exact") * lit(bound))
+          .cast("int").as("within_bound"))
+      .orderBy("query_id")
+  }
+
   /** Per-tensor symmetric int8 quantization of the embedding column — the
     * 100 TB memory story for similarity serving: one global step size
     * `scale = max|x| / 127` over the corpus, `code = ⌊x·127/max + 0.5⌋ ∈

@@ -577,6 +577,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfRecallBound(sup, exact, 0.95).collect()(0).getInt(2) == 0)
   }
 
+  test("topKRecallBound: per-query witness flips only the queries below the bound") {
+    import spark.implicits._
+    // exact top-2 for two queries; approx misses one of query 1's rows
+    val exact = Seq((0L, 10L), (0L, 11L), (1L, 20L), (1L, 21L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((0L, 10L), (0L, 11L), (1L, 20L), (1L, 99L))
+      .toDF("query_id", "vec_id")
+    val r = Similarity.topKRecallBound(approx, exact, 0.8).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(3))).sortBy(_._1)
+    assert(r.toSeq == Seq((0L, 2L, 1), (1L, 2L, 0)),
+      s"query 0 full recall, query 1 at 0.5 < 0.8: ${r.toSeq}")
+    // at bound 0.5 the >= compare passes for both
+    val r2 = Similarity.topKRecallBound(approx, exact, 0.5).collect()
+      .map(x => (x.getLong(0), x.getInt(3))).sortBy(_._1)
+    assert(r2.toSeq == Seq((0L, 1), (1L, 1)))
+  }
+
   test("ivfTopK plans lazily: building + optimizing the query runs zero jobs") {
     // round-1 regression guard: the operator builder ran an eager
     // corpus.count() — a full extra scan job per invocation, before the
