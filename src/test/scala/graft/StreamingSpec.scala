@@ -546,4 +546,71 @@ class StreamingSpec extends SparkSpec {
     assert(gateClean == expectClean && gateRejected == batch.map(_._1).toSet -- expectClean,
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
+
+  test("nine-member topology: events, crawl curation, media ingest + search, and the tokenizer " +
+    "service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal, TextAnalysis}
+    def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    val base = tmp("ninetop")
+    // frozen artifacts: crawl index, LM model, media hash table, vocab
+    val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
+    TextAnalysis.persistLmModel(
+      Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text"),
+      s"$base/lm", stamp = "spec")
+    Multimodal.mediaPhash(
+        Seq((1L, text("img1")), (2L, text("img2"))).toDF("media_id", "text")
+          .select(col("media_id"), lit("image").as("kind"),
+            col("text").cast("binary").as("payload")))
+      .write.parquet(s"$base/phash")
+    val tokTrain = Seq((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val tokMerges = TextAnalysis.bpeMerges(tokTrain, 2).collect()
+      .map(x => (x.getString(1), x.getString(2))).toSeq
+    TextAnalysis.unigramVocab(tokTrain, tokMerges, keep = 2)
+      .write.parquet(s"$base/vocab")
+    // five sources: events, crawl docs, media ingest, media probes, tokenizer docs
+    val events = MemoryStream[EventRec]
+    val docs = MemoryStream[(Long, String)]
+    val media = MemoryStream[(Long, String)]
+    val probes = MemoryStream[(Long, String)]
+    val tok = MemoryStream[(Long, String)]
+    def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
+      .toDF(id, "text")
+      .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
+    val p = new Pipeline(spark, tmp("store9"), tmp("ckpt9"))
+    val queries = p.startAllWithCuration(events.toDF(),
+        docs.toDF().toDF("doc_id", "text"), s"$base/index", s"$base/lm",
+        threshold = 0.5) ++ Seq(
+      p.startMediaDedup(asMedia(media, "media_id"), s"$base/phash"),
+      p.startMediaSearch(asMedia(probes, "query_id"), s"$base/phash"),
+      p.startTokenize(tok.toDF().toDF("doc_id", "text"), s"$base/vocab"))
+    try {
+      assert(queries.length == 9)
+      events.addData(ev(10L, "2024-01-01 10:00:00"))
+      docs.addData((10L, "a b a b a b"))
+      media.addData((100L, text("img1")), (101L, text("fresh")))
+      probes.addData((200L, text("img2")))
+      tok.addData((300L, "abcd xy"))
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+    // every store root received its member's output
+    assert(spark.read.parquet(s"${p.crawlStorePath}/clean").count() == 1)
+    assert(spark.read.parquet(s"${p.fluencyStorePath}/clean").count() == 1)
+    val mediaClean = spark.read.parquet(s"${p.mediaStorePath}/clean")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(mediaClean == Set(101L), s"only the fresh image survives ingest dedup: $mediaClean")
+    val found = spark.read.parquet(s"${p.mediaSearchStorePath}/matches")
+      .select("query_id", "media_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the exact corpus twin at hamming 0; img1 differs only in the tag
+    // digit, so it may legitimately surface as a near match too
+    assert(found.contains((200L, 2L, 0L)),
+      s"the probe must find its corpus twin exactly: $found")
+    val enc = spark.read.parquet(s"${p.tokenizeStorePath}/encoded")
+      .select("word", "encoded").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(enc == Set(("abcd", "ab cd"), ("xy", "x y")),
+      s"tokenizer member must apply the frozen vocab: $enc")
+  }
 }
