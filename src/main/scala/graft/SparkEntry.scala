@@ -299,21 +299,18 @@ object SparkEntry {
       else {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_agg")
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
-          // repartition by the partition column first so each city lands
-          // as one well-sized file instead of shufflePartitions-many
-          // shards per directory (at real scale the repartition key would
-          // gain a file-sizing second column; at the gate SFs one file
-          // per city is the right layout)
-          agg(s, d).repartition(col("city"))
-            .write.mode("overwrite").partitionBy("city").parquet(s"$dir/agg")
+          // ServingStore.writePartitioned = the DynamoDB hash-key analog
+          // (SURVEY.md §1.4): one well-sized file per city directory
+          graft.sources.ServingStore.writePartitioned(
+            agg(s, d), s"$dir/agg", Seq("city"))
           // the city-events table (normalized rows, the reference's raw
           // store with its 30-day TTL bounding growth) and the
           // city-alerts table, both city-partitioned like their
           // DynamoDB partition key
-          norm(s, d).repartition(col("city"))
-            .write.mode("overwrite").partitionBy("city").parquet(s"$dir/events")
-          alertsOf(s, d).repartition(col("city"))
-            .write.mode("overwrite").partitionBy("city").parquet(s"$dir/alerts")
+          graft.sources.ServingStore.writePartitioned(
+            norm(s, d), s"$dir/events", Seq("city"))
+          graft.sources.ServingStore.writePartitioned(
+            alertsOf(s, d), s"$dir/alerts", Seq("city"))
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
         (stamp, (s.read.parquet(s"$dir/agg"),

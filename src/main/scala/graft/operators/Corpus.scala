@@ -253,24 +253,26 @@ object Corpus {
     * ([[graft.operators.TextAnalysis.vocabCoverage]]) — one row per
     * source, every number the respective standalone query publishes.
     *
-    * Scale shape: each component frame is a NARROW per-doc projection
-    * (flags, counts, one fingerprint long — never text) co-shuffled on
-    * doc_id into the final per-source aggregate; the vocabulary side is
-    * [[graft.operators.TextAnalysis.vocabCoverage]]'s k-row broadcast.
-    * All ratios are the exact one-divide doubles their source operators
-    * emit, so the composed report hash-checks like its parts.
+    * Scale shape: both quality gates are ROW-LOCAL predicates of the
+    * text column (the shared [[graft.operators.TextAnalysis]] keep
+    * builders — round-11 review: joining the standalone gate frames back
+    * on doc_id paid two shuffles for flags the base scan already had
+    * side by side), so the fingerprint and both flags come out of ONE
+    * projection; only the OOV report — a genuine aggregation — joins on
+    * doc_id, with [[graft.operators.TextAnalysis.vocabCoverage]]'s k-row
+    * vocabulary broadcast. All ratios are the exact one-divide doubles
+    * their source operators emit, so the composed report hash-checks
+    * like its parts.
     */
   def datasetCard(documents: DataFrame, vocabK: Int = 20): DataFrame = {
     import graft.operators.TextAnalysis
     val base = documents.select(col("doc_id"), col("source"),
-      TextAnalysis.fingerprintCol(col("text")).as("fp"))
-    val c4 = TextAnalysis.qualityFilter(documents)
-      .select(col("doc_id"), col("keep").cast("long").as("c4_keep"))
-    val gopher = TextAnalysis.gopherFilter(documents)
-      .select(col("doc_id"), col("keep").cast("long").as("gopher_keep"))
+      TextAnalysis.fingerprintCol(col("text")).as("fp"),
+      TextAnalysis.c4KeepCol().cast("long").as("c4_keep"),
+      TextAnalysis.gopherKeepCol().cast("long").as("gopher_keep"))
     val cov = TextAnalysis.vocabCoverage(documents, vocabK)
       .select(col("doc_id"), col("n_tokens"), col("n_oov"))
-    base.join(c4, "doc_id").join(gopher, "doc_id").join(cov, "doc_id")
+    base.join(cov, "doc_id")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

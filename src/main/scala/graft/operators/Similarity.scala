@@ -710,7 +710,10 @@ object Similarity {
         sum(coalesce(col("hit"), lit(0L))).as("n_found"))
       .select(col("n_exact_pairs"),
         lit(bound).as("recall_bound"),
-        (col("n_found") >= col("n_exact_pairs") * lit(bound))
+        // coalesce(n_found, 0): a pair-free corpus makes sum() NULL and
+        // the contract is then vacuously met (0 ≥ 0), matching the
+        // oracle's literal 1 instead of going NULL-red with no defect
+        (coalesce(col("n_found"), lit(0L)) >= col("n_exact_pairs") * lit(bound))
           .cast("int").as("within_bound"))
   }
 

@@ -128,8 +128,8 @@ object TextAnalysis {
     * (round 11: the doc_id-join form paid ~1 s of shuffle at sf0.1 for
     * flags that are pure projections).
     */
-  private def c4KeepCol(minTokens: Int, maxPunct: Double,
-                        minUnique: Double): Column = {
+  private[operators] def c4KeepCol(minTokens: Int = 20, maxPunct: Double = 0.1,
+                                   minUnique: Double = 0.3): Column = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val uniqRatio = size(array_distinct(toks)).cast("double") / n.cast("double")
@@ -396,8 +396,8 @@ object TextAnalysis {
     */
   def filterAgreement(documents: DataFrame): DataFrame =
     documents.select(
-        c4KeepCol(20, 0.1, 0.3).as("c4_keep"),
-        gopherKeepCol(50, 100000, 3.0, 10.0, 0.2, 2).as("gopher_keep"))
+        c4KeepCol().as("c4_keep"),
+        gopherKeepCol().as("gopher_keep"))
       .groupBy("c4_keep", "gopher_keep")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("c4_keep", "gopher_keep")
@@ -472,8 +472,8 @@ object TextAnalysis {
       .agg(expr(s"approx_top_k(tok, $estK, $maxItems)").as("est"))
       .select(explode(col("est")).as("e"))
       .select(col("e.item").as("tok"), col("e.count").as("est_count"))
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-      .orderBy(col("tf").desc, col("tok")).limit(k)
+    val grouped = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val exact = grouped.orderBy(col("tf").desc, col("tok")).limit(k)
     // the estimator regime gate (round-10 ADVICE-3): Spark's approx_top_k
     // carries no formal error guarantee once distinct tokens exceed
     // maxItems per partition merge, so a bigger/more diverse corpus could
@@ -483,8 +483,11 @@ object TextAnalysis {
     // assertion applies only inside the regime — outside it the contract
     // is vacuous-by-construction, not silently red. One-row broadcast,
     // still fully lazy.
-    val regime = toks.agg(
-      (countDistinct(col("tok")) <= maxItems).cast("int").as("in_regime"))
+    // derived from the SAME grouped frame as the exact side, so the
+    // regime check reuses that exchange instead of re-tokenizing and
+    // re-shuffling the corpus a third time (round-11 review finding)
+    val regime = grouped.agg(
+      (count(lit(1)) <= maxItems).cast("int").as("in_regime"))
     val vacuous = if (gateToRegime) col("in_regime") === 0 else lit(false)
     exact.join(broadcast(est), Seq("tok"), "left")
       .crossJoin(broadcast(regime))
@@ -792,9 +795,11 @@ object TextAnalysis {
   /** Row-local Gopher keep predicate — [[c4KeepCol]]'s twin for the
     * [[gopherFilter]] rule gate, shared with [[filterAgreement]].
     */
-  private def gopherKeepCol(minTokens: Int, maxTokens: Int,
-                            minMeanTokLen: Double, maxMeanTokLen: Double,
-                            maxDupBigram: Double, minStopHits: Int): Column = {
+  private[operators] def gopherKeepCol(minTokens: Int = 50, maxTokens: Int = 100000,
+                                       minMeanTokLen: Double = 3.0,
+                                       maxMeanTokLen: Double = 10.0,
+                                       maxDupBigram: Double = 0.2,
+                                       minStopHits: Int = 2): Column = {
     val toks = tokens(col("text"))
     val n = size(toks)
     val meanLen = (length(col("text")) - n + 1).cast("double") / n.cast("double")

@@ -15,8 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ServingStore {
 
+  /** Rows are repartitioned BY the partition columns first so each
+    * directory lands as one well-sized file instead of
+    * shufflePartitions-many shards (at real scale the repartition key
+    * would gain a file-sizing second column; at the gate SFs one file
+    * per partition value is the right layout).
+    */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

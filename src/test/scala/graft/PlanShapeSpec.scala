@@ -125,16 +125,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dataset-card composition joins narrow frames without scan explosion (r10 next-round 7)") {
-    // the card composes FOUR audit frames; each is a narrow projection of
-    // the documents scan, so the whole report must cost exactly the five
-    // scans its components need (base fingerprints, C4 flags, Gopher
-    // flags, coverage tokens, vocabulary) — a regression that re-derives
-    // a component per output column would multiply this
+    // both quality gates are row-local predicates, so the base scan
+    // carries fingerprint + both flags in ONE projection; only the OOV
+    // report joins on doc_id. That leaves exactly three scans (base,
+    // coverage tokens, vocabulary) — a regression that re-derives a
+    // component per output column would multiply this
     val df = SparkEntry.queries("q_dataset_card")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
-    assert("FileScan".r.findAllIn(plan).length == 5,
-      s"composition must hold at five component scans:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 3,
+      s"composition must hold at three component scans:\n$plan")
     // no component drags the full document row through its join: text
     // never survives past a projection into a join build side
     assert(!plan.contains("ReadSchema: struct<doc_id:bigint,lang"),
