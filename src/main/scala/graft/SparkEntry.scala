@@ -1381,6 +1381,34 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency
         |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style per-language fluency terciles: frozen-model scores cut
+    // into head/middle/tail thirds per lang (ntile over a lang-partitioned
+    // window; fluency doubles are cross-engine bit-identical and doc_id
+    // breaks ties, so both engines cut at the same rows)
+    ("q_ccnet_buckets",
+      (s, d) => TextAnalysis.ccnetBuckets(lmModel(s, d), Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |bc AS (SELECT l, r, count(*) AS c_xy FROM bo GROUP BY l, r),
+        |hc AS (SELECT l, sum(c_xy) AS c_x FROM bc GROUP BY l),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo JOIN bc USING (l, r) JOIN hc USING (l)),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id),
+        |f AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p),
+        |j AS (SELECT f.doc_id, d.lang, f.fluency,
+        |  ntile(3) OVER (PARTITION BY d.lang ORDER BY f.fluency DESC, f.doc_id) AS trc
+        |  FROM f JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, fluency,
+        |  CASE trc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j ORDER BY doc_id""".stripMargin)),
+
     // zero-filled dataset-card histogram over the composite quality score;
     // empty buckets are EMITTED (a distribution audit that silently drops
     // empty ranges reads as coverage it doesn't have)
@@ -1907,6 +1935,34 @@ object SparkEntry {
         |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin)),
 
+    // duplicate-cluster SIZE histogram: the dataset-card view of the
+    // near-dup graph (2-copy pairs vs boilerplate mega-clusters), two
+    // hash aggregates over the persisted cluster assignment — never
+    // touches documents
+    ("q_cluster_sizes",
+      (s, d) => Dedup.clusterSizeHistogram(dedupTables(s, d).clusters),
+      Some(s"""WITH RECURSIVE sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |edges AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM pairs
+        |  UNION SELECT doc_id2, doc_id1 FROM pairs),
+        |reach(doc_id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+        |cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters FROM cs
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
     // KEEP-BEST near-dedup policy: per duplicate CLUSTER keep the longest
     // doc (smallest id on ties) — the curation policy that never discards
     // the best copy, vs q_neardedup_corpus' greedy lowest-id keep. Serves
@@ -2359,6 +2415,118 @@ object SparkEntry {
         |WHERE d2.doc_id IN (SELECT doc_id FROM lex)
         |  AND d2.doc_id NOT IN (SELECT vec_id2 FROM semdrop)
         |ORDER BY d2.doc_id""".stripMargin)),
+
+    // CURATION FUNNEL: per-stage survivor counts of the scale-shape clean
+    // pipeline (corpus -> quality -> decontaminate -> lexical dedup ->
+    // semantic dedup) — the one-glance report a curation run publishes
+    // ("which stage ate the corpus"). Stage membership is NESTED (each
+    // stage filters its predecessor), so all five counts come from ONE
+    // aggregate over a doc_id-flags frame (stage sets left-joined as
+    // 1-bit marks) and unpivot via stack; the stage frames themselves are
+    // the pipeline's own (expensive sides all snapshot-served).
+    ("q_curation_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        val q = corpus.join(
+          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val decon = Dedup.decontaminate(q, bench, 5)
+        val drop = nearDupPairs(s, d)
+          .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
+          .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
+          .select(col("doc_id2").as("doc_id")).distinct()
+        val lex = decon.join(drop, Seq("doc_id"), "left_anti")
+        val sem = annServeTables(s, d).pairs
+          .join(lex.select(col("doc_id").as("vec_id1")), Seq("vec_id1"), "left_semi")
+          .join(lex.select(col("doc_id").as("vec_id2")), Seq("vec_id2"), "left_semi")
+          .select(col("vec_id2").as("doc_id")).distinct()
+        val fin = lex.join(sem, Seq("doc_id"), "left_anti")
+        corpus.select(col("doc_id"))
+          .join(q.select(col("doc_id")).withColumn("s1", lit(1L)), Seq("doc_id"), "left")
+          .join(decon.select(col("doc_id")).withColumn("s2", lit(1L)), Seq("doc_id"), "left")
+          .join(lex.select(col("doc_id")).withColumn("s3", lit(1L)), Seq("doc_id"), "left")
+          .join(fin.select(col("doc_id")).withColumn("s4", lit(1L)), Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n0"),
+            sum(coalesce(col("s1"), lit(0L))).as("n1"),
+            sum(coalesce(col("s2"), lit(0L))).as("n2"),
+            sum(coalesce(col("s3"), lit(0L))).as("n3"),
+            sum(coalesce(col("s4"), lit(0L))).as("n4"))
+          .select(expr("stack(5, 0, 'corpus', n0, 1, 'quality', n1, " +
+            "2, 'decontaminated', n2, 3, 'lexical_dedup', n3, " +
+            "4, 'semantic_dedup', n4) AS (stage_id, stage, n_docs)"))
+          .orderBy("stage_id")
+      },
+      Some(s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |q AS (SELECT * FROM corp WHERE
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM q)),
+        |dcn AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))),
+        |sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |pairs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id
+        |  JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |dropset AS (SELECT DISTINCT doc_id2 FROM pairs
+        |  WHERE doc_id1 IN (SELECT doc_id FROM dcn)
+        |    AND doc_id2 IN (SELECT doc_id FROM dcn)),
+        |lex AS (SELECT doc_id FROM dcn
+        |  WHERE doc_id NOT IN (SELECT doc_id2 FROM dropset)),
+        |lg AS (SELECT embedding, min(vec_id) AS rep FROM embeddings GROUP BY embedding),
+        |lm AS (SELECT lg.rep, e.vec_id FROM embeddings e JOIN lg ON e.embedding = lg.embedding),
+        |ld AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
+        |  WHERE vec_id IN (SELECT rep FROM lg)),
+        |lb AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM ld),
+        |lc AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM lb CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |lp0 AS (SELECT DISTINCT a.vec_id AS vec_id1, c2.vec_id AS vec_id2
+        |  FROM lc a JOIN lc c2 ON a.band = c2.band AND a.bb = c2.bb
+        |    AND a.vec_id < c2.vec_id),
+        |lp AS (SELECT lp0.vec_id1, lp0.vec_id2,
+        |  ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |  FROM lp0 JOIN ld a ON lp0.vec_id1 = a.vec_id
+        |          JOIN ld b2 ON lp0.vec_id2 = b2.vec_id),
+        |lrp AS (SELECT * FROM lp WHERE cosine >= 0.4),
+        |lelig AS (SELECT lm.rep, lm.vec_id FROM lm JOIN ld ON lm.rep = ld.vec_id
+        |  WHERE sqrt(${Similarity.Sql.dot("ld.v", "ld.v")}) > 0),
+        |lintra AS (SELECT a.vec_id AS vec_id1, b2.vec_id AS vec_id2
+        |  FROM lelig a JOIN lelig b2 ON a.rep = b2.rep AND a.vec_id < b2.vec_id),
+        |lxg AS (SELECT least(m1.vec_id, m2.vec_id) AS vec_id1,
+        |  greatest(m1.vec_id, m2.vec_id) AS vec_id2
+        |  FROM lrp JOIN lm m1 ON lrp.vec_id1 = m1.rep
+        |           JOIN lm m2 ON lrp.vec_id2 = m2.rep),
+        |spairs AS (SELECT vec_id1, vec_id2 FROM lintra
+        |  UNION ALL SELECT vec_id1, vec_id2 FROM lxg),
+        |semdrop AS (SELECT DISTINCT vec_id2 FROM spairs
+        |  WHERE vec_id1 IN (SELECT doc_id FROM lex)
+        |    AND vec_id2 IN (SELECT doc_id FROM lex)),
+        |fin AS (SELECT doc_id FROM lex
+        |  WHERE doc_id NOT IN (SELECT vec_id2 FROM semdrop))
+        |SELECT CAST(stage_id AS INT) AS stage_id, stage, n_docs FROM (VALUES
+        |  (0, 'corpus', (SELECT count(*) FROM corp)),
+        |  (1, 'quality', (SELECT count(*) FROM q)),
+        |  (2, 'decontaminated', (SELECT count(*) FROM dcn)),
+        |  (3, 'lexical_dedup', (SELECT count(*) FROM lex)),
+        |  (4, 'semantic_dedup', (SELECT count(*) FROM fin))
+        |) AS v(stage_id, stage, n_docs) ORDER BY stage_id""".stripMargin)),
 
     // per-source duplication report: content identity via the codegen'd
     // 64-bit fingerprint so the distinct shuffles hashes, not documents;

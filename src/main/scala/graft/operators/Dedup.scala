@@ -558,6 +558,26 @@ object Dedup {
     clustersFromPairs(minhashPairs(documents, threshold)
       .select("doc_id1", "doc_id2"), maxRounds)
 
+  /** Duplicate-cluster SIZE distribution — the dataset-card view of the
+    * near-dup graph (how much of the corpus sits in 2-copy pairs vs
+    * boilerplate mega-clusters; a heavy tail here is what motivates the
+    * keep-best policy and the stop-list). One row per observed size:
+    * (cluster_size, n_clusters), size ascending. Singletons are absent
+    * by construction — [[clustersFromPairs]] labels only documents that
+    * appear in some near-dup pair, so the histogram reports exactly the
+    * duplicated mass (corpus total minus Σ size·count = unique docs).
+    *
+    * Scale shape: two hash aggregates over the (doc_id, cluster_id)
+    * assignment — which the registry serves from the persisted dedup
+    * family, so the whole report is one narrow scan + two map-side-
+    * combinable groupBys with |clusters|- then |distinct sizes|-bounded
+    * state. Never touches documents.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
   /** Min-label propagation + pointer jumping over an undirected pairs frame
     * (doc_id1, doc_id2), iterated to a fixpoint. Exposed separately so a
     * materialized pairs table can be clustered without re-running the

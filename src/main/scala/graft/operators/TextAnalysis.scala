@@ -952,6 +952,42 @@ object TextAnalysis {
   def lmFluencyFrom(model: LmModel, documents: DataFrame): DataFrame =
     scoreBigrams(bigramStream(documents), model.bigrams, model.hist)
 
+  /** CCNet-style per-language quality terciles — the step after the
+    * perplexity filter scores: each language's documents split into
+    * head / middle / tail thirds by LM fluency (CCNet buckets Common
+    * Crawl per language by KenLM perplexity against a Wikipedia model;
+    * here the frozen [[persistLmModel]] snapshot plays the reference
+    * model and [[lmFluencyFrom]]'s rational mean-conditional plays the
+    * monotone perplexity stand-in — higher fluency = head). Downstream
+    * mixing recipes then sample head-heavy.
+    *
+    * Determinism: `ntile(3)` over (fluency DESC, doc_id ASC) — the
+    * score doubles are cross-engine bit-identical (q_lm_fluency's
+    * hash-green precedent) and the doc_id tie-break makes the order
+    * total, so both engines cut the terciles at the same rows.
+    *
+    * Scale shape: the window partitions BY LANGUAGE — each language
+    * sorts independently and in parallel (no partition-less Window),
+    * and the sorted payload is (doc_id, fluency), never text. At
+    * 100 TB CCNet itself replaces the exact cut with percentile
+    * thresholds from a sample; this exact form is the correctness
+    * baseline and the threshold swap changes only the two cut
+    * constants, not the plumbing. Documents with fewer than 2 tokens
+    * have no bigrams, no score, and no bucket, as in [[lmFluency]].
+    */
+  def ccnetBuckets(model: LmModel, documents: DataFrame): DataFrame = {
+    val scored = lmFluencyFrom(model, documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val tercile = ntile(3).over(
+      Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id")))
+    scored
+      .withColumn("tercile", tercile)
+      .select(col("doc_id"), col("lang"), col("fluency"),
+        when(col("tercile") === 1, lit("head"))
+          .when(col("tercile") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
     val fingerprint: String =

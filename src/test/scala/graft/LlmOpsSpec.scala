@@ -769,4 +769,79 @@ class LlmOpsSpec extends SparkSpec {
     assert(real.select(countDistinct(col("fluency"))).head.getLong(0) > 10,
       "the signal must actually spread over the corpus")
   }
+
+  test("ccnet buckets: per-lang terciles cut by fluency, fluent docs head, short docs drop") {
+    import spark.implicits._
+    // lang en: transitions of "a b" are frozen-model-frequent; "a c" rare;
+    // "p q" is fully OOV so it scores 0.0 and must land in the tail
+    val model = {
+      val dir = java.nio.file.Files.createTempDirectory("ccnetlm").toString
+      TextAnalysis.persistLmModel(
+        Seq((100L, "a b a b a b"), (101L, "a c")).toDF("doc_id", "text"), dir, "spec")
+      TextAnalysis.loadLmModel(spark, dir)
+    }
+    val fixture = Seq(
+      (1L, "a b a b", "en"),   // high: every transition is the dominant one
+      (2L, "a b a c", "en"),   // middle: mixes dominant and rare
+      (3L, "p q p q", "en"),   // OOV: fluency 0.0 -> tail
+      (4L, "a b", "de"),       // other language: its own independent cut
+      (5L, "a c", "de"),
+      (6L, "p q", "de"),
+      (7L, "x", "en")          // single token: no bigrams, drops out
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.ccnetBuckets(model, fixture).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(3))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"bigramless doc 7 must drop out: ${r.toSeq}")
+    // 3 docs per lang -> exactly one per tercile, ordered by fluency
+    assert(r.filter(_._2 == "en").map(_._3).toSeq == Seq("head", "middle", "tail"),
+      s"en terciles must follow fluency order: ${r.toSeq}")
+    assert(r.filter(_._2 == "de").map(_._3).toSeq == Seq("head", "middle", "tail"),
+      s"de cut must be independent of en: ${r.toSeq}")
+    // real corpus: every scored doc gets a bucket and each lang sees all
+    // three buckets (500 docs across few langs -> every tercile non-empty)
+    val real = TextAnalysis.ccnetBuckets(lmModelOf(docs), docs)
+    val perLang = real.groupBy("lang")
+      .agg(countDistinct(col("bucket")).as("n_buckets")).collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(1) == 3L),
+      s"every language must see head/middle/tail: ${perLang.toSeq}")
+  }
+
+  private def lmModelOf(frame: org.apache.spark.sql.DataFrame): TextAnalysis.LmModel = {
+    val dir = java.nio.file.Files.createTempDirectory("ccnetlmreal").toString
+    TextAnalysis.persistLmModel(frame, dir, "spec")
+    TextAnalysis.loadLmModel(spark, dir)
+  }
+
+  test("cluster-size histogram: sizes exact on planted components, mass conserves") {
+    import spark.implicits._
+    // components: {1,2} and {3,4,5} (chain, not clique — propagation closes it)
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_id1", "doc_id2")
+    val clusters = Dedup.clustersFromPairs(pairs)
+    val h = Dedup.clusterSizeHistogram(clusters).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(h.toSeq == Seq((2L, 1L), (3L, 1L)), s"planted histogram: ${h.toSeq}")
+    // real corpus via the registry (persisted cluster assignment): the
+    // duplicated mass seen by the histogram is exactly the labeled docs
+    val reg = SparkEntry.queries("q_cluster_sizes")(spark, sf)
+    val mass = reg.select(sum(col("cluster_size") * col("n_clusters"))).head.getLong(0)
+    val labeled = SparkEntry.queries("q_dup_clusters")(spark, sf).count()
+    assert(mass == labeled, s"sum(size*count)=$mass must equal labeled docs=$labeled")
+    assert(reg.filter(col("cluster_size") < 2).count() == 0,
+      "singletons are absent by construction")
+  }
+
+  test("curation funnel: counts monotone per stage, ends at the scale pipeline") {
+    val f = SparkEntry.queries("q_curation_funnel")(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(f.map(_._2).toSeq == Seq("corpus", "quality", "decontaminated",
+      "lexical_dedup", "semantic_dedup"), s"stage order: ${f.toSeq}")
+    assert(f.sliding(2).forall(w => w(0)._3 >= w(1)._3),
+      s"each stage can only shrink the corpus: ${f.toSeq}")
+    assert(f.head._3 > f.last._3 && f.last._3 > 0,
+      s"the funnel must be non-vacuous both ways: ${f.toSeq}")
+    // the final stage IS the scale pipeline's survivor set
+    val fin = SparkEntry.queries("q_pipeline_scale_clean")(spark, sf).count()
+    assert(f.last._3 == fin, s"funnel end ${f.last._3} != pipeline $fin")
+  }
 }
