@@ -2429,31 +2429,51 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
         val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-        val q = corpus.join(
-          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val decon = Dedup.decontaminate(q, bench, 5)
-        val drop = nearDupPairs(s, d)
-          .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
-          .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
+        // ONE corpus scan carries both document-local stage flags: the
+        // quality gate is a row-local predicate, and contamination is a
+        // per-doc property vs the benchmark gram set (independent of
+        // which frame carries it, so flagging the whole corpus and
+        // AND-ing with k1 equals decontaminating the quality survivors)
+        val contaminated = Dedup.contamination(corpus, bench, 5)
+          .select(col("doc_id"), lit(1L).as("contaminated"))
+        // the flags frame is referenced by every downstream stage (pair
+        // restrictions + the final aggregate), so the heavy side — the
+        // corpus 5-gram explode inside contamination — is materialized
+        // ONCE via lazy localCheckpoint into a narrow (doc_id, k1, k2)
+        // frame (~17 bytes/doc, distributed; the clustersFromPairs
+        // precedent). Without it each reference re-derives the explode.
+        val f1 = corpus
+          .select(col("doc_id"), TextAnalysis.c4KeepCol().cast("long").as("k1"))
+          .join(contaminated, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("k1"),
+            (col("k1") === 1L && col("contaminated").isNull).cast("long").as("k2"))
+          .localCheckpoint(eager = false)
+        // dedup drops come from the PERSISTED pair tables restricted to
+        // the surviving flags
+        val lexDrop = nearDupPairs(s, d)
+          .join(f1.filter(col("k2") === 1L).select(col("doc_id").as("doc_id1")),
+            Seq("doc_id1"), "left_semi")
+          .join(f1.filter(col("k2") === 1L).select(col("doc_id").as("doc_id2")),
+            Seq("doc_id2"), "left_semi")
           .select(col("doc_id2").as("doc_id")).distinct()
-        val lex = decon.join(drop, Seq("doc_id"), "left_anti")
-        val sem = annServeTables(s, d).pairs
-          .join(lex.select(col("doc_id").as("vec_id1")), Seq("vec_id1"), "left_semi")
-          .join(lex.select(col("doc_id").as("vec_id2")), Seq("vec_id2"), "left_semi")
+          .withColumn("lexdrop", lit(1L))
+        val f2 = f1.join(lexDrop, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("k1"), col("k2"),
+            (col("k2") === 1L && col("lexdrop").isNull).cast("long").as("k3"))
+        val semDrop = annServeTables(s, d).pairs
+          .join(f2.filter(col("k3") === 1L).select(col("doc_id").as("vec_id1")),
+            Seq("vec_id1"), "left_semi")
+          .join(f2.filter(col("k3") === 1L).select(col("doc_id").as("vec_id2")),
+            Seq("vec_id2"), "left_semi")
           .select(col("vec_id2").as("doc_id")).distinct()
-        val fin = lex.join(sem, Seq("doc_id"), "left_anti")
-        corpus.select(col("doc_id"))
-          .join(q.select(col("doc_id")).withColumn("s1", lit(1L)), Seq("doc_id"), "left")
-          .join(decon.select(col("doc_id")).withColumn("s2", lit(1L)), Seq("doc_id"), "left")
-          .join(lex.select(col("doc_id")).withColumn("s3", lit(1L)), Seq("doc_id"), "left")
-          .join(fin.select(col("doc_id")).withColumn("s4", lit(1L)), Seq("doc_id"), "left")
+          .withColumn("semdrop", lit(1L))
+        f2.join(semDrop, Seq("doc_id"), "left")
           .agg(
             count(lit(1)).as("n0"),
-            sum(coalesce(col("s1"), lit(0L))).as("n1"),
-            sum(coalesce(col("s2"), lit(0L))).as("n2"),
-            sum(coalesce(col("s3"), lit(0L))).as("n3"),
-            sum(coalesce(col("s4"), lit(0L))).as("n4"))
+            sum(col("k1")).as("n1"),
+            sum(col("k2")).as("n2"),
+            sum(col("k3")).as("n3"),
+            sum((col("k3") === 1L && col("semdrop").isNull).cast("long")).as("n4"))
           .select(expr("stack(5, 0, 'corpus', n0, 1, 'quality', n1, " +
             "2, 'decontaminated', n2, 3, 'lexical_dedup', n3, " +
             "4, 'semantic_dedup', n4) AS (stage_id, stage, n_docs)"))

@@ -128,7 +128,7 @@ object TextAnalysis {
     * (round 11: the doc_id-join form paid ~1 s of shuffle at sf0.1 for
     * flags that are pure projections).
     */
-  private[operators] def c4KeepCol(minTokens: Int = 20, maxPunct: Double = 0.1,
+  private[graft] def c4KeepCol(minTokens: Int = 20, maxPunct: Double = 0.1,
                                    minUnique: Double = 0.3): Column = {
     val toks = tokens(col("text"))
     val n = size(toks)
@@ -795,7 +795,7 @@ object TextAnalysis {
   /** Row-local Gopher keep predicate — [[c4KeepCol]]'s twin for the
     * [[gopherFilter]] rule gate, shared with [[filterAgreement]].
     */
-  private[operators] def gopherKeepCol(minTokens: Int = 50, maxTokens: Int = 100000,
+  private[graft] def gopherKeepCol(minTokens: Int = 50, maxTokens: Int = 100000,
                                        minMeanTokLen: Double = 3.0,
                                        maxMeanTokLen: Double = 10.0,
                                        maxDupBigram: Double = 0.2,
