@@ -243,6 +243,31 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED DSIR importance model — the hashed-bigram count tables
+    * ([[Corpus.persistDsirModel]]: src0 = trusted target domain, the
+    * rest = raw pool) trained once per documents snapshot; both DSIR
+    * queries score against the frozen tables.
+    */
+  private val dsirModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Corpus.DsirModel)]()
+  private def dsirModel(s: SparkSession, d: String): Corpus.DsirModel = {
+    dsirModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "dsir-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    dsirModelCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_dsir")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val docs = Tables.documents(s, d)
+          Corpus.persistDsirModel(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), dir, stamp = stamp)
+        }
+        (stamp, Corpus.loadDsirModel(s, dir))
+      })._2
+  }
+
   /** PERSISTED media-fingerprint family — perceptual hashes + verified
     * near-dup pairs ([[Multimodal.persistMediaPhash]]) built once per
     * documents snapshot; both media-dedup queries serve as one scan.
@@ -1711,6 +1736,80 @@ object SparkEntry {
         |WHERE cum_before < CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 300
         |  WHEN 'de' THEN 300 WHEN 'fr' THEN 300 WHEN 'es' THEN 300 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
+
+    // DSIR hashed-bigram importance weights: src0 plays the trusted
+    // target domain, every other source is the raw pool being scored
+    // (the Xie-et-al data-selection shape; mean probability ratio with
+    // the log dropped — see Corpus.dsirWeights). Served against the
+    // PERSISTED importance model (graft_dsir family) — scoring the
+    // training pool reproduces in-plan training exactly, so the oracle
+    // is a hash-proof the frozen counts equal a fresh estimation.
+    ("q_dsir_weights",
+      (s, d) => Corpus.dsirWeightsFrom(dsirModel(s, d),
+        Tables.documents(s, d).filter(col("source") =!= "src0"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE source = 'src0'))),
+        |rb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE source <> 'src0'))),
+        |tbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM tb),
+        |rbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM rb),
+        |ct AS (SELECT b, count(*) AS c_t FROM tbh GROUP BY b),
+        |cr AS (SELECT b, count(*) AS c_r FROM rbh GROUP BY b),
+        |tt AS (SELECT count(*) AS t_t FROM tbh),
+        |tr AS (SELECT count(*) AS t_r FROM rbh),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_r + 4096) AS DOUBLE)
+        |    / CAST(CAST(c_r + 1 AS HUGEINT) * (t_t + 4096) AS DOUBLE) AS ratio
+        |  FROM rbh LEFT JOIN ct USING (b) JOIN cr USING (b)
+        |  CROSS JOIN tt CROSS JOIN tr),
+        |p AS (SELECT doc_id, count(*) AS n_grams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // the selection step: top-50 raw docs by DSIR weight (the published
+    // method Gumbel-resamples proportionally; the deterministic argmax
+    // cut is its hash-checkable variant — weight DESC, doc_id tie-break,
+    // TakeOrderedAndProject)
+    ("q_dsir_select",
+      (s, d) => Corpus.dsirWeightsFrom(dsirModel(s, d),
+        Tables.documents(s, d).filter(col("source") =!= "src0"))
+        .orderBy(col("dsir_weight").desc, col("doc_id")).limit(50),
+      Some(s"""WITH tb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE source = 'src0'))),
+        |rb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |              WHERE source <> 'src0'))),
+        |tbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM tb),
+        |rbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM rb),
+        |ct AS (SELECT b, count(*) AS c_t FROM tbh GROUP BY b),
+        |cr AS (SELECT b, count(*) AS c_r FROM rbh GROUP BY b),
+        |tt AS (SELECT count(*) AS t_t FROM tbh),
+        |tr AS (SELECT count(*) AS t_r FROM rbh),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_r + 4096) AS DOUBLE)
+        |    / CAST(CAST(c_r + 1 AS HUGEINT) * (t_t + 4096) AS DOUBLE) AS ratio
+        |  FROM rbh LEFT JOIN ct USING (b) JOIN cr USING (b)
+        |  CROSS JOIN tt CROSS JOIN tr),
+        |p AS (SELECT doc_id, count(*) AS n_grams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight
+        |FROM p ORDER BY dsir_weight DESC, doc_id
+        |LIMIT 50""".stripMargin)),
 
     // ---- LLM-data pipeline: deduplication (north star)
     ("q_dedup_exact",

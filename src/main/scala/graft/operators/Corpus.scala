@@ -287,4 +287,142 @@ object Corpus {
           / sum(col("n_tokens")).cast("double")).as("oov_rate"))
       .orderBy("source")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — the hashed-n-gram
+    * data-selection method: score every raw document by how much its
+    * feature distribution looks like a trusted TARGET domain, using the
+    * ratio of the target and raw hashed-bigram distributions. The
+    * published method scores log p_target(doc)/p_raw(doc) over hashed
+    * n-gram features and Gumbel-resamples; this operator keeps the same
+    * feature pipeline (bigram occurrences hashed into `buckets` slots —
+    * the fingerprint polynomial mod `buckets`, mirrored exactly by the
+    * oracle) and replaces the log-sum with the MEAN per-occurrence
+    * probability ratio — the [[graft.operators.TextAnalysis.lmFluency]]
+    * precedent: a monotone-equivalent ranking signal with the libm `log`
+    * dropped for cross-engine rational arithmetic. Laplace-smoothed
+    * (+1 / +buckets) so unseen buckets stay finite on both sides.
+    *
+    * Determinism: each ratio is ONE double division of two exactly-
+    * computed integers ((c_t+1)·(T_r+B) over (c_r+1)·(T_t+B), both in
+    * DECIMAL(38,0) / HUGEINT — the unigram-gain precedent); the per-doc
+    * sum folds in position order over a sorted struct array.
+    *
+    * Scale shape: the count tables are bounded by `buckets` (the whole
+    * point of DSIR's feature hashing) — scoring is two ≤B-row broadcast
+    * joins plus two 1-row total broadcasts against the raw occurrence
+    * stream, then one per-doc hash aggregate. Nothing grows with the
+    * corpus except the stream itself; the target side aggregates
+    * map-side to ≤B rows before its shuffle. Documents with fewer than
+    * 2 tokens have no bigrams and drop out, as in lmFluency.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+                  buckets: Int = 4096): DataFrame = {
+    val tgt  = hashedBigramStream(target, buckets)
+    val rawS = hashedBigramStream(raw, buckets)
+    val model = DsirModel(
+      targetCounts = tgt.groupBy("b").agg(count(lit(1)).as("c_t")),
+      rawCounts = rawS.groupBy("b").agg(count(lit(1)).as("c_r")),
+      totals = tgt.agg(count(lit(1)).as("t_t"))
+        .crossJoin(rawS.agg(count(lit(1)).as("t_r"))))
+    scoreDsir(model, rawS, buckets)
+  }
+
+  /** Persist the trained DSIR importance model behind [[dsirWeightsFrom]]
+    * — the [[graft.operators.TextAnalysis.persistLmModel]] discipline
+    * applied to data selection: the two hashed-bigram count tables are
+    * estimated ONCE per corpus snapshot (in the published method the
+    * importance estimator is fit once on the target + a raw sample, then
+    * applied to the full pool), so weights stay commensurable across
+    * every scoring call and nothing re-aggregates per query. Three
+    * tables under the content-stamped commit protocol:
+    *
+    *  - `target_counts` — (b, c_t): target-domain bucket counts
+    *  - `raw_counts`    — (b, c_r): raw-pool bucket counts
+    *  - `totals`        — (t_t, t_r): 1 row, derived from the READ-BACK
+    *    count tables (staging discipline) so the ratios normalize
+    *    exactly over what was stored
+    */
+  def persistDsirModel(raw: DataFrame, target: DataFrame, dir: String,
+                       stamp: String = "", buckets: Int = 4096): Unit = {
+    val spark = raw.sparkSession
+    hashedBigramStream(target, buckets)
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+      .write.mode("overwrite").parquet(s"$dir/target_counts")
+    hashedBigramStream(raw, buckets)
+      .groupBy("b").agg(count(lit(1)).as("c_r"))
+      .write.mode("overwrite").parquet(s"$dir/raw_counts")
+    spark.read.parquet(s"$dir/target_counts")
+      .agg(sum(col("c_t")).as("t_t"))
+      .crossJoin(spark.read.parquet(s"$dir/raw_counts")
+        .agg(sum(col("c_r")).as("t_r")))
+      .write.mode("overwrite").parquet(s"$dir/totals")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
+  }
+
+  /** A [[persistDsirModel]]-ed snapshot: the two count tables + totals. */
+  case class DsirModel(targetCounts: DataFrame, rawCounts: DataFrame,
+                       totals: DataFrame)
+
+  /** Load a [[persistDsirModel]]-ed snapshot. */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession, dir: String): DsirModel =
+    DsirModel(
+      targetCounts = spark.read.parquet(s"$dir/target_counts"),
+      rawCounts = spark.read.parquet(s"$dir/raw_counts"),
+      totals = spark.read.parquet(s"$dir/totals"))
+
+  /** [[dsirWeights]] scoring against a FROZEN persisted model: per call
+    * the two training aggregations become two ≤`buckets`-row parquet
+    * scans (broadcast); only the frame being scored pays its bigram
+    * explode. Scoring the training raw pool reproduces [[dsirWeights]]
+    * bit-for-bit (every bucket hits); a bucket unseen in either
+    * distribution is Laplace-smoothed exactly as in training.
+    */
+  def dsirWeightsFrom(model: DsirModel, docs: DataFrame,
+                      buckets: Int = 4096): DataFrame =
+    scoreDsir(model, hashedBigramStream(docs, buckets), buckets)
+
+  /** Shared scoring kernel: per-occurrence smoothed probability ratios
+    * against the given count tables, folded per document in position
+    * order (the [[graft.operators.TextAnalysis]] scoreBigrams shape).
+    * LEFT joins so buckets unseen in either distribution — possible only
+    * when scoring a frame the model was not trained on — fall back to
+    * the Laplace floor; on the training raw pool every bucket hits and
+    * this reduces to [[dsirWeights]]'s inner semantics exactly.
+    */
+  private def scoreDsir(model: DsirModel, stream: DataFrame,
+                        buckets: Int): DataFrame =
+    stream
+      .join(broadcast(model.targetCounts), Seq("b"), "left")
+      .join(broadcast(model.rawCounts), Seq("b"), "left")
+      .crossJoin(broadcast(model.totals))
+      .withColumn("ratio",
+        ((coalesce(col("c_t"), lit(0L)) + 1).cast("decimal(38,0)")
+            * (col("t_r") + buckets).cast("decimal(38,0)")).cast("double")
+          / ((coalesce(col("c_r"), lit(0L)) + 1).cast("decimal(38,0)")
+            * (col("t_t") + buckets).cast("decimal(38,0)")).cast("double"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("ratio")))),
+          lit(0.0), (acc, x) => acc + x.getField("ratio")).as("ratio_sum"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("ratio_sum") / col("n_grams").cast("double")).as("dsir_weight"))
+
+  /** The (doc_id, pos, b) hashed-bigram occurrence stream of
+    * [[dsirWeights]]: bigram strings fingerprint-hashed
+    * ([[graft.operators.TextAnalysis.fingerprintCol]], codegen'd) into
+    * `buckets` slots. One narrow projection + bounded posexplode; shared
+    * by the target and raw sides so both distributions see byte-identical
+    * features.
+    */
+  private def hashedBigramStream(docs: DataFrame, buckets: Int): DataFrame = {
+    val t = split(col("text"), " ")
+    docs
+      .select(col("doc_id"),
+        posexplode(zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t)),
+          (a, b) => concat(a, lit(" "), b))))
+      .select(col("doc_id"), col("pos"),
+        pmod(TextAnalysis.fingerprintCol(col("col")), lit(buckets.toLong)).as("b"))
+  }
 }

@@ -990,10 +990,14 @@ object TextAnalysis {
 
   object Sql {
     private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
-    val fingerprint: String =
+    /** The polynomial rolling hash over an arbitrary string expression —
+      * the DuckDB mirror of [[TextAnalysis.fingerprintCol]].
+      */
+    def fingerprintOf(e: String): String =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))), " +
+        s"list_transform(string_split($e, ''), c -> CAST(ord(c) AS BIGINT))), " +
         "(a, b) -> (a * 31 + b) % 1000000007)"
+    val fingerprint: String = fingerprintOf("text")
     val langScores: String = LangSets.map { case (_, ws) =>
       s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
     }.mkString("[", ", ", "]")

@@ -288,4 +288,45 @@ class CorpusSpec extends SparkSpec {
     }
     r.unpersist()
   }
+
+  test("dsir weights: target-like docs outweigh divergent ones, smoothing keeps OOV finite") {
+    import spark.implicits._
+    // target domain speaks in "a b" bigrams; raw doc 1 mimics it, doc 2
+    // shares the vocabulary but not the transitions, doc 3 is fully OOV
+    val target = Seq((100L, "a b a b a b"), (101L, "a b c")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "a b a b"),   // target-like: its bigrams dominate the target counts
+      (2L, "b a b a"),   // same tokens, reversed transitions (rare in target)
+      (3L, "x y x y"),   // fully OOV: every bucket unseen in target
+      (4L, "z")          // single token: no bigrams, drops out
+    ).toDF("doc_id", "text")
+    val r = Corpus.dsirWeights(raw, target).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L), s"bigramless doc 4 drops out: ${r.toSeq}")
+    val w = r.map(x => x._1 -> x._3).toMap
+    assert(w(1L) > w(2L) && w(2L) > w(3L),
+      s"weights must rank target-likeness: $w")
+    assert(w(3L) > 0.0 && w.values.forall(v => !v.isNaN && !v.isInfinite),
+      s"Laplace smoothing keeps OOV weights finite and positive: $w")
+    // frozen-model serving: the persisted count tables reproduce in-plan
+    // training bit-for-bit on the training pool (the lmFluencyFrom parity)
+    val dir = java.nio.file.Files.createTempDirectory("dsirmodel").toString
+    Corpus.persistDsirModel(raw, target, dir, "spec")
+    val served = Corpus.dsirWeightsFrom(Corpus.loadDsirModel(spark, dir), raw)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    assert(served.toSeq == r.toSeq, "frozen model must reproduce in-plan training")
+    // real corpus: every multi-token raw doc scored, weights spread
+    val docsAll = docs
+    val real = Corpus.dsirWeights(
+      docsAll.filter(col("source") =!= "src0"),
+      docsAll.filter(col("source") === "src0"))
+    assert(real.filter(col("dsir_weight") <= 0).count() == 0)
+    assert(real.select(countDistinct(col("dsir_weight"))).head.getLong(0) > 10,
+      "the signal must spread over the corpus")
+    // the selection cut is a weight-ordered subset of the weights frame
+    val top = SparkEntry.queries("q_dsir_select")(spark, sf).collect()
+    assert(top.length == 50)
+    val ws = top.map(_.getDouble(2))
+    assert(ws.sliding(2).forall(p => p(0) >= p(1)), "selection must be weight-ordered")
+  }
 }
