@@ -313,4 +313,28 @@ class SnapshotSpec extends SparkSpec {
       .forall(_.contains("documents.parquet")),
       s"only delta-side document scans allowed beside the index:\n${incScans.mkString("\n")}")
   }
+
+  test("dsir weights score against the persisted model, never re-aggregate counts") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    // the model side must be graft_dsir snapshot tables; the only
+    // documents scan allowed is the pool being scored (it pays its
+    // bigram explode — that is the work scoring inherently does)
+    val w = SparkEntry.queries("q_dsir_weights")(spark, sf)
+    assert(w.count() > 0)
+    val scans = scansOf(w)
+    assert(scans.exists(_.contains("graft_dsir")),
+      s"count tables must come from the persisted model:\n${scans.mkString("\n")}")
+    assert(scans.filterNot(_.contains("graft_dsir"))
+      .forall(_.contains("documents.parquet")),
+      s"only the scored pool may scan documents:\n${scans.mkString("\n")}")
+    assert(scans.count(_.contains("documents.parquet")) == 1,
+      s"the scored pool is read exactly once:\n${scans.mkString("\n")}")
+    // no shuffle join anywhere in scoring: both count tables and both
+    // totals broadcast (the ≤buckets-row bound is the point of hashing)
+    val plan = w.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring joins must all broadcast:\n$plan")
+  }
 }
