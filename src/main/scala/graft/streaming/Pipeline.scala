@@ -318,6 +318,20 @@ class Pipeline(
     startAllWithCrawl(events, docs, baseIndexDir) :+
       startFluencyGate(docs, modelDir, threshold)
 
+  def dsirStorePath: String = s"$storeRoot/dsir"
+
+  /** DSIR selection as a topology member: the [[DsirStream]] scorer over
+    * the crawl source against a frozen persisted importance model,
+    * writing `selected/` and `rejected/` under the shared store root
+    * with its own checkpoint dir like every sibling — the data-selection
+    * gate beside the fluency gate (a deployment runs both: fluency
+    * filters junk, DSIR steers the mix toward the target domain).
+    */
+  def startDsirGate(docs: DataFrame, modelDir: String,
+                    threshold: Double = 1.0): StreamingQuery =
+    DsirStream.start(docs, modelDir, dsirStorePath, threshold,
+      checkpointDir = Some(s"$checkpointRoot/dsir-gate"))
+
   def mediaStorePath: String = s"$storeRoot/media"
 
   /** Media-ingest dedup as a topology member: the [[MediaDedup]] stream
