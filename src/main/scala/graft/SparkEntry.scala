@@ -2658,6 +2658,34 @@ object SparkEntry {
         |    / count(*) AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // per-source token-distribution DIVERGENCE: total-variation distance
+    // between each source's hashed-token distribution and the corpus's
+    // (the mixture-drift metric a curation run watches); ≤4096-row count
+    // tables, bucket-order folds, the missing corpus mass folded in as
+    // one closed-form ratio
+    ("q_source_divergence",
+      (s, d) => Corpus.sourceDivergence(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (SELECT source, ${TextAnalysis.Sql.fingerprintOf("tok")} % 4096 AS b FROM toks),
+        |ps AS (SELECT source, b, count(*) AS c_s FROM th GROUP BY source, b),
+        |ts AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS t_s FROM ps GROUP BY source),
+        |cb AS (SELECT b, CAST(sum(c_s) AS BIGINT) AS c FROM ps GROUP BY b),
+        |ct AS (SELECT sum(c) AS t FROM cb),
+        |terms AS (SELECT ps.source, ps.b, c,
+        |  abs(CAST(c_s AS DOUBLE) / CAST(t_s AS DOUBLE)
+        |    - CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS term
+        |  FROM ps JOIN cb USING (b) JOIN ts USING (source) CROSS JOIN ct),
+        |p AS (SELECT source,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(b := b, term := term))),
+        |      x -> x.term)), (a, b2) -> a + b2) AS present_sum,
+        |  CAST((SELECT t FROM ct) - sum(c) AS DOUBLE)
+        |    / CAST((SELECT t FROM ct) AS DOUBLE) AS absent_mass
+        |  FROM terms GROUP BY source)
+        |SELECT source, t_s AS n_tokens,
+        |  (present_sum + absent_mass) / 2.0 AS tv_divergence
+        |FROM p JOIN ts USING (source) ORDER BY source""".stripMargin)),
+
     // DATASET-CARD composition (round-10 verdict next-round 7): the one
     // per-source report a curator ships — dup rate, token totals, both
     // quality gates' keep counts, OOV rate — pure composition of the

@@ -409,6 +409,59 @@ object Corpus {
       .select(col("doc_id"), col("n_grams"),
         (col("ratio_sum") / col("n_grams").cast("double")).as("dsir_weight"))
 
+  /** Per-source token-distribution divergence — the mixture-drift metric
+    * of a dataset card: for each source, the total-variation distance
+    * between its hashed-token distribution and the whole corpus's,
+    * `TV(s) = Σ_b |c_s(b)/T_s − c(b)/T| / 2` over `buckets` hashed
+    * slots. A source whose language/register drifts from the mix shows a
+    * rising TV — the signal a curation run watches when a feed changes
+    * under it. Output: (source, n_tokens, tv_divergence), source
+    * ascending; TV ∈ [0,1] with 0 = identical distribution.
+    *
+    * Determinism: each per-bucket term is |one exact ratio − another|
+    * (integer-derived double divisions, same class as [[dsirWeights]]);
+    * the per-source sum folds in BUCKET order over a sorted struct array
+    * so double addition order is pinned on both engines. The final /2
+    * is exact.
+    *
+    * Scale shape: the token stream reduces map-side to ≤`buckets` rows
+    * per source before its shuffle ((source, b) hash agg); the corpus
+    * side is a ≤`buckets`-row re-aggregation of those counts (NOT a
+    * second pass), broadcast into the join; the fold state is one
+    * ≤`buckets`-element array per source. Nothing scales with corpus
+    * size except the one token-stream scan.
+    */
+  def sourceDivergence(documents: DataFrame, buckets: Int = 4096): DataFrame = {
+    val perSource = documents
+      .select(col("source"),
+        explode(graft.operators.Dedup.tokenHashes(col("text"))).as("h"))
+      .select(col("source"), pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c_s"))
+    val totals = perSource.groupBy("source").agg(sum(col("c_s")).as("t_s"))
+    val corpus = perSource.groupBy("b").agg(sum(col("c_s")).as("c"))
+    val corpusTotal = corpus.agg(sum(col("c")).as("t"))
+    perSource
+      .join(broadcast(corpus), Seq("b"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("term",
+        abs(col("c_s").cast("double") / col("t_s").cast("double")
+          - col("c").cast("double") / col("t").cast("double")))
+      // buckets where the source has NO tokens still contribute c(b)/T to
+      // the TV sum: fold them in as the closed-form remainder — the
+      // missing mass is (T − Σ_{b∈source} c(b)) / T, one exact ratio
+      .groupBy("source")
+      .agg(
+        first(col("t_s")).as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("present_sum"),
+        ((first(col("t")) - sum(col("c"))).cast("double")
+          / first(col("t")).cast("double")).as("absent_mass"))
+      .select(col("source"), col("n_tokens"),
+        ((col("present_sum") + col("absent_mass")) / lit(2.0)).as("tv_divergence"))
+      .orderBy("source")
+  }
+
   /** The (doc_id, pos, b) hashed-bigram occurrence stream of
     * [[dsirWeights]]: bigram strings fingerprint-hashed
     * ([[graft.operators.TextAnalysis.fingerprintCol]], codegen'd) into

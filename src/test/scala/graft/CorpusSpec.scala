@@ -329,4 +329,34 @@ class CorpusSpec extends SparkSpec {
     val ws = top.map(_.getDouble(2))
     assert(ws.sliding(2).forall(p => p(0) >= p(1)), "selection must be weight-ordered")
   }
+
+  test("source divergence: identical sources at zero, disjoint vocabularies hand-computed") {
+    import spark.implicits._
+    // two sources with byte-identical text: both distributions equal the
+    // corpus mean, so TV must be exactly 0.0 on both
+    val same = Seq((1L, "a a b b", "s1"), (2L, "a a b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val z = Corpus.sourceDivergence(same).collect()
+      .map(x => (x.getString(0), x.getDouble(2)))
+    assert(z.toSeq == Seq(("s1", 0.0), ("s2", 0.0)), s"identical mix: ${z.toSeq}")
+    // disjoint vocabularies: corpus = {a:2, b:2, c:4}, T=8;
+    // TV(s1) = (|1/2-1/4|*2 + 1/2)/2 = 0.5; TV(s2) = (|1-1/2| + 1/4*2)/2 = 0.5
+    // (all terms are exact binary fractions, so equality is exact)
+    val split = Seq((1L, "a a b b", "s1"), (2L, "c c c c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Corpus.sourceDivergence(split).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq(("s1", 4L, 0.5), ("s2", 4L, 0.5)),
+      s"hand-computed TV: ${r.toSeq}")
+    // real corpus: one row per source, TV strictly inside (0,1), token
+    // totals conserve the corpus token count
+    val real = Corpus.sourceDivergence(docs).cache()
+    assert(real.count() == docs.select("source").distinct().count())
+    assert(real.filter(col("tv_divergence") <= 0 || col("tv_divergence") >= 1).count() == 0,
+      "every real source diverges a little, none completely")
+    val totTokens = real.select(sum(col("n_tokens"))).head.getLong(0)
+    val expected = docs.select(sum(size(org.apache.spark.sql.functions.split(col("text"), " ")))).head.getLong(0)
+    assert(totTokens == expected, s"token mass conserves: $totTokens vs $expected")
+    real.unpersist()
+  }
 }
