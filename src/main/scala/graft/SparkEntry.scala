@@ -1835,6 +1835,30 @@ object SparkEntry {
         |SELECT shingle, df FROM c WHERE df >= 2
         |ORDER BY df DESC, shingle LIMIT 20""".stripMargin)),
 
+    // EXACT-PHRASE document lookup (attribution / memorization audit):
+    // the corpus's hottest shingle probed through the persisted inverted
+    // index — k-hash semi-join candidates, members expansion, boundary-
+    // guarded contains verify on candidates ONLY (never a corpus scan);
+    // the in-plan top-1 derivation keeps the probe non-vacuous at every SF
+    ("q_phrase_search",
+      (s, d) => {
+        val t = dedupTables(s, d)
+        val phrase = t.stoplist.orderBy(col("df").desc, col("shingle")).limit(1)
+          .select(col("shingle").as("phrase"))
+        Dedup.phraseSearch(Tables.documents(s, d), phrase, t.members, t.index)
+      },
+      Some("""WITH d AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d)),
+        |c AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |top AS (SELECT shingle AS phrase FROM c WHERE df >= 2
+        |  ORDER BY df DESC, shingle LIMIT 1)
+        |SELECT doc_id, phrase FROM documents CROSS JOIN top
+        |WHERE contains(' ' || text || ' ', ' ' || phrase || ' ')
+        |ORDER BY doc_id""".stripMargin)),
+
     // Served from the family's persisted default-threshold table (v5 —
     // the containment/simhash precedent applied to the last per-call
     // intersection pipelines); [[Dedup.jaccardPairs]] over the persisted

@@ -808,6 +808,56 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Exact-phrase document lookup over the persisted shingle index — the
+    * attribution / takedown / memorization-audit query of a training
+    * corpus ("which documents contain this exact string"), answered
+    * WITHOUT a corpus scan: the phrase's own token `n`-grams are hashed
+    * with the index's scheme, the inverted index surfaces the reps
+    * carrying ALL of them (a necessary condition — for a phrase of k
+    * grams this is a k-hash semi-join, each posting list phrase-specific
+    * and tiny), the members table expands duplicate copies, and ONLY the
+    * candidates pay the exact verify: a boundary-guarded substring test
+    * (`' '+text+' '` contains `' '+phrase+' '` — exactly consecutive-token
+    * containment under single-space tokenization, so a phrase never
+    * matches across token boundaries, and a doc holding all k grams
+    * scattered non-consecutively is rejected). At 100 TB the corpus is
+    * touched only at the candidate rows; a `contains()` full scan is the
+    * brute-force twin this replaces.
+    *
+    * `phraseFrame` is a 1-row (phrase) frame so the probe can be derived
+    * in-plan (the registry searches for the corpus's own hottest
+    * shingle — non-vacuous at every SF by construction); an arbitrary
+    * string probe is `Seq(s).toDF("phrase")`. The phrase must span at
+    * least `n` tokens (fewer have no grams and the index cannot prune —
+    * that is [[graft.operators.TextAnalysis.keywordSearch]]'s regime).
+    * Hash collisions can only ADD candidates (removed by the verify),
+    * never drop a match.
+    */
+  def phraseSearch(documents: DataFrame, phraseFrame: DataFrame,
+                   members: DataFrame, index: DataFrame,
+                   n: Int = 3): DataFrame = {
+    val checked = requireIndexWidth(index, n, "phraseSearch")
+    val phraseGrams = phraseFrame
+      .select(col("phrase"), explode(shingleHashes(col("phrase"), n)).as("h"))
+    val k = phraseGrams.agg(count(lit(1)).as("k"))
+    val candidateReps = checked
+      .join(broadcast(phraseGrams.select("h")), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(k))
+      .filter(col("n_hit") === col("k"))
+      .select(col("doc_id").as("rep"))
+    val candidates = members
+      .join(broadcast(candidateReps), Seq("rep"))
+      .select("doc_id")
+    documents
+      .join(candidates, Seq("doc_id"), "left_semi")
+      .crossJoin(broadcast(phraseFrame.select("phrase")))
+      .filter(contains(concat(lit(" "), col("text"), lit(" ")),
+        concat(lit(" "), col("phrase"), lit(" "))))
+      .select("doc_id", "phrase")
+      .orderBy("doc_id")
+  }
+
   /** A mined [[hotShingles]] frame as 64-bit hashes — the form every strip
     * consumer (`stopHashesOpt` on [[jaccardPairs]]/[[minhashPairs]]/
     * [[contamination]]) takes. Hash-vs-string equivalence carries the same

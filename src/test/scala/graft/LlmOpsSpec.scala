@@ -831,6 +831,38 @@ class LlmOpsSpec extends SparkSpec {
       "singletons are absent by construction")
   }
 
+  test("phrase search: token-boundary exact, scattered grams rejected, copies expanded") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "x a b c y"),          // contains the phrase mid-document
+      (2L, "a b c"),              // IS the phrase
+      (3L, "xa b c y z"),         // substring trap: ' a b c' inside 'xa b c'
+      (4L, "a b x b c y a c"),    // shares tokens, never the consecutive run
+      (5L, "x a b c y"),          // exact duplicate of 1 — members expansion
+      (6L, "q r s t u")           // unrelated
+    ).toDF("doc_id", "text")
+    val members = Dedup.dupGroups(fixture)
+    val index = Dedup.shingleIndex(fixture, members)
+    val phrase = Seq("a b c").toDF("phrase")
+    val r = Dedup.phraseSearch(fixture, phrase, members, index).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "a b c"), (2L, "a b c"), (5L, "a b c")),
+      s"matches, copies, and only those: ${r.toSeq}")
+    // a longer phrase whose k grams a doc carries SCATTERED must verify out:
+    // doc 7 has grams "a b a" and "b a c" but never the run "a b a c"
+    val long = Seq((7L, "b a c x a b a"), (8L, "y a b a c z"))
+      .toDF("doc_id", "text")
+    val lm = Dedup.dupGroups(long)
+    val li = Dedup.shingleIndex(long, lm)
+    val r2 = Dedup.phraseSearch(long, Seq("a b a c").toDF("phrase"), lm, li)
+      .collect().map(_.getLong(0))
+    assert(r2.toSeq == Seq(8L),
+      s"all-grams-present-but-scattered must be rejected by the verify: ${r2.toSeq}")
+    // registry: the hottest-shingle probe is non-vacuous on the real corpus
+    val reg = SparkEntry.queries("q_phrase_search")(spark, sf)
+    assert(reg.count() >= 2, "the top shingle has df >= 2 by construction")
+  }
+
   test("curation funnel: counts monotone per stage, ends at the scale pipeline") {
     val f = SparkEntry.queries("q_curation_funnel")(spark, sf).collect()
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
