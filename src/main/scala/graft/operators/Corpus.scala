@@ -432,11 +432,19 @@ object Corpus {
     * size except the one token-stream scan.
     */
   def sourceDivergence(documents: DataFrame, buckets: Int = 4096): DataFrame = {
+    // the (source, b) count table feeds FOUR consumers (its own totals,
+    // the corpus re-aggregation, the corpus total, and the join stream);
+    // without a barrier each consumer re-derives the corpus token
+    // explode — 4 scans instead of 1 (read straight off .explain). The
+    // counts are ≤ |sources|·buckets rows, so the lazy localCheckpoint
+    // materializes exactly the small thing (the curation-funnel flags
+    // precedent).
     val perSource = documents
       .select(col("source"),
         explode(graft.operators.Dedup.tokenHashes(col("text"))).as("h"))
       .select(col("source"), pmod(col("h"), lit(buckets.toLong)).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(eager = false)
     val totals = perSource.groupBy("source").agg(sum(col("c_s")).as("t_s"))
     val corpus = perSource.groupBy("b").agg(sum(col("c_s")).as("c"))
     val corpusTotal = corpus.agg(sum(col("c")).as("t"))
