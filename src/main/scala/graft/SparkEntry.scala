@@ -1481,6 +1481,52 @@ object SparkEntry {
         |SELECT doc_id, score, n_terms_matched FROM p
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // HYBRID search: BM25 recall from the persisted inverted index
+    // (top-20 lexical candidates) reranked by exact cosine against a
+    // query embedding (vec_id 0 as the in-corpus probe) — the standard
+    // two-stage retrieval composition (cheap lexical recall bounds the
+    // candidate set; the vector stage scores 20 rows, never the corpus).
+    // Candidates without an embedding row or with a zero vector drop
+    // (documented: rerank what CAN be reranked).
+    ("q_hybrid_search",
+      (s, d) => {
+        import graft.functions.VectorFunctions.{cosine, l2norm, toDoubleVec}
+        val lex = TextAnalysis.keywordSearchFrom(searchIndex(s, d),
+          Seq("hash", "join", "vector"), k = 20)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), toDoubleVec(col("embedding")).as("v"))
+          .filter(l2norm(col("v")) > 0)
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(toDoubleVec(col("embedding")).as("qv"))
+        lex.join(emb, Seq("doc_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("doc_id"), col("score"),
+            cosine(col("v"), col("qv")).as("cosine"))
+          .orderBy(col("cosine").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""WITH f AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok),
+        |d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT doc_id, tok, tf * (n_total - df + 0.5) / (df + 0.5) AS w
+        |  FROM f JOIN d USING (tok) CROSS JOIN t),
+        |p AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+        |      x -> x.w)), (a, b) -> a + b) AS score
+        |  FROM s GROUP BY doc_id),
+        |lex AS (SELECT doc_id, score FROM p ORDER BY score DESC, doc_id LIMIT 20),
+        |ev AS (SELECT vec_id, v FROM (${Similarity.Sql.prepared}) dp
+        |  WHERE sqrt(${Similarity.Sql.dot("v", "v")}) > 0),
+        |qv AS (SELECT v AS q FROM (${Similarity.Sql.prepared}) dq WHERE vec_id = 0),
+        |r AS (SELECT lex.doc_id, lex.score,
+        |  ${Similarity.Sql.cosine("ev.v", "q")} AS cosine
+        |  FROM lex JOIN ev ON lex.doc_id = ev.vec_id CROSS JOIN qv)
+        |SELECT doc_id, score, cosine FROM r
+        |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin)),
+
     // The search QUERY-SERVING endpoint: a (query_id, terms) request
     // frame answered from the persisted inverted index — per-query
     // ranking (one request must not starve another's budget), same

@@ -863,6 +863,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(reg.count() >= 2, "the top shingle has df >= 2 by construction")
   }
 
+  test("hybrid search: rerank permutes the lexical candidates by cosine, never invents") {
+    val hybrid = SparkEntry.queries("q_hybrid_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(hybrid.length == 10, s"k=10 after rerank: ${hybrid.length}")
+    // ordered by cosine DESC (doc_id tie-break), all cosines in [-1, 1]
+    assert(hybrid.sliding(2).forall(p => p(0)._3 >= p(1)._3),
+      s"rerank order must be cosine-desc: ${hybrid.toSeq}")
+    assert(hybrid.forall(x => x._3 >= -1.0 - 1e-9 && x._3 <= 1.0 + 1e-9))
+    // every hybrid hit is one of the lexical top-20 (recall stage bounds
+    // the candidate set; the vector stage may only reorder and truncate)
+    val lex20 = graft.operators.TextAnalysis.keywordSearch(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      Seq("hash", "join", "vector"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(hybrid.forall(h => lex20.contains(h._1)),
+      "hybrid results must come from the lexical candidates")
+    // BM25 scores pass through the rerank unchanged
+    assert(hybrid.forall(h => lex20(h._1) == h._2),
+      "lexical scores must survive the rerank bit-for-bit")
+    // the rerank is not vacuous: hybrid's cosine order differs from the
+    // candidates' lexical order (else the stage proved nothing)
+    val lexOrder = lex20.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(10).map(_._1)
+    assert(hybrid.map(_._1).toSeq != lexOrder,
+      "cosine rerank must actually permute the lexical ranking")
+  }
+
   test("curation funnel: counts monotone per stage, ends at the scale pipeline") {
     val f = SparkEntry.queries("q_curation_funnel")(spark, sf).collect()
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
