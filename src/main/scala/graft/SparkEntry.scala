@@ -268,6 +268,38 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED fuzzy-decontamination pairs — the cross-split near-dup
+    * pairs (training corpus vs benchmark split at jaccard ≥ 0.5,
+    * [[Dedup.dedupDelta]] with the benchmark indexed) are snapshot-
+    * determined, so the corpus-side sketching runs once per documents
+    * snapshot and `q_fuzzy_contamination` serves as one scan — the
+    * amortization every sibling pair family already applies.
+    */
+  private val fuzzyDeconCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+  private def fuzzyDeconPairs(s: SparkSession, d: String): DataFrame = {
+    fuzzyDeconCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "fuzzydecon-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    fuzzyDeconCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_fuzzydecon")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val docs = Tables.documents(s, d)
+          Dedup.dedupDelta(
+            Dedup.buildDedupIndex(docs.filter(pmod(col("doc_id"), lit(11)) === 0)),
+            docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
+            threshold = 0.5, bands = 64)
+            .select(col("delta_id").as("doc_id"),
+              col("corpus_id").as("bench_id"), col("jaccard"))
+            .write.mode("overwrite").parquet(s"$dir/pairs")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, s.read.parquet(s"$dir/pairs"))
+      })._2
+  }
+
   /** PERSISTED media-fingerprint family — perceptual hashes + verified
     * near-dup pairs ([[Multimodal.persistMediaPhash]]) built once per
     * documents snapshot; both media-dedup queries serve as one scan.
@@ -1300,6 +1332,23 @@ object SparkEntry {
         |    list_max(${TextAnalysis.Sql.langScores})) AS INT)] AS predicted_lang
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // language-ID CONFUSION MATRIX: declared vs predicted counts — the
+    // QA report behind any language-ID deployment (which declared labels
+    // the heuristic disagrees with, and toward what); one projection +
+    // one 2-key hash aggregate over the languageId frame
+    ("q_lang_confusion",
+      (s, d) => TextAnalysis.languageId(Tables.documents(s, d))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("declared_lang", "predicted_lang"),
+      Some(s"""WITH p AS (SELECT lang AS declared_lang,
+        |  ${TextAnalysis.Sql.langNames}[CAST(list_position(${TextAnalysis.Sql.langScores},
+        |    list_max(${TextAnalysis.Sql.langScores})) AS INT)] AS predicted_lang
+        |FROM documents)
+        |SELECT declared_lang, predicted_lang, count(*) AS n_docs FROM p
+        |GROUP BY declared_lang, predicted_lang
+        |ORDER BY declared_lang, predicted_lang""".stripMargin)),
+
     ("q_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d)).orderBy("doc_id"),
       Some(s"""SELECT doc_id, ${TextAnalysis.Sql.fingerprint} AS fingerprint
@@ -2229,6 +2278,47 @@ object SparkEntry {
         |    AND c.text <> dd.text)
         |SELECT * FROM exact UNION ALL SELECT * FROM near
         |ORDER BY corpus_id, delta_id""".stripMargin)),
+
+    // FUZZY (near-duplicate) decontamination: the paraphrase-grade
+    // upgrade of q_contamination — training docs whose shingle-set
+    // jaccard vs ANY benchmark doc reaches 0.5, found by the
+    // incremental-dedup machinery with the benchmark as the indexed
+    // side (exact-gram decontamination misses lightly-edited benchmark
+    // copies; modern curation runs both). Banding at the lower
+    // threshold uses 64 bands × 2 rows (miss ≈ (1-0.5²)⁶⁴ ≈ 1e-8 at
+    // j = 0.5 — the 0.8-threshold geometry would miss 13% there);
+    // candidates exact-verify as always, so the oracle is the exact
+    // cross-split jaccard join. Non-vacuous at all 3 SFs (7/3/36 pairs).
+    ("q_fuzzy_contamination",
+      (s, d) => fuzzyDeconPairs(s, d).orderBy("doc_id", "bench_id"),
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |exact AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+        |  CAST(1.0 AS DOUBLE) AS jaccard
+        |  FROM corpus c JOIN bench b ON c.text = b.text),
+        |csets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)),
+        |bsets AS (SELECT doc_id, list_distinct(
+        |  list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bench)),
+        |cex AS (SELECT doc_id, unnest(sh) AS shingle FROM csets WHERE len(sh) > 0),
+        |bex AS (SELECT doc_id, unnest(sh) AS shingle FROM bsets WHERE len(sh) > 0),
+        |inter AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_common
+        |  FROM cex c JOIN bex b ON c.shingle = b.shingle GROUP BY 1, 2),
+        |near AS (SELECT inter.doc_id, inter.bench_id,
+        |  CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+        |  FROM inter
+        |  JOIN (SELECT doc_id, len(sh) AS n FROM csets) s1 ON inter.doc_id = s1.doc_id
+        |  JOIN (SELECT doc_id, len(sh) AS n FROM bsets) s2 ON inter.bench_id = s2.doc_id
+        |  JOIN corpus c ON inter.doc_id = c.doc_id
+        |  JOIN bench b ON inter.bench_id = b.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= 0.5
+        |    AND c.text <> b.text)
+        |SELECT * FROM exact UNION ALL SELECT * FROM near
+        |ORDER BY doc_id, bench_id""".stripMargin)),
 
     // train/test decontamination: 5-gram collisions of the corpus
     // (doc_id mod 11 <> 0) against the benchmark split (mod 11 = 0)

@@ -863,6 +863,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(reg.count() >= 2, "the top shingle has df >= 2 by construction")
   }
 
+  test("fuzzy decontamination: edited benchmark copies flagged, single-gram overlap is not") {
+    import spark.implicits._
+    // bench doc; corpus holds a lightly-edited copy (fuzzy-grade), a doc
+    // sharing one 5-gram run (exact-gram-grade but NOT similar), and noise
+    val bench = Seq((11L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k zz"),          // edited copy: high jaccard
+      (2L, "a b c d e q r s t u v w x y z aa"),  // shares a run, dissimilar
+      (3L, "m n o p q r s t")                    // unrelated
+    ).toDF("doc_id", "text")
+    val fuzzy = Dedup.dedupDelta(Dedup.buildDedupIndex(bench), corpus,
+      threshold = 0.5, bands = 64)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(fuzzy.map(_._1).toSeq == Seq(1L),
+      s"only the edited copy reaches jaccard 0.5: ${fuzzy.toSeq}")
+    assert(fuzzy.head._2 >= 0.5 && fuzzy.head._2 < 1.0, s"near, not exact: ${fuzzy.toSeq}")
+    // the exact-gram pass DOES flag doc 2 — the two operators answer
+    // different questions, which is why a curation run needs both
+    val gram = Dedup.contamination(corpus, bench, 5).collect().map(_.getLong(0))
+    assert(gram.contains(2L), s"5-gram decontamination must flag the shared run: ${gram.toSeq}")
+    // registry: non-vacuous on the real corpus
+    assert(SparkEntry.queries("q_fuzzy_contamination")(spark, sf).count() > 0)
+  }
+
+  test("lang confusion matrix conserves the corpus and matches the per-doc frame") {
+    val m = SparkEntry.queries("q_lang_confusion")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(m.map(_._2).sum == docs.count(), "cells must partition the corpus")
+    val fromFrame = TextAnalysis.languageId(docs)
+      .groupBy("declared_lang", "predicted_lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(m.toMap == fromFrame, "matrix must equal the per-doc frame's cross-tab")
+  }
+
   test("hybrid search: rerank permutes the lexical candidates by cosine, never invents") {
     val hybrid = SparkEntry.queries("q_hybrid_search")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
