@@ -614,6 +614,37 @@ object SparkEntry {
   // ---------------------------------------------------------------- registry
 
   /** (name, spark query, optional DuckDB oracle). Single source of truth. */
+  /** Shared DuckDB CTE chain of the two DSIR oracles — one definition so
+    * the smoothing / hashing mirror cannot silently diverge between the
+    * weights and selection queries (both re-derive the frozen model's
+    * counts, which is what hash-proves the persisted tables).
+    */
+  private val dsirOracleCtes: String =
+    s"""WITH tb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE source = 'src0'))),
+      |rb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE source <> 'src0'))),
+      |tbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM tb),
+      |rbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM rb),
+      |ct AS (SELECT b, count(*) AS c_t FROM tbh GROUP BY b),
+      |cr AS (SELECT b, count(*) AS c_r FROM rbh GROUP BY b),
+      |tt AS (SELECT count(*) AS t_t FROM tbh),
+      |tr AS (SELECT count(*) AS t_r FROM rbh),
+      |sc AS (SELECT doc_id, pos,
+      |  CAST(CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_r + 4096) AS DOUBLE)
+      |    / CAST(CAST(c_r + 1 AS HUGEINT) * (t_t + 4096) AS DOUBLE) AS ratio
+      |  FROM rbh LEFT JOIN ct USING (b) JOIN cr USING (b)
+      |  CROSS JOIN tt CROSS JOIN tr),
+      |p AS (SELECT doc_id, count(*) AS n_grams,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+      |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   private lazy val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- consumer streaming queries, batch form (SURVEY.md §2.1-2.5, 2.9)
@@ -1843,30 +1874,7 @@ object SparkEntry {
       (s, d) => Corpus.dsirWeightsFrom(dsirModel(s, d),
         Tables.documents(s, d).filter(col("source") =!= "src0"))
         .orderBy("doc_id"),
-      Some(s"""WITH tb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |              WHERE source = 'src0'))),
-        |rb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |              WHERE source <> 'src0'))),
-        |tbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM tb),
-        |rbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM rb),
-        |ct AS (SELECT b, count(*) AS c_t FROM tbh GROUP BY b),
-        |cr AS (SELECT b, count(*) AS c_r FROM rbh GROUP BY b),
-        |tt AS (SELECT count(*) AS t_t FROM tbh),
-        |tr AS (SELECT count(*) AS t_r FROM rbh),
-        |sc AS (SELECT doc_id, pos,
-        |  CAST(CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_r + 4096) AS DOUBLE)
-        |    / CAST(CAST(c_r + 1 AS HUGEINT) * (t_t + 4096) AS DOUBLE) AS ratio
-        |  FROM rbh LEFT JOIN ct USING (b) JOIN cr USING (b)
-        |  CROSS JOIN tt CROSS JOIN tr),
-        |p AS (SELECT doc_id, count(*) AS n_grams,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
-        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
-        |  FROM sc GROUP BY doc_id)
+      Some(dsirOracleCtes + """
         |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight
         |FROM p ORDER BY doc_id""".stripMargin)),
 
@@ -1878,30 +1886,7 @@ object SparkEntry {
       (s, d) => Corpus.dsirWeightsFrom(dsirModel(s, d),
         Tables.documents(s, d).filter(col("source") =!= "src0"))
         .orderBy(col("dsir_weight").desc, col("doc_id")).limit(50),
-      Some(s"""WITH tb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |              WHERE source = 'src0'))),
-        |rb AS (SELECT doc_id, i - 1 AS pos, t[i] || ' ' || t[i+1] AS g
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |              WHERE source <> 'src0'))),
-        |tbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM tb),
-        |rbh AS (SELECT doc_id, pos, ${TextAnalysis.Sql.fingerprintOf("g")} % 4096 AS b FROM rb),
-        |ct AS (SELECT b, count(*) AS c_t FROM tbh GROUP BY b),
-        |cr AS (SELECT b, count(*) AS c_r FROM rbh GROUP BY b),
-        |tt AS (SELECT count(*) AS t_t FROM tbh),
-        |tr AS (SELECT count(*) AS t_r FROM rbh),
-        |sc AS (SELECT doc_id, pos,
-        |  CAST(CAST(COALESCE(c_t, 0) + 1 AS HUGEINT) * (t_r + 4096) AS DOUBLE)
-        |    / CAST(CAST(c_r + 1 AS HUGEINT) * (t_t + 4096) AS DOUBLE) AS ratio
-        |  FROM rbh LEFT JOIN ct USING (b) JOIN cr USING (b)
-        |  CROSS JOIN tt CROSS JOIN tr),
-        |p AS (SELECT doc_id, count(*) AS n_grams,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
-        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
-        |  FROM sc GROUP BY doc_id)
+      Some(dsirOracleCtes + """
         |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight
         |FROM p ORDER BY dsir_weight DESC, doc_id
         |LIMIT 50""".stripMargin)),
