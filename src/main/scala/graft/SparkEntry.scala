@@ -1060,6 +1060,27 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q5-shaped: the 6-way join-ordering showcase — revenue per
+    // nation of one region where supplier and customer nations coincide;
+    // dims all broadcast, orders⨝lineitem the only shuffle
+    ("q_local_supplier_volume",
+      (s, d) => Relational.localSupplierVolume(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.region(s, d)),
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+
     ("q_semi_join",
       (s, d) => Relational.customersWithBigOrders(Tables.customer(s, d),
         Tables.orders(s, d), 100000.0),

@@ -87,6 +87,40 @@ object Relational {
       .limit(k)
   }
 
+  /** TPC-H Q5-shaped local supplier volume: revenue per nation of a
+    * region, where the supplying and ordering nations coincide — the
+    * classic 6-way join-ordering showcase. The region→nation slice
+    * prunes FIRST (a |region's nations|-row broadcast), customer and
+    * supplier broadcast against the fact chain restricted to that slice,
+    * and orders⨝lineitem is the single real shuffle; the
+    * same-nation predicate (`c_nationkey = s_nationkey`) rides the
+    * supplier join rather than a post-join filter so Catalyst can prune
+    * build-side rows early. At cluster scale only the two fact tables
+    * ever shuffle — every dimension stays a broadcast.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          regionName: String = "ASIA"): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    orders
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Customers with at least one order above a price threshold — left-semi
     * (EXISTS) join; the build side is the filtered orders key set.
     */

@@ -145,6 +145,20 @@ class PlanShapeSpec extends SparkSpec {
       "components must prune to the columns they derive from")
   }
 
+  test("local supplier volume: every dimension broadcasts, at most one shuffle join") {
+    // the 6-way TPC-H Q5 shape: region/nation/customer/supplier are all
+    // broadcast builds; orders⨝lineitem is the single fact-fact join
+    // allowed to shuffle (AQE may demote even that to broadcast at gate
+    // scale — hence ≤, not ==)
+    val df = SparkEntry.queries("q_local_supplier_volume")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"all four dimension joins must broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"only the fact-fact join may shuffle:\n$p")
+  }
+
   test("windowed aggregation is two-phase (map-side partial aggregation)") {
     val agg = StreamAggregates.windowedAggregate(
       CityEvents.normalize(Tables.events(spark, sf)))
