@@ -232,7 +232,7 @@ object SparkEntry {
   private def lmModel(s: SparkSession, d: String): TextAnalysis.LmModel = {
     lmModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "lm-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "lm-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     lmModelCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -1512,7 +1512,7 @@ object SparkEntry {
     // window; fluency doubles are cross-engine bit-identical and doc_id
     // breaks ties, so both engines cut at the same rows)
     ("q_ccnet_buckets",
-      (s, d) => TextAnalysis.ccnetBuckets(lmModel(s, d), Tables.documents(s, d))
+      (s, d) => TextAnalysis.ccnetBuckets(lmModel(s, d).scores, Tables.documents(s, d))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r

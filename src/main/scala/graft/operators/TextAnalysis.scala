@@ -929,17 +929,28 @@ object TextAnalysis {
     spark.read.parquet(s"$dir/bigrams")
       .groupBy("l").agg(sum(col("c_xy")).as("c_x"))
       .write.mode("overwrite").parquet(s"$dir/hist")
+    // v2: the training corpus's own fluency scores are snapshot-
+    // determined (the dsir-v2 / pair-table amortization argument), so
+    // score it ONCE here from the READ-BACK count tables and let
+    // consumers like the CCNet bucket cut serve from parquet. New data
+    // still scores through [[lmFluencyFrom]]/the stream.
+    scoreBigrams(bigramStream(documents),
+        spark.read.parquet(s"$dir/bigrams"), spark.read.parquet(s"$dir/hist"))
+      .write.mode("overwrite").parquet(s"$dir/scores")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** A [[persistLmModel]]-ed snapshot: transition counts + history totals. */
-  case class LmModel(bigrams: DataFrame, hist: DataFrame)
+  /** A [[persistLmModel]]-ed snapshot: transition counts + history
+    * totals, plus the training corpus's pre-scored fluencies (v2).
+    */
+  case class LmModel(bigrams: DataFrame, hist: DataFrame, scores: DataFrame)
 
   /** Load a [[persistLmModel]]-ed snapshot. */
   def loadLmModel(spark: org.apache.spark.sql.SparkSession, dir: String): LmModel =
     LmModel(
       bigrams = spark.read.parquet(s"$dir/bigrams"),
-      hist = spark.read.parquet(s"$dir/hist"))
+      hist = spark.read.parquet(s"$dir/hist"),
+      scores = spark.read.parquet(s"$dir/scores"))
 
   /** [[lmFluency]] scoring against a FROZEN persisted model — the batch
     * kernel of the streaming scorer ([[graft.streaming.FluencyStream]])
@@ -974,13 +985,18 @@ object TextAnalysis {
     * baseline and the threshold swap changes only the two cut
     * constants, not the plumbing. Documents with fewer than 2 tokens
     * have no bigrams, no score, and no bucket, as in [[lmFluency]].
+    *
+    * `scored` is any (doc_id, fluency) frame — the registry passes the
+    * model snapshot's PRE-SCORED training-corpus table (lm-v2), so the
+    * cut is two narrow scans + the lang-partitioned window; a fresh
+    * frame buckets via `ccnetBuckets(lmFluencyFrom(model, df), df)`.
     */
-  def ccnetBuckets(model: LmModel, documents: DataFrame): DataFrame = {
-    val scored = lmFluencyFrom(model, documents)
+  def ccnetBuckets(scored: DataFrame, documents: DataFrame): DataFrame = {
+    val withLang = scored.select(col("doc_id"), col("fluency"))
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
     val tercile = ntile(3).over(
       Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id")))
-    scored
+    withLang
       .withColumn("tercile", tercile)
       .select(col("doc_id"), col("lang"), col("fluency"),
         when(col("tercile") === 1, lit("head"))

@@ -789,7 +789,8 @@ class LlmOpsSpec extends SparkSpec {
       (6L, "p q", "de"),
       (7L, "x", "en")          // single token: no bigrams, drops out
     ).toDF("doc_id", "text", "lang")
-    val r = TextAnalysis.ccnetBuckets(model, fixture).collect()
+    val r = TextAnalysis.ccnetBuckets(
+      TextAnalysis.lmFluencyFrom(model, fixture), fixture).collect()
       .map(x => (x.getLong(0), x.getString(1), x.getString(3))).sortBy(_._1)
     assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L),
       s"bigramless doc 7 must drop out: ${r.toSeq}")
@@ -800,7 +801,8 @@ class LlmOpsSpec extends SparkSpec {
       s"de cut must be independent of en: ${r.toSeq}")
     // real corpus: every scored doc gets a bucket and each lang sees all
     // three buckets (500 docs across few langs -> every tercile non-empty)
-    val real = TextAnalysis.ccnetBuckets(lmModelOf(docs), docs)
+    val realModel = lmModelOf(docs)
+    val real = TextAnalysis.ccnetBuckets(realModel.scores, docs)
     val perLang = real.groupBy("lang")
       .agg(countDistinct(col("bucket")).as("n_buckets")).collect()
     assert(perLang.nonEmpty && perLang.forall(_.getLong(1) == 3L),
