@@ -228,8 +228,8 @@ object SparkEntry {
     * ([[graft.streaming.FluencyStream]]) read the committed count tables.
     */
   private val lmModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, TextAnalysis.LmModel)]()
-  private def lmModel(s: SparkSession, d: String): TextAnalysis.LmModel = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, (TextAnalysis.LmModel, DataFrame))]()
+  private def lmModelAndScores(s: SparkSession, d: String): (TextAnalysis.LmModel, DataFrame) = {
     lmModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
     val stamp = "lm-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
@@ -239,9 +239,13 @@ object SparkEntry {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_lm")
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
           TextAnalysis.persistLmModel(Tables.documents(s, d), dir, stamp = stamp)
-        (stamp, TextAnalysis.loadLmModel(s, dir))
+        (stamp, (TextAnalysis.loadLmModel(s, dir), TextAnalysis.loadLmScores(s, dir)))
       })._2
   }
+  private def lmModel(s: SparkSession, d: String): TextAnalysis.LmModel =
+    lmModelAndScores(s, d)._1
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    lmModelAndScores(s, d)._2
 
   /** PERSISTED DSIR importance model — the hashed-bigram count tables
     * ([[Corpus.persistDsirModel]]: src0 = trusted target domain, the
@@ -249,8 +253,8 @@ object SparkEntry {
     * queries score against the frozen tables.
     */
   private val dsirModelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Corpus.DsirModel)]()
-  private def dsirModel(s: SparkSession, d: String): Corpus.DsirModel = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+  private def dsirWeights(s: SparkSession, d: String): DataFrame = {
     dsirModelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
     val stamp = "dsir-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
@@ -264,7 +268,7 @@ object SparkEntry {
             docs.filter(col("source") =!= "src0"),
             docs.filter(col("source") === "src0"), dir, stamp = stamp)
         }
-        (stamp, Corpus.loadDsirModel(s, dir))
+        (stamp, Corpus.loadDsirWeights(s, dir))
       })._2
   }
 
@@ -1512,7 +1516,7 @@ object SparkEntry {
     // window; fluency doubles are cross-engine bit-identical and doc_id
     // breaks ties, so both engines cut at the same rows)
     ("q_ccnet_buckets",
-      (s, d) => TextAnalysis.ccnetBuckets(lmModel(s, d).scores, Tables.documents(s, d))
+      (s, d) => TextAnalysis.ccnetBuckets(lmScores(s, d), Tables.documents(s, d))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
@@ -1894,7 +1898,7 @@ object SparkEntry {
     // proves the persisted table equals a fresh end-to-end run. New
     // data scores through dsirWeightsFrom / DsirStream.
     ("q_dsir_weights",
-      (s, d) => dsirModel(s, d).weights.orderBy("doc_id"),
+      (s, d) => dsirWeights(s, d).orderBy("doc_id"),
       Some(dsirOracleCtes + """
         |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight
         |FROM p ORDER BY doc_id""".stripMargin)),
@@ -1904,7 +1908,7 @@ object SparkEntry {
     // cut is its hash-checkable variant — weight DESC, doc_id tie-break,
     // TakeOrderedAndProject)
     ("q_dsir_select",
-      (s, d) => dsirModel(s, d).weights
+      (s, d) => dsirWeights(s, d)
         .orderBy(col("dsir_weight").desc, col("doc_id")).limit(50),
       Some(dsirOracleCtes + """
         |SELECT doc_id, n_grams, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight

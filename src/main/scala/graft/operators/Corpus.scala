@@ -324,8 +324,7 @@ object Corpus {
       targetCounts = tgt.groupBy("b").agg(count(lit(1)).as("c_t")),
       rawCounts = rawS.groupBy("b").agg(count(lit(1)).as("c_r")),
       totals = tgt.agg(count(lit(1)).as("t_t"))
-        .crossJoin(rawS.agg(count(lit(1)).as("t_r"))),
-      weights = raw.sparkSession.emptyDataFrame) // in-plan model: no pre-scored table
+        .crossJoin(rawS.agg(count(lit(1)).as("t_r"))))
     scoreDsir(model, rawS, buckets)
   }
 
@@ -366,26 +365,31 @@ object Corpus {
     val counts = DsirModel(
       targetCounts = spark.read.parquet(s"$dir/target_counts"),
       rawCounts = spark.read.parquet(s"$dir/raw_counts"),
-      totals = spark.read.parquet(s"$dir/totals"),
-      weights = spark.emptyDataFrame)
+      totals = spark.read.parquet(s"$dir/totals"))
     scoreDsir(counts, hashedBigramStream(raw, buckets), buckets)
       .write.mode("overwrite").parquet(s"$dir/weights")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** A [[persistDsirModel]]-ed snapshot: the two count tables + totals,
-    * plus the training pool's pre-scored weights (v2).
+  /** A [[persistDsirModel]]-ed snapshot's importance estimator: the two
+    * count tables + totals. The training pool's pre-scored weights are a
+    * SEPARATE artifact ([[loadDsirWeights]]) — scoring consumers (the
+    * stream, [[dsirWeightsFrom]] endpoints) need only the counts, and a
+    * counts-only model dir stays loadable for them.
     */
   case class DsirModel(targetCounts: DataFrame, rawCounts: DataFrame,
-                       totals: DataFrame, weights: DataFrame)
+                       totals: DataFrame)
 
-  /** Load a [[persistDsirModel]]-ed snapshot. */
+  /** Load a [[persistDsirModel]]-ed snapshot's count tables. */
   def loadDsirModel(spark: org.apache.spark.sql.SparkSession, dir: String): DsirModel =
     DsirModel(
       targetCounts = spark.read.parquet(s"$dir/target_counts"),
       rawCounts = spark.read.parquet(s"$dir/raw_counts"),
-      totals = spark.read.parquet(s"$dir/totals"),
-      weights = spark.read.parquet(s"$dir/weights"))
+      totals = spark.read.parquet(s"$dir/totals"))
+
+  /** Load a v2 snapshot's pre-scored training-pool weights table. */
+  def loadDsirWeights(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/weights")
 
   /** [[dsirWeights]] scoring against a FROZEN persisted model: per call
     * the two training aggregations become two ≤`buckets`-row parquet

@@ -940,17 +940,23 @@ object TextAnalysis {
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** A [[persistLmModel]]-ed snapshot: transition counts + history
-    * totals, plus the training corpus's pre-scored fluencies (v2).
+  /** A [[persistLmModel]]-ed snapshot's scorer: transition counts +
+    * history totals. The training corpus's pre-scored fluencies are a
+    * SEPARATE artifact ([[loadLmScores]]) — scoring consumers (the
+    * stream, [[lmFluencyFrom]]) need only the counts, and a counts-only
+    * model dir stays loadable for them.
     */
-  case class LmModel(bigrams: DataFrame, hist: DataFrame, scores: DataFrame)
+  case class LmModel(bigrams: DataFrame, hist: DataFrame)
 
-  /** Load a [[persistLmModel]]-ed snapshot. */
+  /** Load a [[persistLmModel]]-ed snapshot's count tables. */
   def loadLmModel(spark: org.apache.spark.sql.SparkSession, dir: String): LmModel =
     LmModel(
       bigrams = spark.read.parquet(s"$dir/bigrams"),
-      hist = spark.read.parquet(s"$dir/hist"),
-      scores = spark.read.parquet(s"$dir/scores"))
+      hist = spark.read.parquet(s"$dir/hist"))
+
+  /** Load a v2 snapshot's pre-scored training-corpus fluency table. */
+  def loadLmScores(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/scores")
 
   /** [[lmFluency]] scoring against a FROZEN persisted model — the batch
     * kernel of the streaming scorer ([[graft.streaming.FluencyStream]])

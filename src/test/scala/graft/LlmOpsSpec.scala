@@ -802,7 +802,8 @@ class LlmOpsSpec extends SparkSpec {
     // real corpus: every scored doc gets a bucket and each lang sees all
     // three buckets (500 docs across few langs -> every tercile non-empty)
     val realModel = lmModelOf(docs)
-    val real = TextAnalysis.ccnetBuckets(realModel.scores, docs)
+    val real = TextAnalysis.ccnetBuckets(
+      TextAnalysis.lmFluencyFrom(realModel, docs), docs)
     val perLang = real.groupBy("lang")
       .agg(countDistinct(col("bucket")).as("n_buckets")).collect()
     assert(perLang.nonEmpty && perLang.forall(_.getLong(1) == 3L),

@@ -68,7 +68,6 @@ class PlanShapeSpec extends SparkSpec {
       "q_unigram_vocab",                     // 1-row (T, |V|) totals scalar
       "q_unigram_encode",                    // 1-row kept-piece array scalar
       "q_temperature_sample",                // 1-row Σsqrt(n_l)/N totals scalar
-      "q_dsir_weights", "q_dsir_select",     // 1-row (t_t, t_r) totals scalar
       "q_source_divergence",                 // 1-row corpus-token-total scalar
       "q_phrase_search",                     // 1-row phrase + gram-count scalars
       "q_hybrid_search")                     // 1-row query-vector broadcast

@@ -341,6 +341,8 @@ class SnapshotSpec extends SparkSpec {
     assert(eScans.filterNot(_.contains("graft_dsir"))
       .forall(_.contains("documents.parquet")),
       s"only the scored frame may scan documents:\n${eScans.mkString("\n")}")
+    assert(eScans.count(_.contains("documents.parquet")) == 1,
+      s"the scored frame is read exactly once:\n${eScans.mkString("\n")}")
     val plan = e.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       s"scoring joins must all broadcast:\n$plan")
