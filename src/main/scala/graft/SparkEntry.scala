@@ -1601,8 +1601,13 @@ object SparkEntry {
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id").as("doc_id"), toDoubleVec(col("embedding")).as("v"))
           .filter(l2norm(col("v")) > 0)
+        // zero-norm probe guard (mirrored in the oracle's qv CTE): a
+        // degenerate query vector would produce NaN cosines with
+        // engine-divergent NaN ordering — guarded, it yields an empty
+        // result on both engines instead
         val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
           .select(toDoubleVec(col("embedding")).as("qv"))
+          .filter(l2norm(col("qv")) > 0)
         lex.join(emb, Seq("doc_id"))
           .crossJoin(broadcast(qv))
           .select(col("doc_id"), col("score"),
@@ -1625,7 +1630,8 @@ object SparkEntry {
         |lex AS (SELECT doc_id, score FROM p ORDER BY score DESC, doc_id LIMIT 20),
         |ev AS (SELECT vec_id, v FROM (${Similarity.Sql.prepared}) dp
         |  WHERE sqrt(${Similarity.Sql.dot("v", "v")}) > 0),
-        |qv AS (SELECT v AS q FROM (${Similarity.Sql.prepared}) dq WHERE vec_id = 0),
+        |qv AS (SELECT v AS q FROM (${Similarity.Sql.prepared}) dq
+        |  WHERE vec_id = 0 AND sqrt(${Similarity.Sql.dot("v", "v")}) > 0),
         |r AS (SELECT lex.doc_id, lex.score,
         |  ${Similarity.Sql.cosine("ev.v", "q")} AS cosine
         |  FROM lex JOIN ev ON lex.doc_id = ev.vec_id CROSS JOIN qv)

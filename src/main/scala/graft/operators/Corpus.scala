@@ -391,6 +391,22 @@ object Corpus {
   def loadDsirWeights(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/weights")
 
+  /** The model's fully-OOV score floor: a document none of whose bigram
+    * buckets appear in EITHER count table scores exactly
+    * (T_r+B)/(T_t+B) per occurrence (every ratio Laplace-smooths to the
+    * same constant, and the per-doc mean of a constant is the constant).
+    * This EXCEEDS 1.0 whenever the raw pool outweighs the target — so any
+    * selection gate meant to reject unseen-vocabulary junk must sit
+    * strictly ABOVE this floor ([[graft.streaming.DsirStream]] derives
+    * its default gate as `nextUp(floor)`). One 1-row driver read of the
+    * persisted totals — a plan parameter, not data movement.
+    */
+  def dsirOovFloor(model: DsirModel, buckets: Int = 4096): Double = {
+    val r = model.totals
+      .select(col("t_t").cast("double"), col("t_r").cast("double")).head()
+    (r.getDouble(1) + buckets) / (r.getDouble(0) + buckets)
+  }
+
   /** [[dsirWeights]] scoring against a FROZEN persisted model: per call
     * the two training aggregations become two ≤`buckets`-row parquet
     * scans (broadcast); only the frame being scored pays its bigram

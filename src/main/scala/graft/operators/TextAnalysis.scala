@@ -638,6 +638,16 @@ object TextAnalysis {
     * the keep-cut is TakeOrderedAndProject + a marker semi-join (no
     * partition-less Window); nothing rescans the corpus after the one
     * word-type aggregate.
+    *
+    * EXACT-INTEGER BOUND (the [[collocations]] family's contract): the
+    * gain numerator (c_x+1)·(T+|V|)^(m−1) folds in DECIMAL(38,0), so it
+    * must stay under 10^38 — at T ≈ 1e7 that caps piece length m ≈ 6;
+    * past it non-ANSI Spark would yield NULL gain and silently diverge
+    * from the DuckDB HUGEINT oracle's keep-cut. The plan GUARDS the
+    * bound: any piece whose numerator would overflow raises an error at
+    * execution instead of mis-ranking (the guard's double log10 check is
+    * conservative by a margin, and only ever trips an error — it never
+    * feeds an output value, so libm rounding cannot affect results).
     */
   def unigramVocab(documents: DataFrame, merges: Seq[(String, String)],
                    keep: Int = 3): DataFrame = {
@@ -672,6 +682,19 @@ object TextAnalysis {
         aggregate(col("arr"), lit(1).cast(dec),
           (acc, x) => acc * (x("c_cnt") + lit(1)).cast(dec)).as("den_exact"))
     val scored = pieceCounts.join(den, "piece").crossJoin(broadcast(totals))
+      // DECIMAL(38,0) overflow guard (see Scaladoc): trip an error rather
+      // than let a NULL gain silently mis-rank; 37.8 leaves margin for
+      // the log10 rounding so the trip is conservative, never late
+      .filter(when(
+        length(col("piece")) > 1 &&
+          log10((col("piece_count") + 1).cast("double")) +
+            (length(col("piece")) - 1).cast("double") *
+              log10((col("t_occ") + col("n_vocab")).cast("double")) > 37.8,
+        raise_error(concat(lit("unigramVocab: gain numerator for piece '"),
+          col("piece"),
+          lit("' would overflow DECIMAL(38,0); shrink max piece length " +
+            "or pre-prune the seed vocabulary"))).cast("boolean"))
+        .otherwise(lit(true)))
       .select(col("piece"), length(col("piece")).as("piece_len"),
         col("piece_count"),
         when(length(col("piece")) === 1, lit(1.0)).otherwise(

@@ -25,6 +25,15 @@ import graft.operators.Corpus
   * saw score the Laplace floor; threshold 1.0 means "more likely under
   * the target distribution than the raw one".
   *
+  * THE GATE MUST SIT ABOVE THE MODEL'S OOV FLOOR: a fully-OOV document
+  * scores exactly [[Corpus.dsirOovFloor]] = (T_r+B)/(T_t+B) per
+  * occurrence, which EXCEEDS 1.0 whenever the raw pool outweighs the
+  * target (the typical deployment) — a naive 1.0 gate would route junk
+  * in an unseen vocabulary to `selected/`. The default threshold is
+  * therefore DERIVED from the loaded model (`nextUp(floor)`: the
+  * tightest gate that still rejects every fully-OOV document); callers
+  * passing an explicit threshold own the floor check.
+  *
   * Scale shape: per batch, model-side cost is two ≤buckets-row count
   * scans (broadcast) and batch-side cost ∝ batch tokens; the model is
   * read-only, no state accumulates, so the stream scales by
@@ -36,17 +45,24 @@ object DsirStream {
     * `doc_id`/`text`), scoring against the model at `modelDir`. Kept
     * docs land under `outDir/selected/epoch=<N>`, dropped ones with
     * weights under `outDir/rejected/epoch=<N>`.
+    *
+    * `threshold = Double.NaN` (the default) derives the gate from the
+    * model: `nextUp(dsirOovFloor)` — see the class doc's OOV-floor
+    * contract. An explicit finite threshold is used verbatim.
     */
   def start(docs: DataFrame, modelDir: String, outDir: String,
-            threshold: Double = 1.0,
+            threshold: Double = Double.NaN,
             checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = docs.sparkSession
     val model = Corpus.loadDsirModel(spark, modelDir)
+    val gate =
+      if (threshold.isNaN) math.nextUp(Corpus.dsirOovFloor(model))
+      else threshold
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir.getOrElse(s"$outDir/_checkpoint"))
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-        runBatch(batch.toDF(), model, outDir, epoch, threshold)
+        runBatch(batch.toDF(), model, outDir, epoch, gate)
       }
       .start()
   }
@@ -59,16 +75,25 @@ object DsirStream {
     */
   def runBatch(batch: DataFrame, model: Corpus.DsirModel, outDir: String,
                epoch: Long, threshold: Double = 1.0): Unit = {
-    // barrier: the batch feeds scoring AND the audit join — materialize
-    // once so a real source (kafka) is not re-read per consumer
-    val delta = batch.localCheckpoint()
+    // barrier: the batch feeds scoring AND the audit join — persist (not
+    // localCheckpoint: its blocks are only reclaimed when the
+    // ContextCleaner GCs the RDD, so a long-running stream would
+    // accumulate executor storage) so a real source (kafka) is not
+    // re-read per consumer, and RELEASE both frames once the epoch's two
+    // writes are down
+    val delta = batch.persist()
     val scored = delta.join(
       Corpus.dsirWeightsFrom(model, delta).select("doc_id", "dsir_weight"),
       Seq("doc_id"), "left")
-      .localCheckpoint() // scoring runs once, not once per output side
-    scored.filter(col("dsir_weight") >= threshold)
-      .write.mode("overwrite").parquet(s"$outDir/selected/epoch=$epoch")
-    scored.filter(col("dsir_weight").isNull || col("dsir_weight") < threshold)
-      .write.mode("overwrite").parquet(s"$outDir/rejected/epoch=$epoch")
+      .persist() // scoring runs once, not once per output side
+    try {
+      scored.filter(col("dsir_weight") >= threshold)
+        .write.mode("overwrite").parquet(s"$outDir/selected/epoch=$epoch")
+      scored.filter(col("dsir_weight").isNull || col("dsir_weight") < threshold)
+        .write.mode("overwrite").parquet(s"$outDir/rejected/epoch=$epoch")
+    } finally {
+      scored.unpersist()
+      delta.unpersist()
+    }
   }
 }

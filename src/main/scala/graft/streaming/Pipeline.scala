@@ -326,9 +326,11 @@ class Pipeline(
     * with its own checkpoint dir like every sibling — the data-selection
     * gate beside the fluency gate (a deployment runs both: fluency
     * filters junk, DSIR steers the mix toward the target domain).
+    * Default threshold NaN = derive the gate above the model's OOV
+    * floor ([[DsirStream.start]]'s contract).
     */
   def startDsirGate(docs: DataFrame, modelDir: String,
-                    threshold: Double = 1.0): StreamingQuery =
+                    threshold: Double = Double.NaN): StreamingQuery =
     DsirStream.start(docs, modelDir, dsirStorePath, threshold,
       checkpointDir = Some(s"$checkpointRoot/dsir-gate"))
 

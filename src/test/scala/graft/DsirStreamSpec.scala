@@ -73,6 +73,32 @@ class DsirStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("default gate derives above the OOV floor: unseen-vocabulary junk rejects") {
+    implicit val sqlCtx = spark.sqlContext
+    val modelDir = freshModelDir()
+    val model = Corpus.loadDsirModel(spark, modelDir)
+    val floor = Corpus.dsirOovFloor(model)
+    // the fixture's raw pool outweighs its target, so the floor sits
+    // ABOVE 1.0 — exactly the trap the derived default must dodge (a
+    // 1.0 gate would select the fully-OOV doc below)
+    assert(floor > 1.0, s"fixture must exercise the OOV trap: floor = $floor")
+    val outDir = Files.createTempDirectory("dsiroov").toString + "/out"
+    val input = MemoryStream[(Long, String)]
+    val q = DsirStream.start(input.toDF().toDF("doc_id", "text"), modelDir, outDir)
+    try {
+      input.addData((30L, "zz qq zz qq"), (31L, "a b a b"))
+      q.processAllAvailable()
+      val selected = spark.read.parquet(s"$outDir/selected")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val rejected = spark.read.parquet(s"$outDir/rejected")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(rejected.contains(30L),
+        s"fully-OOV doc must reject at the derived default gate: $rejected")
+      assert(selected == Set(31L),
+        s"the target-like doc still passes: $selected")
+    } finally q.stop()
+  }
+
   test("a replayed epoch overwrites its own output (crash recovery)") {
     val modelDir = freshModelDir()
     val model = Corpus.loadDsirModel(spark, modelDir)

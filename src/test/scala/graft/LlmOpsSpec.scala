@@ -138,6 +138,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(r2.values.forall(v => !v._1.isInfinite && !v._1.isNaN))
   }
 
+  test("unigram vocab guards the DECIMAL(38,0) gain bound: overflow raises, never NULL-ranks") {
+    import spark.implicits._
+    // chain merges to a 64-char piece: numerator (c+1)·(T+|V|)^63 with
+    // T+|V| ≥ 4 clears 1e38 by orders of magnitude, so the guard MUST
+    // trip (silent non-ANSI behavior would be a NULL gain that drops the
+    // piece from the ranking while DuckDB's HUGEINT oracle keeps it)
+    val long = "a" * 64
+    val docs = Seq((1L, s"$long b c d e f g h")).toDF("doc_id", "text")
+    val merges = (0 until 6).map(i => ("a" * (1 << i), "a" * (1 << i)))
+    val ex = intercept[Exception] {
+      TextAnalysis.unigramVocab(docs, merges, keep = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("overflow DECIMAL(38,0)")),
+      s"expected the overflow guard to trip: ${msgs(ex)}")
+    // the guard is inert in the legal regime: the textbook fixture from
+    // the pruning test still scores exactly
+    val ok = TextAnalysis.unigramVocab(
+      Seq((1L, "ab ab cd")).toDF("doc_id", "text"), Seq(("a", "b")), keep = 1)
+      .collect().map(x => (x.getString(0), x.getDouble(3))).toMap
+    assert(ok("ab") == 21.0, s"guard must not perturb in-bound gains: $ok")
+  }
+
   test("unigram encode: longest kept prefix wins, pruned and unknown pieces fall back to characters") {
     import spark.implicits._
     val vocab = Seq(
