@@ -304,6 +304,72 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED exact-contamination collision table — the per-document
+    * benchmark 5-gram collision counts ([[Dedup.contamination]] over the
+    * registry's canonical %11 corpus/benchmark split) are snapshot-
+    * determined, so the corpus-wide gram explode runs ONCE per documents
+    * snapshot and every consumer — `q_contamination`, the
+    * `q_decontaminated` anti-join, the curation funnel's stage flag, and
+    * both clean-pipeline compositions — serves as one parquet scan (the
+    * `q_fuzzy_contamination` precedent applied to the exact drop set;
+    * round-11 verdict item 1). Contamination is a per-document property
+    * of (doc grams × benchmark grams), independent of which frame
+    * carries the doc, so restricting the corpus-wide table to any
+    * subset equals recomputing on the subset — the identity the
+    * pipeline consumers rely on. [[Dedup.contamination]] remains the
+    * any-benchmark-frame path for new data, like every sibling family.
+    */
+  private val deconCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+  private def deconCollisions(s: SparkSession, d: String): DataFrame = {
+    deconCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "decon-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    deconCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_decon")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val docs = Tables.documents(s, d)
+          Dedup.contamination(
+              docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
+              docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
+            .write.mode("overwrite").parquet(s"$dir/collisions")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, s.read.parquet(s"$dir/collisions"))
+      })._2
+  }
+
+  /** PERSISTED C4 quality flags — [[TextAnalysis.qualityFilter]]'s
+    * per-document audit row (n_tokens, ratios, per-rule flags, composite
+    * keep) is row-local and snapshot-determined, so the corpus regex pass
+    * runs ONCE per documents snapshot; `q_quality_filter`, all three
+    * clean-pipeline compositions' quality stage, and the curation
+    * funnel's k1 flag serve as one narrow parquet scan. Row-locality
+    * means restriction commutes (a doc's flags don't depend on the frame
+    * carrying it), the same identity the decon family leans on.
+    * [[TextAnalysis.qualityFilter]] remains the any-threshold path.
+    */
+  private val qualityCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+  private def qualityFlags(s: SparkSession, d: String): DataFrame = {
+    qualityCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "quality-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    qualityCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_quality")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          TextAnalysis.qualityFilter(Tables.documents(s, d))
+            .write.mode("overwrite").parquet(s"$dir/flags")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, s.read.parquet(s"$dir/flags"))
+      })._2
+  }
+
   /** PERSISTED media-fingerprint family — perceptual hashes + verified
     * near-dup pairs ([[Multimodal.persistMediaPhash]]) built once per
     * documents snapshot; both media-dedup queries serve as one scan.
@@ -1421,8 +1487,11 @@ object SparkEntry {
         |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) AS repetition
         |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin)),
 
+    // Served from the persisted graft_quality flags (the corpus regex
+    // pass runs once per snapshot); qualityFilter remains the
+    // any-threshold path.
     ("q_quality_filter",
-      (s, d) => TextAnalysis.qualityFilter(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => qualityFlags(s, d).orderBy("doc_id"),
       Some("""WITH q AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -2336,14 +2405,12 @@ object SparkEntry {
         |ORDER BY doc_id, bench_id""".stripMargin)),
 
     // train/test decontamination: 5-gram collisions of the corpus
-    // (doc_id mod 11 <> 0) against the benchmark split (mod 11 = 0)
+    // (doc_id mod 11 <> 0) against the benchmark split (mod 11 = 0).
+    // Served from the persisted graft_decon collision table (the gram
+    // explode runs once per snapshot); Dedup.contamination remains the
+    // any-benchmark path.
     ("q_contamination",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.contamination(
-          docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
-          docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
-      },
+      (s, d) => deconCollisions(s, d).orderBy("doc_id"),
       Some("""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
         |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
         |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
@@ -2356,14 +2423,14 @@ object SparkEntry {
         |FROM cg JOIN bg USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // the drop-side: corpus anti-join against the persisted collision
+    // table (exactly Dedup.decontaminate's shape with the contamination
+    // frame pre-computed)
     ("q_decontaminated",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.decontaminate(
-            docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
-            docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
-          .select("doc_id", "lang", "source").orderBy("doc_id")
-      },
+      (s, d) => Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .join(deconCollisions(s, d).select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source").orderBy("doc_id"),
       Some("""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
         |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
         |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
@@ -2479,11 +2546,13 @@ object SparkEntry {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
-        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
         val q = corpus.join(
-          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          qualityFlags(s, d).filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-        val decon = Dedup.decontaminate(q, bench, 5)
+        // persisted graft_decon collision table (per-doc property — see
+        // deconCollisions — so the restriction equals decontaminating q)
+        val decon = q.join(deconCollisions(s, d).select("doc_id"),
+          Seq("doc_id"), "left_anti")
         val drop = nearDupPairs(s, d)
           .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
@@ -2537,11 +2606,14 @@ object SparkEntry {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
-        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
         val q = corpus.join(
-          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          qualityFlags(s, d).filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-        val decon = Dedup.decontaminate(q, bench, 5)
+        // contamination is a per-doc property (see deconCollisions), so
+        // anti-joining the quality survivors against the persisted
+        // corpus-wide collision table equals decontaminating them
+        val decon = q.join(deconCollisions(s, d).select("doc_id"),
+          Seq("doc_id"), "left_anti")
         val drop = nearDupPairs(s, d)
           .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
@@ -2609,11 +2681,12 @@ object SparkEntry {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
-        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
         val q = corpus.join(
-          TextAnalysis.qualityFilter(corpus).filter(col("keep")).select("doc_id"),
+          qualityFlags(s, d).filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-        val decon = Dedup.decontaminate(q, bench, 5)
+        // persisted collision table, same identity as q_pipeline_full_clean
+        val decon = q.join(deconCollisions(s, d).select("doc_id"),
+          Seq("doc_id"), "left_anti")
         val drop = nearDupPairs(s, d)
           .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
@@ -2700,24 +2773,25 @@ object SparkEntry {
     // the pipeline's own (expensive sides all snapshot-served).
     ("q_curation_funnel",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
-        val bench  = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-        // ONE corpus scan carries both document-local stage flags: the
-        // quality gate is a row-local predicate, and contamination is a
-        // per-doc property vs the benchmark gram set (independent of
-        // which frame carries it, so flagging the whole corpus and
-        // AND-ing with k1 equals decontaminating the quality survivors)
-        val contaminated = Dedup.contamination(corpus, bench, 5)
+        // Every stage flag is snapshot-served (round-11 verdict item 1):
+        // the quality gate is the persisted graft_quality keep flag, and
+        // contamination is the persisted graft_decon collision table —
+        // both row-local/per-doc properties, so restricting the
+        // corpus-wide tables to the %11 corpus split equals running the
+        // stages on the split. The corpus membership itself comes off
+        // the quality table (one row per document), so the funnel never
+        // touches documents.parquet at all — its plan is snapshot scans
+        // + pair-table restrictions + one aggregate.
+        val contaminated = deconCollisions(s, d)
           .select(col("doc_id"), lit(1L).as("contaminated"))
         // the flags frame is referenced by every downstream stage (pair
-        // restrictions + the final aggregate), so the heavy side — the
-        // corpus 5-gram explode inside contamination — is materialized
-        // ONCE via lazy localCheckpoint into a narrow (doc_id, k1, k2)
-        // frame (~17 bytes/doc, distributed; the clustersFromPairs
-        // precedent). Without it each reference re-derives the explode.
-        val f1 = corpus
-          .select(col("doc_id"), TextAnalysis.c4KeepCol().cast("long").as("k1"))
+        // restrictions + the final aggregate) — materialize it ONCE via
+        // lazy localCheckpoint into a narrow (doc_id, k1, k2) frame
+        // (~17 bytes/doc, distributed; the clustersFromPairs precedent)
+        // so each reference re-reads the checkpoint, not the plan.
+        val f1 = qualityFlags(s, d)
+          .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+          .select(col("doc_id"), col("keep").cast("long").as("k1"))
           .join(contaminated, Seq("doc_id"), "left")
           .select(col("doc_id"), col("k1"),
             (col("k1") === 1L && col("contaminated").isNull).cast("long").as("k2"))

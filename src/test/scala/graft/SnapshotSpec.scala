@@ -314,6 +314,60 @@ class SnapshotSpec extends SparkSpec {
       s"only delta-side document scans allowed beside the index:\n${incScans.mkString("\n")}")
   }
 
+  test("exact contamination serves from the persisted collision table, never re-explodes the corpus (r11 verdict 1)") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    // first access builds + commits graft_decon; the serving plan is ONE
+    // snapshot-table scan — the per-call corpus 5-gram explode is gone
+    val c = SparkEntry.queries("q_contamination")(spark, sf)
+    assert(c.count() > 0, "the %11 split plants cross-split collisions at every SF")
+    val cScans = scansOf(SparkEntry.queries("q_contamination")(spark, sf))
+    assert(cScans.size == 1 && cScans.forall(_.contains("graft_decon")),
+      s"contamination serving must be one snapshot-table scan:\n${cScans.mkString("\n")}")
+    assert(cScans.forall(!_.contains("documents.parquet")),
+      "the served path must never scan documents")
+    // the drop-side is documents anti-join the snapshot: exactly two
+    // scans (counted over the plan text — the keep-best precedent)
+    val dPlan = SparkEntry.queries("q_decontaminated")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(dPlan).length == 2 &&
+        dPlan.contains("graft_decon") && dPlan.contains("documents.parquet"),
+      s"decontaminated must be documents anti-join collision-set:\n$dPlan")
+    // the persisted table equals the direct any-benchmark-path
+    // computation over the registry's split (the family equality contract)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = Dedup.contamination(
+        docs.filter(pmod(col("doc_id"), lit(11)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(11)) === 0), n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = c.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == direct,
+      s"persisted collisions must equal the direct computation (served=${served.size}, direct=${direct.size})")
+  }
+
+  test("quality flags serve from the persisted table and equal the direct regex pass") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    val q = SparkEntry.queries("q_quality_filter")(spark, sf)
+    assert(q.count() > 0)
+    val qScans = scansOf(SparkEntry.queries("q_quality_filter")(spark, sf))
+    assert(qScans.size == 1 && qScans.forall(_.contains("graft_quality")),
+      s"quality serving must be one snapshot-table scan:\n${qScans.mkString("\n")}")
+    assert(qScans.forall(!_.contains("documents.parquet")),
+      "the served path must never scan documents")
+    // family equality: the persisted flags equal the direct any-threshold
+    // computation row for row (keep flag + the audit ratios)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "unique_ratio", "punct_ratio", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(rows(q) == rows(graft.operators.TextAnalysis.qualityFilter(docs)),
+      "persisted flags must equal the direct computation")
+  }
+
   test("dsir registry serves persisted weights; the endpoint scores against frozen counts only") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
