@@ -288,6 +288,30 @@ class SnapshotSpec extends SparkSpec {
       spark.read.parquet(s"$sf/documents.parquet"), 5)
     assert(rows(served) == rows(direct),
       "persisted merges must equal the direct training run")
+    // bpe-v3: the corpus encodes are pre-segmented into the snapshot —
+    // both encode queries serve as ONE scan, and each equals the direct
+    // operator applied to the served artifacts (the staging-discipline
+    // equality: snapshot encode ≡ encode over the snapshot's own tables)
+    def encRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSeq
+    for (name <- Seq("q_bpe_encode", "q_unigram_encode")) {
+      val enc = SparkEntry.queries(name)(spark, sf)
+      val encScans = enc.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan"))
+      assert(encScans.size == 1 && encScans.forall(_.contains("graft_bpe")),
+        s"$name must serve as one snapshot scan:\n${encScans.mkString("\n")}")
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = SparkEntry.queries("q_bpe_merges")(spark, sf)
+      .orderBy("merge_rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(encRows(SparkEntry.queries("q_bpe_encode")(spark, sf)) ==
+      encRows(TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id", "pos")),
+      "persisted BPE encode must equal the direct operator on the served merges")
+    val vocab = SparkEntry.queries("q_unigram_vocab")(spark, sf)
+    assert(encRows(SparkEntry.queries("q_unigram_encode")(spark, sf)) ==
+      encRows(TextAnalysis.unigramEncode(docs, vocab).orderBy("doc_id", "pos")),
+      "persisted unigram encode must equal the direct operator on the served vocab")
   }
 
   test("simhash + incremental dedup serve from persisted sketches (r8 next-round 3)") {
