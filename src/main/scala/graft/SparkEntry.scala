@@ -2454,6 +2454,105 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))
         |ORDER BY doc_id""".stripMargin)),
 
+    // PII REDACTION (r11 verdict next-round 2): the canonical curation
+    // stage the surface lacked — email/IPv4/phone/id-number shapes masked
+    // by a fixed idempotent regexp_replace chain with digit-free
+    // placeholders (operators.Pii; row-local projection, no shuffle, no
+    // UDF). The synthetic corpus carries no contact shapes, so the
+    // registry scrubs the DETERMINISTIC injected view
+    // (Pii.withInjectedPii — the mediaFromDocuments fixture precedent,
+    // all values in reserved example ranges); the oracle mirrors
+    // injection + chain literally, 'g' pinning DuckDB's replace to
+    // Spark's replace-all (the regexp_extract_all dialect-pin precedent).
+    ("q_scrub_pii",
+      (s, d) => Pii.scrubPii(Pii.withInjectedPii(Tables.documents(s, d)))
+        .orderBy("doc_id"),
+      Some(s"""WITH inj AS (SELECT doc_id, lang, source, ${Pii.Sql.inject} AS text
+        |  FROM documents),
+        |scr AS (SELECT doc_id, lang, source, ${Pii.Sql.scrub("text")} AS clean_text
+        |  FROM inj),
+        |cnt AS (SELECT doc_id, lang, source, clean_text,
+        |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)} AS n_emails,
+        |  ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)} AS n_phones,
+        |  ${Pii.Sql.markCount("clean_text", Pii.IpMark)} AS n_ips,
+        |  ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_ids
+        |  FROM scr)
+        |SELECT doc_id, lang, source, clean_text, n_emails, n_phones, n_ips,
+        |  n_ids, n_emails + n_phones + n_ips + n_ids AS n_pii
+        |FROM cnt ORDER BY doc_id""".stripMargin)),
+
+    // per-source PII-rate dataset-card row (the dup-rate-by-source
+    // precedent): affected-document rate + per-family totals, one
+    // map-side-combining aggregate to |sources| rows
+    ("q_pii_rate",
+      (s, d) => Pii.piiRate(
+        Pii.scrubPii(Pii.withInjectedPii(Tables.documents(s, d)))),
+      Some(s"""WITH inj AS (SELECT doc_id, source, ${Pii.Sql.inject} AS text
+        |  FROM documents),
+        |scr AS (SELECT doc_id, source, ${Pii.Sql.scrub("text")} AS clean_text
+        |  FROM inj),
+        |cnt AS (SELECT doc_id, source,
+        |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)} AS n_emails,
+        |  ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)} AS n_phones,
+        |  ${Pii.Sql.markCount("clean_text", Pii.IpMark)} AS n_ips,
+        |  ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_ids
+        |  FROM scr)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_ids > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+        |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
+        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_ids > 0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pii_rate
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin)),
+
+    // the scrub WIRED INTO the clean-pipeline composition (quality →
+    // decontaminate → scrub, each stage snapshot-served): the survivors'
+    // masked text + audit counts — the hand-off a curation run ships to
+    // tokenization. Injection commutes with restriction (row-local), so
+    // scrubbing the injected view of the survivor set equals restricting
+    // the scrubbed corpus — the decon-family identity again.
+    ("q_pipeline_scrubbed",
+      (s, d) => {
+        val survivors = qualityFlags(s, d)
+          .filter(col("keep") && pmod(col("doc_id"), lit(11)) =!= 0)
+          .select("doc_id")
+          .join(deconCollisions(s, d).select("doc_id"), Seq("doc_id"), "left_anti")
+        Pii.scrubPii(Pii.withInjectedPii(Tables.documents(s, d)))
+          .join(survivors, Seq("doc_id"), "left_semi")
+          .select("doc_id", "source", "n_pii", "clean_text")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        |q AS (SELECT * FROM corp WHERE
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3),
+        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM q)),
+        |surv AS (SELECT doc_id FROM q
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cg JOIN bg USING (g))),
+        |inj AS (SELECT doc_id, source, ${Pii.Sql.inject} AS text
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+        |scr AS (SELECT doc_id, source, ${Pii.Sql.scrub("text")} AS clean_text
+        |  FROM inj)
+        |SELECT doc_id, source,
+        |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IpMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_pii,
+        |  clean_text
+        |FROM scr ORDER BY doc_id""".stripMargin)),
+
     // EXACT SUBSTRING (span-level) dedup: every token position covered by
     // a cross-document 8-gram is excised and the document rewritten —
     // document-level ops above keep or drop whole texts, this one removes

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII redaction/scrubbing — the canonical curation stage between quality
+  * filtering and deduplication in every production training-data pipeline
+  * (mask contact shapes BEFORE the corpus is deduped/packed, so no
+  * memorizable identifier survives into the training mix). The reference
+  * pipeline has no PII handling (its events carry no free text beyond
+  * city/severity enums); this is north-star surface, built from the
+  * public recipe: regex-shape detection for the four classic identifier
+  * families (email, IPv4, NANP-style phone, SSN-style id number) with
+  * DETERMINISTIC placeholders, so scrubbing is idempotent, auditable
+  * (the placeholder count IS the per-doc PII count) and cross-engine
+  * reproducible.
+  *
+  * Determinism contract: the four patterns are ASCII-only (`\d`/`\b`
+  * agree between Java regex and RE2 on ASCII classes), the replace chain
+  * is a FIXED order (email → IPv4 → phone → id; email first so a later
+  * numeric pattern can never bite a fragment of an address, and phone
+  * (3-3-4) / id (3-2-4) group shapes are mutually exclusive), and the
+  * placeholders contain no digits, so no pass can re-match an earlier
+  * pass's output — which is also why scrubbing is idempotent. The DuckDB
+  * mirror pins `'g'` (global) to match Spark's replace-all default — the
+  * one dialect difference ([[Sql.scrub]]).
+  *
+  * Scale shape: every operator here is a row-local projection (no
+  * shuffle, no UDF — `regexp_replace` is codegen'd); [[piiRate]] is one
+  * map-side-combining aggregate to |sources| rows. A 100 TB scrub is
+  * exactly one read-transform-write pass.
+  */
+object Pii {
+
+  /** The four shape patterns — single source of truth for the operator
+    * AND the oracle builder (same literal lands in both engines).
+    */
+  val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern: String  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IdPattern: String    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  val EmailMark = "<EMAIL>"
+  val IpMark    = "<IP>"
+  val PhoneMark = "<PHONE>"
+  val IdMark    = "<ID>"
+
+  /** The masking chain over a text column (fixed order — see class doc). */
+  def scrubCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, EmailMark),
+          Ipv4Pattern, IpMark),
+        PhonePattern, PhoneMark),
+      IdPattern, IdMark)
+
+  /** Placeholder occurrences in scrubbed text = replacements made; the
+    * split-count form is engine-portable (no regexp-count dialect) and
+    * exact because the markers are digit-free and cannot nest.
+    */
+  private def markCount(clean: Column, mark: String): Column =
+    (size(split(clean, mark)) - 1).cast("long")
+
+  /** Scrub a `documents`-shaped frame: one row per document with the
+    * masked text and the per-family replacement counts (the audit row —
+    * redacting silently is how leaks go unnoticed).
+    */
+  def scrubPii(documents: DataFrame): DataFrame = {
+    val scrubbed = documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      scrubCol(col("text")).as("clean_text"))
+    scrubbed.select(
+        col("doc_id"), col("lang"), col("source"), col("clean_text"),
+        markCount(col("clean_text"), EmailMark).as("n_emails"),
+        markCount(col("clean_text"), PhoneMark).as("n_phones"),
+        markCount(col("clean_text"), IpMark).as("n_ips"),
+        markCount(col("clean_text"), IdMark).as("n_ids"))
+      .withColumn("n_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") + col("n_ids"))
+  }
+
+  /** Per-source PII-rate dataset-card row over a [[scrubPii]] output:
+    * document counts, affected-document rate, per-family totals. One
+    * hash aggregate to |sources| rows.
+    */
+  def piiRate(scrubbed: DataFrame): DataFrame =
+    scrubbed.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_pii") > 0).cast("long")).as("n_pii_docs"),
+        sum("n_emails").as("n_emails"),
+        sum("n_phones").as("n_phones"),
+        sum("n_ips").as("n_ips"),
+        sum("n_ids").as("n_ids"))
+      .withColumn("pii_rate",
+        col("n_pii_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
+  /** DETERMINISTIC PII-injection fixture (the
+    * [[Multimodal.mediaFromDocuments]] precedent): the synthetic corpus
+    * carries no contact shapes, so the registry derives a "wild" view
+    * in-plan — contact tails keyed off `doc_id` residues (mod 3/5/7/11:
+    * email/phone/IPv4/id), every generated value inside reserved example
+    * ranges (example.org, the fictional 555-01xx/202-555 NANP block,
+    * 10.0.0.0/8, 900- SSN area — never real identifiers). Row-local and
+    * mirrored literally by [[Sql.inject]], so every scrub query stays
+    * hash-checked and non-vacuous at all SFs.
+    */
+  def withInjectedPii(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def tail(mod: Int, value: Column): Column =
+      when(pmod(id, lit(mod)) === 0, value).otherwise(lit(""))
+    documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      concat(
+        col("text"),
+        tail(3, concat(lit(" contact user"), id.cast("string"),
+          lit("@example.org"))),
+        tail(5, concat(lit(" call 202-555-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))),
+        tail(7, concat(lit(" from 10."), pmod(id, lit(200)).cast("string"),
+          lit("."), pmod(id * 7, lit(256)).cast("string"),
+          lit("."), pmod(id * 13, lit(256)).cast("string"))),
+        tail(11, concat(lit(" ssn 900-"),
+          lpad((pmod(id, lit(90)) + 10).cast("string"), 2, "0"),
+          lit("-"), lpad(pmod(id * 3, lit(10000)).cast("string"), 4, "0")))
+      ).as("text"))
+  }
+
+  /** DuckDB oracle fragments mirroring the Scala derivations. */
+  object Sql {
+    /** The injection tail as a SQL expression over `doc_id`/`text`. */
+    val inject: String =
+      """text
+        | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 0 THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        | || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+        | || CASE WHEN doc_id % 11 = 0 THEN ' ssn 900-' || lpad(CAST((doc_id % 90) + 10 AS VARCHAR), 2, '0') || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+        .stripMargin.replace("\n", "")
+
+    /** The masking chain over a text expression — identical pattern
+      * literals and order as [[scrubCol]]; `'g'` pins replace-ALL (the
+      * Spark default, but DuckDB's default is first-match-only).
+      */
+    def scrub(texpr: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($texpr, " +
+        s"'$EmailPattern', '$EmailMark', 'g'), " +
+        s"'$Ipv4Pattern', '$IpMark', 'g'), " +
+        s"'$PhonePattern', '$PhoneMark', 'g'), " +
+        s"'$IdPattern', '$IdMark', 'g')"
+
+    /** Per-family marker count over a scrubbed expression. */
+    def markCount(cexpr: String, mark: String): String =
+      s"CAST(len(string_split($cexpr, '$mark')) - 1 AS BIGINT)"
+  }
+}
