@@ -2001,6 +2001,90 @@ object SparkEntry {
         |FROM p ORDER BY dsir_weight DESC, doc_id
         |LIMIT 50""".stripMargin)),
 
+    // TRAINING-MIX MANIFEST (r11 verdict next-round 4): the final
+    // per-document keep/sample-probability artifact a curator ships —
+    // the persisted selection families COMPOSED into one row per doc
+    // (the q_dataset_card precedent): CCNet fluency tercile (graft_lm
+    // scores), DSIR importance weight (graft_dsir pre-scored table),
+    // and the exact-token-budget cut. Decision rule, documented not
+    // hidden: keep = inside the token budget AND not in the fluency
+    // tail; sample_prob = 1 for target-domain (src0) keeps, else the
+    // DSIR weight clipped to [0,1] (proportional-sampling shape made
+    // deterministic). bucket 'none' / weight 0.0 mark docs too short to
+    // score (no bigrams) or outside the scored pool — explicit values,
+    // not nulls, so both engines hash identically. The oracle re-derives
+    // all three selections end to end, so the manifest stays a
+    // hash-checked proof the composition equals its parts.
+    ("q_training_manifest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ccnet = TextAnalysis.ccnetBuckets(lmScores(s, d), docs)
+          .select(col("doc_id"), col("bucket"))
+        val dsir = dsirWeights(s, d).select(col("doc_id"), col("dsir_weight"))
+        val budget = Corpus.tokenBudgetMix(docs)
+          .select(col("doc_id"), lit(1L).as("in_budget"))
+        val keep = col("in_budget") === 1L && col("bucket") =!= "tail"
+        docs.select(col("doc_id"), col("lang"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(ccnet, Seq("doc_id"), "left")
+          .join(dsir, Seq("doc_id"), "left")
+          .join(budget, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+            coalesce(col("bucket"), lit("none")).as("bucket"),
+            coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"),
+            coalesce(col("in_budget"), lit(0L)).as("in_budget"))
+          .withColumn("keep", keep)
+          .withColumn("sample_prob",
+            when(!col("keep"), lit(0.0))
+              .when(col("source") === "src0", lit(1.0))
+              .otherwise(least(lit(1.0), col("dsir_weight"))))
+          .orderBy("doc_id")
+      },
+      Some(dsirOracleCtes + s""",
+        |w2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM w2)),
+        |bc2 AS (SELECT l, r, count(*) AS c_xy FROM bo2 GROUP BY l, r),
+        |hc2 AS (SELECT l, sum(c_xy) AS c_x FROM bc2 GROUP BY l),
+        |sc2 AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo2 JOIN bc2 USING (l, r) JOIN hc2 USING (l)),
+        |p2 AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc2 GROUP BY doc_id),
+        |fl AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p2),
+        |cc AS (SELECT fl.doc_id,
+        |  CASE ntile(3) OVER (PARTITION BY dd.lang ORDER BY fl.fluency DESC, fl.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM fl JOIN documents dd USING (doc_id)),
+        |dw AS (SELECT doc_id, ratio_sum / CAST(n_grams AS DOUBLE) AS dsir_weight FROM p),
+        |t3 AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (doc_id % 1000003) * 2654435761 AS h FROM documents),
+        |c3 AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS cum_before FROM t3),
+        |tm AS (SELECT doc_id FROM c3
+        |  WHERE cum_before < CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 300
+        |    WHEN 'de' THEN 300 WHEN 'fr' THEN 300 WHEN 'es' THEN 300 ELSE 0 END),
+        |base AS (SELECT doc_id, lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |mf AS (SELECT base.doc_id, base.lang, base.source, base.n_tokens,
+        |  COALESCE(cc.bucket, 'none') AS bucket,
+        |  COALESCE(dw.dsir_weight, 0.0) AS dsir_weight,
+        |  CAST(CASE WHEN tm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_budget,
+        |  (tm.doc_id IS NOT NULL AND COALESCE(cc.bucket, 'tail') <> 'tail') AS keep
+        |  FROM base LEFT JOIN cc ON base.doc_id = cc.doc_id
+        |            LEFT JOIN dw ON base.doc_id = dw.doc_id
+        |            LEFT JOIN tm ON base.doc_id = tm.doc_id)
+        |SELECT doc_id, lang, source, n_tokens, bucket, dsir_weight, in_budget,
+        |  keep, CASE WHEN NOT keep THEN 0.0
+        |    WHEN source = 'src0' THEN 1.0
+        |    ELSE least(1.0, dsir_weight) END AS sample_prob
+        |FROM mf ORDER BY doc_id""".stripMargin)),
+
     // ---- LLM-data pipeline: deduplication (north star)
     ("q_dedup_exact",
       (s, d) => Dedup.exactDuplicates(Tables.documents(s, d)),

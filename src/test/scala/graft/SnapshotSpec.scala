@@ -392,6 +392,39 @@ class SnapshotSpec extends SparkSpec {
       "persisted flags must equal the direct computation")
   }
 
+  test("training manifest equals each standalone selection it composes (r11 verdict 4)") {
+    val m = SparkEntry.queries("q_training_manifest")(spark, sf)
+    val rows = m.collect().map(r => r.getLong(0) ->
+      ((r.getString(4), r.getDouble(5), r.getLong(6), r.getBoolean(7),
+        r.getDouble(8)))).toMap
+    assert(rows.nonEmpty)
+    // one row per document — the manifest covers the corpus exactly
+    assert(rows.size == spark.read.parquet(s"$sf/documents.parquet").count())
+    // bucket column equals the standalone CCNet tercile query
+    val cc = SparkEntry.queries("q_ccnet_buckets")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    cc.foreach { case (id, b) =>
+      assert(rows(id)._1 == b, s"bucket mismatch at $id") }
+    rows.collect { case (id, (b, _, _, _, _)) if !cc.contains(id) =>
+      assert(b == "none", s"unscored doc $id must carry 'none'") }
+    // dsir_weight equals the standalone persisted-weights query
+    val dw = SparkEntry.queries("q_dsir_weights")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    dw.foreach { case (id, w) =>
+      assert(rows(id)._2 == w, s"dsir weight mismatch at $id") }
+    // in_budget set equals the standalone token-budget cut
+    val tb = SparkEntry.queries("q_token_budget_mix")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.filter(_._2._3 == 1L).keySet == tb,
+      "in_budget must equal the token-budget selection")
+    // the decision rule holds row-wise
+    rows.foreach { case (id, (b, w, ib, keep, p)) =>
+      assert(keep == (ib == 1L && b != "tail"), s"keep rule at $id")
+      if (!keep) assert(p == 0.0, s"dropped doc $id must have prob 0")
+      else assert(p == 1.0 || p == math.min(1.0, w), s"prob rule at $id")
+    }
+  }
+
   test("dsir registry serves persisted weights; the endpoint scores against frozen counts only") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
