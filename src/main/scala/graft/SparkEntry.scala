@@ -3633,6 +3633,38 @@ object SparkEntry {
         |WHERE bit_count(xor(q.phash, c.phash)) <= 5
         |ORDER BY query_id, c.media_id""".stripMargin)),
 
+    // the phash family's measured-recall witness (pigeonhole banding is
+    // exact, so recall is literally 1.0): an independent brute-force
+    // Hamming pass over the media_id < 1000 slice marked against the
+    // persisted pairs — a banding edit that loses any pair flips
+    // within_bound and hash-mismatches here (the q_ivf_recall_bound
+    // discipline; the BNLJ is the audit slice, allowlisted)
+    ("q_media_recall_bound",
+      (s, d) => {
+        val t = mediaPhashTables(s, d)
+        Multimodal.phashRecallBound(t.nearDupPairs, t.phash)
+      },
+      Some("""WITH codes AS (SELECT doc_id AS media_id,
+        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+        |  FROM documents WHERE doc_id < 1000),
+        |hh AS (SELECT media_id, len(cs) AS n, cs FROM codes),
+        |sm AS (SELECT media_id, list_transform(generate_series(0, 48),
+        |  j -> cs[CAST(least(j * 2, n - 1) AS INT) + 1]) AS smp FROM hh WHERE n > 0),
+        |h AS (SELECT media_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 47),
+        |    i -> CASE WHEN smp[CAST(i AS INT) + 1] > smp[CAST(i AS INT) + 2]
+        |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+        |  FROM sm
+        |  UNION ALL SELECT media_id, CAST(0 AS BIGINT) FROM hh WHERE n = 0),
+        |e AS (SELECT a.media_id AS id1, b.media_id AS id2
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 5)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        |  CAST(1.0 AS DOUBLE) AS recall_bound,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM e""".stripMargin)),
+
     ("q_producer_metrics",
       (s, d) => Serving.producerMetrics(norm(s, d)),
       Some(s"""$WITH_NORM

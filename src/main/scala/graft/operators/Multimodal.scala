@@ -305,6 +305,48 @@ object Multimodal {
       .orderBy("query_id", "media_id")
   }
 
+  /** MEASURED-RECALL WITNESS for the phash family (the
+    * [[graft.operators.Similarity.ivfRecallBound]] discipline, round-11
+    * verdict next-round 6): pigeonhole banding is exact-by-construction
+    * (maxHamming < bands), so the persisted pair table must contain
+    * EVERY brute-force pair — recall exactly 1.0, not approximately.
+    * This query makes that contract a hash-checked row: an INDEPENDENT
+    * brute-force all-pairs Hamming filter over the id-slice
+    * `media_id < sliceSize` of the persisted hash table is marked
+    * against the family's pairs and folded into (n_exact_pairs,
+    * recall_bound = 1.0, within_bound) — a future banding edit (band
+    * count, width arithmetic, verify threshold) that loses ANY pair
+    * flips within_bound and hash-mismatches its CORRECTNESS row.
+    *
+    * The brute-force side is a deliberate BNLJ bounded by `sliceSize`
+    * (≤ 10⁶ comparisons at the default 1000 — audit-sized, registered in
+    * the registry-wide BNLJ allowlist); the corpus-scale path stays
+    * banded. The slice is an id-prefix so both engines cut identically,
+    * and it is pair-bearing at every shipped SF (28/25/7 exact pairs).
+    */
+  def phashRecallBound(pairs: DataFrame, ph: DataFrame,
+                       sliceSize: Int = 1000, maxHamming: Int = 5): DataFrame = {
+    val s = ph.filter(col("media_id") < sliceSize)
+    val a = s.select(col("media_id").as("id1"), col("phash").as("p1"))
+    val b = s.select(col("media_id").as("id2"), col("phash").as("p2"))
+    val exact = a.join(b, col("id1") < col("id2"))
+      .withColumn("hamming", expr("bit_count(p1 ^ p2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2")
+    val marked = exact.join(
+      pairs.select(col("id1"), col("id2")).withColumn("hit", lit(1L)),
+      Seq("id1", "id2"), "left")
+    marked
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_exact_pairs"),
+        lit(1.0).as("recall_bound"),
+        // NULL-safe for a pair-free slice (vacuously within bound) —
+        // the ivfRecallBound precedent
+        (coalesce(col("n_found"), lit(0L)) >= col("n_exact_pairs"))
+          .cast("int").as("within_bound"))
+  }
+
   /** Persist the media-fingerprint family — hash table + default-threshold
     * verified near-dup pairs — once per corpus snapshot under the standard
     * content-stamped commit protocol (the dedup/annserve precedent applied

@@ -239,4 +239,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute, s"banding must be exactly complete at maxHamming < bands")
     pairs.unpersist()
   }
+
+  test("phash recall witness: 1.0 on the real family, trips when a pair is dropped (r11 verdict 6)") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val ph = Multimodal.mediaPhash(media).select("media_id", "phash")
+    val pairs = Multimodal.phashNearDupPairs(media).cache()
+    val ok = Multimodal.phashRecallBound(pairs, ph).head()
+    assert(ok.getLong(0) > 0, "the slice must be pair-bearing (non-vacuous witness)")
+    assert(ok.getInt(2) == 1, s"intact family must sit at recall 1.0: $ok")
+    // drop one in-slice pair: the witness MUST flip (this is the edit
+    // the hash-checked row exists to catch)
+    val victim = pairs.filter(col("id1") < 1000 && col("id2") < 1000)
+      .orderBy("id1", "id2").limit(1)
+    val lossy = pairs.join(victim.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+    val bad = Multimodal.phashRecallBound(lossy, ph).head()
+    assert(bad.getInt(2) == 0, s"a lost pair must flip within_bound: $bad")
+    pairs.unpersist()
+  }
 }

@@ -70,7 +70,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_temperature_sample",                // 1-row Σsqrt(n_l)/N totals scalar
       "q_source_divergence",                 // 1-row corpus-token-total scalar
       "q_phrase_search",                     // 1-row phrase + gram-count scalars
-      "q_hybrid_search")                     // 1-row query-vector broadcast
+      "q_hybrid_search",                     // 1-row query-vector broadcast
+      "q_media_recall_bound")                // bounded id<1000 brute-force audit slice
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
