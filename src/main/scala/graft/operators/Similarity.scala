@@ -1160,6 +1160,114 @@ object Similarity {
       .orderBy("vec_id1", "vec_id2")
   }
 
+  /** Pre-sketched vector signature index for incremental embedding dedup —
+    * the [[graft.operators.Dedup.buildDedupIndex]] mirror on the vector
+    * side: one row per corpus vector — (vec_id, embedding, rep) — with
+    * rep = min vec_id over BITWISE-identical embeddings (exact float
+    * equality, no hash-collision class; the [[vecGroups]] rule). Persist
+    * once; embedding deltas then dedup against it via [[annDedupDelta]]
+    * without the float corpus ever being re-bucketed from scratch per
+    * batch — band triples derive from the STORED vectors (a narrow
+    * codegen'd projection ∝ |index|, the "ns per row against re-reading"
+    * contract), and the exact verify fetches only candidate rows.
+    */
+  def buildAnnIndex(embeddings: DataFrame): DataFrame = {
+    val reps = embeddings.groupBy("embedding").agg(min("vec_id").as("rep"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .join(reps, Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), col("rep"))
+  }
+
+  /** Incremental (delta-vs-corpus) embedding near-dedup: all
+    * (corpus_id, delta_id, cosine) duplicate pairs between a new `delta`
+    * batch of (vec_id, embedding) rows and a corpus represented ONLY by
+    * its [[buildAnnIndex]] signature index — the vector-side
+    * [[graft.operators.Dedup.dedupDelta]], and the batch kernel of
+    * [[graft.streaming.EmbedDedup]]:
+    *
+    *  - exact: embedding equi-join (bitwise identity ⇒ cosine 1.0 —
+    *    restricted to nonzero-norm rows, the [[lshNearDupPairs]]
+    *    eligibility rule: a zero vector is cosine-undefined and is never
+    *    paired, it passes through);
+    *  - near: delta reps sign-LSH-bucketed fresh with the same
+    *    closed-form planes the corpus side derives from its STORED
+    *    vectors, band-bucket equi-join for candidates, exact cosine ≥
+    *    `threshold` verify behind the aggregate barrier on candidates
+    *    only, restricted to differing embeddings (the exact branch owns
+    *    equality), then expanded through both sides' duplicate groups.
+    *
+    * Scale shape: corpus-side cost ∝ |index| (one narrow bucket
+    * projection per batch + candidate fetches), delta-side ∝ |batch|;
+    * the delta's band triples broadcast (micro-batch-sized); candidate
+    * state is bounded by DISTINCT vectors per band bucket (both sides
+    * rep-collapsed). Recall: sign-LSH banded, same S-curve class as the
+    * batch [[lshNearDupPairs]] whose threshold/band geometry it reuses;
+    * verification makes false positives impossible.
+    */
+  def annDedupDelta(index: DataFrame, delta: DataFrame,
+                    threshold: Double = 0.4, nbits: Int = 16,
+                    bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    // (id, embedding, v, nrm) with zero-norm rows dropped — the
+    // cosine-eligibility rule both branches share
+    def prep(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), col("embedding"),
+          toDoubleVec(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .filter(col("nrm") > 0.0)
+    val dKeyed = delta.select(col("vec_id").as("delta_id"), col("embedding"))
+    val dLive = prep(dKeyed, "delta_id")
+    val cLive = prep(index.select(col("vec_id").as("corpus_id"), col("embedding")),
+      "corpus_id")
+    // exact cross-side matches (bitwise identity ⇒ cosine 1.0)
+    val exact = cLive.select(col("corpus_id"), col("embedding"))
+      .join(dLive.select(col("delta_id"), col("embedding")), Seq("embedding"))
+      .select(col("corpus_id"), col("delta_id")).withColumn("cosine", lit(1.0))
+    // near: rep-collapsed band join + exact verify + group expansion
+    def bandsOf(live: DataFrame, idCol: String): DataFrame = {
+      val w = lshPlaneWeights(nbits, dim)
+      val bucket = (0 until nbits).map { i =>
+        when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      bandExplode(
+        live.select(col(idCol).as("vec_id"), bucket.as("bucket")),
+        nbits / bandBits, bandBits)
+    }
+    val cMembers = index.select(col("vec_id"), col("rep"))
+    val cReps = cLive.join(
+      cMembers.filter(col("vec_id") === col("rep"))
+        .select(col("vec_id").as("corpus_id")), Seq("corpus_id"), "left_semi")
+    val dGroups = dKeyed.groupBy("embedding").agg(min("delta_id").as("rep"))
+    val dMembers = dKeyed.join(dGroups, Seq("embedding"))
+      .select(col("delta_id"), col("rep"))
+    val dReps = dLive.join(
+      dMembers.filter(col("delta_id") === col("rep"))
+        .select(col("delta_id")), Seq("delta_id"), "left_semi")
+    val cands = bandsOf(cReps, "corpus_id")
+      .join(broadcast(bandsOf(dReps, "delta_id")
+        .select(col("vec_id").as("delta_id"), col("band"), col("bb"))),
+        Seq("band", "bb"))
+      .select(col("vec_id").as("corpus_id"), col("delta_id"))
+      .distinct()
+    val repPairs = cands
+      .join(cReps.select(col("corpus_id"), col("embedding").as("ce"),
+        col("v").as("cv"), col("nrm").as("cnrm")), Seq("corpus_id"))
+      .join(broadcast(dReps.select(col("delta_id"), col("embedding").as("de"),
+        col("v").as("dv"), col("nrm").as("dnrm"))), Seq("delta_id"))
+      .filter(col("ce") =!= col("de")) // the exact branch owns equality
+      .select(col("corpus_id"), col("delta_id"),
+        (dot(col("cv"), col("dv")) / (col("cnrm") * col("dnrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val near = repPairs
+      .join(cMembers.select(col("rep").as("corpus_id"), col("vec_id").as("cm")),
+        Seq("corpus_id"))
+      .join(dMembers.select(col("rep").as("delta_id"), col("delta_id").as("dm")),
+        Seq("delta_id"))
+      .select(col("cm").as("corpus_id"), col("dm").as("delta_id"), col("cosine"))
+    exact.unionByName(near).orderBy("corpus_id", "delta_id")
+  }
+
   /** LSH-served cosine top-k: per query (vec_id < numQueries), candidates
     * are corpus vectors sharing ANY band sub-bucket with the query, ranked
     * by exact cosine. The serving twin of [[ivfTopKServe]] on the

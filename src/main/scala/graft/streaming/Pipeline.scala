@@ -334,6 +334,20 @@ class Pipeline(
     DsirStream.start(docs, modelDir, dsirStorePath, threshold,
       checkpointDir = Some(s"$checkpointRoot/dsir-gate"))
 
+  def embedStorePath: String = s"$storeRoot/embed"
+
+  /** Embedding-ingest near-dup gate as a topology member: the
+    * [[EmbedDedup]] stream over a (vec_id, embedding) source against the
+    * persisted vector signature index, outputs under the shared store
+    * root with its own checkpoint dir like every sibling — the
+    * vector-side ingest gate completing the crawl/media/embedding
+    * symmetry.
+    */
+  def startEmbedDedup(vecs: DataFrame, baseIndexDir: String,
+                      threshold: Double = 0.4, dim: Int = 64): StreamingQuery =
+    EmbedDedup.start(vecs, baseIndexDir, embedStorePath, threshold, dim,
+      checkpointDir = Some(s"$checkpointRoot/embed-dedup"))
+
   def mediaStorePath: String = s"$storeRoot/media"
 
   /** Media-ingest dedup as a topology member: the [[MediaDedup]] stream

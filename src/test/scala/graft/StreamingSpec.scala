@@ -547,13 +547,13 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("nine-member topology: events, crawl curation, media ingest + search, and the tokenizer " +
-    "service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("ten-member topology: events, crawl curation, media ingest + search, embedding ingest, " +
+    "and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.operators.{Dedup, Multimodal, TextAnalysis}
+    import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
     def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
-    val base = tmp("ninetop")
+    val base = tmp("tentop")
     // frozen artifacts: crawl index, LM model, media hash table, vocab
     val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
     Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
@@ -565,6 +565,10 @@ class StreamingSpec extends SparkSpec {
           .select(col("media_id"), lit("image").as("kind"),
             col("text").cast("binary").as("payload")))
       .write.parquet(s"$base/phash")
+    Similarity.buildAnnIndex(Seq(
+        (1L, Array.tabulate(8)(i => if (i == 0) 10f else 0f)),
+        (2L, Array.tabulate(8)(i => if (i == 2) 10f else 0f)))
+      .toDF("vec_id", "embedding")).write.parquet(s"$base/annindex")
     val tokTrain = Seq((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
     val tokMerges = TextAnalysis.bpeMerges(tokTrain, 2).collect()
       .map(x => (x.getString(1), x.getString(2))).toSeq
@@ -576,6 +580,7 @@ class StreamingSpec extends SparkSpec {
     val media = MemoryStream[(Long, String)]
     val probes = MemoryStream[(Long, String)]
     val tok = MemoryStream[(Long, String)]
+    val embeds = MemoryStream[(Long, Array[Float])]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -585,14 +590,19 @@ class StreamingSpec extends SparkSpec {
         threshold = 0.5) ++ Seq(
       p.startMediaDedup(asMedia(media, "media_id"), s"$base/phash"),
       p.startMediaSearch(asMedia(probes, "query_id"), s"$base/phash"),
-      p.startTokenize(tok.toDF().toDF("doc_id", "text"), s"$base/vocab"))
+      p.startTokenize(tok.toDF().toDF("doc_id", "text"), s"$base/vocab"),
+      p.startEmbedDedup(embeds.toDF().toDF("vec_id", "embedding"),
+        s"$base/annindex", threshold = 0.9, dim = 8))
     try {
-      assert(queries.length == 9)
+      assert(queries.length == 10)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
       probes.addData((200L, text("img2")))
       tok.addData((300L, "abcd xy"))
+      embeds.addData(
+        (400L, Array.tabulate(8)(i => if (i == 0) 10f else 0f)),   // corpus dup
+        (401L, Array.tabulate(8)(i => if (i == 4) 10f else 0f)))   // novel
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -608,6 +618,9 @@ class StreamingSpec extends SparkSpec {
     // digit, so it may legitimately surface as a near match too
     assert(found.contains((200L, 2L, 0L)),
       s"the probe must find its corpus twin exactly: $found")
+    val embClean = spark.read.parquet(s"${p.embedStorePath}/clean")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(embClean == Set(401L), s"only the novel vector survives ingest dedup: $embClean")
     val enc = spark.read.parquet(s"${p.tokenizeStorePath}/encoded")
       .select("word", "encoded").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(enc == Set(("abcd", "ab cd"), ("xy", "x y")),
