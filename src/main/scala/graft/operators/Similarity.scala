@@ -915,6 +915,18 @@ object Similarity {
     // inline [[lshNearDupPairs]] stays the any-threshold path
     lshNearDupPairs(embeddings, pairThreshold, nbits, bandBits, dim)
       .write.mode("overwrite").parquet(s"$dir/pairs")
+    // v5: the SEMANTIC duplicate-cluster assignment (SemDeDup's grouping
+    // step) — exact min-label connected components over the READ-BACK
+    // verified pairs (staging discipline; the lexical dedup-v6 clusters
+    // precedent on the embedding side). cluster_id = min reachable
+    // vec_id, so the deterministic keep-one rule ("keep the
+    // representative") is derivable from this table alone:
+    // drop ⇔ vec_id ≠ cluster_id.
+    graft.operators.Dedup.clustersFromPairs(
+        spark.read.parquet(s"$dir/pairs")
+          .select(col("vec_id1").as("doc_id1"), col("vec_id2").as("doc_id2")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$dir/clusters")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -923,7 +935,8 @@ object Similarity {
     * max|x| over the unit-normalized corpus.
     */
   case class AnnServeTables(codes: DataFrame, bands: DataFrame,
-                            pairs: DataFrame, maxAbs: Double)
+                            pairs: DataFrame, clusters: DataFrame,
+                            maxAbs: Double)
 
   /** Load a [[persistAnnServe]]-ed snapshot. The one-row meta read is a
     * driver-side head over a single-row parquet — load-time, not
@@ -935,6 +948,7 @@ object Similarity {
       codes = spark.read.parquet(s"$dir/codes"),
       bands = spark.read.parquet(s"$dir/bands"),
       pairs = spark.read.parquet(s"$dir/pairs"),
+      clusters = spark.read.parquet(s"$dir/clusters"),
       maxAbs = spark.read.parquet(s"$dir/meta").head().getDouble(0))
 
   /** Quantized ANN top-k for an ARBITRARY query-vector frame — the

@@ -392,6 +392,35 @@ class SnapshotSpec extends SparkSpec {
       "persisted flags must equal the direct computation")
   }
 
+  test("semantic clusters serve from the annserve-v5 snapshot and equal fixpoint over the persisted pairs") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    val c = SparkEntry.queries("q_semantic_clusters")(spark, sf)
+    assert(c.count() > 0, "sf0.001 plants cosine near-dups")
+    val cScans = scansOf(SparkEntry.queries("q_semantic_clusters")(spark, sf))
+    assert(cScans.size == 1 && cScans.forall(_.contains("graft_annserve")),
+      s"cluster serving must be one snapshot-table scan:\n${cScans.mkString("\n")}")
+    // family equality: the persisted assignment equals min-label
+    // propagation over the persisted pairs (the dedup-v6 contract)
+    val dir = graft.sources.SnapshotStore.snapshotDir(spark,
+      s"$sf/embeddings.parquet", "graft_annserve")
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    def asn(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asn(c) == asn(graft.operators.Dedup.clustersFromPairs(
+        pairs.select(col("vec_id1").as("doc_id1"), col("vec_id2").as("doc_id2")))),
+      "persisted clusters must equal fixpoint propagation over the persisted pairs")
+    // keep-one rule: cluster_id is the min member, so exactly the
+    // non-representative members drop
+    val kept = SparkEntry.queries("q_semantic_keep_best")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = c.collect().filter(r => r.getLong(0) != r.getLong(1))
+      .map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty && (kept & dropped).isEmpty,
+      "every non-representative cluster member must drop")
+  }
+
   test("training manifest equals each standalone selection it composes (r11 verdict 4)") {
     val m = SparkEntry.queries("q_training_manifest")(spark, sf)
     val rows = m.collect().map(r => r.getLong(0) ->
