@@ -334,6 +334,17 @@ class Pipeline(
     DsirStream.start(docs, modelDir, dsirStorePath, threshold,
       checkpointDir = Some(s"$checkpointRoot/dsir-gate"))
 
+  def scrubStorePath: String = s"$storeRoot/scrub"
+
+  /** PII scrubbing as a topology member: the [[ScrubStream]] masker over
+    * the crawl source, clean/scrubbed outputs under the shared store
+    * root with its own checkpoint dir like every sibling — identifiers
+    * are masked at INGEST, before any downstream store can persist them.
+    */
+  def startScrub(docs: DataFrame): StreamingQuery =
+    ScrubStream.start(docs, scrubStorePath,
+      checkpointDir = Some(s"$checkpointRoot/scrub"))
+
   def embedStorePath: String = s"$storeRoot/embed"
 
   /** Embedding-ingest near-dup gate as a topology member: the

@@ -547,8 +547,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("ten-member topology: events, crawl curation, media ingest + search, embedding ingest, " +
-    "and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("eleven-member topology: events, crawl curation + scrub, media ingest + search, embedding " +
+    "ingest, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -581,6 +581,7 @@ class StreamingSpec extends SparkSpec {
     val probes = MemoryStream[(Long, String)]
     val tok = MemoryStream[(Long, String)]
     val embeds = MemoryStream[(Long, Array[Float])]
+    val scrubDocs = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -592,9 +593,10 @@ class StreamingSpec extends SparkSpec {
       p.startMediaSearch(asMedia(probes, "query_id"), s"$base/phash"),
       p.startTokenize(tok.toDF().toDF("doc_id", "text"), s"$base/vocab"),
       p.startEmbedDedup(embeds.toDF().toDF("vec_id", "embedding"),
-        s"$base/annindex", threshold = 0.9, dim = 8))
+        s"$base/annindex", threshold = 0.9, dim = 8),
+      p.startScrub(scrubDocs.toDF().toDF("doc_id", "text")))
     try {
-      assert(queries.length == 10)
+      assert(queries.length == 11)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -603,6 +605,7 @@ class StreamingSpec extends SparkSpec {
       embeds.addData(
         (400L, Array.tabulate(8)(i => if (i == 0) 10f else 0f)),   // corpus dup
         (401L, Array.tabulate(8)(i => if (i == 4) 10f else 0f)))   // novel
+      scrubDocs.addData((500L, "mail a@b.org"), (501L, "clean words"))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -618,6 +621,11 @@ class StreamingSpec extends SparkSpec {
     // digit, so it may legitimately surface as a near match too
     assert(found.contains((200L, 2L, 0L)),
       s"the probe must find its corpus twin exactly: $found")
+    val scrubOut = spark.read.parquet(s"${p.scrubStorePath}/scrubbed")
+      .select("doc_id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(scrubOut == Set((500L, "mail <EMAIL>")),
+      s"the scrub member masks at ingest: $scrubOut")
     val embClean = spark.read.parquet(s"${p.embedStorePath}/clean")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(embClean == Set(401L), s"only the novel vector survives ingest dedup: $embClean")
