@@ -156,4 +156,57 @@ class PropertySpec extends SparkSpec {
       assert(parts(2).endsWith("Z"))
     }
   }
+
+  test("pii scrub on generated text: idempotent, no raw shape survives, clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Pii
+    // generator mixes benign words, digit runs, dash-words, and the four
+    // PII families at random positions — the adversarial soup a crawl
+    // delivers
+    val word: Gen[String] = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.choose(0, 999999).map(_.toString),
+      Gen.choose(0, 99).map(n => s"a-$n"),
+      for (a <- Gen.choose(100, 999); b <- Gen.choose(100, 999);
+           c <- Gen.choose(1000, 9999)) yield s"$a-$b-$c",       // phone
+      for (a <- Gen.choose(100, 999); b <- Gen.choose(10, 99);
+           c <- Gen.choose(1000, 9999)) yield s"$a-$b-$c",       // id
+      for (a <- Gen.choose(0, 255); b <- Gen.choose(0, 255);
+           c <- Gen.choose(0, 255); e <- Gen.choose(0, 255))
+        yield s"$a.$b.$c.$e",                                     // ip
+      for (u <- Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty);
+           h <- Gen.oneOf("example.org", "mail.test", "x.co"))
+        yield s"$u@$h")                                           // email
+    val textGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val texts = sample(Gen.listOfN(120, textGen), 1234L)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val once = Pii.scrubPii(df).select("doc_id", "clean_text")
+    val onceRows = once.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // 1. no raw shape survives a scrub
+    val shapes = Seq(Pii.EmailPattern, Pii.Ipv4Pattern, Pii.PhonePattern,
+      Pii.IdPattern).map(_.r)
+    onceRows.values.foreach { t =>
+      shapes.foreach(p => assert(p.findFirstIn(t).isEmpty,
+        s"raw shape ${p.pattern} survived in: $t"))
+    }
+    // 2. idempotence: scrub ∘ scrub ≡ scrub
+    val twice = Pii.scrubPii(once.select(col("doc_id"),
+        col("clean_text").as("text"))
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0")))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(twice == onceRows, "second scrub must be a fixpoint")
+    // 3. shape-free text passes through byte-identical
+    val benign = sample(Gen.listOfN(40,
+      Gen.listOfN(10, Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty))
+        .map(_.mkString(" "))), 77L)
+    val bdf = benign.zipWithIndex.map { case (t, i) => (i.toLong, t, "", "") }
+      .toDF("doc_id", "text", "lang", "source")
+    Pii.scrubPii(bdf).select("doc_id", "clean_text").collect().foreach { r =>
+      assert(r.getString(1) == benign(r.getLong(0).toInt),
+        "alphabetic text must pass through untouched")
+    }
+  }
 }
