@@ -2087,6 +2087,55 @@ object SparkEntry {
         |    ELSE least(1.0, dsir_weight) END AS sample_prob
         |FROM mf ORDER BY doc_id""".stripMargin)),
 
+    // CURRICULUM STAGING — the training-ORDER step after selection: the
+    // manifest's kept documents (CCNet head/middle ∩ token-budget cut)
+    // split into four per-language quality tiers, cleanest first (the
+    // published clean-to-noisy curriculum recipes). Per-language ntile
+    // keeps the window partitioned (no global sort); fluency doubles are
+    // bit-identical cross-engine and doc_id breaks ties, so both engines
+    // cut stages at the same rows.
+    ("q_curriculum",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.curriculumStages(
+          TextAnalysis.ccnetBuckets(lmScores(s, d), docs),
+          Corpus.tokenBudgetMix(docs))
+      },
+      Some("""WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM w2)),
+        |bc2 AS (SELECT l, r, count(*) AS c_xy FROM bo2 GROUP BY l, r),
+        |hc2 AS (SELECT l, sum(c_xy) AS c_x FROM bc2 GROUP BY l),
+        |sc2 AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo2 JOIN bc2 USING (l, r) JOIN hc2 USING (l)),
+        |p2 AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc2 GROUP BY doc_id),
+        |fl AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p2),
+        |cc AS (SELECT fl.doc_id, dd.lang, fl.fluency,
+        |  CASE ntile(3) OVER (PARTITION BY dd.lang ORDER BY fl.fluency DESC, fl.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM fl JOIN documents dd USING (doc_id)),
+        |t3 AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (doc_id % 1000003) * 2654435761 AS h FROM documents),
+        |c3 AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS cum_before FROM t3),
+        |tm AS (SELECT doc_id FROM c3
+        |  WHERE cum_before < CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 300
+        |    WHEN 'de' THEN 300 WHEN 'fr' THEN 300 WHEN 'es' THEN 300 ELSE 0 END),
+        |kept AS (SELECT cc.doc_id, cc.lang, cc.fluency FROM cc
+        |  WHERE cc.bucket <> 'tail'
+        |    AND cc.doc_id IN (SELECT doc_id FROM tm))
+        |SELECT doc_id, lang, fluency,
+        |  CAST(ntile(4) OVER (PARTITION BY lang
+        |    ORDER BY fluency DESC, doc_id) AS INT) AS stage
+        |FROM kept ORDER BY doc_id""".stripMargin)),
+
     // ---- LLM-data pipeline: deduplication (north star)
     ("q_dedup_exact",
       (s, d) => Dedup.exactDuplicates(Tables.documents(s, d)),

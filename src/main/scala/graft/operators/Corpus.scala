@@ -522,4 +522,29 @@ object Corpus {
       .select(col("doc_id"), col("pos"),
         pmod(TextAnalysis.fingerprintCol(col("col")), lit(buckets.toLong)).as("b"))
   }
+
+  /** CURRICULUM STAGING — the training-ORDER step after selection: the
+    * kept documents (CCNet head/middle fluency ∩ the token-budget cut —
+    * the [[graft.SparkEntry]] manifest's keep rule) split into `stages`
+    * per-language quality tiers, cleanest first (stage 1 = highest
+    * fluency). The published curriculum recipes order pre-training data
+    * from clean to noisy; per-LANGUAGE staging keeps the window
+    * partitioned (no global sort, no partition-less Window — the
+    * [[graft.operators.TextAnalysis.ccnetBuckets]] geometry) and lets
+    * the scheduler interleave languages within a stage. Fluency doubles
+    * are cross-engine bit-identical and doc_id breaks ties, so both
+    * engines cut stages at the same rows.
+    *
+    * Scale shape: inputs are a persisted-score scan and a window over
+    * (lang, shard)-bounded budget accounting; the staging window
+    * shuffles once on lang. Nothing rescans the corpus.
+    */
+  def curriculumStages(ccnet: DataFrame, budgetKeep: DataFrame,
+                       stages: Int = 4): DataFrame =
+    ccnet.filter(col("bucket") =!= "tail")
+      .join(budgetKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("fluency"))
+      .withColumn("stage", ntile(stages).over(
+        Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id"))))
+      .orderBy("doc_id")
 }

@@ -359,4 +359,25 @@ class CorpusSpec extends SparkSpec {
     assert(totTokens == expected, s"token mass conserves: $totTokens vs $expected")
     real.unpersist()
   }
+
+  test("curriculum staging: cleanest-first per language, only kept docs staged, stages contiguous in fluency") {
+    import spark.implicits._
+    // fluency strictly decreasing in doc_id; two langs; docs 6/7 in the
+    // fluency tail, doc 5 outside the budget cut
+    val ccnet = Seq(
+      (0L, "en", 0.9, "head"), (1L, "en", 0.8, "head"),
+      (2L, "en", 0.7, "middle"), (3L, "en", 0.6, "middle"),
+      (4L, "de", 0.5, "head"), (5L, "de", 0.4, "head"),
+      (6L, "en", 0.3, "tail"), (7L, "de", 0.2, "tail"))
+      .toDF("doc_id", "lang", "fluency", "bucket")
+    val budget = Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L).toDF("doc_id")
+    val got = graft.operators.Corpus.curriculumStages(ccnet, budget, stages = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    // en keeps 0-3 (doc 6 is tail), split 2 stages by fluency desc:
+    // {0,1} stage 1, {2,3} stage 2; de keeps only 4 (5 out of budget,
+    // 7 tail) → stage 1
+    assert(got == Set((0L, "en", 1), (1L, "en", 1), (2L, "en", 2),
+      (3L, "en", 2), (4L, "de", 1)),
+      s"staging must be cleanest-first per language over kept docs only: $got")
+  }
 }
