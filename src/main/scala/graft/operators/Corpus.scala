@@ -537,7 +537,12 @@ object Corpus {
     *
     * Scale shape: inputs are a persisted-score scan and a window over
     * (lang, shard)-bounded budget accounting; the staging window
-    * shuffles once on lang. Nothing rescans the corpus.
+    * shuffles once on lang, and its sorted payload is (doc_id, fluency),
+    * never text. At 100 TB the exact per-language ntile gives way to
+    * sampled percentile thresholds exactly as [[graft.operators
+    * .TextAnalysis.ccnetBuckets]] documents — the swap changes the
+    * stage-cut constants, not the plumbing; this exact form is the
+    * hash-checked correctness baseline.
     */
   def curriculumStages(ccnet: DataFrame, budgetKeep: DataFrame,
                        stages: Int = 4): DataFrame =
