@@ -2087,6 +2087,127 @@ object SparkEntry {
         |    ELSE least(1.0, dsir_weight) END AS sample_prob
         |FROM mf ORDER BY doc_id""".stripMargin)),
 
+    // MANIFEST CARD — the dataset card of the SHIPPED MIX (q_dataset_card
+    // reports the raw corpus; this reports what selection kept): per
+    // source — doc counts, kept counts, kept tokens, keep rate, and the
+    // kept fluency-bucket composition. Every metric integer-derived (the
+    // one division is exact-long ÷ exact-long), so no double-sum order
+    // to pin.
+    ("q_manifest_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keeps = TextAnalysis.ccnetBuckets(lmScores(s, d), docs)
+          .filter(col("bucket") =!= "tail").select("doc_id", "bucket")
+          .join(Corpus.tokenBudgetMix(docs).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .join(keeps, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bucket").isNotNull.cast("long")).as("n_kept"),
+            sum(when(col("bucket").isNotNull, col("n_tokens"))
+              .otherwise(lit(0L))).as("kept_tokens"),
+            sum((col("bucket") === "head").cast("long")).as("n_head"),
+            sum((col("bucket") === "middle").cast("long")).as("n_middle"))
+          .withColumn("keep_rate",
+            col("n_kept").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      Some("""WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM w2)),
+        |bc2 AS (SELECT l, r, count(*) AS c_xy FROM bo2 GROUP BY l, r),
+        |hc2 AS (SELECT l, sum(c_xy) AS c_x FROM bc2 GROUP BY l),
+        |sc2 AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo2 JOIN bc2 USING (l, r) JOIN hc2 USING (l)),
+        |p2 AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc2 GROUP BY doc_id),
+        |fl AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p2),
+        |cc AS (SELECT fl.doc_id,
+        |  CASE ntile(3) OVER (PARTITION BY dd.lang ORDER BY fl.fluency DESC, fl.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM fl JOIN documents dd USING (doc_id)),
+        |t3 AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (doc_id % 1000003) * 2654435761 AS h FROM documents),
+        |c3 AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS cum_before FROM t3),
+        |tm AS (SELECT doc_id FROM c3
+        |  WHERE cum_before < CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 300
+        |    WHEN 'de' THEN 300 WHEN 'fr' THEN 300 WHEN 'es' THEN 300 ELSE 0 END),
+        |keeps AS (SELECT cc.doc_id, cc.bucket FROM cc
+        |  WHERE cc.bucket <> 'tail' AND cc.doc_id IN (SELECT doc_id FROM tm)),
+        |base AS (SELECT d.doc_id, d.source,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, k.bucket
+        |  FROM documents d LEFT JOIN keeps k ON d.doc_id = k.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN bucket IS NOT NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+        |  CAST(sum(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+        |  CAST(sum(CASE WHEN bucket IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS keep_rate
+        |FROM base GROUP BY source ORDER BY source""".stripMargin)),
+
+    // MIX PACKING — the physical artifact of the shipped mix: the kept
+    // documents (same keep rule) laid into fixed token windows via the
+    // packSequences strata (restriction commutes with the per-(lang,
+    // shard) window because the window orders by doc_id within the
+    // restricted frame on both engines).
+    ("q_mix_packing",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keeps = TextAnalysis.ccnetBuckets(lmScores(s, d), docs)
+          .filter(col("bucket") =!= "tail").select("doc_id")
+          .join(Corpus.tokenBudgetMix(docs).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+        Corpus.packSequences(docs.join(keeps, Seq("doc_id"), "left_semi"))
+          .orderBy("lang", "shard", "doc_id")
+      },
+      Some("""WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo2 AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM w2)),
+        |bc2 AS (SELECT l, r, count(*) AS c_xy FROM bo2 GROUP BY l, r),
+        |hc2 AS (SELECT l, sum(c_xy) AS c_x FROM bc2 GROUP BY l),
+        |sc2 AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo2 JOIN bc2 USING (l, r) JOIN hc2 USING (l)),
+        |p2 AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc2 GROUP BY doc_id),
+        |fl AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p2),
+        |cc AS (SELECT fl.doc_id,
+        |  CASE ntile(3) OVER (PARTITION BY dd.lang ORDER BY fl.fluency DESC, fl.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM fl JOIN documents dd USING (doc_id)),
+        |t3 AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  (doc_id % 1000003) * 2654435761 AS h FROM documents),
+        |c3 AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |  ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS cum_before FROM t3),
+        |tm AS (SELECT doc_id FROM c3
+        |  WHERE cum_before < CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 300
+        |    WHEN 'de' THEN 300 WHEN 'fr' THEN 300 WHEN 'es' THEN 300 ELSE 0 END),
+        |keeps AS (SELECT cc.doc_id FROM cc
+        |  WHERE cc.bucket <> 'tail' AND cc.doc_id IN (SELECT doc_id FROM tm)),
+        |kd AS (SELECT d.doc_id, d.lang, d.doc_id % 8 AS shard,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM keeps))
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 512) AS BIGINT) AS pack_id
+        |FROM kd ORDER BY lang, shard, doc_id""".stripMargin)),
+
     // CURRICULUM STAGING — the training-ORDER step after selection: the
     // manifest's kept documents (CCNet head/middle ∩ token-budget cut)
     // split into four per-language quality tiers, cleanest first (the

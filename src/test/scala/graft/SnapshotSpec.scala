@@ -124,6 +124,32 @@ class SnapshotSpec extends SparkSpec {
       s"regenerated corpus has no near-dups; stale snapshot would still pair: ${r2.length} rows")
   }
 
+  test("the round-12 families (quality, decon) honor the same per-call staleness contract") {
+    val base = Files.createTempDirectory("snapmemo12")
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val longText = (1 to 25).map(i => s"w$i").mkString(" ")
+    writeCorpus(Seq((1L, longText), (11L, longText + " x")))
+    // quality: both docs pass C4 (≥20 tokens, no punct, unique)
+    val q1 = SparkEntry.queries("q_quality_filter")(spark, base.toString)
+      .filter(col("keep")).count()
+    assert(q1 == 2, s"precondition: both alpha docs keep: $q1")
+    // decon: doc 1 (corpus, 1 % 11 ≠ 0) shares 5-grams with doc 11
+    // (benchmark split, 11 % 11 = 0)
+    val c1 = SparkEntry.queries("q_contamination")(spark, base.toString).count()
+    assert(c1 == 1, s"precondition: the planted cross-split collision flags: $c1")
+    Thread.sleep(5)
+    // regenerate: short docs (fail C4) with disjoint cross-split grams
+    writeCorpus(Seq((1L, "tiny"), (11L, "other words entirely")))
+    val q2 = SparkEntry.queries("q_quality_filter")(spark, base.toString)
+      .filter(col("keep")).count()
+    assert(q2 == 0, s"stale quality snapshot would still keep 2: $q2")
+    val c2 = SparkEntry.queries("q_contamination")(spark, base.toString).count()
+    assert(c2 == 0, s"stale decon snapshot would still flag 1: $c2")
+  }
+
   test("sketch snapshot rebuilds on regeneration and serves the NEW corpus") {
     val base = Files.createTempDirectory("snapsketch")
     val srcPath = s"$base/documents.parquet"
