@@ -285,6 +285,53 @@ object TextAnalysis {
       lexicon = spark.read.parquet(s"$dir/lexicon"),
       nTotal = spark.read.parquet(s"$dir/meta").head().getLong(0))
 
+  /** One delta's index artifacts — the unit of STREAMING index growth
+    * ([[graft.streaming.IndexStream]]): the same three derivations as
+    * [[persistSearchIndex]] (postings, read-back lexicon, count) written
+    * under `dir` WITHOUT a commit marker — the stream's epoch-overwrite
+    * protocol owns idempotence at directory granularity.
+    */
+  def writeSearchIndexDelta(docs: DataFrame, postingsDir: String,
+                            lexiconDir: String, metaDir: String): Unit = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(postingsDir)
+    spark.read.parquet(postingsDir)
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(lexiconDir)
+    docs.agg(count(lit(1)).as("n_total"))
+      .write.mode("overwrite").parquet(metaDir)
+  }
+
+  /** The GROWN index view: base snapshot ∪ every appended epoch delta —
+    * merge-on-read, the [[graft.streaming.CrawlDedup]] union shape on the
+    * retrieval side. Postings union directly (disjoint doc sets); lexicon
+    * df is ADDITIVE across disjoint deltas, so the merged lexicon is one
+    * ≤vocab-sized re-aggregate of the (small) lexicon tables — never a
+    * postings rescan; n_total sums the 1-row metas. CONTRACT: delta doc
+    * ids are disjoint from the base and each other (an append-only crawl
+    * with unique ids — the dedup gate upstream guarantees it); replaying
+    * an epoch overwrites its own delta so the view never double-counts.
+    */
+  def grownSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String, postingsDeltaDir: String,
+                       lexiconDeltaDir: String,
+                       metaDeltaDir: String): SearchIndex = {
+    val base = loadSearchIndex(spark, baseDir)
+    val p = new org.apache.hadoop.fs.Path(postingsDeltaDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !fs.listStatus(p).exists(_.isDirectory)) base
+    else SearchIndex(
+      postings = base.postings.unionByName(
+        spark.read.parquet(postingsDeltaDir).drop("epoch")),
+      lexicon = base.lexicon.unionByName(
+          spark.read.parquet(lexiconDeltaDir).drop("epoch"))
+        .groupBy("tok").agg(sum("df").as("df")),
+      nTotal = base.nTotal + spark.read.parquet(metaDeltaDir)
+        .agg(sum("n_total")).head().getLong(0))
+  }
+
   /** [[keywordSearch]] served from a persisted index — identical scoring
     * (same rational idf, same sorted-term fold), but the corpus-token
     * explode is replaced by an `In`-pruned postings scan and the df

@@ -334,6 +334,18 @@ class Pipeline(
     DsirStream.start(docs, modelDir, dsirStorePath, threshold,
       checkpointDir = Some(s"$checkpointRoot/dsir-gate"))
 
+  def indexStorePath: String = s"$storeRoot/index"
+
+  /** Search-index growth as a topology member: the [[IndexStream]]
+    * indexer over the crawl source, epoch deltas under the shared store
+    * root with their own checkpoint dir like every sibling — the corpus
+    * becomes searchable as it lands ([[SearchStream]] then serves
+    * queries against base ∪ deltas via [[IndexStream.servingIndex]]).
+    */
+  def startIndexer(docs: DataFrame): StreamingQuery =
+    IndexStream.start(docs, indexStorePath,
+      checkpointDir = Some(s"$checkpointRoot/indexer"))
+
   def scrubStorePath: String = s"$storeRoot/scrub"
 
   /** PII scrubbing as a topology member: the [[ScrubStream]] masker over

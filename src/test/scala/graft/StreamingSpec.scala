@@ -547,8 +547,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("eleven-member topology: events, crawl curation + scrub, media ingest + search, embedding " +
-    "ingest, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("twelve-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
+    "embedding ingest, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -582,6 +582,7 @@ class StreamingSpec extends SparkSpec {
     val tok = MemoryStream[(Long, String)]
     val embeds = MemoryStream[(Long, Array[Float])]
     val scrubDocs = MemoryStream[(Long, String)]
+    val ixDocs = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -594,9 +595,10 @@ class StreamingSpec extends SparkSpec {
       p.startTokenize(tok.toDF().toDF("doc_id", "text"), s"$base/vocab"),
       p.startEmbedDedup(embeds.toDF().toDF("vec_id", "embedding"),
         s"$base/annindex", threshold = 0.9, dim = 8),
-      p.startScrub(scrubDocs.toDF().toDF("doc_id", "text")))
+      p.startScrub(scrubDocs.toDF().toDF("doc_id", "text")),
+      p.startIndexer(ixDocs.toDF().toDF("doc_id", "text")))
     try {
-      assert(queries.length == 11)
+      assert(queries.length == 12)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -606,6 +608,7 @@ class StreamingSpec extends SparkSpec {
         (400L, Array.tabulate(8)(i => if (i == 0) 10f else 0f)),   // corpus dup
         (401L, Array.tabulate(8)(i => if (i == 4) 10f else 0f)))   // novel
       scrubDocs.addData((500L, "mail a@b.org"), (501L, "clean words"))
+      ixDocs.addData((600L, "fresh crawl tokens"))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -621,6 +624,10 @@ class StreamingSpec extends SparkSpec {
     // digit, so it may legitimately surface as a near match too
     assert(found.contains((200L, 2L, 0L)),
       s"the probe must find its corpus twin exactly: $found")
+    val ixPostings = spark.read.parquet(s"${p.indexStorePath}/postings_delta")
+      .select("tok", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ixPostings == Set(("fresh", 600L), ("crawl", 600L), ("tokens", 600L)),
+      s"the indexer member posts the crawl's tokens: $ixPostings")
     val scrubOut = spark.read.parquet(s"${p.scrubStorePath}/scrubbed")
       .select("doc_id", "clean_text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
