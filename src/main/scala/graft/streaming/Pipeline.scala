@@ -336,6 +336,83 @@ class Pipeline(
 
   def indexStorePath: String = s"$storeRoot/index"
 
+  /** CHAINED curation — the stages wired the way a deployment actually
+    * composes them, each consuming its PREDECESSOR'S store instead of
+    * all tapping the raw source: raw crawl → [[ScrubStream]] (masks PII
+    * at ingest) → [[CrawlDedup]] (drops dups of the corpus and of
+    * earlier batches) → [[IndexStream]] (indexes the survivors). The
+    * inter-stage hand-off is Structured Streaming's FILE SOURCE over the
+    * predecessor's epoch-partitioned parquet store (tracked-file log =
+    * each stage reads every handed-off file exactly once).
+    *
+    * Replay semantics, stated precisely: a replay UPSTREAM of the dedup
+    * gate (scrub crash) re-emits rows the file source lists as new
+    * files, and the dedup stage ABSORBS them — the re-fed rows are
+    * exact duplicates of content already in its appended signature
+    * index, so they drop and never reach the indexer. A replay of the
+    * dedup stage itself re-hands its clean epoch to the indexer (new
+    * part files), which the merge-on-read view would double-count until
+    * the daily compactor ([[graft.operators.TextAnalysis
+    * .persistSearchIndex]] over the grown corpus) rebuilds — the
+    * standard at-least-once-plus-compaction contract for chained
+    * non-transactional stores. Returns the three queries in chain order
+    * (drive upstream first in tests).
+    *
+    * The raw email/phone shapes never reach the dedup index OR the
+    * search postings — masking happens at the first hop, which is the
+    * entire point of scrubbing at ingest (spec'd: no raw identifier
+    * token exists anywhere downstream).
+    */
+  def startChainedCuration(rawDocs: DataFrame,
+                           dedupBaseIndexDir: String,
+                           threshold: Double = 0.8): Seq[StreamingQuery] = {
+    // the hand-off dirs must exist before the file sources first list
+    val hfs = new org.apache.hadoop.fs.Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s"$scrubStorePath/clean", s"$scrubStorePath/scrubbed",
+        s"$crawlStorePath/clean")
+      .foreach(p => hfs.mkdirs(new org.apache.hadoop.fs.Path(p)))
+    val scrubQ = startScrub(rawDocs)
+    // stage 2 source: both scrub outputs (one schema — clean/ is just
+    // the n_pii = 0 split), masked text renamed back to `text`
+    val scrubSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("clean_text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_pii",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("epoch",
+        org.apache.spark.sql.types.LongType)))
+    def scrubOut(sub: String): DataFrame = spark.readStream
+      .schema(scrubSchema)
+      .parquet(s"$scrubStorePath/$sub")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("clean_text").as("text"))
+    val dedupQ = CrawlDedup.start(
+      scrubOut("clean").unionByName(scrubOut("scrubbed")),
+      dedupBaseIndexDir, crawlStorePath, threshold,
+      checkpointDir = Some(s"$checkpointRoot/chain-dedup"))
+    // stage 3 source: the dedup survivors
+    val cleanSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("epoch",
+        org.apache.spark.sql.types.LongType)))
+    val ixQ = IndexStream.start(
+      spark.readStream.schema(cleanSchema).parquet(s"$crawlStorePath/clean")
+        .select("doc_id", "text"),
+      indexStorePath,
+      checkpointDir = Some(s"$checkpointRoot/chain-indexer"))
+    Seq(scrubQ, dedupQ, ixQ)
+  }
+
   /** Search-index growth as a topology member: the [[IndexStream]]
     * indexer over the crawl source, epoch deltas under the shared store
     * root with their own checkpoint dir like every sibling — the corpus
