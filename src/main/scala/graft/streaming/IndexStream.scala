@@ -57,4 +57,37 @@ object IndexStream {
     TextAnalysis.grownSearchIndex(spark, baseDir,
       s"$outDir/postings_delta", s"$outDir/lexicon_delta",
       s"$outDir/meta_delta")
+
+  /** COMPACTION — the maintenance job the merge-on-read view assumes
+    * (the [[graft.sources.KeyedUpsertSink.compact]] discipline on the
+    * index side): fold the accumulated epoch deltas into a NEW base
+    * snapshot at `newBaseDir` (written from the READ-BACK grown view —
+    * postings union, one vocab-sized lexicon re-aggregate, summed
+    * count; staging discipline, never a corpus re-index), then clear
+    * the delta directories. Read amplification drops back to one
+    * snapshot; the stream keeps appending fresh epochs afterwards.
+    *
+    * Crash safety: the new base COMMITS (content-stamped marker) before
+    * any delta is removed — a crash between the two steps leaves both
+    * the new base and the deltas, and serving from new-base ∪ leftover
+    * deltas double-counts, so the caller must re-run compact (which
+    * clears them) before serving; running it under the stream's own
+    * epoch cadence (not concurrently with a delta write) is the
+    * [[KeyedUpsertSink]] single-maintainer contract.
+    */
+  def compact(spark: SparkSession, baseDir: String, outDir: String,
+              newBaseDir: String, stamp: String = "compact"): Unit = {
+    val grown = servingIndex(spark, baseDir, outDir)
+    grown.postings.write.mode("overwrite").parquet(s"$newBaseDir/postings")
+    grown.lexicon.write.mode("overwrite").parquet(s"$newBaseDir/lexicon")
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit(grown.nTotal).as("n_total"))
+      .write.mode("overwrite").parquet(s"$newBaseDir/meta")
+    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings_delta", "lexicon_delta", "meta_delta").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/$d"), true)
+    }
+  }
 }

@@ -74,4 +74,31 @@ class IndexStreamSpec extends SparkSpec {
     val after = (postingsOf(view()), lexiconOf(view()), view().nTotal)
     assert(after == before, s"replay must be idempotent: $after vs $before")
   }
+
+  test("compaction folds deltas into a new base: view identical, deltas gone, stream resumes") {
+    val base = Files.createTempDirectory("ixcompact").toString
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    TextAnalysis.persistSearchIndex(corpus, s"$base/index", stamp = "spec")
+    val outDir = s"$base/out"
+    IndexStream.runBatch(Seq((10L, "alpha gamma")).toDF("doc_id", "text"),
+      outDir, epoch = 0L)
+    IndexStream.runBatch(Seq((11L, "beta delta")).toDF("doc_id", "text"),
+      outDir, epoch = 1L)
+    val beforeView = IndexStream.servingIndex(spark, s"$base/index", outDir)
+    val before = (postingsOf(beforeView), lexiconOf(beforeView), beforeView.nTotal)
+    IndexStream.compact(spark, s"$base/index", outDir, s"$base/index2")
+    // deltas cleared; the compacted base alone reproduces the view
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$outDir/postings_delta")), "deltas must be cleared")
+    val afterView = IndexStream.servingIndex(spark, s"$base/index2", outDir)
+    assert((postingsOf(afterView), lexiconOf(afterView), afterView.nTotal) == before,
+      "the compacted base must serve the identical view")
+    // the stream keeps appending against the new base
+    IndexStream.runBatch(Seq((20L, "epsilon")).toDF("doc_id", "text"),
+      outDir, epoch = 2L)
+    val resumed = IndexStream.servingIndex(spark, s"$base/index2", outDir)
+    assert(resumed.nTotal == before._3 + 1 &&
+      lexiconOf(resumed).contains("epsilon"),
+      "post-compaction epochs must keep accumulating")
+  }
 }
