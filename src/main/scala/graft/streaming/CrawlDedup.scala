@@ -85,6 +85,30 @@ object CrawlDedup {
       .write.mode("overwrite").parquet(s"$outDir/index_delta/epoch=$epoch")
   }
 
+  /** COMPACTION — fold the base signature index plus every appended
+    * epoch delta into a NEW committed base at `newBaseDir`, then clear
+    * the delta dir (the [[IndexStream.compact]] /
+    * [[graft.sources.KeyedUpsertSink.compact]] maintenance discipline on
+    * the dedup side): the index-with-deltas union the hot path pays per
+    * batch drops back to one snapshot scan. Signature rows are
+    * self-contained (no cross-delta aggregation), so compaction is a
+    * pure union rewrite — never a corpus re-sketch. Commit lands before
+    * any delta is removed; a crash between the steps leaves both, and
+    * re-running compact (which clears them) restores the invariant —
+    * run it between epochs, never beside a delta write.
+    */
+  def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
+              newBaseDir: String, stamp: String = "compact"): Unit = {
+    val deltaDir = s"$outDir/index_delta"
+    indexWithDeltas(spark, spark.read.parquet(baseIndexDir), deltaDir,
+        beforeEpoch = Long.MaxValue)
+      .write.mode("overwrite").parquet(s"$newBaseDir/index")
+    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+    val fs = new Path(deltaDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(deltaDir), true)
+  }
+
   /** Base index unioned with the per-epoch index deltas of STRICTLY
     * EARLIER epochs (absent on the first batch — partition discovery
     * needs ≥1 epoch dir). The `epoch < current` filter (partition-pruned,

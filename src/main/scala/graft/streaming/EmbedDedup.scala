@@ -86,6 +86,23 @@ object EmbedDedup {
     } finally delta.unpersist()
   }
 
+  /** COMPACTION — [[CrawlDedup.compact]]'s contract verbatim on the
+    * vector side: fold base + epoch deltas into a new committed base,
+    * clear the deltas; pure union rewrite (signature rows are
+    * self-contained), commit-before-delete, run between epochs.
+    */
+  def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
+              newBaseDir: String, stamp: String = "compact"): Unit = {
+    val deltaDir = s"$outDir/index_delta"
+    indexWithDeltas(spark, spark.read.parquet(baseIndexDir), deltaDir,
+        beforeEpoch = Long.MaxValue)
+      .write.mode("overwrite").parquet(s"$newBaseDir/index")
+    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+    val fs = new Path(deltaDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(deltaDir), true)
+  }
+
   /** Base index unioned with strictly-earlier per-epoch index deltas —
     * [[CrawlDedup.indexWithDeltas]]'s replay-safety argument verbatim: a
     * crashed-and-replayed batch must not find ITS OWN rows in the corpus.

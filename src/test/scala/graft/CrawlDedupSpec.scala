@@ -77,4 +77,27 @@ class CrawlDedupSpec extends SparkSpec {
     CrawlDedup.runBatch(b1, baseIndex, outDir, epoch = 1L)
     assert(state() == before, s"replay must be idempotent: ${state()} vs $before")
   }
+
+  test("index compaction folds deltas into a new base: later batches still catch old dups") {
+    val base = Files.createTempDirectory("crawlcompact").toString
+    val corpus = Seq((1L, text("alpha"))).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
+    val baseIndex = spark.read.parquet(s"$base/index")
+    val outDir = s"$base/out"
+    CrawlDedup.runBatch(Seq((10L, text("novelA"))).toDF("doc_id", "text"),
+      baseIndex, outDir, epoch = 0L)
+    CrawlDedup.compact(spark, s"$base/index", outDir, s"$base/index2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$outDir/index_delta")), "deltas must be cleared")
+    // the compacted base carries BOTH the corpus and the streamed epoch:
+    // dups of either still drop in the next batch
+    val newBase = spark.read.parquet(s"$base/index2/index")
+    CrawlDedup.runBatch(
+      Seq((20L, text("alpha")), (21L, text("novelA")), (22L, text("fresh")))
+        .toDF("doc_id", "text"), newBase, outDir, epoch = 1L)
+    val clean = spark.read.parquet(s"$outDir/clean")
+      .filter(col("epoch") === 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(22L),
+      s"dups of the corpus AND of pre-compaction epochs must drop: $clean")
+  }
 }

@@ -127,4 +127,25 @@ class EmbedDedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(clean == Set(11L), s"only the zero vector survives: $clean")
   }
+
+  test("index compaction folds deltas into a new base: later batches still catch old dups") {
+    val base = Files.createTempDirectory("embedcompact").toString
+    val corpus = Seq((1L, vec(0))).toDF("vec_id", "embedding")
+    Similarity.buildAnnIndex(corpus).write.parquet(s"$base/index")
+    val baseIndex = spark.read.parquet(s"$base/index")
+    val outDir = s"$base/out"
+    EmbedDedup.runBatch(Seq((10L, vec(4))).toDF("vec_id", "embedding"),
+      baseIndex, outDir, epoch = 0L, dim = D)
+    EmbedDedup.compact(spark, s"$base/index", outDir, s"$base/index2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$outDir/index_delta")), "deltas must be cleared")
+    val newBase = spark.read.parquet(s"$base/index2/index")
+    EmbedDedup.runBatch(
+      Seq((20L, vec(0)), (21L, vec(4)), (22L, vec(6)))
+        .toDF("vec_id", "embedding"), newBase, outDir, epoch = 1L, dim = D)
+    val clean = spark.read.parquet(s"$outDir/clean")
+      .filter(col("epoch") === 1).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(22L),
+      s"dups of the corpus AND of pre-compaction epochs must drop: $clean")
+  }
 }
