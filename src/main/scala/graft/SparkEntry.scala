@@ -3525,6 +3525,33 @@ object SparkEntry {
         |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // HARD-NEGATIVE MINING for contrastive training: per anchor, the
+    // top-5 band-sharing candidates strictly BELOW the near-dup
+    // threshold — the just-below-threshold confusables that move a
+    // contrastive loss (band-sharing is the point: random non-candidates
+    // are easy negatives). One more rank over the lshTopK scored stage;
+    // NaN (zero-norm) cosines fail the strict < and never serve.
+    ("q_hard_negatives",
+      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))
+        .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |q AS (SELECT vec_id AS query_id, band, bb FROM c WHERE vec_id < 5),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.vec_id
+        |  FROM c c2 JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.vec_id <> q.query_id),
+        |scored AS (SELECT p0.query_id, p0.vec_id,
+        |  ${Similarity.Sql.cosine("qd.v", "cd.v")} AS cosine
+        |  FROM p0 JOIN d qd ON p0.query_id = qd.vec_id
+        |          JOIN d cd ON p0.vec_id = cd.vec_id
+        |  WHERE ${Similarity.Sql.cosine("qd.v", "cd.v")} < 0.4)
+        |SELECT query_id, vec_id, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // embedding-cosine near-dedup (semantic dedup): greedy drop of the
     // higher vec_id of every cosine-pair — completes the dedup family
     // (exact / Jaccard / MinHash / SimHash / embedding-cosine). Output

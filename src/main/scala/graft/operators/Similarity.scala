@@ -1299,6 +1299,20 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, numQueries: Int = 5, k: Int = 10,
               nbits: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    val scored = lshScored(embeddings, numQueries, nbits, bandBits, dim)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared probe → band-candidate → exact-cosine stage of
+    * [[lshTopK]] and [[hardNegatives]]: per query (vec_id < numQueries),
+    * every corpus vector sharing ANY band sub-bucket, exactly scored.
+    */
+  private def lshScored(embeddings: DataFrame, numQueries: Int,
+                        nbits: Int, bandBits: Int, dim: Int): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val bands = nbits / bandBits
     val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
@@ -1309,12 +1323,33 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
       .distinct()
     val d = prepared(embeddings)
-    val scored = p0
+    p0
       .join(d.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")),
         Seq("query_id"))
       .join(d.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+  }
+
+  /** HARD-NEGATIVE MINING — the contrastive-training data op (a retrieval
+    * or embedding model trains on (anchor, positive, HARD negative)
+    * triples, and the hard ones are what move the loss): per anchor
+    * query, the top-`k` candidates that are CLOSE but NOT duplicates —
+    * cosine strictly below `dupThreshold` (at or above it they are the
+    * near-dup/positive band, [[lshNearDupPairs]]'s regime), ranked
+    * cosine-descending so the just-below-threshold confusables come
+    * first. Mining from the LSH candidate set is the point, not a
+    * shortcut: band-sharing vectors ARE the confusable band (a random
+    * non-candidate is an EASY negative — useless for training), and the
+    * same geometry as the top-k/pair family keeps the op one more rank
+    * over the existing scored stage. Zero-norm candidates score NaN and
+    * fail the strict `<`, so they are never served as negatives.
+    */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5,
+                    dupThreshold: Double = 0.4, nbits: Int = 16,
+                    bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    val scored = lshScored(embeddings, numQueries, nbits, bandBits, dim)
+      .filter(col("cosine") < dupThreshold)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -612,4 +612,25 @@ class SimilaritySpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
     assert(jobs == 0, s"ivfTopK triggered $jobs eager job(s) during planning")
   }
+
+  test("hard negatives: strictly below the dup threshold, disjoint from near-dup pairs, confusables first") {
+    val emb = Tables.embeddings(spark, sf)
+    val neg = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(neg.nonEmpty, "the probe set must mine at least one negative")
+    assert(neg.forall(_._3 < 0.4), s"every negative sits below the dup threshold")
+    // disjoint from the near-dup (positive) band at the same threshold
+    val pairs = Similarity.lshNearDupPairs(emb, 0.4).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(neg.forall(n => !pairs.contains((n._1, n._2))),
+      "negatives must never overlap the near-dup pairs")
+    // within each anchor: rank order is cosine-descending (confusables
+    // first), and each negative's cosine is ≤ every same-anchor top-k
+    // hit ABOVE the threshold (the positive band outranks the negatives)
+    neg.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a._3 >= b._3 },
+        s"negatives must rank cosine-descending: ${sorted.toSeq}")
+    }
+  }
 }
