@@ -3552,6 +3552,44 @@ object SparkEntry {
         |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // CONTRASTIVE TRAINING TRIPLES — the finished (anchor, positive,
+    // hard-negative) artifact an embedding model trains on: every
+    // verified near-dup pair is an (anchor, positive) in both directions,
+    // each anchor carrying its top-3 sub-threshold confusables (anchors
+    // without a single sub-threshold candidate contribute no triples —
+    // a triple REQUIRES a negative). Positives come from the persisted
+    // annserve pair table; negatives re-mine through the full band
+    // geometry, so the whole artifact hash-checks end to end.
+    ("q_contrastive_triples",
+      (s, d) => Similarity.contrastiveTriples(Tables.embeddings(s, d),
+        annServeTables(s, d).pairs),
+      Some(s"""WITH $lshPairsSqlCtes,
+        |allp AS (SELECT * FROM intra UNION ALL SELECT * FROM xg),
+        |anch AS (SELECT vec_id1 AS anchor_id, vec_id2 AS positive_id,
+        |    cosine AS pos_cosine FROM allp
+        |  UNION ALL SELECT vec_id2, vec_id1, cosine FROM allp),
+        |dall AS (${Similarity.Sql.prepared}),
+        |bf AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM dall),
+        |cf AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM bf CROSS JOIN (SELECT unnest(range(0, 4)) AS band) uf),
+        |qn AS (SELECT DISTINCT cf.vec_id AS anchor_id, cf.band, cf.bb FROM cf
+        |  WHERE cf.vec_id IN (SELECT anchor_id FROM anch)),
+        |pn AS (SELECT DISTINCT qn.anchor_id, c2.vec_id FROM cf c2
+        |  JOIN qn ON c2.band = qn.band AND c2.bb = qn.bb
+        |  WHERE c2.vec_id <> qn.anchor_id),
+        |sn AS (SELECT pn.anchor_id, pn.vec_id,
+        |  ${Similarity.Sql.cosine("qd.v", "cd.v")} AS neg_cosine
+        |  FROM pn JOIN dall qd ON pn.anchor_id = qd.vec_id
+        |          JOIN dall cd ON pn.vec_id = cd.vec_id
+        |  WHERE ${Similarity.Sql.cosine("qd.v", "cd.v")} < 0.4),
+        |rn AS (SELECT anchor_id, vec_id AS negative_id, neg_cosine,
+        |  CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY neg_cosine DESC, vec_id) AS BIGINT) AS neg_rank FROM sn)
+        |SELECT anch.anchor_id, anch.positive_id, anch.pos_cosine,
+        |  rn.negative_id, rn.neg_cosine, rn.neg_rank
+        |FROM anch JOIN rn USING (anchor_id) WHERE neg_rank <= 3
+        |ORDER BY anchor_id, positive_id, neg_rank""".stripMargin)),
+
     // embedding-cosine near-dedup (semantic dedup): greedy drop of the
     // higher vec_id of every cosine-pair — completes the dedup family
     // (exact / Jaccard / MinHash / SimHash / embedding-cosine). Output

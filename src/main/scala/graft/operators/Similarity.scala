@@ -1308,15 +1308,29 @@ object Similarity {
   }
 
   /** The shared probe → band-candidate → exact-cosine stage of
-    * [[lshTopK]] and [[hardNegatives]]: per query (vec_id < numQueries),
-    * every corpus vector sharing ANY band sub-bucket, exactly scored.
+    * [[lshTopK]] and the hard-negative family: per probe id, every
+    * corpus vector sharing ANY band sub-bucket, exactly scored.
     */
   private def lshScored(embeddings: DataFrame, numQueries: Int,
-                        nbits: Int, bandBits: Int, dim: Int): DataFrame = {
+                        nbits: Int, bandBits: Int, dim: Int): DataFrame =
+    lshScoredFor(embeddings,
+      embeddings.select(col("vec_id").as("query_id"))
+        .filter(col("query_id") < numQueries),
+      nbits, bandBits, dim)
+
+  /** [[lshScored]] for an ARBITRARY anchor-id frame (one `query_id`
+    * column) instead of a corpus-id prefix — the probe set broadcasts
+    * as |anchors| × bands rows, candidates stay bounded by bucket
+    * occupancy.
+    */
+  private def lshScoredFor(embeddings: DataFrame, probeIds: DataFrame,
+                           nbits: Int, bandBits: Int, dim: Int): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
     val bands = nbits / bandBits
     val cand = bandExplode(lshBuckets(embeddings, nbits, dim), bands, bandBits)
-    val probes = cand.filter(col("vec_id") < numQueries)
+    val probes = cand.join(
+        broadcast(probeIds.select(col("query_id").as("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("query_id"), col("band"), col("bb"))
     val p0 = cand.join(broadcast(probes), Seq("band", "bb"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1347,14 +1361,54 @@ object Similarity {
     */
   def hardNegatives(embeddings: DataFrame, numQueries: Int = 5, k: Int = 5,
                     dupThreshold: Double = 0.4, nbits: Int = 16,
-                    bandBits: Int = 4, dim: Int = 64): DataFrame = {
-    val scored = lshScored(embeddings, numQueries, nbits, bandBits, dim)
-      .filter(col("cosine") < dupThreshold)
+                    bandBits: Int = 4, dim: Int = 64): DataFrame =
+    rankNegatives(lshScored(embeddings, numQueries, nbits, bandBits, dim),
+      k, dupThreshold)
+
+  /** [[hardNegatives]] for an arbitrary anchor-id frame — the form
+    * [[contrastiveTriples]] mines with (anchors = the near-dup pair
+    * members, each of which IS an (anchor, positive) by construction).
+    */
+  def hardNegativesFor(embeddings: DataFrame, anchors: DataFrame, k: Int = 5,
+                       dupThreshold: Double = 0.4, nbits: Int = 16,
+                       bandBits: Int = 4, dim: Int = 64): DataFrame =
+    rankNegatives(lshScoredFor(embeddings, anchors, nbits, bandBits, dim),
+      k, dupThreshold)
+
+  private def rankNegatives(scored: DataFrame, k: Int,
+                            dupThreshold: Double): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
     scored
+      .filter(col("cosine") < dupThreshold)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
+  }
+
+  /** CONTRASTIVE TRAINING TRIPLES — the finished artifact an embedding
+    * model trains on: every verified near-dup pair is an (anchor,
+    * positive) in BOTH directions (standard augmentation), and each
+    * anchor carries its top-`k` [[hardNegativesFor]] confusables.
+    * `pairs` is the persisted verified-pair table (its threshold defines
+    * the positive band; `dupThreshold` must match it so positives and
+    * negatives partition the candidate space). Output size = 2·|pairs|·k
+    * bounded rows — inherent artifact size, not join state.
+    */
+  def contrastiveTriples(embeddings: DataFrame, pairs: DataFrame, k: Int = 3,
+                         dupThreshold: Double = 0.4, nbits: Int = 16,
+                         bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    val anchPos = pairs
+      .select(col("vec_id1").as("anchor_id"), col("vec_id2").as("positive_id"),
+        col("cosine").as("pos_cosine"))
+      .unionByName(pairs.select(col("vec_id2").as("anchor_id"),
+        col("vec_id1").as("positive_id"), col("cosine").as("pos_cosine")))
+    val negs = hardNegativesFor(embeddings,
+        anchPos.select(col("anchor_id").as("query_id")),
+        k, dupThreshold, nbits, bandBits, dim)
+      .select(col("query_id").as("anchor_id"), col("vec_id").as("negative_id"),
+        col("cosine").as("neg_cosine"), col("rank").cast("long").as("neg_rank"))
+    anchPos.join(negs, Seq("anchor_id"))
+      .orderBy("anchor_id", "positive_id", "neg_rank")
   }
 
   object Sql {

@@ -633,4 +633,36 @@ class SimilaritySpec extends SparkSpec {
         s"negatives must rank cosine-descending: ${sorted.toSeq}")
     }
   }
+
+  test("contrastive triples: both-direction positives, ranked sub-threshold negatives, anchors without a negative drop") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Similarity.lshNearDupPairs(emb, 0.4)
+    val triples = Similarity.contrastiveTriples(emb, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(triples.nonEmpty, "the pair set must yield at least one triple")
+    // positives sit in the near-dup band, negatives strictly below it
+    assert(triples.forall(_._3 >= 0.4), "every positive carries its pair cosine")
+    assert(triples.forall(_._5 < 0.4), "every negative sits below the dup threshold")
+    // (anchor, positive) pairs are exactly the pair table in both
+    // directions, restricted to anchors that mined >= 1 negative
+    val dirPairs = pairs.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val got = triples.map(t => (t._1, t._2)).toSet
+    assert(got.subsetOf(dirPairs), "triples must anchor on pair members only")
+    val anchorsWith = triples.map(_._1).toSet
+    assert(got == dirPairs.filter(p => anchorsWith.contains(p._1)),
+      "an anchor with any negative must carry ALL its positives")
+    // a triple's negative never collides with the positive band
+    assert(triples.forall(t => !dirPairs.contains((t._1, t._4))),
+      "negatives must never overlap the near-dup pairs")
+    // per (anchor, positive): ranks are 1..k, cosine-descending
+    triples.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1L to sorted.length).toSeq,
+        s"ranks must be dense from 1: ${sorted.toSeq}")
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a._5 >= b._5 },
+        s"negatives must rank cosine-descending: ${sorted.toSeq}")
+    }
+  }
 }
