@@ -191,7 +191,9 @@ object SparkEntry {
     // which does not round-trip m in IEEE double — a 1-ulp grid skew).
     // v5: adds the semantic duplicate-cluster assignment (min-label
     // components over the read-back verified pairs — SemDeDup's grouping).
-    val stamp = "annserve-v5:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v6: adds the contrastive training triples (the negative-mining band
+    // pass over the pair members — previously the heaviest per-call query).
+    val stamp = "annserve-v6:" + graft.sources.SnapshotStore.fingerprint(s, src)
     annServeCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -3438,7 +3440,7 @@ object SparkEntry {
     // SEMANTIC duplicate clusters (SemDeDup's grouping step — the
     // embedding-side twin of q_dup_clusters): exact min-label connected
     // components over the persisted verified cosine pairs, served from
-    // the annserve-v5 snapshot as one scan. The oracle re-walks the
+    // the annserve snapshot as one scan. The oracle re-walks the
     // whole chain (LSH pairs mirror + recursive-CTE reachability), so
     // the persisted assignment stays hash-proven equal to exact
     // components over exact pairs.
@@ -3557,12 +3559,14 @@ object SparkEntry {
     // verified near-dup pair is an (anchor, positive) in both directions,
     // each anchor carrying its top-3 sub-threshold confusables (anchors
     // without a single sub-threshold candidate contribute no triples —
-    // a triple REQUIRES a negative). Positives come from the persisted
-    // annserve pair table; negatives re-mine through the full band
-    // geometry, so the whole artifact hash-checks end to end.
+    // a triple REQUIRES a negative). Served from the annserve-v6
+    // snapshot's persisted triples table (the negative-mining band pass
+    // runs once per corpus snapshot); the oracle re-walks the whole
+    // pairs + band geometry + exact-cosine construction, so the
+    // persisted artifact hash-checks end to end.
     ("q_contrastive_triples",
-      (s, d) => Similarity.contrastiveTriples(Tables.embeddings(s, d),
-        annServeTables(s, d).pairs),
+      (s, d) => annServeTables(s, d).triples
+        .orderBy("anchor_id", "positive_id", "neg_rank"),
       Some(s"""WITH $lshPairsSqlCtes,
         |allp AS (SELECT * FROM intra UNION ALL SELECT * FROM xg),
         |anch AS (SELECT vec_id1 AS anchor_id, vec_id2 AS positive_id,

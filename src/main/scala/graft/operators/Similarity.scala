@@ -927,16 +927,26 @@ object Similarity {
           .select(col("vec_id1").as("doc_id1"), col("vec_id2").as("doc_id2")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .write.mode("overwrite").parquet(s"$dir/clusters")
+    // v6: the contrastive training triples — the negative-mining band
+    // pass over the pair members runs once per corpus snapshot (it was
+    // the registry's heaviest per-call query before persisting); built
+    // from the READ-BACK pairs (staging discipline), threshold shared
+    // with the pair table so positives/negatives partition the space.
+    contrastiveTriples(embeddings, spark.read.parquet(s"$dir/pairs"),
+        dupThreshold = pairThreshold, nbits = nbits, bandBits = bandBits,
+        dim = dim)
+      .write.mode("overwrite").parquet(s"$dir/triples")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
-  /** A [[persistAnnServe]]-ed snapshot's four tables + the quantization
-    * grid: codes, band triples, verified default-threshold pairs, and
-    * max|x| over the unit-normalized corpus.
+  /** A [[persistAnnServe]]-ed snapshot's five tables + the quantization
+    * grid: codes, band triples, verified default-threshold pairs,
+    * contrastive training triples, and max|x| over the unit-normalized
+    * corpus.
     */
   case class AnnServeTables(codes: DataFrame, bands: DataFrame,
                             pairs: DataFrame, clusters: DataFrame,
-                            maxAbs: Double)
+                            triples: DataFrame, maxAbs: Double)
 
   /** Load a [[persistAnnServe]]-ed snapshot. The one-row meta read is a
     * driver-side head over a single-row parquet — load-time, not
@@ -949,6 +959,7 @@ object Similarity {
       bands = spark.read.parquet(s"$dir/bands"),
       pairs = spark.read.parquet(s"$dir/pairs"),
       clusters = spark.read.parquet(s"$dir/clusters"),
+      triples = spark.read.parquet(s"$dir/triples"),
       maxAbs = spark.read.parquet(s"$dir/meta").head().getDouble(0))
 
   /** Quantized ANN top-k for an ARBITRARY query-vector frame — the

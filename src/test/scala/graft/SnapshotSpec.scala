@@ -418,7 +418,7 @@ class SnapshotSpec extends SparkSpec {
       "persisted flags must equal the direct computation")
   }
 
-  test("semantic clusters serve from the annserve-v5 snapshot and equal fixpoint over the persisted pairs") {
+  test("semantic clusters serve from the annserve snapshot and equal fixpoint over the persisted pairs") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
         .map(_.toString).filter(_.contains("FileScan")).toSeq
@@ -445,6 +445,28 @@ class SnapshotSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(dropped.nonEmpty && (kept & dropped).isEmpty,
       "every non-representative cluster member must drop")
+  }
+
+  test("contrastive triples serve from the annserve-v6 snapshot and equal the direct mining run") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    val t = SparkEntry.queries("q_contrastive_triples")(spark, sf)
+    assert(t.count() > 0, "sf0.001 plants near-dup pairs, so triples exist")
+    val scans = scansOf(SparkEntry.queries("q_contrastive_triples")(spark, sf))
+    assert(scans.size == 1 && scans.forall(_.contains("graft_annserve")),
+      s"triple serving must be one snapshot-table scan:\n${scans.mkString("\n")}")
+    // family equality: the persisted artifact equals the inline mining
+    // run over the embeddings + the persisted pairs (staging contract)
+    val dir = SnapshotStore.snapshotDir(spark,
+      s"$sf/embeddings.parquet", "graft_annserve")
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).toSet
+    assert(rows(t) == rows(graft.operators.Similarity.contrastiveTriples(
+        Tables.embeddings(spark, sf), pairs)),
+      "persisted triples must equal the direct mining run")
   }
 
   test("training manifest equals each standalone selection it composes (r11 verdict 4)") {
