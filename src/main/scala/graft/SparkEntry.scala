@@ -3508,7 +3508,10 @@ object SparkEntry {
     // per-query rank, ALL mirrored in SQL (hash-checked; the IVF top-k
     // can only be rows-checked because its centroids are trained).
     ("q_lsh_topk",
-      (s, d) => Similarity.lshTopK(Tables.embeddings(s, d))
+      // exact-cosine top-k with candidates from the PERSISTED annserve
+      // band table (same discipline as q_hard_negatives below)
+      (s, d) => Similarity.lshTopKServeFrom(Tables.embeddings(s, d),
+          annServeTables(s, d).bands)
         .withColumn("rank", col("rank").cast("long")),
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
         |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
@@ -3533,8 +3536,12 @@ object SparkEntry {
     // contrastive loss (band-sharing is the point: random non-candidates
     // are easy negatives). One more rank over the lshTopK scored stage;
     // NaN (zero-norm) cosines fail the strict < and never serve.
+    // Candidates band-join the PERSISTED annserve triple table (the
+    // quantizedTopKServeFrom discipline) — embeddings are read only to
+    // exact-score the bounded candidate set, never re-sign-hashed.
     ("q_hard_negatives",
-      (s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))
+      (s, d) => Similarity.hardNegativesServeFrom(Tables.embeddings(s, d),
+          annServeTables(s, d).bands)
         .withColumn("rank", col("rank").cast("long")),
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
         |b AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),

@@ -1386,6 +1386,60 @@ object Similarity {
     rankNegatives(lshScoredFor(embeddings, anchors, nbits, bandBits, dim),
       k, dupThreshold)
 
+  /** [[hardNegatives]] served from a [[persistAnnServe]]-persisted band
+    * table — the [[quantizedTopKServeFrom]] discipline applied to the
+    * mining endpoint: candidate generation band-joins the narrow
+    * persisted (vec_id, band, bb) triples instead of re-sign-hashing the
+    * whole corpus per call. The float embeddings are still read — but
+    * only to exact-score the bounded candidate set (the one stage whose
+    * inputs live nowhere else), so the corpus-wide work drops from
+    * 16-plane dot products per vector to a triple-stream hash join.
+    * Bit-identical to [[hardNegatives]] when `bands` was built with the
+    * same geometry (zero-norm vectors have no band rows there, and would
+    * anyway score NaN and fail the strict `<` threshold).
+    */
+  def hardNegativesServeFrom(embeddings: DataFrame, bands: DataFrame,
+                             numQueries: Int = 5, k: Int = 5,
+                             dupThreshold: Double = 0.4): DataFrame =
+    rankNegatives(lshScoredServeFrom(embeddings, bands, numQueries),
+      k, dupThreshold)
+
+  /** [[lshTopK]] served from a persisted band table — same discipline as
+    * [[hardNegativesServeFrom]]: the EXACT-cosine top-k endpoint (vs the
+    * int8 [[quantizedTopKServeFrom]]) without the per-call corpus
+    * re-hash. Bit-identical to [[lshTopK]] under the snapshot's geometry.
+    */
+  def lshTopKServeFrom(embeddings: DataFrame, bands: DataFrame,
+                       numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    lshScoredServeFrom(embeddings, bands, numQueries)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[lshScored]] with candidate generation from a persisted
+    * (vec_id, band, bb) table: probes are the corpus-id prefix's band
+    * rows, candidates band-join the narrow triple stream, and the float
+    * embeddings are read only to exact-score the bounded candidate set.
+    */
+  private def lshScoredServeFrom(embeddings: DataFrame, bands: DataFrame,
+                                 numQueries: Int): DataFrame = {
+    val probes = bands.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bb"))
+    val p0 = bands.join(broadcast(probes), Seq("band", "bb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val d = prepared(embeddings)
+    p0
+      .join(d.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(d.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+  }
+
   private def rankNegatives(scored: DataFrame, k: Int,
                             dupThreshold: Double): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))

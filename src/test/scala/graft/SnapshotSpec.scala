@@ -469,6 +469,32 @@ class SnapshotSpec extends SparkSpec {
       "persisted triples must equal the direct mining run")
   }
 
+  test("hard negatives serve from the persisted band table and equal the direct mining run") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    val served = SparkEntry.queries("q_hard_negatives")(spark, sf)
+    // candidate generation must come from the snapshot bands; embeddings
+    // appear ONLY as the exact-scoring input (2 scans total, no third
+    // embeddings scan for re-hashing)
+    val scans = scansOf(SparkEntry.queries("q_hard_negatives")(spark, sf))
+    assert(scans.exists(_.contains("graft_annserve")),
+      s"candidates must band-join the persisted triples:\n${scans.mkString("\n")}")
+    assert(scans.count(_.contains("embeddings")) <= 2,
+      s"embeddings feed exact scoring only (probe + candidate sides):\n${scans.mkString("\n")}")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(served) == rows(
+        graft.operators.Similarity.hardNegatives(Tables.embeddings(spark, sf))
+          .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))),
+      "band-table serving must be bit-identical to direct mining")
+    // the exact-cosine top-k endpoint follows the same discipline
+    assert(rows(SparkEntry.queries("q_lsh_topk")(spark, sf)) == rows(
+        graft.operators.Similarity.lshTopK(Tables.embeddings(spark, sf))
+          .withColumn("rank", org.apache.spark.sql.functions.col("rank").cast("long"))),
+      "band-table lshTopK serving must be bit-identical to the direct run")
+  }
+
   test("training manifest equals each standalone selection it composes (r11 verdict 4)") {
     val m = SparkEntry.queries("q_training_manifest")(spark, sf)
     val rows = m.collect().map(r => r.getLong(0) ->
