@@ -1922,6 +1922,50 @@ object SparkEntry {
         |            WHEN 'fr' THEN 20 WHEN 'es' THEN 20 ELSE 0 END
         |ORDER BY doc_id""".stripMargin)),
 
+    // deterministic TRAIN/VAL/TEST split: pure function of doc_id (stable
+    // under corpus growth, reproducible by any engine); multiplier is
+    // xxHash32's prime 2246822519, decorrelated from the sampling hash's
+    // 2654435761 (same multiplier would make split a constant shift of
+    // the sampling bucket)
+    ("q_data_split",
+      (s, d) => Corpus.dataSplit(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source,
+        |  ((doc_id % 1000003) * 2246822519) % 100 AS bucket,
+        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // split-leakage audit: persisted near-dup pairs straddling the split
+    // boundary (an eval doc with a train near-dup = contaminated eval —
+    // the within-corpus twin of benchmark decontamination); two narrow
+    // joins of the bounded pair table, nothing rescans text. Oracle
+    // re-derives the exact pairs (≡ LSH output, see q_minhash_pairs) and
+    // the split buckets.
+    ("q_split_leakage",
+      (s, d) => Corpus.splitLeakage(Tables.documents(s, d), nearDupPairs(s, d))
+        .orderBy("doc_id1", "doc_id2"),
+      Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |prs AS (SELECT doc_id1, doc_id2,
+        |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+        |  FROM inter JOIN sz s1 ON doc_id1 = s1.doc_id
+        |              JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT doc_id1, s1.split AS split1, doc_id2, s2.split AS split2, jaccard
+        |FROM prs JOIN sp s1 ON doc_id1 = s1.doc_id
+        |         JOIN sp s2 ON doc_id2 = s2.doc_id
+        |WHERE s1.split <> s2.split ORDER BY doc_id1, doc_id2""".stripMargin)),
+
     // temperature-based (α=0.5) multilingual sampling: keep-rates derived
     // from the corpus's own language counts (sqrt is IEEE-correctly-
     // rounded → cross-engine bit-exact, unlike pow; the Σ sqrt(n_l) fold

@@ -552,4 +552,62 @@ object Corpus {
       .withColumn("stage", ntile(stages).over(
         Window.partitionBy("lang").orderBy(col("fluency").desc, col("doc_id"))))
       .orderBy("doc_id")
+
+  /** Deterministic TRAIN/VAL/TEST split — the held-out-evaluation cut
+    * every training-data build ships alongside the mix: a document's
+    * split is a pure function of its id (`bucket = ((doc_id % 1000003) *
+    * 2246822519) % 100`; bucket < `trainPct` → train, < trainPct+`valPct`
+    * → val, else test), so the assignment is reproducible by any engine,
+    * stable under corpus growth (an id keeps its split forever — new
+    * crawls never reshuffle old eval docs into train), and needs no
+    * stored split table.
+    *
+    * The multiplier is xxHash32's prime 2246822519, NOT
+    * [[stratifiedSample]]'s 2654435761: with the SAME multiplier the two
+    * bucket streams differ by a constant shift (split would be a
+    * deterministic function of the sampling bucket — sampled docs would
+    * pile into a contiguous split band); a different odd multiplier
+    * decorrelates the residues.
+    *
+    * Scale: a scan-side projection — no shuffle, no state; the split
+    * predicate composes with any downstream selection as a pushed filter.
+    */
+  def dataSplit(documents: DataFrame, trainPct: Int = 90,
+                valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "test share must be nonempty")
+    val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2246822519L),
+      lit(100L))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** SPLIT-LEAKAGE audit — near-duplicate pairs that STRADDLE a split
+    * boundary: an eval document with a train near-dup is contaminated
+    * evaluation (the within-corpus twin of benchmark decontamination,
+    * which guards against EXTERNAL benchmarks). `pairs` is the persisted
+    * verified near-dup table (doc_id1, doc_id2, jaccard); the audit is
+    * two narrow joins of that already-bounded pair set against the
+    * split projection — nothing rescans text.
+    *
+    * A 100 TB build acts on this table by evicting the eval side (keep
+    * train, re-draw eval), which is why both sides' splits are reported
+    * rather than pre-resolving a drop policy here.
+    */
+  def splitLeakage(documents: DataFrame, pairs: DataFrame,
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val split = dataSplit(documents, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_id1"),
+        col("split").as("split1")), Seq("doc_id1"))
+      .join(split.select(col("doc_id").as("doc_id2"),
+        col("split").as("split2")), Seq("doc_id2"))
+      .filter(col("split1") =!= col("split2"))
+      .select(col("doc_id1"), col("split1"), col("doc_id2"), col("split2"),
+        col("jaccard"))
+  }
 }

@@ -380,4 +380,49 @@ class CorpusSpec extends SparkSpec {
       (3L, "en", 2), (4L, "de", 1)),
       s"staging must be cleanest-first per language over kept docs only: $got")
   }
+
+  test("data split: total, deterministic, id-stable, roughly proportioned, scan-side") {
+    val s1 = Corpus.dataSplit(docs)
+    val byDoc = s1.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(byDoc.size == docs.count(), "every document gets exactly one split")
+    assert(byDoc == Corpus.dataSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap, "split is reproducible")
+    // id-stability: restricting the corpus never changes a doc's split
+    val half = Corpus.dataSplit(docs.filter(col("doc_id") % 2 === 0)).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(half.forall { case (id, sp) => byDoc(id) == sp },
+      "a document's split must not depend on what else is in the corpus")
+    val n = byDoc.size.toDouble
+    val trainFrac = byDoc.values.count(_ == "train") / n
+    assert(trainFrac > 0.75 && trainFrac < 0.99, s"~90% train, got $trainFrac")
+    assert(byDoc.values.toSet == Set("train", "val", "test"),
+      "all three splits populated at test scale")
+    // scan-side: no exchange anywhere in the unordered split plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+    // decorrelation from the sampling hash: the sampled set's split mix
+    // must not collapse into one split (the same-multiplier failure mode)
+    val sampled = Corpus.stratifiedSample(docs).select("doc_id")
+    val sampledSplits = Corpus.dataSplit(docs)
+      .join(sampled, Seq("doc_id"), "left_semi")
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sampledSplits.size >= 2,
+      s"sampling must not determine the split: $sampledSplits")
+  }
+
+  test("split leakage: exactly the persisted near-dup pairs that straddle the boundary") {
+    import spark.implicits._
+    val pairs = Seq((0L, 1L, 0.9), (2L, 3L, 0.85)).toDF("doc_id1", "doc_id2", "jaccard")
+    val split = Corpus.dataSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val got = Corpus.splitLeakage(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val want = Seq((0L, 1L), (2L, 3L))
+      .filter { case (a, b) => split(a) != split(b) }
+      .map { case (a, b) => (a, split(a), b, split(b)) }.toSet
+    assert(got == want, s"leakage must be the straddling subset: got $got want $want")
+    // same-split pairs never leak
+    assert(got.forall { case (_, sa, _, sb) => sa != sb })
+  }
 }
