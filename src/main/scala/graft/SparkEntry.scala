@@ -1816,6 +1816,41 @@ object SparkEntry {
       (s, d) => bpeTables(s, d).unigramEncoded.orderBy("doc_id", "pos"),
       Some(unigramEncodeOracleSql(DefaultBpeMerges, DefaultUnigramKeep))),
 
+    // TOKENIZER FERTILITY card — the standard tokenizer-eval numbers
+    // (pieces per word, chars per piece) per language, the dataset-card
+    // view that shows which languages a vocabulary over- or
+    // under-segments. One aggregate over the PERSISTED bpe-v3 encoded
+    // corpus joined to the narrow (doc_id, lang) projection; integer
+    // sums fold exactly, each ratio is a single IEEE division so both
+    // engines agree bit-for-bit.
+    ("q_tokenizer_fertility",
+      (s, d) => bpeTables(s, d).bpeEncoded
+        .select(col("doc_id"),
+          size(split(col("encoded"), " ")).cast("long").as("n_p"),
+          length(col("word")).cast("long").as("n_c"))
+        .join(Tables.documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_p").as("n_pieces"),
+          sum("n_c").as("n_chars"),
+          (sum("n_p").cast("double") / count(lit(1))).as("fertility"),
+          (sum("n_c").cast("double") / sum("n_p")).as("chars_per_piece"))
+        .orderBy("lang"),
+      Some("WITH " + bpeStagesSql(DefaultBpeMerges) + ", " +
+        "occ AS (SELECT doc_id, p.w AS w " +
+        "FROM (SELECT doc_id, unnest(list_transform(" +
+        "list_filter(string_split(text, ' '), t -> t <> ''), " +
+        "(w, i) -> struct_pack(w := w, i := i))) AS p FROM documents)), " +
+        s"enc AS (SELECT o.doc_id, len(ws.seg) AS n_p, len(o.w) AS n_c " +
+        s"FROM occ o JOIN seg$DefaultBpeMerges ws ON o.w = ws.w) " +
+        "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(n_p) AS BIGINT) AS n_pieces, " +
+        "CAST(sum(n_c) AS BIGINT) AS n_chars, " +
+        "CAST(sum(n_p) AS DOUBLE) / count(*) AS fertility, " +
+        "CAST(sum(n_c) AS DOUBLE) / sum(n_p) AS chars_per_piece " +
+        "FROM enc JOIN documents d USING (doc_id) " +
+        "GROUP BY d.lang ORDER BY d.lang")),
+
     // Vocabulary builder: corpus token-frequency table (the seed of
     // BPE/unigram tokenizer induction). tf DESC, token ASC is a total
     // order, so the top-k cut and ranks are deterministic.
@@ -3435,6 +3470,25 @@ object SparkEntry {
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
 
     // ---- LLM-data pipeline: similarity search over `embeddings` (north star)
+
+    // EMBEDDING QA card: per-dimension range / zero / sign-balance stats
+    // — how a dead or collapsed dimension surfaces before index builds.
+    // Order-insensitive aggregates only (min/max/counts): per-dim
+    // cross-row float SUMS have engine-dependent accumulation order and
+    // are deliberately excluded from the hash-checked surface.
+    ("q_embedding_stats",
+      (s, d) => Similarity.embeddingStats(Tables.embeddings(s, d)),
+      Some("""SELECT CAST(p.i - 1 AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN CAST(p.v AS DOUBLE) = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN CAST(p.v AS DOUBLE) > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN CAST(p.v AS DOUBLE) < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  min(CAST(p.v AS DOUBLE)) AS min_val,
+        |  max(CAST(p.v AS DOUBLE)) AS max_val
+        |FROM (SELECT unnest(list_transform(embedding,
+        |    (v, i) -> struct_pack(v := v, i := i))) AS p FROM embeddings)
+        |GROUP BY 1 ORDER BY dim""".stripMargin)),
+
     ("q_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))
         .withColumn("rank", col("rank").cast("long")),

@@ -1418,6 +1418,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** EMBEDDING QA card — per-dimension health statistics of an embedding
+    * column: value range, exact-zero count, and sign balance. A dead
+    * dimension (all zeros), a collapsed one (min ≈ max), or a
+    * sign-saturated one (n_pos or n_neg ≈ 0) is how a broken encoder
+    * export shows up in a 100 TB table, and this card is the one-scan
+    * check a pipeline runs before building indexes over the column.
+    *
+    * Deliberately NO per-dimension mean/variance: those are cross-row
+    * float sums whose accumulation order differs between engines (unlike
+    * the per-VECTOR left-to-right folds the cosine operators use), so
+    * they cannot sit in the hash-checked surface. Every aggregate here
+    * is order-insensitive (min/max/counts) — bit-exact on any engine —
+    * and all of them fold map-side.
+    */
+  def embeddingStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("v") > 0.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("v") < 0.0, 1L).otherwise(0L)).as("n_neg"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"))
+      .orderBy("dim")
+
   /** [[lshScored]] with candidate generation from a persisted
     * (vec_id, band, bb) table: probes are the corpus-id prefix's band
     * rows, candidates band-join the narrow triple stream, and the float

@@ -114,6 +114,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(u.getString(3) == "s lower", s"unseen 'slower' must reuse the merge chain: ${u.getString(3)}")
   }
 
+  test("tokenizer fertility: conservation against the corpus, ratios exact") {
+    val fert = SparkEntry.queries("q_tokenizer_fertility")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(fert.nonEmpty)
+    fert.foreach { case (lang, nWords, nPieces, nChars, fertility, cpp) =>
+      assert(nPieces >= nWords, s"$lang: every word is >= 1 piece")
+      assert(nChars >= nPieces, s"$lang: every piece is >= 1 char")
+      assert(fertility == nPieces.toDouble / nWords, s"$lang: ratio must be the one-division value")
+      assert(cpp == nChars.toDouble / nPieces, s"$lang: ratio must be the one-division value")
+    }
+    // conservation: per-lang word totals equal the corpus's occurrence counts
+    val fromDocs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " "),
+          w => w =!= "")).cast("long").as("n"))
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fert.map(f => f._1 -> f._2).toMap == fromDocs,
+      "fertility word counts must conserve the corpus occurrence counts")
+  }
+
   test("unigram vocab pruning: hand-computed gains, alphabet always kept, cut honors the order (r10 next-round 6)") {
     import spark.implicits._
     // pieces after merging (a,b): ab(count 2), c(1), d(1); T=4, |V|=3.

@@ -665,4 +665,26 @@ class SimilaritySpec extends SparkSpec {
         s"negatives must rank cosine-descending: ${sorted.toSeq}")
     }
   }
+
+  test("embeddingStats: dead, collapsed, and saturated dimensions hand-computed") {
+    import spark.implicits._
+    // dim 0 dead (all zero), dim 1 all-positive, dim 2 mixed
+    val emb = Seq(
+      (0L, Array(0.0f, 0.5f, -1.0f), 0),
+      (1L, Array(0.0f, 0.25f, 2.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.embeddingStats(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, 0L, 0L, 0.0, 0.0),    // dead: n_zero = n, min = max = 0
+      (1L, 3L, 0L, 3L, 0L, 0.25, 1.0),   // sign-saturated positive
+      (2L, 3L, 1L, 1L, 1L, -1.0, 2.0)),  // healthy mix
+      s"per-dim stats must be exact: ${got.toSeq}")
+    // scale shape: counts/min/max all fold map-side — one exchange on dim
+    val plan = graft.operators.Similarity.embeddingStats(
+      Tables.embeddings(spark, sf)).queryExecution.executedPlan.toString
+    assert(plan.contains("partial".capitalize) || plan.contains("partial_"),
+      s"aggregates must have a map-side partial stage:\n$plan")
+  }
 }
