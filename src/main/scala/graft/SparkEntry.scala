@@ -356,23 +356,35 @@ object SparkEntry {
     * [[TextAnalysis.qualityFilter]] remains the any-threshold path.
     */
   private val qualityCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
-  private def qualityFlags(s: SparkSession, d: String): DataFrame = {
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, DataFrame, DataFrame)]()
+  // v2: adds the Gopher per-rule flags as a second family table — both
+  // canonical gates are row-local and snapshot-determined, so the
+  // agreement cross-tab joins two narrow scans instead of re-running
+  // both rule passes per call.
+  private def qualityTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     qualityCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "quality-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
-    qualityCache.compute((s, d), (_, cached) =>
+    val stamp = "quality-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val t = qualityCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_quality")
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
           TextAnalysis.qualityFilter(Tables.documents(s, d))
             .write.mode("overwrite").parquet(s"$dir/flags")
+          TextAnalysis.gopherFilter(Tables.documents(s, d))
+            .write.mode("overwrite").parquet(s"$dir/gflags")
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
-        (stamp, s.read.parquet(s"$dir/flags"))
-      })._2
+        (stamp, s.read.parquet(s"$dir/flags"), s.read.parquet(s"$dir/gflags"))
+      })
+    (t._2, t._3)
   }
+  private def qualityFlags(s: SparkSession, d: String): DataFrame =
+    qualityTables(s, d)._1
+  private def gopherFlags(s: SparkSession, d: String): DataFrame =
+    qualityTables(s, d)._2
 
   /** PERSISTED media-fingerprint family — perceptual hashes + verified
     * near-dup pairs ([[Multimodal.persistMediaPhash]]) built once per
@@ -1531,8 +1543,10 @@ object SparkEntry {
     // bounds, duplicate-bigram ceiling, stopword-presence floor) — the
     // other canonical quality filter beside q_quality_filter's C4 rules;
     // per-rule flags emitted so a drop is auditable
+    // Served from the persisted graft_quality gflags table (v2);
+    // gopherFilter remains the any-threshold path.
     ("q_gopher_filter",
-      (s, d) => TextAnalysis.gopherFilter(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => gopherFlags(s, d).orderBy("doc_id"),
       Some(s"""WITH q AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  (length(text) - len(string_split(text, ' ')) + 1)
@@ -1863,9 +1877,17 @@ object SparkEntry {
         |SELECT token, tf, df FROM v ORDER BY tf DESC, token LIMIT 50""".stripMargin)),
 
     // filter-agreement calibration cross-tab: C4 keep × Gopher keep —
-    // the off-diagonal cells are where curation thresholds need eyes
+    // the off-diagonal cells are where curation thresholds need eyes.
+    // Joins the two PERSISTED flag tables (quality-v2) on doc_id instead
+    // of re-running both rule passes; filterAgreement remains the
+    // any-frame path.
     ("q_filter_agreement",
-      (s, d) => TextAnalysis.filterAgreement(Tables.documents(s, d)),
+      (s, d) => qualityFlags(s, d).select(col("doc_id"), col("keep").as("c4_keep"))
+        .join(gopherFlags(s, d).select(col("doc_id"), col("keep").as("gopher_keep")),
+          Seq("doc_id"))
+        .groupBy("c4_keep", "gopher_keep")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("c4_keep", "gopher_keep"),
       Some(s"""WITH c4 AS (SELECT doc_id,
         |  len(string_split(text, ' ')) >= 20
         |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)

@@ -416,6 +416,27 @@ class SnapshotSpec extends SparkSpec {
         r.getDouble(3), r.getBoolean(4))).toSet
     assert(rows(q) == rows(graft.operators.TextAnalysis.qualityFilter(docs)),
       "persisted flags must equal the direct computation")
+    // v2: the gopher flags are the family's second table — same contract
+    val g = SparkEntry.queries("q_gopher_filter")(spark, sf)
+    val gScans = scansOf(SparkEntry.queries("q_gopher_filter")(spark, sf))
+    assert(gScans.size == 1 && gScans.forall(_.contains("graft_quality")),
+      s"gopher serving must be one snapshot-table scan:\n${gScans.mkString("\n")}")
+    def grows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "stop_hits", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(grows(g) == grows(graft.operators.TextAnalysis.gopherFilter(docs)),
+      "persisted gopher flags must equal the direct computation")
+    // the agreement cross-tab joins the two persisted tables only
+    val aScans = scansOf(SparkEntry.queries("q_filter_agreement")(spark, sf))
+    assert(aScans.nonEmpty && aScans.forall(_.contains("graft_quality")),
+      s"agreement must read only the flag tables:\n${aScans.mkString("\n")}")
+    val agg = SparkEntry.queries("q_filter_agreement")(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    val direct2 = graft.operators.TextAnalysis.filterAgreement(docs).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(agg == direct2,
+      "flag-table agreement must equal the direct cross-tab")
   }
 
   test("semantic clusters serve from the annserve snapshot and equal fixpoint over the persisted pairs") {
