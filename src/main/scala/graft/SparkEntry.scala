@@ -2023,6 +2023,39 @@ object SparkEntry {
         |         JOIN sp s2 ON doc_id2 = s2.doc_id
         |WHERE s1.split <> s2.split ORDER BY doc_id1, doc_id2""".stripMargin)),
 
+    // the shipped EVAL HOLDOUT: val/test docs minus any with a train
+    // near-dup (splitLeakage's eviction applied — the eval side is the
+    // contaminated one; train is never shrunk by holdout hygiene).
+    // val↔test cross-pairs are kept. One anti-join against the
+    // train-linked ids from the persisted pair table.
+    ("q_eval_holdout",
+      (s, d) => Corpus.evalHoldout(Tables.documents(s, d), nearDupPairs(s, d))
+        .orderBy("doc_id"),
+      Some(s"""WITH sets AS (${Dedup.Sql.shingleSets}),
+        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+        |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+        |prs AS (SELECT doc_id1, doc_id2 FROM inter
+        |  JOIN sz s1 ON doc_id1 = s1.doc_id JOIN sz s2 ON doc_id2 = s2.doc_id
+        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |bad AS (SELECT doc_id2 AS doc_id FROM prs
+        |          JOIN sp s1 ON doc_id1 = s1.doc_id WHERE s1.split = 'train'
+        |        UNION
+        |        SELECT doc_id1 AS doc_id FROM prs
+        |          JOIN sp s2 ON doc_id2 = s2.doc_id WHERE s2.split = 'train')
+        |SELECT d.doc_id, d.lang, d.source, sp.split
+        |FROM documents d JOIN sp USING (doc_id)
+        |WHERE sp.split <> 'train'
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // temperature-based (α=0.5) multilingual sampling: keep-rates derived
     // from the corpus's own language counts (sqrt is IEEE-correctly-
     // rounded → cross-engine bit-exact, unlike pow; the Σ sqrt(n_l) fold

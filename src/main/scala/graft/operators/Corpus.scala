@@ -610,4 +610,30 @@ object Corpus {
       .select(col("doc_id1"), col("split1"), col("doc_id2"), col("split2"),
         col("jaccard"))
   }
+
+  /** The SHIPPED eval holdout — [[splitLeakage]]'s eviction policy
+    * applied: the val/test documents MINUS any with a train near-dup
+    * (the contaminated side is the eval doc; the train side stays, so
+    * training data is never lost to holdout hygiene). val↔test
+    * cross-pairs are kept — they bias no train-side metric; evicting
+    * them would only shrink the holdout.
+    *
+    * Scale: the split is scan-side; the eviction is one anti-join
+    * against the TRAIN-linked ids derived from the already-bounded
+    * persisted pair table (both orientations) — nothing rescans text.
+    */
+  def evalHoldout(documents: DataFrame, pairs: DataFrame,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val split = dataSplit(documents, trainPct, valPct)
+    val train = split.filter(col("split") === "train").select("doc_id")
+    val contaminated = pairs
+      .join(train.withColumnRenamed("doc_id", "doc_id1"), Seq("doc_id1"), "left_semi")
+      .select(col("doc_id2").as("doc_id"))
+      .unionByName(pairs
+        .join(train.withColumnRenamed("doc_id", "doc_id2"), Seq("doc_id2"), "left_semi")
+        .select(col("doc_id1").as("doc_id")))
+    split.filter(col("split") =!= "train")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+  }
 }

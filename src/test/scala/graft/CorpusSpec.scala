@@ -425,4 +425,30 @@ class CorpusSpec extends SparkSpec {
     // same-split pairs never leak
     assert(got.forall { case (_, sa, _, sb) => sa != sb })
   }
+
+  test("eval holdout: train-linked eval docs evicted, val-test cross pairs kept, train never shrunk") {
+    import spark.implicits._
+    val split = Corpus.dataSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    // synthesize pairs covering the policy space from the real split
+    val trainId = split.collectFirst { case (id, "train") => id }.get
+    val valId   = split.collectFirst { case (id, "val") => id }.get
+    val testId  = split.collectFirst { case (id, "test") => id }.get
+    val val2 = split.collect { case (id, "val") => id }.filter(_ != valId).head
+    val pairs = Seq(
+      (trainId, valId, 0.9),  // train↔val: val doc must evict
+      (val2, testId, 0.85))   // val↔test: both stay
+      .toDF("doc_id1", "doc_id2", "jaccard")
+    val hold = Corpus.evalHoldout(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val ids = hold.map(_._1).toSet
+    assert(!ids.contains(valId), "the train-linked eval doc must be evicted")
+    assert(ids.contains(val2) && ids.contains(testId),
+      "val-test cross pairs must not evict either side")
+    assert(hold.forall(_._2 != "train"), "holdout never contains train docs")
+    // totality: holdout = all non-train docs minus exactly the evicted one
+    val nonTrain = split.count(_._2 != "train")
+    assert(hold.length == nonTrain - 1,
+      s"exactly one eviction expected: ${hold.length} vs $nonTrain-1")
+  }
 }
