@@ -2056,6 +2056,65 @@ object SparkEntry {
         |  AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // SPLIT BALANCE card: per (split, lang) — doc/token counts and each
+    // split's share of its language. The sanity check that the hash
+    // split didn't skew a stratum (it can't systematically, but the
+    // card is what a curator reads to confirm that).
+    ("q_split_card",
+      (s, d) => {
+        val sp = Corpus.dataSplit(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang"), col("split"))
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        val agg = sp.join(toks, Seq("doc_id"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        val tot = agg.groupBy("lang").agg(sum("n_docs").as("lang_docs"))
+        agg.join(tot, Seq("lang"))
+          .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+            (col("n_docs").cast("double") / col("lang_docs")).as("doc_share"))
+          .orderBy("split", "lang")
+      },
+      Some("""WITH sp AS (SELECT doc_id, lang,
+        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |a AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens FROM sp GROUP BY 1, 2),
+        |t AS (SELECT lang, sum(n_docs) AS lang_docs FROM a GROUP BY lang)
+        |SELECT split, lang, n_docs, n_tokens,
+        |  CAST(n_docs AS DOUBLE) / lang_docs AS doc_share
+        |FROM a JOIN t USING (lang) ORDER BY split, lang""".stripMargin)),
+
+    // OOV drift ACROSS the split: the corpus-trained vocabulary's OOV
+    // rate per split. A holdout whose OOV rate diverges from train's
+    // means the eval set is distributionally off — the tokenizer-health
+    // twin of the split-balance card.
+    ("q_oov_by_split",
+      (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d))
+        .join(Corpus.dataSplit(Tables.documents(s, d))
+          .select("doc_id", "split"), Seq("doc_id"))
+        .groupBy("split")
+        .agg(sum("n_tokens").as("n_tokens"), sum("n_oov").as("n_oov"),
+          (sum("n_oov").cast("double") / sum("n_tokens")).as("oov_rate"))
+        .orderBy("split"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS tf FROM t
+        |  GROUP BY token ORDER BY tf DESC, token LIMIT 20)),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens,
+        |  count(CASE WHEN token NOT IN (SELECT token FROM v) THEN 1 END) AS n_oov
+        |  FROM t GROUP BY doc_id),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split FROM documents)
+        |SELECT split, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+        |  CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens) AS oov_rate
+        |FROM pd JOIN sp USING (doc_id) GROUP BY split ORDER BY split""".stripMargin)),
+
     // temperature-based (α=0.5) multilingual sampling: keep-rates derived
     // from the corpus's own language counts (sqrt is IEEE-correctly-
     // rounded → cross-engine bit-exact, unlike pow; the Σ sqrt(n_l) fold

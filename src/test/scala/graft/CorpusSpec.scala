@@ -426,6 +426,24 @@ class CorpusSpec extends SparkSpec {
     assert(got.forall { case (_, sa, _, sb) => sa != sb })
   }
 
+  test("split cards: conservation against the corpus, shares sum to one per language") {
+    val card = SparkEntry.queries("q_split_card")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(card.map(_._3).sum == docs.count(), "doc counts must conserve the corpus")
+    card.groupBy(_._2).foreach { case (lang, rows) =>
+      val share = rows.map(_._5).sum
+      assert(math.abs(share - 1.0) < 1e-12, s"$lang shares must sum to 1: $share")
+    }
+    val oov = SparkEntry.queries("q_oov_by_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cov = graft.operators.TextAnalysis.vocabCoverage(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens"),
+        org.apache.spark.sql.functions.sum("n_oov")).head()
+    assert(oov.map(_._2).sum == cov.getLong(0) && oov.map(_._3).sum == cov.getLong(1),
+      "per-split OOV totals must conserve the corpus coverage totals")
+  }
+
   test("eval holdout: train-linked eval docs evicted, val-test cross pairs kept, train never shrunk") {
     import spark.implicits._
     val split = Corpus.dataSplit(docs).collect()
