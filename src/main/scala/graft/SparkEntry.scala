@@ -4057,6 +4057,36 @@ object SparkEntry {
         |FROM fp, generate_series(0, 15) AS t(d)
         |ORDER BY media_id, dim""".stripMargin)),
 
+    // CLIP-SCORE filtering (DataComp's core multimodal curation op):
+    // per document, the cosine between its TEXT-tower and MEDIA-tower
+    // embeddings, gated at 0 — caption-image mismatches drop. Towers
+    // are the deterministic closed-form stubs (a real deployment swaps
+    // the kernels); the join + cosine + gate plumbing is the real
+    // operator and the whole gate oracle-checks end to end. Zero-norm
+    // pairs yield no row on both engines (the hybrid-search guard).
+    ("q_clip_filter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Multimodal.clipScores(
+            Multimodal.textEmbedStub(docs),
+            Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id AS media_id,
+        |  ${TextAnalysis.Sql.fingerprint} AS f FROM documents),
+        |tv AS (SELECT media_id, list_transform(range(0, 16), d ->
+        |  CAST((f * (2*d + 3) + d * 65599) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS t FROM fp),
+        |mv AS (SELECT media_id, list_transform(range(0, 16), d ->
+        |  CAST((f * (2*d + 1) + d * 40503) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS m FROM fp),
+        |sc AS (SELECT media_id, ${Similarity.Sql.cosine("t", "m")} AS clip_score
+        |  FROM tv JOIN mv USING (media_id)
+        |  WHERE ${Similarity.Sql.dot("t", "t")} > 0
+        |    AND ${Similarity.Sql.dot("m", "m")} > 0)
+        |SELECT media_id, clip_score, clip_score >= 0.0 AS keep
+        |FROM sc ORDER BY media_id""".stripMargin)),
+
     // perceptual (locality-sensitive) hash per media payload — the codegen'd
     // PerceptualHash expression: dHash gradient sign on a fixed-stride
     // sample grid (all-integer, code-point decode — the Fingerprint

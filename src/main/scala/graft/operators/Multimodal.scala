@@ -183,6 +183,49 @@ object Multimodal {
     }.toDF("media_id", "embedding")
   }
 
+  /** STUB text tower of the cross-modal pair — same fingerprint seed as
+    * [[embedStub]] but DIFFERENT mixing constants (2d+3 / 65599 vs
+    * 2d+1 / 40503), so the two towers produce genuinely different
+    * vectors for the same document and their cosine is a real per-doc
+    * computation, not identically 1. A real implementation swaps this
+    * closed-form fake for a text encoder; the column shape (id +
+    * fixed-dim double array) is the real contract. Pure narrow
+    * projection — no shuffle.
+    */
+  def textEmbedStub(documents: DataFrame, dims: Int = 16): DataFrame = {
+    val fp = TextAnalysis.fingerprintCol(col("text"))
+    documents.select(
+      col("doc_id").as("media_id"),
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        ((fp * (d.cast("long") * 2L + 3L) + d.cast("long") * 65599L)
+          % 2000001L).cast("double") / 1000000.0 - 1.0).as("embedding"))
+  }
+
+  /** CLIP-SCORE filtering — the cross-modal alignment gate (DataComp's
+    * core curation op): per document, the cosine between its TEXT-tower
+    * and MEDIA-tower embeddings; pairs below `threshold` are
+    * caption-image mismatches a multimodal training set drops. Towers
+    * are deterministic stubs (see [[embedStub]]/[[textEmbedStub]] — a
+    * real deployment swaps the kernels), but the join-on-id + cosine +
+    * gate plumbing is exactly the real operator, and with closed-form
+    * towers the whole gate is oracle-checkable end to end.
+    *
+    * Zero-norm guard on BOTH towers (the hybrid-search discipline): a
+    * degenerate embedding yields no row rather than an engine-divergent
+    * NaN. Scale: one equi-join of two narrow (id, 16-double) frames —
+    * embarrassingly shuffle-parallel on the id, no state.
+    */
+  def clipScores(textEmb: DataFrame, mediaEmb: DataFrame,
+                 threshold: Double = 0.0): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, l2norm}
+    textEmb.select(col("media_id"), col("embedding").as("t"))
+      .join(mediaEmb.select(col("media_id"), col("embedding").as("m")),
+        Seq("media_id"))
+      .filter(l2norm(col("t")) > 0.0 && l2norm(col("m")) > 0.0)
+      .select(col("media_id"), cosine(col("t"), col("m")).as("clip_score"))
+      .withColumn("keep", col("clip_score") >= threshold)
+  }
+
   /** Perceptual hash per media row — the dHash-style (gradient-sign)
     * locality-sensitive fingerprint ([[graft.functions.PerceptualHash]],
     * codegen'd) over the payload decoded as text: near-identical payloads

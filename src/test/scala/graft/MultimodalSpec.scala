@@ -257,4 +257,26 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getInt(2) == 0, s"a lost pair must flip within_bound: $bad")
     pairs.unpersist()
   }
+
+  test("clip filter: towers differ per doc, gate at the threshold, zero-norm pairs dropped") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val scores = Multimodal.clipScores(
+      Multimodal.textEmbedStub(docs),
+      Multimodal.embedStub(Multimodal.mediaFromDocuments(docs))).cache()
+    val rows = scores.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.length == docs.count(), "every doc scores (no zero-norm stubs in testdata)")
+    assert(rows.forall { case (_, s, k) => s >= -1.0 - 1e-12 && s <= 1.0 + 1e-12 &&
+      k == (s >= 0.0) }, "cosine range and gate consistency")
+    // the two towers must genuinely differ: not all scores can be 1
+    assert(rows.count(_._2 < 0.999) > rows.length / 2,
+      "different mixing constants must decorrelate the towers")
+    assert(rows.exists(_._3) , "some aligned pairs at sf")
+    scores.unpersist()
+    // zero-norm guard: a degenerate tower row yields NO row, not NaN
+    val zt = Seq((0L, Array.fill(16)(0.0))).toDF("media_id", "embedding")
+    val mv = Multimodal.embedStub(Multimodal.mediaFromDocuments(docs.filter(col("doc_id") === 0)))
+    assert(Multimodal.clipScores(zt, mv).count() == 0,
+      "zero-norm text tower must drop the pair")
+  }
 }
