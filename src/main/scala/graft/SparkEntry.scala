@@ -1643,6 +1643,54 @@ object SparkEntry {
         |  CASE trc WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM j ORDER BY doc_id""".stripMargin)),
 
+    // HOLDOUT model-fit card: the CCNet fluency-bucket composition per
+    // SPLIT — if the hash holdout were distributionally off, its
+    // head/middle/tail shares would skew against train's. Integer
+    // counts + one division per row (no cross-row float sums — the
+    // reason this card reports composition, not mean fluency); serves
+    // from the pre-scored lm-v2 table + the scan-side split.
+    ("q_holdout_fit",
+      (s, d) => {
+        val b = TextAnalysis.ccnetBuckets(lmScores(s, d), Tables.documents(s, d))
+          .select(col("doc_id"), col("bucket"))
+          .join(Corpus.dataSplit(Tables.documents(s, d))
+            .select("doc_id", "split"), Seq("doc_id"))
+          .groupBy("split", "bucket").agg(count(lit(1)).as("n_docs"))
+        val tot = b.groupBy("split").agg(sum("n_docs").as("split_docs"))
+        b.join(tot, Seq("split"))
+          .select(col("split"), col("bucket"), col("n_docs"),
+            (col("n_docs").cast("double") / col("split_docs")).as("share"))
+          .orderBy("split", "bucket")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |bc AS (SELECT l, r, count(*) AS c_xy FROM bo GROUP BY l, r),
+        |hc AS (SELECT l, sum(c_xy) AS c_x FROM bc GROUP BY l),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo JOIN bc USING (l, r) JOIN hc USING (l)),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id),
+        |f AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p),
+        |j AS (SELECT f.doc_id,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY f.fluency DESC, f.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM f JOIN documents d USING (doc_id)),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
+        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |a AS (SELECT split, bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM j JOIN sp USING (doc_id) GROUP BY 1, 2),
+        |tt AS (SELECT split, sum(n_docs) AS split_docs FROM a GROUP BY split)
+        |SELECT split, bucket, n_docs,
+        |  CAST(n_docs AS DOUBLE) / split_docs AS share
+        |FROM a JOIN tt USING (split) ORDER BY split, bucket""".stripMargin)),
+
     // zero-filled dataset-card histogram over the composite quality score;
     // empty buckets are EMITTED (a distribution audit that silently drops
     // empty ranges reads as coverage it doesn't have)

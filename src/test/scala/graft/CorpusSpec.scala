@@ -444,6 +444,18 @@ class CorpusSpec extends SparkSpec {
       "per-split OOV totals must conserve the corpus coverage totals")
   }
 
+  test("holdout fit: shares sum to one per split, counts conserve the scored corpus") {
+    val fit = SparkEntry.queries("q_holdout_fit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(fit.map(_._1).toSet == Set("train", "val", "test"))
+    fit.groupBy(_._1).foreach { case (split, rows) =>
+      val share = rows.map(_._4).sum
+      assert(math.abs(share - 1.0) < 1e-12, s"$split shares must sum to 1: $share")
+    }
+    assert(fit.map(_._3).sum == docs.count(),
+      "every scored document lands in exactly one (split, bucket) cell")
+  }
+
   test("eval holdout: train-linked eval docs evicted, val-test cross pairs kept, train never shrunk") {
     import spark.implicits._
     val split = Corpus.dataSplit(docs).collect()
