@@ -204,6 +204,32 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED product-quantization family — per-subspace codebooks +
+    * the PQ-encoded corpus ([[Similarity.persistPq]]): training is
+    * once-per-snapshot batch like the IVF index; `q_pq_topk` serves the
+    * compressed linear scan from the stored tables. Same per-call
+    * staleness contract as every family.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, DataFrame, DataFrame)]()
+  private def pqTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    pqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/embeddings.parquet"
+    // v2: k=64 codebooks + 3 Lloyd rounds (v1's k=16 shortlists recalled
+    // poorly on the near-random synthetic corpus)
+    val stamp = "pq-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val t = pqCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_pq")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
+          Similarity.persistPq(Tables.embeddings(s, d), dir, stamp)
+        (stamp, s.read.parquet(s"$dir/codebooks"), s.read.parquet(s"$dir/codes"))
+      })
+    (t._2, t._3)
+  }
+
   /** PERSISTED full-text search index — postings + lexicon + corpus size
     * behind `q_keyword_search` ([[TextAnalysis.persistSearchIndex]]):
     * built once per documents snapshot; every query is an In-pruned
@@ -3992,6 +4018,50 @@ object SparkEntry {
         Similarity.ivfTopKServe(idx, lists, queries, nprobe = 16)
       },
       None),
+
+    // PRODUCT-QUANTIZATION top-k — the compressed linear scan (8 codes
+    // per vector vs 64 floats): per query an m×k exact-sub-distance LUT
+    // builds against the packed codebooks, the corpus ranks by
+    // Σ LUT[sub][code] touching only the persisted code rows, never the
+    // float embeddings. Trained (xxhash64-seeded) codebooks can't be
+    // SQL-mirrored → rows-only; the recall contract is the hash-checked
+    // witness below (the IVF discipline).
+    // Serving is the production ADC-shortlist + EXACT-rerank path: the
+    // compressed scan keeps 200 candidates per query, only those rows'
+    // float vectors are fetched, and the emitted cosines are exact —
+    // the remaining approximation (shortlist membership) is what the
+    // witness below bounds.
+    ("q_pq_topk",
+      (s, d) => {
+        val (cb, codes) = pqTables(s, d)
+        Similarity.pqTopKRerankServeFrom(Tables.embeddings(s, d), cb, codes)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
+    // PQ recall witness (the q_ivf_topk_recall_bound precedent): the PQ
+    // answer's per-query overlap with the fully-oracled exact top-k,
+    // folded into a within_bound literal — drift past the bound
+    // hash-mismatches this row in CORRECTNESS itself.
+    ("q_pq_recall_bound",
+      (s, d) => {
+        val (cb, codes) = pqTables(s, d)
+        Similarity.topKRecallBound(
+          Similarity.pqTopKRerankServeFrom(Tables.embeddings(s, d), cb, codes),
+          Similarity.bruteForceTopK(Tables.embeddings(s, d)), 0.7)
+      },
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id, ${Similarity.Sql.cosine("qv", "v")} AS cosine
+        |  FROM d CROSS JOIN q WHERE vec_id <> query_id),
+        |ex AS (SELECT query_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 10)
+        |SELECT query_id, count(*) AS n_exact,
+        |  CAST(0.7 AS DOUBLE) AS recall_bound,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM ex GROUP BY query_id ORDER BY query_id""".stripMargin)),
 
     // RECALL-CONTRACT witness for the top-k family (the q_ivf_recall_bound
     // precedent): per query, the overlap of the IVF answer with the

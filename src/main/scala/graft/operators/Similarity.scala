@@ -742,6 +742,194 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** The unit-L2-normalized corpus — the similarity family's shared
+    * pre-step: zero-norm vectors are unanswerable under cosine and drop.
+    */
+  private def unitized(embeddings: DataFrame): DataFrame =
+    prepared(embeddings).filter(col("nrm") > 0)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** All PQ codebooks packed into ONE broadcastable row — `pcb` is an
+    * array over subspaces (positionally indexed: every subspace is
+    * present by construction), each holding its code-sorted
+    * (code, centroid) structs. Total bytes = m·k·dsub doubles (1 KiB at
+    * defaults) — bounded by CONSTANTS, nothing grows with the corpus.
+    */
+  private def packPq(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy("sub")
+      .agg(array_sort(collect_list(struct(col("code"), col("cv")))).as("cbs"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("sub"), col("cbs")))).as("pcb"))
+
+  /** Nearest codebook entry for one sub-vector — an in-projection fold
+    * over the packed codebook (the packedCoarse discipline: ranking
+    * against a tiny broadcast inside a projection, zero exchanges);
+    * strict `<` keeps the lowest code on exact ties.
+    */
+  private def bestPqCode(sv: org.apache.spark.sql.Column,
+                         cbs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(cbs,
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("code")),
+      (acc, c) => {
+        val dist = aggregate(zip_with(sv, c.getField("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y)
+        when(dist < acc.getField("d"),
+          struct(dist.as("d"), c.getField("code").as("code"))).otherwise(acc)
+      }).getField("code")
+
+  private def assignPq(subs: DataFrame, codebooks: DataFrame): DataFrame =
+    subs.crossJoin(broadcast(packPq(codebooks)))
+      .select(col("vec_id"), col("sub"), col("sv"),
+        bestPqCode(col("sv"),
+          element_at(col("pcb"), (col("sub") + 1).cast("int"))
+            .getField("cbs")).as("code"))
+
+  /** PRODUCT-QUANTIZATION codebooks — the third quantization scheme of
+    * the similarity family (int8 SQ keeps 64 bytes/vector; PQ keeps `m`
+    * small CODES — 8 at defaults, a further 8× lighter compressed linear
+    * scan — the workhorse of billion-vector ANN). The unit-normalized
+    * corpus splits into `m` contiguous `dim/m`-dim subspaces; each
+    * trains its own k-means codebook (hash-sampled ~`k` seeds + Lloyd
+    * refinement, the IVF coarse level's discipline; empty cells drop the
+    * same way) and codes re-densify to 0..|codebook|−1 per subspace so
+    * the asymmetric-scan LUT indexes positionally. L2² on unit vectors
+    * is 2−2·cosine, so PQ distance ASC approximates the family's cosine
+    * DESC directly and [[topKRecallBound]] can witness it against
+    * [[bruteForceTopK]].
+    *
+    * Scale shape: training streams (vec_id, sub, subv) rows against the
+    * packed 1-row codebook broadcast (in-projection argmin — zero
+    * exchange), then one (sub, code) mean aggregate per Lloyd round;
+    * the re-densify window runs over ≤ m·k rows. Trained centroids are
+    * xxhash64-seeded like IVF's — not SQL-mirrorable, so consumers are
+    * rows-only with a hash-checked recall witness.
+    */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 64,
+                       trainIters: Int = 3, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val d = unitized(embeddings)
+    val subs = d
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id"), col("sub"),
+        slice(col("u"), col("sub") * lit(dsub) + lit(1), lit(dsub)).as("sv"))
+    val stats = d.agg(count(lit(1)).as("__n"), min(col("vec_id")).as("__min_id"))
+    val seeds = subs.crossJoin(broadcast(stats))
+      .filter(pmod(xxhash64(col("vec_id"), lit(13L)),
+          greatest(lit(1L), floor(col("__n") / k).cast("long"))) === 0L ||
+        col("vec_id") === col("__min_id"))
+      .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"))
+    val trained = (1 to trainIters).foldLeft(seeds) { (cb, _) =>
+      assignPq(subs, cb)
+        .groupBy("sub", "code")
+        .agg(graft.functions.VectorFunctions.vecSum(col("sv")).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"),
+          transform(col("vs"), x => x / col("n")).as("cv"))
+    }
+    val w = Window.partitionBy("sub").orderBy("code")
+    trained.withColumn("code", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** PQ-encode the corpus: per vector, the `m` nearest-codebook codes —
+    * one projection against the packed 1-row broadcast, zero exchange
+    * (scan-cost, like [[quantizeEmbeddings]]). Built from READ-BACK
+    * codebooks in the persisted family (staging discipline).
+    */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame, m: Int = 8,
+               dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    unitized(embeddings).crossJoin(broadcast(packPq(codebooks)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          bestPqCode(slice(col("u"), s * lit(dsub) + lit(1), lit(dsub)),
+            element_at(col("pcb"), (s + 1).cast("int")).getField("cbs")))
+          .as("codes"))
+  }
+
+  /** Asymmetric-distance PQ top-k over ALREADY-ENCODED codes — the PQ
+    * serving path: each query builds its per-subspace lookup table (k
+    * exact sub-distances per subspace, m·k doubles per query) against
+    * the packed codebooks; the corpus side then ranks by Σ LUT[sub][code]
+    * — a compressed LINEAR scan touching only the m-code rows, never the
+    * float embeddings (the point of PQ at 10⁹ vectors: the scan is ~32×
+    * lighter than the raw-vector brute force with the same plan shape).
+    * Distance ASC ≈ cosine DESC (unit vectors); ties break by vec_id.
+    */
+  def pqTopKServeFrom(embeddings: DataFrame, codebooks: DataFrame,
+                      codes: DataFrame, numQueries: Int = 5, k: Int = 10,
+                      m: Int = 8, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val qlut = unitized(embeddings).filter(col("vec_id") < numQueries)
+      .crossJoin(broadcast(packPq(codebooks)))
+      .select(col("vec_id").as("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sv = slice(col("u"), s * lit(dsub) + lit(1), lit(dsub))
+          transform(element_at(col("pcb"), (s + 1).cast("int")).getField("cbs"),
+            c => aggregate(zip_with(sv, c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y))
+        }).as("lut"))
+    val scored = codes.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, (c + 1).cast("int"))),
+          lit(0.0), (x, y) => x + y).as("pq_dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The PRODUCTION PQ serving path — ADC shortlist + exact rerank: the
+    * compressed scan ranks the whole corpus by approximate distance and
+    * keeps a per-query `shortlist`; ONLY those rows' float vectors are
+    * fetched (two equi-joins against the narrow shortlist — at 10⁹
+    * vectors this is the whole point: the float table is touched for
+    * `numQueries·shortlist` rows, not the corpus) and exact cosine
+    * re-ranks the final top-`k`. Emitted cosines are EXACT, so the only
+    * approximation left is shortlist membership — which is what the
+    * recall witness bounds.
+    */
+  def pqTopKRerankServeFrom(embeddings: DataFrame, codebooks: DataFrame,
+                            codes: DataFrame, numQueries: Int = 5,
+                            k: Int = 10, shortlist: Int = 200,
+                            m: Int = 8, dim: Int = 64): DataFrame = {
+    val cand = pqTopKServeFrom(embeddings, codebooks, codes,
+        numQueries, shortlist, m, dim)
+      .select(col("query_id"), col("vec_id"))
+    val d = prepared(embeddings)
+    val scored = cand
+      .join(d.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(d.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Train + encode + persist the PQ family (`codebooks/`, `codes/`)
+    * under `dir` — training is once-per-snapshot batch like the IVF and
+    * annserve families; encode runs from the READ-BACK codebooks so the
+    * stored codes are by construction what serving would compute.
+    */
+  def persistPq(embeddings: DataFrame, dir: String, stamp: String,
+                m: Int = 8, k: Int = 64, trainIters: Int = 3,
+                dim: Int = 64): Unit = {
+    val spark = embeddings.sparkSession
+    trainPqCodebooks(embeddings, m, k, trainIters, dim)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    pqEncode(embeddings, spark.read.parquet(s"$dir/codebooks"), m, dim)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
+  }
+
   /** Per-tensor symmetric int8 quantization of the embedding column — the
     * 100 TB memory story for similarity serving: one global step size
     * `scale = max|x| / 127` over the corpus, `code = ⌊x·127/max + 0.5⌋ ∈

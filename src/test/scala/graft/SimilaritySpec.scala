@@ -666,6 +666,64 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: dense codes, zero-exchange encode, compressed scan never reads floats, exact rerank") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val cb = graft.operators.Similarity.trainPqCodebooks(emb).cache()
+    // codebook bounded by constants: ≤ m·k entries, codes dense per sub
+    val rows = cb.collect().map(r => (r.getInt(0), r.getLong(1)))
+    // hash sampling seeds ~k per subspace in EXPECTATION (the IVF coarse
+    // slack): constants-bounded is the contract, exact k is not
+    assert(rows.length <= 8 * 64 * 4,
+      s"codebook must be bounded by m*~k: ${rows.length}")
+    rows.groupBy(_._1).foreach { case (sub, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq,
+        s"sub $sub codes must be dense 0..n-1 for positional LUT indexing")
+    }
+    val codes = graft.operators.Similarity.pqEncode(emb, cb)
+    // encode is a projection over the corpus scan against a broadcast
+    // codebook: the CORPUS stream never shuffles (only the tiny codebook
+    // build aggregates behind the broadcast)
+    val encPlan = codes.queryExecution.executedPlan
+    val shuffledCorpus = encPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.collectLeaves().exists(_.toString.contains("embeddings")) => e
+    }
+    assert(shuffledCorpus.isEmpty,
+      s"encode must not shuffle the corpus:\n$encPlan")
+    val c = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(c.values.forall(_.length == 8), "m codes per vector")
+    // the ADC scan reads codes, codebooks, and ONLY the query-side floats
+    SparkEntry.queries("q_pq_topk")(spark, sf).count() // builds the family
+    val (cbp, codesp) = {
+      val dir = graft.sources.SnapshotStore.snapshotDir(spark,
+        s"$sf/embeddings.parquet", "graft_pq")
+      (spark.read.parquet(s"$dir/codebooks"), spark.read.parquet(s"$dir/codes"))
+    }
+    val adc = graft.operators.Similarity.pqTopKServeFrom(emb, cbp, codesp)
+    val scans = adc.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.count(_.contains("embeddings")) <= 1,
+      s"corpus side must scan codes, not floats:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("graft_pq")), "codes come from the snapshot")
+    // rerank emits EXACT cosines: spot-check against the brute-force rows
+    val rer = graft.operators.Similarity
+      .pqTopKRerankServeFrom(emb, cbp, codesp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = graft.operators.Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val overlap = rer.keySet.intersect(exact.keySet)
+    assert(overlap.nonEmpty, "rerank and exact top-k must overlap at sf")
+    assert(overlap.forall(k => rer(k) == exact(k)),
+      "reranked cosines must be bit-identical to the exact operator's")
+    // family equality: persisted codes ≡ encode over read-back codebooks
+    val direct = graft.operators.Similarity.pqEncode(emb, cbp).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val stored = codesp.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stored == direct, "persisted codes must equal the read-back encode")
+    cb.unpersist()
+  }
+
   test("embeddingStats: dead, collapsed, and saturated dimensions hand-computed") {
     import spark.implicits._
     // dim 0 dead (all zero), dim 1 all-positive, dim 2 mixed
