@@ -4063,6 +4063,44 @@ object SparkEntry {
         |  CAST(1 AS INT) AS within_bound
         |FROM ex GROUP BY query_id ORDER BY query_id""".stripMargin)),
 
+    // IVF-PQ top-k — FAISS's IVFPQ composed from the TWO persisted
+    // indexes: IVF cells prune the corpus, the PQ LUT ranks cell members
+    // from 8-code rows, exact cosine reranks the shortlist from the
+    // vectors the inverted lists already carry — the serve touches ONLY
+    // persisted index tables. Rows-only (both trainings are
+    // hash-seeded); the witness below carries the recall contract.
+    ("q_ivfpq_topk",
+      (s, d) => {
+        val (idx, lists, _) = ivfTables(s, d)
+        val (cb, codes) = pqTables(s, d)
+        Similarity.ivfPqTopKServe(idx, lists, cb, codes,
+            shortlist = 200, nprobe = 16)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
+    ("q_ivfpq_recall_bound",
+      (s, d) => {
+        val (idx, lists, _) = ivfTables(s, d)
+        val (cb, codes) = pqTables(s, d)
+        Similarity.topKRecallBound(
+          Similarity.ivfPqTopKServe(idx, lists, cb, codes,
+            shortlist = 200, nprobe = 16),
+          Similarity.bruteForceTopK(Tables.embeddings(s, d)), 0.7)
+      },
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, vec_id, ${Similarity.Sql.cosine("qv", "v")} AS cosine
+        |  FROM d CROSS JOIN q WHERE vec_id <> query_id),
+        |ex AS (SELECT query_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 10)
+        |SELECT query_id, count(*) AS n_exact,
+        |  CAST(0.7 AS DOUBLE) AS recall_bound,
+        |  CAST(1 AS INT) AS within_bound
+        |FROM ex GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
     // RECALL-CONTRACT witness for the top-k family (the q_ivf_recall_bound
     // precedent): per query, the overlap of the IVF answer with the
     // fully-oracled exact top-k, folded into a within_bound literal at

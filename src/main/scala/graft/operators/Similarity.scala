@@ -914,6 +914,65 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ top-k — the canonical billion-vector composition (FAISS's
+    * IVFPQ), assembled from the TWO persisted indexes: the IVF side
+    * routes each query to its `nprobe` nearest cells (only cell members
+    * are ever candidates — the corpus-pruning level), the PQ side ranks
+    * those candidates by compressed LUT distance (the in-cell scan reads
+    * 8-code rows, not floats), and exact cosine reranks the per-query
+    * `shortlist` from the vectors the inverted lists already carry — so
+    * the whole serve touches ONLY persisted index tables, never the raw
+    * embeddings. Emitted cosines are exact; the approximation (cell
+    * geometry ∩ shortlist membership) is what the recall witness bounds.
+    */
+  def ivfPqTopKServe(index: IvfIndex, lists: DataFrame, codebooks: DataFrame,
+                     codes: DataFrame, numQueries: Int = 5, k: Int = 10,
+                     shortlist: Int = 50, nprobe: Int = 6, cprobe: Int = 4,
+                     m: Int = 8, dim: Int = 64): DataFrame = {
+    val dsub = dim / m
+    val assigned = lists.filter(col("cell_rank") === 1).drop("cell_rank")
+    val queries = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v"), col("nrm"))
+    val probes = assignFine(queries, index, cprobe, nprobe, "query_id")
+      .select(col("query_id"), col("centroid_id"))
+    val qlut = queries
+      .select(col("query_id"), transform(col("v"), x => x / col("nrm")).as("qu"))
+      .crossJoin(broadcast(packPq(codebooks)))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sv = slice(col("qu"), s * lit(dsub) + lit(1), lit(dsub))
+          transform(element_at(col("pcb"), (s + 1).cast("int")).getField("cbs"),
+            c => aggregate(zip_with(sv, c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y))
+        }).as("lut"))
+    // candidates: probed-cell members, ranked by compressed distance
+    val ws = Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id"))
+    val short = assigned.select(col("vec_id"), col("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(qlut), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, (c + 1).cast("int"))),
+          lit(0.0), (x, y) => x + y).as("pq_dist"))
+      .withColumn("prank", row_number().over(ws))
+      .filter(col("prank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank from the vectors the lists already carry
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    short
+      .join(assigned.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")), Seq("query_id"))
+      .join(assigned.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Train + encode + persist the PQ family (`codebooks/`, `codes/`)
     * under `dir` — training is once-per-snapshot batch like the IVF and
     * annserve families; encode runs from the READ-BACK codebooks so the

@@ -73,7 +73,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_hybrid_search",                     // 1-row query-vector broadcast
       "q_media_recall_bound",                // bounded id<1000 brute-force audit slice
       "q_pq_topk",                           // 1-row packed codebook + 5-row LUT set
-      "q_pq_recall_bound")                   // same + 5-row exact probe set
+      "q_pq_recall_bound",                   // same + 5-row exact probe set
+      "q_ivfpq_topk",                        // centroid-set scoring + packed codebook
+      "q_ivfpq_recall_bound")                // same + 5-row exact probe set
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString

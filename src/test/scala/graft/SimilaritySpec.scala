@@ -724,6 +724,35 @@ class SimilaritySpec extends SparkSpec {
     cb.unpersist()
   }
 
+  test("IVFPQ: serves from persisted tables only, exact cosines, results within probed cells") {
+    import org.apache.spark.sql.functions._
+    val served = SparkEntry.queries("q_ivfpq_topk")(spark, sf)
+    val rows = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the serve never scans the raw embeddings table — both levels come
+    // from persisted index families (the lists carry the vectors)
+    val scans = SparkEntry.queries("q_ivfpq_topk")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.forall(s => !s.contains("embeddings.parquet")),
+      s"IVFPQ must serve from the index snapshots only:\n${scans.mkString("\n")}")
+    // exact rerank: every emitted cosine equals the direct computation
+    val emb = Tables.embeddings(spark, sf)
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val overlap = rows.filter(r => exact.contains((r._1, r._2)))
+    assert(overlap.nonEmpty)
+    assert(overlap.forall(r => exact((r._1, r._2)) == r._3),
+      "IVFPQ cosines must be bit-identical to the exact operator's")
+    // ranks dense per query, cosine-descending
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val s = rs.sortBy(_._4)
+      assert(s.map(_._4).toSeq == (1L to s.length).toSeq)
+      assert(s.zip(s.tail).forall { case (a, b) => a._3 >= b._3 })
+    }
+  }
+
   test("embeddingStats: dead, collapsed, and saturated dimensions hand-computed") {
     import spark.implicits._
     // dim 0 dead (all zero), dim 1 all-positive, dim 2 mixed
