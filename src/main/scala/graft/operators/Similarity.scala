@@ -746,10 +746,16 @@ object Similarity {
 
   /** The unit-L2-normalized corpus — the similarity family's shared
     * pre-step: zero-norm vectors are unanswerable under cosine and drop.
+    * Deliberately label-free (unlike [[prepared]]) so streaming encode
+    * batches — bare (vec_id, embedding) frames — can use the same path.
     */
-  private def unitized(embeddings: DataFrame): DataFrame =
-    prepared(embeddings).filter(col("nrm") > 0)
+  private def unitized(embeddings: DataFrame): DataFrame = {
+    val v = toDoubleVec(col("embedding"))
+    embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("u"))
+  }
 
   /** All PQ codebooks packed into ONE broadcastable row — `pcb` is an
     * array over subspaces (positionally indexed: every subspace is

@@ -473,6 +473,18 @@ class Pipeline(
     TokenizeStream.start(docs, vocabDir, tokenizeStorePath,
       checkpointDir = Some(s"$checkpointRoot/tokenize"))
 
+  def pqStorePath: String = s"$storeRoot/pq"
+
+  /** Streaming PQ-encode serving as a topology member — the vector-side
+    * tokenizer service ([[EncodeStream]]): incoming embeddings coded
+    * against the frozen per-subspace codebooks, epoch-idempotent output
+    * under the shared store root like every sibling.
+    */
+  def startPqEncode(vecs: DataFrame, codebookDir: String,
+                    m: Int = 8, dim: Int = 64): StreamingQuery =
+    EncodeStream.start(vecs, codebookDir, pqStorePath, m, dim,
+      checkpointDir = Some(s"$checkpointRoot/pq"))
+
   def mediaSearchStorePath: String = s"$storeRoot/media-search"
 
   /** Reverse-media-search serving as a topology member (round-10 verdict

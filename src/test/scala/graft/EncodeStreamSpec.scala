@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.EncodeStream
+
+/** Streaming PQ-encode serving: per-micro-batch coding against FROZEN
+  * persisted codebooks, epoch-idempotent output — the vector-side
+  * tokenizer service, completing the frozen-artifact symmetry
+  * (text encode ✓, fluency ✓, DSIR ✓, ANN ✓, PQ ✓).
+  */
+class EncodeStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val m = 2
+  private val dim = 8
+
+  test("streamed vector batches code against the frozen codebooks and equal the batch kernel per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("pqstream").toString
+    // train once on a reference corpus, freeze the codebooks
+    val train = Seq(
+      (1L, Array.tabulate(dim)(i => if (i == 0) 10f else 1f)),
+      (2L, Array.tabulate(dim)(i => if (i == 2) 10f else 1f)),
+      (3L, Array.tabulate(dim)(i => if (i == 4) 10f else 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.trainPqCodebooks(train, m = m, k = 2, trainIters = 1, dim = dim)
+      .write.parquet(s"$base/cb")
+    val cb = spark.read.parquet(s"$base/cb")
+    val outDir = s"$base/out"
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EncodeStream.start(input.toDF().toDF("vec_id", "embedding"),
+      s"$base/cb", outDir, m = m, dim = dim)
+    try {
+      input.addData(
+        (10L, Array.tabulate(dim)(i => if (i == 0) 9f else 1f)),
+        (11L, Array.tabulate(dim)(i => if (i == 2) 9f else 1f)))
+      q.processAllAvailable()
+      // batch 1: an UNSEEN direction still codes (nearest cells — the
+      // codebook is frozen, never retrained) and a zero-norm vector
+      // encodes to NO row, never garbage codes
+      input.addData(
+        (20L, Array.tabulate(dim)(i => if (i == 6) 9f else 1f)),
+        (21L, Array.fill(dim)(0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$outDir/codes")
+    def key(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b0 = Seq(
+      (10L, Array.tabulate(dim)(i => if (i == 0) 9f else 1f)),
+      (11L, Array.tabulate(dim)(i => if (i == 2) 9f else 1f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq(
+      (20L, Array.tabulate(dim)(i => if (i == 6) 9f else 1f)),
+      (21L, Array.fill(dim)(0f)))
+      .toDF("vec_id", "embedding")
+    assert(key(out.filter(col("epoch") === 0).drop("epoch")) ==
+      key(Similarity.pqEncode(b0, cb, m, dim)),
+      "epoch 0 must equal the batch kernel's codes")
+    assert(key(out.filter(col("epoch") === 1).drop("epoch")) ==
+      key(Similarity.pqEncode(b1, cb, m, dim)),
+      "epoch 1 must equal the batch kernel's codes")
+    val all = key(out)
+    assert(all.keySet == Set(10L, 11L, 20L),
+      s"zero-norm vectors must yield no row: ${all.keySet}")
+    assert(all.values.forall(_.length == m), "m codes per vector")
+    // commensurability: the corpus twin directions land in the same cells
+    // as their training twins would
+    val trainCodes = key(Similarity.pqEncode(train, cb, m, dim))
+    assert(all(10L) == trainCodes(1L) && all(11L) == trainCodes(2L),
+      s"frozen codebooks must place near-twins in the training vectors' cells")
+    // crash-replay: re-running an epoch overwrites its own output
+    EncodeStream.runBatch(b1, cb, outDir, epoch = 1L, m, dim)
+    assert(key(spark.read.parquet(s"$outDir/codes")) == all,
+      "replayed epoch must be idempotent")
+  }
+}

@@ -547,8 +547,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("twelve-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
-    "embedding ingest, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("thirteen-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
+    "embedding ingest + PQ encode, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -574,6 +574,11 @@ class StreamingSpec extends SparkSpec {
       .map(x => (x.getString(1), x.getString(2))).toSeq
     TextAnalysis.unigramVocab(tokTrain, tokMerges, keep = 2)
       .write.parquet(s"$base/vocab")
+    Similarity.trainPqCodebooks(Seq(
+        (1L, Array.tabulate(8)(i => if (i == 0) 10f else 1f)),
+        (2L, Array.tabulate(8)(i => if (i == 2) 10f else 1f)))
+      .toDF("vec_id", "embedding"), m = 2, k = 2, trainIters = 1, dim = 8)
+      .write.parquet(s"$base/pqcb")
     // five sources: events, crawl docs, media ingest, media probes, tokenizer docs
     val events = MemoryStream[EventRec]
     val docs = MemoryStream[(Long, String)]
@@ -583,6 +588,7 @@ class StreamingSpec extends SparkSpec {
     val embeds = MemoryStream[(Long, Array[Float])]
     val scrubDocs = MemoryStream[(Long, String)]
     val ixDocs = MemoryStream[(Long, String)]
+    val pqVecs = MemoryStream[(Long, Array[Float])]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -596,9 +602,11 @@ class StreamingSpec extends SparkSpec {
       p.startEmbedDedup(embeds.toDF().toDF("vec_id", "embedding"),
         s"$base/annindex", threshold = 0.9, dim = 8),
       p.startScrub(scrubDocs.toDF().toDF("doc_id", "text")),
-      p.startIndexer(ixDocs.toDF().toDF("doc_id", "text")))
+      p.startIndexer(ixDocs.toDF().toDF("doc_id", "text")),
+      p.startPqEncode(pqVecs.toDF().toDF("vec_id", "embedding"),
+        s"$base/pqcb", m = 2, dim = 8))
     try {
-      assert(queries.length == 12)
+      assert(queries.length == 13)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -609,6 +617,7 @@ class StreamingSpec extends SparkSpec {
         (401L, Array.tabulate(8)(i => if (i == 4) 10f else 0f)))   // novel
       scrubDocs.addData((500L, "mail a@b.org"), (501L, "clean words"))
       ixDocs.addData((600L, "fresh crawl tokens"))
+      pqVecs.addData((700L, Array.tabulate(8)(i => if (i == 0) 9f else 1f)))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -640,5 +649,9 @@ class StreamingSpec extends SparkSpec {
       .select("word", "encoded").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(enc == Set(("abcd", "ab cd"), ("xy", "x y")),
       s"tokenizer member must apply the frozen vocab: $enc")
+    val pqOut = spark.read.parquet(s"${p.pqStorePath}/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(pqOut.keySet == Set(700L) && pqOut(700L).length == 2,
+      s"PQ member must code against the frozen codebooks: $pqOut")
   }
 }
