@@ -3677,6 +3677,27 @@ object SparkEntry {
         |    (v, i) -> struct_pack(v := v, i := i))) AS p FROM embeddings)
         |GROUP BY 1 ORDER BY dim""".stripMargin)),
 
+    // FILTERED vector search — top-k under a metadata predicate (the
+    // "vector search WHERE label IN (...)" production shape): the
+    // predicate restricts the corpus BEFORE distance work and pushes
+    // into the scan; post-filtering a plain top-k would under-return
+    // whenever the filter is selective (the filtered-ANN trap).
+    ("q_filtered_topk",
+      (s, d) => Similarity.filteredTopK(Tables.embeddings(s, d),
+          col("label").isin(1, 3))
+        .withColumn("rank", col("rank").cast("long")),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |c AS (SELECT * FROM d WHERE label IN (1, 3)),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, c.vec_id, c.label,
+        |    ${Similarity.Sql.cosine("qv", "c.v")} AS cosine
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> query_id)
+        |SELECT query_id, vec_id, label, cosine, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     ("q_cosine_topk",
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d))
         .withColumn("rank", col("rank").cast("long")),

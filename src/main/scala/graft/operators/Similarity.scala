@@ -56,6 +56,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED vector search — [[bruteForceTopK]] under a metadata
+    * predicate (the production "vector search WHERE label = X" shape;
+    * every real retrieval API filters by tenant/language/source before
+    * ranking): the predicate restricts the CORPUS side before any
+    * distance work, so it pushes into the scan (post-filtering a plain
+    * top-k instead would return < k rows whenever the filter is
+    * selective — the classic filtered-ANN correctness trap). Queries
+    * keep ranking against the filtered set even when they don't satisfy
+    * the predicate themselves.
+    */
+  def filteredTopK(embeddings: DataFrame,
+                   predicate: org.apache.spark.sql.Column,
+                   numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = prepared(embeddings).filter(predicate)
+    val queries = prepared(embeddings)
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact all-pairs cosine near-duplicates (cosine ≥ threshold,
     * vec_id1 < vec_id2) via a block-bucketed self-join.
     *

@@ -57,6 +57,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_funnel",                                                        // two 1-row counts
       "q_hot_shingles",                                                  // 1-row k-th-df cut scalar
       "q_cosine_topk",                                                   // 5-row broadcast query set
+      "q_filtered_topk",                     // 5-row broadcast query set (filtered corpus)
       "q_ann_ivf_topk",                                                  // centroid-set scoring
       "q_ivf_topk_recall_bound",             // centroid-set scoring + 5-row probe set
       "q_approx_topk_bound",                 // 1-row sketch-regime scalar

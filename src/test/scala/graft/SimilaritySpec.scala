@@ -724,6 +724,35 @@ class SimilaritySpec extends SparkSpec {
     cb.unpersist()
   }
 
+  test("filtered top-k: pre-filter semantics (full k under selective filters), predicate pushed to scan") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val got = graft.operators.Similarity.filteredTopK(emb, col("label").isin(1, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._3 == 1 || r._3 == 3), "every hit satisfies the predicate")
+    // PRE-filter, not post-filter: each query still returns the full k
+    // (a post-filtered plain top-k would under-return)
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 10, s"query $q must return full k under the filter: ${rs.length}")
+    }
+    // equivalence: ranking the filtered corpus == filtering then ranking
+    val manual = graft.operators.Similarity
+      .bruteForceTopK(emb.filter(col("label").isin(1, 3)), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (bruteForce's query side is also filtered there, so compare only
+    // queries present in both: those with label in {1,3})
+    val common = manual.map(_._1).intersect(got.map(_._1).toSet)
+    assert(got.filter(r => common(r._1)).map(r => (r._1, r._2)).toSet ==
+      manual.filter(r => common(r._1)),
+      "filtered ranking must equal rank-after-filter for in-filter queries")
+    // the predicate reaches the corpus scan as a pushed filter
+    val plan = graft.operators.Similarity.filteredTopK(emb, col("label").isin(1, 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(label"),
+      s"label predicate must push into the parquet scan:\n${plan.take(2000)}")
+  }
+
   test("IVFPQ: serves from persisted tables only, exact cosines, results within probed cells") {
     import org.apache.spark.sql.functions._
     val served = SparkEntry.queries("q_ivfpq_topk")(spark, sf)
