@@ -746,8 +746,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(r => common(r._1)).map(r => (r._1, r._2)).toSet ==
       manual.filter(r => common(r._1)),
       "filtered ranking must equal rank-after-filter for in-filter queries")
-    // the predicate reaches the corpus scan as a pushed filter
-    val plan = graft.operators.Similarity.filteredTopK(emb, col("label").isin(1, 3))
+    // the predicate reaches the corpus scan as a pushed filter. A
+    // sibling test's .cache() would otherwise swap the scan for an
+    // InMemoryTableScan with no pushdown line (CacheManager rewrites by
+    // logical plan, so even a fresh read of the same path is rewritten)
+    // — clear the cache first, the PlanShapeSpec discipline.
+    spark.catalog.clearCache()
+    val fresh = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = graft.operators.Similarity.filteredTopK(fresh, col("label").isin(1, 3))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(label"),
       s"label predicate must push into the parquet scan:\n${plan.take(2000)}")
