@@ -111,4 +111,33 @@ class SimilarityStressSpec extends SparkSpec {
       s"expansion mismatch: ${missing.take(5)} missing, ${extra.take(5)} extra"
     })
   }
+
+  test("PQ at 4x + 8x corpus: codebook FLAT (broadcast bounded by constants), codes ~linear") {
+    // PQ's structural claim is even stronger than IVF's: the broadcast
+    // side (the packed codebooks) is bounded by the CONSTANTS m·k — it
+    // must not grow at all with the corpus, while the encoded table
+    // grows linearly (one m-code row per vector). Three points so the
+    // claim rests on a series, the house rule.
+    val (n1, n2, n3) = (3072, 12288, 24576)
+    def measure(n: Int): (Long, Long) = {
+      val emb = corpus(n)
+      val cb = Similarity.trainPqCodebooks(emb, m = 2, k = 16,
+        trainIters = 2, dim = 8).localCheckpoint()
+      val nCb = cb.count()
+      val nCodes = Similarity.pqEncode(emb, cb, m = 2, dim = 8).count()
+      (nCb, nCodes)
+    }
+    val (cb1, co1) = measure(n1)
+    val (cb2, co2) = measure(n2)
+    val (cb3, co3) = measure(n3)
+    info(s"PQ codebook rows: 1x=$cb1, 4x=$cb2, 8x=$cb3; codes: $co1, $co2, $co3")
+    // codebook: flat within sampling noise at every point (hash seeding
+    // targets ~k per subspace regardless of corpus size)
+    assert(cb2 <= cb1 * 2 && cb3 <= cb1 * 2,
+      s"codebook must not grow with the corpus: $cb1 -> $cb2 -> $cb3")
+    assert(cb1 <= 2 * 16 * 4, s"codebook bounded by m*~k: $cb1")
+    // codes: exactly one row per vector — linear by construction
+    assert(co1 == n1 && co2 == n2 && co3 == n3,
+      s"codes must be one row per vector: $co1/$n1, $co2/$n2, $co3/$n3")
+  }
 }
