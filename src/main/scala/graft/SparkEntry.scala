@@ -4064,6 +4064,22 @@ object SparkEntry {
     // answer's per-query overlap with the fully-oracled exact top-k,
     // folded into a within_bound literal — drift past the bound
     // hash-mismatches this row in CORRECTNESS itself.
+    // The PQ QUERY-SERVING endpoint: an arbitrary (query_id, embedding)
+    // frame — corpus ids 5..9 standing in for external requests — LUT'd
+    // against the frozen codebooks, ADC-ranked over the persisted
+    // codes, exact-reranked. Rows-only like its index (trained
+    // codebooks); in-corpus parity with the registry path is spec'd.
+    ("q_pq_query_serve",
+      (s, d) => {
+        val (cb, codes) = pqTables(s, d)
+        val qs = Tables.embeddings(s, d)
+          .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.pqTopKForQueries(qs, cb, codes, Tables.embeddings(s, d))
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
     ("q_pq_recall_bound",
       (s, d) => {
         val (cb, codes) = pqTables(s, d)

@@ -1007,6 +1007,65 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ serving for an ARBITRARY query-vector frame — the endpoint form
+    * of [[pqTopKRerankServeFrom]] and the batch kernel a PQ query stream
+    * would run: `queries` is any (query_id, embedding) frame (a REST
+    * batch, a micro-batch), not a corpus-id prefix. Each request is
+    * unit-normalized (zero-norm requests are unanswerable under cosine
+    * and drop, never served garbage), builds its LUT against the FROZEN
+    * codebooks, ranks the stored code rows by ADC, and exact cosine
+    * reranks the shortlist fetched from the float corpus.
+    *
+    * `excludeSelf` is the [[quantizedTopKForQueries]] contract verbatim:
+    * true (default) for in-corpus request ids — feeding corpus vectors
+    * under their own ids reproduces the registry path — false when
+    * request ids are an external numbering that may collide.
+    */
+  def pqTopKForQueries(queries: DataFrame, codebooks: DataFrame,
+                       codes: DataFrame, embeddings: DataFrame,
+                       k: Int = 10, shortlist: Int = 200, m: Int = 8,
+                       dim: Int = 64, excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    val qlut = unitized(queries.select(col("query_id").as("vec_id"),
+        col("embedding")))
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+      .crossJoin(broadcast(packPq(codebooks)))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sv = slice(col("qu"), s * lit(dsub) + lit(1), lit(dsub))
+          transform(element_at(col("pcb"), (s + 1).cast("int")).getField("cbs"),
+            c => aggregate(zip_with(sv, c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (x, y) => x + y))
+        }).as("lut"))
+    val joinCond = if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true)
+    val ws = Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id"))
+    val short = codes.join(broadcast(qlut), joinCond)
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, l) => element_at(l, (c + 1).cast("int"))),
+          lit(0.0), (x, y) => x + y).as("pq_dist"))
+      .withColumn("prank", row_number().over(ws))
+      .filter(col("prank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    // rerank with the RAW query vector and the family's exact cosine
+    // formulation (dot/(qnrm·nrm)) — bit-identical to the corpus-prefix
+    // path when a corpus vector arrives under its own id
+    val qv = queries.select(col("query_id"),
+        toDoubleVec(col("embedding")).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+      .filter(col("qnrm") > 0)
+    val d = prepared(embeddings)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    short
+      .join(qv, Seq("query_id"))
+      .join(d.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** Train + encode + persist the PQ family (`codebooks/`, `codes/`)
     * under `dir` — training is once-per-snapshot batch like the IVF and
     * annserve families; encode runs from the READ-BACK codebooks so the

@@ -74,6 +74,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_hybrid_search",                     // 1-row query-vector broadcast
       "q_media_recall_bound",                // bounded id<1000 brute-force audit slice
       "q_pq_topk",                           // 1-row packed codebook + 5-row LUT set
+      "q_pq_query_serve",                    // same, arbitrary-request form
       "q_pq_recall_bound",                   // same + 5-row exact probe set
       "q_ivfpq_topk",                        // centroid-set scoring + packed codebook
       "q_ivfpq_recall_bound")                // same + 5-row exact probe set

@@ -759,6 +759,29 @@ class SimilaritySpec extends SparkSpec {
       s"label predicate must push into the parquet scan:\n${plan.take(2000)}")
   }
 
+  test("PQ query endpoint: in-corpus requests reproduce the registry path, zero-norm requests drop") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q_pq_topk")(spark, sf).count() // builds the family
+    val dir = graft.sources.SnapshotStore.snapshotDir(spark,
+      s"$sf/embeddings.parquet", "graft_pq")
+    val (cb, codes) = (spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
+    val emb = Tables.embeddings(spark, sf)
+    // corpus vectors 0..4 under their own ids ≡ the corpus-prefix path
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(graft.operators.Similarity.pqTopKForQueries(qs, cb, codes, emb)) ==
+      rows(graft.operators.Similarity.pqTopKRerankServeFrom(emb, cb, codes)),
+      "in-corpus requests must be bit-identical to the registry serve path")
+    // zero-norm request: unanswerable under cosine — no rows, not NaN
+    import spark.implicits._
+    val zq = Seq((99L, Array.fill(64)(0f))).toDF("query_id", "embedding")
+    assert(graft.operators.Similarity.pqTopKForQueries(zq, cb, codes, emb).count() == 0,
+      "zero-norm requests must drop")
+  }
+
   test("IVFPQ: serves from persisted tables only, exact cosines, results within probed cells") {
     import org.apache.spark.sql.functions._
     val served = SparkEntry.queries("q_ivfpq_topk")(spark, sf)
