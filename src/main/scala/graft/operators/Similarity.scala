@@ -934,7 +934,11 @@ object Similarity {
     val cand = pqTopKServeFrom(embeddings, codebooks, codes,
         numQueries, shortlist, m, dim)
       .select(col("query_id"), col("vec_id"))
-    val d = prepared(embeddings)
+    // label-free [[prepared]]: the float source may be the corpus table
+    // OR a stream-grown (vec_id, embedding) union, which carries no label
+    val d = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
     val scored = cand
       .join(d.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm")), Seq("query_id"))

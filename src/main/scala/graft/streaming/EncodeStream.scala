@@ -49,9 +49,58 @@ object EncodeStream {
       .start()
   }
 
-  /** One micro-batch (factored out so batch specs can drive it directly). */
+  /** One micro-batch (factored out so batch specs can drive it directly):
+    * the codes AND the batch's float vectors land per epoch — codes make
+    * the new vectors ADC-searchable immediately, the stored floats let
+    * the exact-rerank stage fetch them (streamed vectors are not in the
+    * corpus embeddings table until the next snapshot re-encode).
+    */
   def runBatch(batch: DataFrame, codebooks: DataFrame, outDir: String,
-               epoch: Long, m: Int = 8, dim: Int = 64): Unit =
-    Similarity.pqEncode(batch, codebooks, m, dim)
-      .write.mode("overwrite").parquet(s"$outDir/codes/epoch=$epoch")
+               epoch: Long, m: Int = 8, dim: Int = 64): Unit = {
+    val b = batch.persist()
+    try {
+      Similarity.pqEncode(b, codebooks, m, dim)
+        .write.mode("overwrite").parquet(s"$outDir/codes/epoch=$epoch")
+      b.select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$outDir/vectors/epoch=$epoch")
+    } finally b.unpersist()
+  }
+
+  /** The GROWN serving view — base table ∪ epoch deltas ([[IndexStream]]'s
+    * discipline on the PQ side): `part` is `codes` (feeds the ADC scan)
+    * or `vectors` (feeds the exact-rerank float fetch alongside the
+    * corpus embeddings). Codes from the frozen codebooks are
+    * commensurable across epochs by construction, so the union IS the
+    * index — no re-ranking, no merge logic.
+    */
+  def withEpochs(spark: org.apache.spark.sql.SparkSession, base: DataFrame,
+                 outDir: String, part: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/$part")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.isDirectory))
+      base.unionByName(spark.read.parquet(s"$outDir/$part").drop("epoch"))
+    else base
+  }
+
+  /** COMPACTION — the [[CrawlDedup]]/[[IndexStream]] contract on the PQ
+    * side: fold the base codes + epoch code deltas into a new committed
+    * base (and the streamed floats likewise, so rerank keeps its fetch
+    * source), then clear the deltas. Pure union rewrite — codes are
+    * self-contained rows under one frozen codebook generation.
+    * Commit-before-delete; run between epochs.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, baseCodesDir: String,
+              outDir: String, newBaseDir: String,
+              stamp: String = "compact"): Unit = {
+    withEpochs(spark, spark.read.parquet(baseCodesDir), outDir, "codes")
+      .write.mode("overwrite").parquet(s"$newBaseDir/codes")
+    val vp = new org.apache.hadoop.fs.Path(s"$outDir/vectors")
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(vp) && fs.listStatus(vp).exists(_.isDirectory))
+      spark.read.parquet(s"$outDir/vectors").drop("epoch")
+        .write.mode("overwrite").parquet(s"$newBaseDir/vectors")
+    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/codes"), true)
+    fs.delete(vp, true)
+  }
 }

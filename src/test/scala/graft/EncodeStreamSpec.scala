@@ -80,4 +80,47 @@ class EncodeStreamSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$outDir/codes")) == all,
       "replayed epoch must be idempotent")
   }
+
+  test("grown view makes streamed vectors ADC-searchable; compaction folds into a new base identically") {
+    val base = Files.createTempDirectory("pqgrow").toString
+    // frozen codebooks + a committed base corpus (vectors 1..3 encoded)
+    val corpus = Seq(
+      (1L, Array.tabulate(dim)(i => if (i == 0) 10f else 1f)),
+      (2L, Array.tabulate(dim)(i => if (i == 2) 10f else 1f)),
+      (3L, Array.tabulate(dim)(i => if (i == 4) 10f else 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.trainPqCodebooks(corpus, m = m, k = 2, trainIters = 1, dim = dim)
+      .write.parquet(s"$base/cb")
+    val cb = spark.read.parquet(s"$base/cb")
+    Similarity.pqEncode(corpus, cb, m, dim).write.parquet(s"$base/codes")
+    val outDir = s"$base/stream"
+    // a streamed vector arrives: a near-twin of corpus vector 2
+    val b0 = Seq((50L, Array.tabulate(dim)(i => if (i == 2) 9f else 1f)))
+      .toDF("vec_id", "embedding")
+    EncodeStream.runBatch(b0, cb, outDir, epoch = 0L, m, dim)
+    def serve(codes: org.apache.spark.sql.DataFrame,
+              floats: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopKRerankServeFrom(floats, cb, codes,
+          numQueries = 3, k = 2, shortlist = 4, m = m, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grownCodes = EncodeStream.withEpochs(spark,
+      spark.read.parquet(s"$base/codes"), outDir, "codes")
+    val grownFloats = corpus.unionByName(EncodeStream.withEpochs(spark,
+      corpus.limit(0), outDir, "vectors"))
+    val grown = serve(grownCodes, grownFloats)
+    assert(grown.exists { case (q, v, _) => q == 2L && v == 50L },
+      s"the streamed near-twin must be searchable in the grown view: $grown")
+    // compaction: fold → a NEW committed base serving identically
+    EncodeStream.compact(spark, s"$base/codes", outDir, s"$base/newbase")
+    val compacted = serve(
+      spark.read.parquet(s"$base/newbase/codes"),
+      corpus.unionByName(spark.read.parquet(s"$base/newbase/vectors")))
+    assert(compacted == grown,
+      "post-compaction serving must equal the grown view")
+    // deltas cleared; the grown view over the new base is the base itself
+    assert(EncodeStream.withEpochs(spark,
+        spark.read.parquet(s"$base/newbase/codes"), outDir, "codes")
+      .count() == spark.read.parquet(s"$base/newbase/codes").count(),
+      "compaction must clear the epoch deltas")
+  }
 }
