@@ -65,7 +65,17 @@ object Bench {
     // the total FIRST — so all nine BENCH_rN.json artifacts lost total_s
     // to the tail capture. This second line is ≤ ~80 chars, so the tail
     // always carries the headline numbers.
-    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size}}""")
+    //
+    // canary_s / canary_floor (round-12 verdict next-round 4): three
+    // rounds of bench artifacts landed on a loaded host and the
+    // round-over-round comparison leaned on a by-hand canary rule. The
+    // canary is q_raw_events — a fixed-shape parquet scan+project whose
+    // quiet-host floor at sf0.1/local[32] is the documented 0.09 s
+    // (BASELINE.md); canary_s/canary_floor IS the run's host-noise
+    // factor, so every BENCH_rN self-adjudicates: uniform inflation
+    // matching the canary = host load, not a code regression.
+    val canary = ok.collectFirst { case ("q_raw_events", t, _) => t }.getOrElse(-1.0)
+    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size},"canary_s":$canary,"canary_floor":0.09}""")
     spark.stop()
   }
 }

@@ -300,6 +300,10 @@ object TextAnalysis {
     spark.read.parquet(postingsDir)
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(lexiconDir)
+    // meta is written LAST on purpose: [[grownSearchIndex]] treats the
+    // epoch's meta dir as its commit marker, so a crash between the three
+    // writes leaves a partial epoch that serving never sees (the replayed
+    // micro-batch overwrites all three).
     docs.agg(count(lit(1)).as("n_total"))
       .write.mode("overwrite").parquet(metaDir)
   }
@@ -313,23 +317,44 @@ object TextAnalysis {
     * ids are disjoint from the base and each other (an append-only crawl
     * with unique ids — the dedup gate upstream guarantees it); replaying
     * an epoch overwrites its own delta so the view never double-counts.
+    *
+    * Partial-epoch safety: [[writeSearchIndexDelta]] writes postings →
+    * lexicon → meta, so a crash mid-epoch can leave the earlier
+    * artifacts without the later ones. Only epochs present in ALL THREE
+    * delta dirs are served (meta, written last, is the epoch's commit
+    * marker) — a torn epoch is invisible rather than a thrown
+    * missing-path error or an under-counted df/n_total, and becomes
+    * visible when its replay overwrites all three. The epoch filter is
+    * partition-pruned; the listing is a driver-side dir stat.
     */
   def grownSearchIndex(spark: org.apache.spark.sql.SparkSession,
                        baseDir: String, postingsDeltaDir: String,
                        lexiconDeltaDir: String,
                        metaDeltaDir: String): SearchIndex = {
     val base = loadSearchIndex(spark, baseDir)
-    val p = new org.apache.hadoop.fs.Path(postingsDeltaDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || !fs.listStatus(p).exists(_.isDirectory)) base
-    else SearchIndex(
-      postings = base.postings.unionByName(
-        spark.read.parquet(postingsDeltaDir).drop("epoch")),
-      lexicon = base.lexicon.unionByName(
-          spark.read.parquet(lexiconDeltaDir).drop("epoch"))
-        .groupBy("tok").agg(sum("df").as("df")),
-      nTotal = base.nTotal + spark.read.parquet(metaDeltaDir)
-        .agg(sum("n_total")).head().getLong(0))
+    def epochsIn(dir: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .collect { case s if s.startsWith("epoch=") =>
+          s.stripPrefix("epoch=").toLong }.toSet
+    }
+    val committed = epochsIn(postingsDeltaDir)
+      .intersect(epochsIn(lexiconDeltaDir))
+      .intersect(epochsIn(metaDeltaDir))
+    if (committed.isEmpty) base
+    else {
+      val keep = col("epoch").isInCollection(committed)
+      SearchIndex(
+        postings = base.postings.unionByName(
+          spark.read.parquet(postingsDeltaDir).filter(keep).drop("epoch")),
+        lexicon = base.lexicon.unionByName(
+            spark.read.parquet(lexiconDeltaDir).filter(keep).drop("epoch"))
+          .groupBy("tok").agg(sum("df").as("df")),
+        nTotal = base.nTotal + spark.read.parquet(metaDeltaDir).filter(keep)
+          .agg(sum("n_total")).head().getLong(0))
+    }
   }
 
   /** [[keywordSearch]] served from a persisted index — identical scoring

@@ -94,8 +94,16 @@ object CrawlDedup {
     * self-contained (no cross-delta aggregation), so compaction is a
     * pure union rewrite — never a corpus re-sketch. Commit lands before
     * any delta is removed; a crash between the steps leaves both, and
-    * re-running compact (which clears them) restores the invariant —
-    * run it between epochs, never beside a delta write.
+    * re-running compact (which clears them) restores the invariant.
+    *
+    * NOT safe while the stream is running: [[start]] captures the base
+    * index from `baseIndexDir` ONCE, so after this method clears the
+    * delta dir a still-running stream's per-batch union would see only
+    * the stale base — duplicates of every pre-compaction epoch would
+    * pass as clean until restart. The contract is STOP the stream,
+    * compact, RESTART with `baseIndexDir = newBaseDir` (the checkpoint
+    * under `outDir` survives, so the restarted stream resumes from its
+    * committed offset against the folded index).
     */
   def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
               newBaseDir: String, stamp: String = "compact"): Unit = {

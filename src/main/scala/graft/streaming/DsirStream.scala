@@ -72,9 +72,19 @@ object DsirStream {
     * short to have bigrams has no weight — it rejects (with null weight),
     * matching the batch operator's drop-out semantics while keeping the
     * stream lossless: every input row lands in exactly one output.
+    *
+    * The default threshold is the SAME model-derived
+    * `nextUp(dsirOovFloor)` gate [[start]] uses — a fixed 1.0 default
+    * here would hand direct batch callers exactly the below-the-OOV-floor
+    * junk-to-selected failure the class doc warns about whenever the raw
+    * pool outweighs the target. Explicit finite thresholds are used
+    * verbatim (callers own the floor check).
     */
   def runBatch(batch: DataFrame, model: Corpus.DsirModel, outDir: String,
-               epoch: Long, threshold: Double = 1.0): Unit = {
+               epoch: Long, threshold: Double = Double.NaN): Unit = {
+    val gate =
+      if (threshold.isNaN) math.nextUp(Corpus.dsirOovFloor(model))
+      else threshold
     // barrier: the batch feeds scoring AND the audit join — persist (not
     // localCheckpoint: its blocks are only reclaimed when the
     // ContextCleaner GCs the RDD, so a long-running stream would
@@ -87,9 +97,9 @@ object DsirStream {
       Seq("doc_id"), "left")
       .persist() // scoring runs once, not once per output side
     try {
-      scored.filter(col("dsir_weight") >= threshold)
+      scored.filter(col("dsir_weight") >= gate)
         .write.mode("overwrite").parquet(s"$outDir/selected/epoch=$epoch")
-      scored.filter(col("dsir_weight").isNull || col("dsir_weight") < threshold)
+      scored.filter(col("dsir_weight").isNull || col("dsir_weight") < gate)
         .write.mode("overwrite").parquet(s"$outDir/rejected/epoch=$epoch")
     } finally {
       scored.unpersist()

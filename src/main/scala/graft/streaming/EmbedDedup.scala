@@ -89,7 +89,11 @@ object EmbedDedup {
   /** COMPACTION — [[CrawlDedup.compact]]'s contract verbatim on the
     * vector side: fold base + epoch deltas into a new committed base,
     * clear the deltas; pure union rewrite (signature rows are
-    * self-contained), commit-before-delete, run between epochs.
+    * self-contained), commit-before-delete. NOT safe while the stream is
+    * running — [[start]] captures the base index ONCE, so the contract
+    * is stop → compact → restart with `baseIndexDir = newBaseDir`
+    * ([[CrawlDedup.compact]]'s stale-base argument verbatim); a
+    * mid-stream snapshot rebuild is likewise invisible until restart.
     */
   def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
               newBaseDir: String, stamp: String = "compact"): Unit = {

@@ -87,18 +87,42 @@ object EncodeStream {
     * base (and the streamed floats likewise, so rerank keeps its fetch
     * source), then clear the deltas. Pure union rewrite — codes are
     * self-contained rows under one frozen codebook generation.
-    * Commit-before-delete; run between epochs.
+    * Commit-before-delete; stop the stream first and restart it against
+    * `newBaseDir` — a stream started before compaction captured the OLD
+    * base once, and after the deltas are cleared its grown view no
+    * longer sees the pre-compaction epochs (see [[CrawlDedup.compact]]).
+    *
+    * `baseVectorsDir` mirrors `baseCodesDir` on the float side: the
+    * FIRST compaction of a fresh corpus has no streamed-float base (the
+    * corpus floats live in the embeddings table), but every LATER
+    * compaction must carry the previously folded floats forward —
+    * without it, a second compaction (baseCodesDir = previous
+    * newBase/codes) would keep the codes but DROP the earlier streamed
+    * floats, and the rerank stage's inner join on its float source
+    * would silently lose those shortlist candidates. `newBaseDir/
+    * vectors` is ALWAYS written (empty frame when there is nothing to
+    * fold) so readers can rely on both dirs existing.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, baseCodesDir: String,
               outDir: String, newBaseDir: String,
-              stamp: String = "compact"): Unit = {
+              stamp: String = "compact",
+              baseVectorsDir: Option[String] = None): Unit = {
     withEpochs(spark, spark.read.parquet(baseCodesDir), outDir, "codes")
       .write.mode("overwrite").parquet(s"$newBaseDir/codes")
     val vp = new org.apache.hadoop.fs.Path(s"$outDir/vectors")
     val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(vp) && fs.listStatus(vp).exists(_.isDirectory))
-      spark.read.parquet(s"$outDir/vectors").drop("epoch")
-        .write.mode("overwrite").parquet(s"$newBaseDir/vectors")
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val baseVecs = baseVectorsDir
+      .map(d => spark.read.parquet(d)).getOrElse(emptyVecs)
+    withEpochs(spark, baseVecs, outDir, "vectors")
+      .write.mode("overwrite").parquet(s"$newBaseDir/vectors")
     graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
     fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/codes"), true)
     fs.delete(vp, true)

@@ -122,5 +122,29 @@ class EncodeStreamSpec extends SparkSpec {
         spark.read.parquet(s"$base/newbase/codes"), outDir, "codes")
       .count() == spark.read.parquet(s"$base/newbase/codes").count(),
       "compaction must clear the epoch deltas")
+    // SECOND compaction (baseCodesDir = the previous fold) must carry the
+    // earlier streamed FLOATS forward via baseVectorsDir — without it the
+    // rerank join would silently drop vector 50 from every shortlist
+    val b1 = Seq((60L, Array.tabulate(dim)(i => if (i == 0) 9f else 1f)))
+      .toDF("vec_id", "embedding")
+    EncodeStream.runBatch(b1, cb, outDir, epoch = 5L, m, dim)
+    EncodeStream.compact(spark, s"$base/newbase/codes", outDir,
+      s"$base/newbase2", baseVectorsDir = Some(s"$base/newbase/vectors"))
+    val floats2 = spark.read.parquet(s"$base/newbase2/vectors")
+    assert(floats2.select("vec_id").collect().map(_.getLong(0)).toSet
+        == Set(50L, 60L),
+      "second compaction must keep BOTH compaction generations' floats")
+    val served2 = serve(spark.read.parquet(s"$base/newbase2/codes"),
+      corpus.unionByName(floats2))
+    assert(served2.exists { case (q, v, _) => q == 2L && v == 50L },
+      s"pre-compaction streamed vector must survive a second fold: $served2")
+    // a compaction with NO streamed-float base and NO vector epochs still
+    // writes the vectors dir (empty) — readers rely on both dirs existing
+    EncodeStream.compact(spark, s"$base/newbase2/codes",
+      s"$base/empty_stream", s"$base/newbase3")
+    val emptyVecs = spark.read.parquet(s"$base/newbase3/vectors")
+    assert(emptyVecs.count() == 0 &&
+      emptyVecs.columns.toSeq == Seq("vec_id", "embedding"),
+      "vectors dir must always be written, empty frame when nothing folds")
   }
 }

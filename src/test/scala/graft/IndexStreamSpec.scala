@@ -75,6 +75,33 @@ class IndexStreamSpec extends SparkSpec {
     assert(after == before, s"replay must be idempotent: $after vs $before")
   }
 
+  test("a torn epoch (crash before the meta write) is invisible, not an error; its replay commits it") {
+    val base = Files.createTempDirectory("ixtorn").toString
+    val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    TextAnalysis.persistSearchIndex(corpus, s"$base/index", stamp = "spec")
+    val outDir = s"$base/out"
+    val b0 = Seq((10L, "alpha gamma")).toDF("doc_id", "text")
+    IndexStream.runBatch(b0, outDir, epoch = 0L)
+    def view() = IndexStream.servingIndex(spark, s"$base/index", outDir)
+    val committed = (postingsOf(view()), lexiconOf(view()), view().nTotal)
+    // simulate the crash window: epoch 1's postings + lexicon land but the
+    // meta write (last in writeSearchIndexDelta's order) never happens
+    val b1 = Seq((11L, "beta delta")).toDF("doc_id", "text")
+    b1.select(col("doc_id"), lit("beta").as("tok"), lit(1L).as("tf"))
+      .write.parquet(s"$outDir/postings_delta/epoch=1")
+    Seq(("beta", 1L)).toDF("tok", "df")
+      .write.parquet(s"$outDir/lexicon_delta/epoch=1")
+    val torn = (postingsOf(view()), lexiconOf(view()), view().nTotal)
+    assert(torn == committed,
+      s"a torn epoch must be invisible to serving: $torn vs $committed")
+    // the stream replays epoch 1, overwriting all three artifacts — now visible
+    IndexStream.runBatch(b1, outDir, epoch = 1L)
+    val replayed = view()
+    assert(replayed.nTotal == committed._3 + 1 &&
+      lexiconOf(replayed)("beta") == 2L && lexiconOf(replayed)("delta") == 1L,
+      s"the replayed epoch must commit: ${lexiconOf(replayed)}, n=${replayed.nTotal}")
+  }
+
   test("compaction folds deltas into a new base: view identical, deltas gone, stream resumes") {
     val base = Files.createTempDirectory("ixcompact").toString
     val corpus = Seq((1L, "alpha beta")).toDF("doc_id", "text")
