@@ -1707,8 +1707,8 @@ object SparkEntry {
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |  FROM f JOIN documents d USING (doc_id)),
         |sp AS (SELECT doc_id,
-        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |  CASE WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 90 THEN 'train'
+        |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split FROM documents),
         |a AS (SELECT split, bucket, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM j JOIN sp USING (doc_id) GROUP BY 1, 2),
@@ -2054,16 +2054,18 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin)),
 
     // deterministic TRAIN/VAL/TEST split: pure function of doc_id (stable
-    // under corpus growth, reproducible by any engine); multiplier is
-    // xxHash32's prime 2246822519, decorrelated from the sampling hash's
-    // 2654435761 (same multiplier would make split a constant shift of
-    // the sampling bucket)
+    // under corpus growth, reproducible by any engine); two multiply-mod
+    // rounds over large primes — the intermediate wraps break the
+    // affine-mod-100 reduction a single multiplier has, so id-periodic
+    // corpus structure can't align with split residues (Corpus.dataSplit
+    // scaladoc) — and both multipliers differ from the sampling hash's
+    // 2654435761
     ("q_data_split",
       (s, d) => Corpus.dataSplit(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, lang, source,
-        |  ((doc_id % 1000003) * 2246822519) % 100 AS bucket,
-        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |  ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 AS bucket,
+        |  CASE WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 90 THEN 'train'
+        |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -2089,8 +2091,8 @@ object SparkEntry {
         |              JOIN sz s2 ON doc_id2 = s2.doc_id
         |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
         |sp AS (SELECT doc_id,
-        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |  CASE WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 90 THEN 'train'
+        |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split FROM documents)
         |SELECT doc_id1, s1.split AS split1, doc_id2, s2.split AS split2, jaccard
         |FROM prs JOIN sp s1 ON doc_id1 = s1.doc_id
@@ -2116,8 +2118,8 @@ object SparkEntry {
         |  JOIN sz s1 ON doc_id1 = s1.doc_id JOIN sz s2 ON doc_id2 = s2.doc_id
         |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8),
         |sp AS (SELECT doc_id,
-        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |  CASE WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 90 THEN 'train'
+        |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split FROM documents),
         |bad AS (SELECT doc_id2 AS doc_id FROM prs
         |          JOIN sp s1 ON doc_id1 = s1.doc_id WHERE s1.split = 'train'
@@ -2150,8 +2152,8 @@ object SparkEntry {
           .orderBy("split", "lang")
       },
       Some("""WITH sp AS (SELECT doc_id, lang,
-        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |  CASE WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 90 THEN 'train'
+        |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split,
         |  len(string_split(text, ' ')) AS n FROM documents),
         |a AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2181,8 +2183,8 @@ object SparkEntry {
         |  count(CASE WHEN token NOT IN (SELECT token FROM v) THEN 1 END) AS n_oov
         |  FROM t GROUP BY doc_id),
         |sp AS (SELECT doc_id,
-        |  CASE WHEN ((doc_id % 1000003) * 2246822519) % 100 < 90 THEN 'train'
-        |       WHEN ((doc_id % 1000003) * 2246822519) % 100 < 95 THEN 'val'
+        |  CASE WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 90 THEN 'train'
+        |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split FROM documents)
         |SELECT split, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_oov) AS BIGINT) AS n_oov,

@@ -555,19 +555,28 @@ object Corpus {
 
   /** Deterministic TRAIN/VAL/TEST split — the held-out-evaluation cut
     * every training-data build ships alongside the mix: a document's
-    * split is a pure function of its id (`bucket = ((doc_id % 1000003) *
-    * 2246822519) % 100`; bucket < `trainPct` → train, < trainPct+`valPct`
-    * → val, else test), so the assignment is reproducible by any engine,
-    * stable under corpus growth (an id keeps its split forever — new
-    * crawls never reshuffle old eval docs into train), and needs no
-    * stored split table.
+    * split is a pure function of its id (two multiply-mod mixing rounds
+    * over large primes, then mod 100; bucket < `trainPct` → train,
+    * < trainPct+`valPct` → val, else test), so the assignment is
+    * reproducible by any engine (64-bit integer arithmetic only, every
+    * intermediate < 2^62 — no overflow wrap to disagree on), stable
+    * under corpus growth (an id keeps its split forever — new crawls
+    * never reshuffle old eval docs into train), and needs no stored
+    * split table.
     *
-    * The multiplier is xxHash32's prime 2246822519, NOT
-    * [[stratifiedSample]]'s 2654435761: with the SAME multiplier the two
-    * bucket streams differ by a constant shift (split would be a
-    * deterministic function of the sampling bucket — sampled docs would
-    * pile into a contiguous split band); a different odd multiplier
-    * decorrelates the residues.
+    * WHY two rounds with intermediate large-prime wraps: a single
+    * `(doc_id * A) % 100` — whatever the multiplier — is an affine map
+    * of `doc_id mod 100`, so any id-periodic corpus structure (striped
+    * ingestion, round-robin sharding, this repo's own mod-3/5/7/11 PII
+    * fixture) aligns block-wise with split residues and skews per-stratum
+    * shares; the wraps mod 999999937/999999893 (both prime) in between
+    * destroy that arithmetic-progression structure (a step-k id
+    * progression steps ~2.2k times around the first prime per increment,
+    * equidistributing the residues — Weyl), which the per-stratum
+    * balance spec pins. The round-1 multiplier is xxHash32's prime
+    * 2246822519 and round 2 uses xxHash32's 3266489917, neither of them
+    * [[stratifiedSample]]'s 2654435761, so the split stream is
+    * decorrelated from the sampling bucket stream as well.
     *
     * Scale: a scan-side projection — no shuffle, no state; the split
     * predicate composes with any downstream selection as a pushed filter.
@@ -575,8 +584,10 @@ object Corpus {
   def dataSplit(documents: DataFrame, trainPct: Int = 90,
                 valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "test share must be nonempty")
-    val bucket = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2246822519L),
-      lit(100L))
+    val h1 = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2246822519L),
+      lit(999999937L))
+    val bucket = pmod(pmod(pmod(h1, lit(1000003L)) * lit(3266489917L),
+      lit(999999893L)), lit(100L))
     documents
       .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
       .withColumn("split",

@@ -410,6 +410,35 @@ class CorpusSpec extends SparkSpec {
       s"sampling must not determine the split: $sampledSplits")
   }
 
+  test("split residues decorrelate from id-periodic structure (no affine mod-100 alignment)") {
+    // Any single-multiplier bucket ((doc_id % M) * A) % 100 is an affine
+    // map of doc_id mod 100: every mod-100 residue class lands in ONE
+    // bucket, so striped ingestion (or the PII fixture's mod-3/5/7/11
+    // tails) piles whole classes into one split — class 0 was 100% train,
+    // others 100% test. The two-round large-prime mixer must keep every
+    // residue class's train count in a sane band around the global 90%.
+    val wide = spark.range(10000).select(col("id").as("doc_id"),
+      lit("en").as("lang"), lit("s").as("source"))
+    val byClass = Corpus.dataSplit(wide).collect()
+      .map(r => (r.getLong(0) % 100, r.getString(4)))
+      .groupBy(_._1).map { case (r, xs) =>
+        r -> xs.count(_._2 == "train") }
+    assert(byClass.size == 100)
+    byClass.foreach { case (r, nTrain) =>
+      assert(nTrain >= 75 && nTrain <= 99,
+        s"residue class $r has $nTrain/100 train docs — id-periodic " +
+          s"structure is aligning with the split")
+    }
+    // the PII-fixture periods specifically: each stratum keeps all three
+    // splits populated
+    Seq(3, 5, 7, 11).foreach { p =>
+      val splits = Corpus.dataSplit(wide.filter(col("doc_id") % p === 0))
+        .select("split").distinct().collect().map(_.getString(0)).toSet
+      assert(splits == Set("train", "val", "test"),
+        s"mod-$p stratum must populate all splits: $splits")
+    }
+  }
+
   test("split leakage: exactly the persisted near-dup pairs that straddle the boundary") {
     import spark.implicits._
     val pairs = Seq((0L, 1L, 0.9), (2L, 3L, 0.85)).toDF("doc_id1", "doc_id2", "jaccard")
