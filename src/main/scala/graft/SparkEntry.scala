@@ -146,6 +146,15 @@ object SparkEntry {
     * keep their lazy zero-planning-jobs default when called without an
     * index — spec'd.)
     */
+  /** Family build-geometry versions. The IVFPQ stamp composes BOTH
+    * upstream versions: its persisted answer is a pure function of the
+    * IVF and PQ family contents, so a bump to either must read every
+    * committed ivfpq marker as stale — without this, an ivf-v5 rebuild
+    * would leave a v4-derived ivfpq answer serving as fresh.
+    */
+  private val IvfStampVersion = "ivf-v5"
+  private val PqStampVersion = "pq-v3"
+
   private val ivfTablesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, (Similarity.IvfIndex, DataFrame, DataFrame))]()
   private def ivfTables(s: SparkSession, d: String): (Similarity.IvfIndex, DataFrame, DataFrame) = {
@@ -161,7 +170,10 @@ object SparkEntry {
     // probe depth it needs at the directory level):
     // a marker committed by an older build fails the stamp compare and
     // rebuilds in place instead of half-loading a pairs-less directory.
-    val stamp = "ivf-v4:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v5: fine seeding gains the min-id guard (a sub-cellSize corpus no
+    // longer trains an empty index) — a geometry change, so committed v4
+    // indexes must rebuild.
+    val stamp = IvfStampVersion + ":" + graft.sources.SnapshotStore.fingerprint(s, src)
     ivfTablesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -204,30 +216,65 @@ object SparkEntry {
       })._2
   }
 
-  /** PERSISTED product-quantization family — per-subspace codebooks +
-    * the PQ-encoded corpus ([[Similarity.persistPq]]): training is
-    * once-per-snapshot batch like the IVF index; `q_pq_topk` serves the
-    * compressed linear scan from the stored tables. Same per-call
-    * staleness contract as every family.
+  /** PERSISTED product-quantization family — per-subspace codebooks,
+    * the PQ-encoded corpus, and the default-parameter rerank answer
+    * ([[Similarity.persistPq]]): training is once-per-snapshot batch
+    * like the IVF index; `q_pq_topk` serves the stored `topk` table as
+    * one scan, and the compressed-scan/arbitrary-request paths read the
+    * stored codebooks+codes. Same per-call staleness contract as every
+    * family.
     */
   private val pqCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, DataFrame, DataFrame)]()
-  private def pqTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      (String, DataFrame, DataFrame, DataFrame)]()
+  private def pqTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     pqCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
     // v2: k=64 codebooks + 3 Lloyd rounds (v1's k=16 shortlists recalled
-    // poorly on the near-random synthetic corpus)
-    val stamp = "pq-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // poorly on the near-random synthetic corpus); v3: adds the
+    // default-parameter ADC-shortlist + exact-rerank answer (topk/) —
+    // round-12 verdict next-round 1, the annserve-v6 precedent
+    val stamp = PqStampVersion + ":" + graft.sources.SnapshotStore.fingerprint(s, src)
     val t = pqCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_pq")
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
           Similarity.persistPq(Tables.embeddings(s, d), dir, stamp)
-        (stamp, s.read.parquet(s"$dir/codebooks"), s.read.parquet(s"$dir/codes"))
+        (stamp, s.read.parquet(s"$dir/codebooks"),
+          s.read.parquet(s"$dir/codes"), s.read.parquet(s"$dir/topk"))
       })
-    (t._2, t._3)
+    (t._2, t._3, t._4)
+  }
+
+  /** PERSISTED IVF-PQ default answer ([[Similarity.persistIvfPqTopK]]):
+    * the FAISS-style composition of the two persisted indexes was the
+    * registry's heaviest per-call serving query (probe routing + LUT +
+    * two rerank joins, rebuilt every call) — it now runs once per
+    * embeddings snapshot and `q_ivfpq_topk` serves one scan. The build
+    * composes the ALREADY-persisted IVF + PQ families (both keyed to the
+    * same source fingerprint, so the three stamps go stale together);
+    * [[Similarity.ivfPqTopKServe]] stays the any-parameter path.
+    */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, DataFrame)]()
+  private def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    ivfPqCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/embeddings.parquet"
+    val stamp = s"ivfpq-v1+$IvfStampVersion+$PqStampVersion:" +
+      graft.sources.SnapshotStore.fingerprint(s, src)
+    ivfPqCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_ivfpq")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val (idx, lists, _) = ivfTables(s, d)
+          val (cb, codes, _) = pqTables(s, d)
+          Similarity.persistIvfPqTopK(idx, lists, cb, codes, dir, stamp)
+        }
+        (stamp, s.read.parquet(s"$dir/topk"))
+      })._2
   }
 
   /** PERSISTED full-text search index — postings + lexicon + corpus size
@@ -4054,11 +4101,14 @@ object SparkEntry {
     // float vectors are fetched, and the emitted cosines are exact —
     // the remaining approximation (shortlist membership) is what the
     // witness below bounds.
+    // Served from the PERSISTED pq-v3 default answer (one scan; the
+    // sort re-applies the contract order parquet doesn't keep) —
+    // Similarity.pqTopKRerankServeFrom / pqTopKForQueries remain the
+    // any-parameter / arbitrary-request paths.
     ("q_pq_topk",
       (s, d) => {
-        val (cb, codes) = pqTables(s, d)
-        Similarity.pqTopKRerankServeFrom(Tables.embeddings(s, d), cb, codes)
-          .withColumn("rank", col("rank").cast("long"))
+        val (_, _, topk) = pqTables(s, d)
+        topk.orderBy("query_id", "rank")
       },
       None),
 
@@ -4073,7 +4123,7 @@ object SparkEntry {
     // codebooks); in-corpus parity with the registry path is spec'd.
     ("q_pq_query_serve",
       (s, d) => {
-        val (cb, codes) = pqTables(s, d)
+        val (cb, codes, _) = pqTables(s, d)
         val qs = Tables.embeddings(s, d)
           .filter(col("vec_id") >= 5 && col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding"))
@@ -4084,9 +4134,10 @@ object SparkEntry {
 
     ("q_pq_recall_bound",
       (s, d) => {
-        val (cb, codes) = pqTables(s, d)
-        Similarity.topKRecallBound(
-          Similarity.pqTopKRerankServeFrom(Tables.embeddings(s, d), cb, codes),
+        // the witness bounds the rows ACTUALLY SERVED — the persisted
+        // topk table, not a recompute that could silently diverge from it
+        val (_, _, topk) = pqTables(s, d)
+        Similarity.topKRecallBound(topk,
           Similarity.bruteForceTopK(Tables.embeddings(s, d)), 0.7)
       },
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
@@ -4108,25 +4159,19 @@ object SparkEntry {
     // vectors the inverted lists already carry — the serve touches ONLY
     // persisted index tables. Rows-only (both trainings are
     // hash-seeded); the witness below carries the recall contract.
+    // Served from the PERSISTED ivfpq-v1 default answer (one scan) —
+    // the composition runs once per embeddings snapshot
+    // (Similarity.persistIvfPqTopK); ivfPqTopKServe stays the
+    // any-parameter path.
     ("q_ivfpq_topk",
-      (s, d) => {
-        val (idx, lists, _) = ivfTables(s, d)
-        val (cb, codes) = pqTables(s, d)
-        Similarity.ivfPqTopKServe(idx, lists, cb, codes,
-            shortlist = 200, nprobe = 16)
-          .withColumn("rank", col("rank").cast("long"))
-      },
+      (s, d) => ivfPqTopK(s, d).orderBy("query_id", "rank"),
       None),
 
     ("q_ivfpq_recall_bound",
-      (s, d) => {
-        val (idx, lists, _) = ivfTables(s, d)
-        val (cb, codes) = pqTables(s, d)
-        Similarity.topKRecallBound(
-          Similarity.ivfPqTopKServe(idx, lists, cb, codes,
-            shortlist = 200, nprobe = 16),
-          Similarity.bruteForceTopK(Tables.embeddings(s, d)), 0.7)
-      },
+      (s, d) =>
+        // bounds the served table itself (see q_pq_recall_bound)
+        Similarity.topKRecallBound(ivfPqTopK(s, d),
+          Similarity.bruteForceTopK(Tables.embeddings(s, d)), 0.7),
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < 5),
         |scored AS (

@@ -295,8 +295,15 @@ class SimilaritySpec extends SparkSpec {
     // MEANS put them between density masses.
     val thetaOf = (i: Int) => (i - 1).toDouble / 318.0 * (math.Pi / 2)
     val qTheta = (thetaOf(120) + thetaOf(275)) / 2
-    val rows = (0 until 320).map { i =>
-      val t = if (i == 0) qTheta else thetaOf(i)
+    val rows = (-1 until 320).map { i =>
+      // vec -1 absorbs fineSeedsOf's min-id guard (which would otherwise
+      // hand the QUERY its own seed cell and vacuously pass the
+      // seeds-only side). It sits at exactly vec 120's angle, so the
+      // guard seed COINCIDES with a hash seed: the deterministic
+      // lower-id tie-break routes that whole region to -1, centroid 120
+      // empties out and drops, and the fixture keeps its original
+      // two-effective-cells geometry and convergence budget.
+      val t = if (i == 0) qTheta else if (i == -1) thetaOf(120) else thetaOf(i)
       val v = Array.tabulate(8)(d =>
         if (d == 0) (10 * math.cos(t)).toFloat
         else if (d == 1) (10 * math.sin(t)).toFloat else 0f)

@@ -582,4 +582,58 @@ class SnapshotSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"scoring joins must all broadcast:\n$plan")
   }
+
+  test("PQ/IVFPQ default answers persist: one-scan serving, recompute parity, staleness (r12 next-round 1)") {
+    import graft.operators.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // build both families, then check the served rows equal a full recompute
+    val pqServed = rows(SparkEntry.queries("q_pq_topk")(spark, sf))
+    val ivfpqServed = rows(SparkEntry.queries("q_ivfpq_topk")(spark, sf))
+    val src = s"$sf/embeddings.parquet"
+    val pqDir = SnapshotStore.snapshotDir(spark, src, "graft_pq")
+    val (cb, codes) = (spark.read.parquet(s"$pqDir/codebooks"),
+      spark.read.parquet(s"$pqDir/codes"))
+    val emb = Tables.embeddings(spark, sf)
+    assert(pqServed == rows(Similarity.pqTopKRerankServeFrom(emb, cb, codes)
+        .withColumn("rank", col("rank").cast("long"))),
+      "persisted PQ topk must equal the any-parameter path at defaults")
+    val (idx, lists) = Similarity.loadIndex(spark,
+      SnapshotStore.snapshotDir(spark, src, "graft_ivf"))
+    assert(ivfpqServed == rows(Similarity.ivfPqTopKServe(idx, lists, cb, codes,
+        shortlist = 200, nprobe = 16)
+        .withColumn("rank", col("rank").cast("long"))),
+      "persisted IVFPQ topk must equal the any-parameter path at defaults")
+    // serving is ONE scan of the family's topk table — never the
+    // composition (probe routing + LUT + rerank joins) per call
+    Seq(("q_pq_topk", "graft_pq"), ("q_ivfpq_topk", "graft_ivfpq"))
+      .foreach { case (q, fam) =>
+        val scans = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).filter(_.contains("FileScan"))
+        assert(scans.length == 1 && scans.head.contains(fam),
+          s"$q must serve one $fam scan:\n${scans.mkString("\n")}")
+      }
+    // per-call staleness: a regenerated embeddings source must re-serve a
+    // fresh composed answer on the NEXT call (all three stamps — ivf, pq,
+    // ivfpq — key to the same source fingerprint)
+    val base = Files.createTempDirectory("snapivfpq")
+    def writeCorpus(twin: Long): Unit =
+      (0L until 10L).map { i =>
+        val v =
+          if (i == twin) Array.tabulate(64)(j => if (j == 0) 9f else 1f)
+          else Array.tabulate(64)(j => if (j == i * 6) 10f else 1f)
+        (i, v, (i % 4).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    writeCorpus(twin = 1L)
+    def top1(): Long = SparkEntry.queries("q_ivfpq_topk")(spark, base.toString)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(1)
+    assert(top1() == 1L, "corpus A plants vec 1 as query 0's nearest")
+    Thread.sleep(5)
+    writeCorpus(twin = 2L)
+    assert(top1() == 2L,
+      "a stale persisted answer would still report vec 1 after regeneration")
+  }
 }
