@@ -430,15 +430,22 @@ object SparkEntry {
     */
   private val qualityCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, DataFrame, DataFrame)]()
+      (String, DataFrame, DataFrame, DataFrame)]()
   // v2: adds the Gopher per-rule flags as a second family table — both
   // canonical gates are row-local and snapshot-determined, so the
   // agreement cross-tab joins two narrow scans instead of re-running
   // both rule passes per call.
-  private def qualityTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  // v3: adds the per-doc PII audit counts (doc_id, n_pii over the
+  // injected view — round-12 verdict next-round 5): the scrub is
+  // row-local and snapshot-determined like the gates, and persisting the
+  // counts lets the curation funnel report its scrub stage from a narrow
+  // scan without ever touching documents.parquet. The stamp string also
+  // versions the SHAPE SET — a pattern-family addition changes n_pii, so
+  // it must read committed older tables as stale.
+  private def qualityTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     qualityCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "quality-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "quality-v3-pii6:" + graft.sources.SnapshotStore.fingerprint(s, src)
     val t = qualityCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -448,16 +455,22 @@ object SparkEntry {
             .write.mode("overwrite").parquet(s"$dir/flags")
           TextAnalysis.gopherFilter(Tables.documents(s, d))
             .write.mode("overwrite").parquet(s"$dir/gflags")
+          Pii.scrubPii(Pii.withInjectedPii(Tables.documents(s, d)))
+            .select(col("doc_id"), col("n_pii"))
+            .write.mode("overwrite").parquet(s"$dir/pii")
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
-        (stamp, s.read.parquet(s"$dir/flags"), s.read.parquet(s"$dir/gflags"))
+        (stamp, s.read.parquet(s"$dir/flags"), s.read.parquet(s"$dir/gflags"),
+          s.read.parquet(s"$dir/pii"))
       })
-    (t._2, t._3)
+    (t._2, t._3, t._4)
   }
   private def qualityFlags(s: SparkSession, d: String): DataFrame =
     qualityTables(s, d)._1
   private def gopherFlags(s: SparkSession, d: String): DataFrame =
     qualityTables(s, d)._2
+  private def piiCounts(s: SparkSession, d: String): DataFrame =
+    qualityTables(s, d)._3
 
   /** PERSISTED media-fingerprint family — perceptual hashes + verified
     * near-dup pairs ([[Multimodal.persistMediaPhash]]) built once per
@@ -3049,10 +3062,13 @@ object SparkEntry {
         |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)} AS n_emails,
         |  ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)} AS n_phones,
         |  ${Pii.Sql.markCount("clean_text", Pii.IpMark)} AS n_ips,
-        |  ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_ids
+        |  ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_ids,
+        |  ${Pii.Sql.markCount("clean_text", Pii.E164Mark)} AS n_intl_phones,
+        |  ${Pii.Sql.markCount("clean_text", Pii.IbanMark)} AS n_ibans
         |  FROM scr)
         |SELECT doc_id, lang, source, clean_text, n_emails, n_phones, n_ips,
-        |  n_ids, n_emails + n_phones + n_ips + n_ids AS n_pii
+        |  n_ids, n_intl_phones, n_ibans,
+        |  n_emails + n_phones + n_ips + n_ids + n_intl_phones + n_ibans AS n_pii
         |FROM cnt ORDER BY doc_id""".stripMargin)),
 
     // per-source PII-rate dataset-card row (the dup-rate-by-source
@@ -3069,16 +3085,22 @@ object SparkEntry {
         |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)} AS n_emails,
         |  ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)} AS n_phones,
         |  ${Pii.Sql.markCount("clean_text", Pii.IpMark)} AS n_ips,
-        |  ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_ids
+        |  ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_ids,
+        |  ${Pii.Sql.markCount("clean_text", Pii.E164Mark)} AS n_intl_phones,
+        |  ${Pii.Sql.markCount("clean_text", Pii.IbanMark)} AS n_ibans
         |  FROM scr)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_ids > 0
+        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_ids
+        |      + n_intl_phones + n_ibans > 0
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
         |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
-        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_ids > 0
+        |  CAST(sum(n_intl_phones) AS BIGINT) AS n_intl_phones,
+        |  CAST(sum(n_ibans) AS BIGINT) AS n_ibans,
+        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_ids
+        |      + n_intl_phones + n_ibans > 0
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pii_rate
         |FROM cnt GROUP BY source ORDER BY source""".stripMargin)),
 
@@ -3123,7 +3145,9 @@ object SparkEntry {
         |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)}
         |  + ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)}
         |  + ${Pii.Sql.markCount("clean_text", Pii.IpMark)}
-        |  + ${Pii.Sql.markCount("clean_text", Pii.IdMark)} AS n_pii,
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IdMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.E164Mark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IbanMark)} AS n_pii,
         |  clean_text
         |FROM scr ORDER BY doc_id""".stripMargin)),
 
@@ -3448,13 +3472,18 @@ object SparkEntry {
         |ORDER BY d2.doc_id""".stripMargin)),
 
     // CURATION FUNNEL: per-stage survivor counts of the scale-shape clean
-    // pipeline (corpus -> quality -> decontaminate -> lexical dedup ->
-    // semantic dedup) — the one-glance report a curation run publishes
-    // ("which stage ate the corpus"). Stage membership is NESTED (each
-    // stage filters its predecessor), so all five counts come from ONE
-    // aggregate over a doc_id-flags frame (stage sets left-joined as
-    // 1-bit marks) and unpivot via stack; the stage frames themselves are
-    // the pipeline's own (expensive sides all snapshot-served).
+    // pipeline (corpus -> quality -> decontaminate -> pii scrub ->
+    // lexical dedup -> semantic dedup) — the one-glance report a
+    // curation run publishes ("which stage ate the corpus"). Stage
+    // membership is NESTED (each stage filters its predecessor), so the
+    // counts come from ONE aggregate over a doc_id-flags frame (stage
+    // sets left-joined as 1-bit marks) and unpivot via stack; the stage
+    // frames themselves are the pipeline's own (expensive sides all
+    // snapshot-served). The scrub stage (r12 verdict next-round 5) is
+    // ZERO-ATTRITION — masking drops no documents — so its row reports
+    // the number of PII-AFFECTED documents among the stage's input
+    // survivors (the audit count a scrub publishes), from the persisted
+    // quality-family pii table; survivor counts pass through unchanged.
     ("q_curation_funnel",
       (s, d) => {
         // Every stage flag is snapshot-served (round-11 verdict item 1):
@@ -3479,6 +3508,11 @@ object SparkEntry {
           .join(contaminated, Seq("doc_id"), "left")
           .select(col("doc_id"), col("k1"),
             (col("k1") === 1L && col("contaminated").isNull).cast("long").as("k2"))
+          // the zero-attrition scrub stage's audit mark: PII-affected
+          // among the decon survivors, off the persisted pii counts
+          .join(piiCounts(s, d), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("k1"), col("k2"),
+            (col("k2") === 1L && col("n_pii") > 0L).cast("long").as("kp"))
           .localCheckpoint(eager = false)
         // dedup drops come from the PERSISTED pair tables restricted to
         // the surviving flags
@@ -3490,7 +3524,7 @@ object SparkEntry {
           .select(col("doc_id2").as("doc_id")).distinct()
           .withColumn("lexdrop", lit(1L))
         val f2 = f1.join(lexDrop, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("k1"), col("k2"),
+          .select(col("doc_id"), col("k1"), col("k2"), col("kp"),
             (col("k2") === 1L && col("lexdrop").isNull).cast("long").as("k3"))
         val semDrop = annServeTables(s, d).pairs
           .join(f2.filter(col("k3") === 1L).select(col("doc_id").as("vec_id1")),
@@ -3504,11 +3538,13 @@ object SparkEntry {
             count(lit(1)).as("n0"),
             sum(col("k1")).as("n1"),
             sum(col("k2")).as("n2"),
+            sum(col("kp")).as("np"),
             sum(col("k3")).as("n3"),
             sum((col("k3") === 1L && col("semdrop").isNull).cast("long")).as("n4"))
-          .select(expr("stack(5, 0, 'corpus', n0, 1, 'quality', n1, " +
-            "2, 'decontaminated', n2, 3, 'lexical_dedup', n3, " +
-            "4, 'semantic_dedup', n4) AS (stage_id, stage, n_docs)"))
+          .select(expr("stack(6, 0, 'corpus', n0, 1, 'quality', n1, " +
+            "2, 'decontaminated', n2, 3, 'pii_scrub', np, " +
+            "4, 'lexical_dedup', n3, " +
+            "5, 'semantic_dedup', n4) AS (stage_id, stage, n_docs)"))
           .orderBy("stage_id")
       },
       Some(s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
@@ -3571,13 +3607,24 @@ object SparkEntry {
         |  WHERE vec_id1 IN (SELECT doc_id FROM lex)
         |    AND vec_id2 IN (SELECT doc_id FROM lex)),
         |fin AS (SELECT doc_id FROM lex
-        |  WHERE doc_id NOT IN (SELECT vec_id2 FROM semdrop))
+        |  WHERE doc_id NOT IN (SELECT vec_id2 FROM semdrop)),
+        |pinj AS (SELECT doc_id, ${Pii.Sql.inject} AS text FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM dcn)),
+        |pscr AS (SELECT doc_id, ${Pii.Sql.scrub("text")} AS clean_text FROM pinj),
+        |ppii AS (SELECT doc_id FROM pscr WHERE
+        |  ${Pii.Sql.markCount("clean_text", Pii.EmailMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.PhoneMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IpMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IdMark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.E164Mark)}
+        |  + ${Pii.Sql.markCount("clean_text", Pii.IbanMark)} > 0)
         |SELECT CAST(stage_id AS INT) AS stage_id, stage, n_docs FROM (VALUES
         |  (0, 'corpus', (SELECT count(*) FROM corp)),
         |  (1, 'quality', (SELECT count(*) FROM q)),
         |  (2, 'decontaminated', (SELECT count(*) FROM dcn)),
-        |  (3, 'lexical_dedup', (SELECT count(*) FROM lex)),
-        |  (4, 'semantic_dedup', (SELECT count(*) FROM fin))
+        |  (3, 'pii_scrub', (SELECT count(*) FROM ppii)),
+        |  (4, 'lexical_dedup', (SELECT count(*) FROM lex)),
+        |  (5, 'semantic_dedup', (SELECT count(*) FROM fin))
         |) AS v(stage_id, stage, n_docs) ORDER BY stage_id""".stripMargin)),
 
     // per-source duplication report: content identity via the codegen'd

@@ -32,28 +32,60 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** The four shape patterns — single source of truth for the operator
+  /** The six shape patterns — single source of truth for the operator
     * AND the oracle builder (same literal lands in both engines).
+    *
+    * Round-13 additions (r12 verdict next-round 6), the two
+    * highest-frequency production families the original four-ASCII-shape
+    * set missed:
+    *  - E.164 international phone: `+` then 8-15 digits, first nonzero
+    *    (ITU e.164 length envelope). No leading `\b` — `+` is not a word
+    *    character, so a boundary there never matches; the trailing `\b`
+    *    stops mid-digit-run bites, and an over-long digit run (>15)
+    *    fails the boundary at every backtrack width, so it matches
+    *    nothing rather than a prefix — identical leftmost semantics in
+    *    Java regex and RE2.
+    *  - IBAN (electronic format): 2 country letters, 2 check digits,
+    *    11-30 alphanumerics — the envelope covering every published
+    *    national IBAN length (15..34 total).
     */
   val EmailPattern: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val E164Pattern: String  = "\\+[1-9]\\d{7,14}\\b"
   val Ipv4Pattern: String  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhonePattern: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
   val IdPattern: String    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val IbanPattern: String  = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
 
   val EmailMark = "<EMAIL>"
+  val E164Mark  = "<INTL>"
   val IpMark    = "<IP>"
   val PhoneMark = "<PHONE>"
   val IdMark    = "<ID>"
+  val IbanMark  = "<IBAN>"
 
-  /** The masking chain over a text column (fixed order — see class doc). */
+  /** The masking chain over a text column (fixed order — see class doc).
+    * Order argument for the two new passes: E.164 runs right after email
+    * because it is the only pattern anchored on `+` (which only an email
+    * local part could also contain — already consumed by pass 1), and
+    * its bare digit run must be gone before any later pattern could in
+    * principle see it; IBAN runs last because it is the only letter-led
+    * pattern — it shares no alphabet overlap with the dot/dash/plus
+    * anchored shapes, and the digit-free markers guarantee it can never
+    * re-match an earlier pass's output (its `\d{2}` check digits cannot
+    * appear in any marker).
+    */
   def scrubCol(text: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(
-          regexp_replace(text, EmailPattern, EmailMark),
-          Ipv4Pattern, IpMark),
-        PhonePattern, PhoneMark),
-      IdPattern, IdMark)
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, EmailPattern, EmailMark),
+              E164Pattern, E164Mark),
+            Ipv4Pattern, IpMark),
+          PhonePattern, PhoneMark),
+        IdPattern, IdMark),
+      IbanPattern, IbanMark)
 
   /** Placeholder occurrences in scrubbed text = replacements made; the
     * split-count form is engine-portable (no regexp-count dialect) and
@@ -75,9 +107,12 @@ object Pii {
         markCount(col("clean_text"), EmailMark).as("n_emails"),
         markCount(col("clean_text"), PhoneMark).as("n_phones"),
         markCount(col("clean_text"), IpMark).as("n_ips"),
-        markCount(col("clean_text"), IdMark).as("n_ids"))
+        markCount(col("clean_text"), IdMark).as("n_ids"),
+        markCount(col("clean_text"), E164Mark).as("n_intl_phones"),
+        markCount(col("clean_text"), IbanMark).as("n_ibans"))
       .withColumn("n_pii",
-        col("n_emails") + col("n_phones") + col("n_ips") + col("n_ids"))
+        col("n_emails") + col("n_phones") + col("n_ips") + col("n_ids") +
+          col("n_intl_phones") + col("n_ibans"))
   }
 
   /** Per-source PII-rate dataset-card row over a [[scrubPii]] output:
@@ -92,7 +127,9 @@ object Pii {
         sum("n_emails").as("n_emails"),
         sum("n_phones").as("n_phones"),
         sum("n_ips").as("n_ips"),
-        sum("n_ids").as("n_ids"))
+        sum("n_ids").as("n_ids"),
+        sum("n_intl_phones").as("n_intl_phones"),
+        sum("n_ibans").as("n_ibans"))
       .withColumn("pii_rate",
         col("n_pii_docs").cast("double") / col("n_docs").cast("double"))
       .orderBy("source")
@@ -100,12 +137,14 @@ object Pii {
   /** DETERMINISTIC PII-injection fixture (the
     * [[Multimodal.mediaFromDocuments]] precedent): the synthetic corpus
     * carries no contact shapes, so the registry derives a "wild" view
-    * in-plan — contact tails keyed off `doc_id` residues (mod 3/5/7/11:
-    * email/phone/IPv4/id), every generated value inside reserved example
-    * ranges (example.org, the fictional 555-01xx/202-555 NANP block,
-    * 10.0.0.0/8, 900- SSN area — never real identifiers). Row-local and
-    * mirrored literally by [[Sql.inject]], so every scrub query stays
-    * hash-checked and non-vacuous at all SFs.
+    * in-plan — contact tails keyed off `doc_id` residues (mod
+    * 3/5/7/11/13/17: email/phone/IPv4/id/E.164/IBAN), every generated
+    * value inside reserved example ranges (example.org, the fictional
+    * 555-01xx/202-555 NANP block, 10.0.0.0/8, 900- SSN area, the
+    * unassigned +999 country code, the user-reserved ZZ IBAN country —
+    * never real identifiers). Row-local and mirrored literally by
+    * [[Sql.inject]], so every scrub query stays hash-checked and
+    * non-vacuous at all SFs.
     */
   def withInjectedPii(documents: DataFrame): DataFrame = {
     val id = col("doc_id")
@@ -124,7 +163,12 @@ object Pii {
           lit("."), pmod(id * 13, lit(256)).cast("string"))),
         tail(11, concat(lit(" ssn 900-"),
           lpad((pmod(id, lit(90)) + 10).cast("string"), 2, "0"),
-          lit("-"), lpad(pmod(id * 3, lit(10000)).cast("string"), 4, "0")))
+          lit("-"), lpad(pmod(id * 3, lit(10000)).cast("string"), 4, "0"))),
+        tail(13, concat(lit(" intl +999"),
+          lpad(pmod(id * 17, lit(100000000L)).cast("string"), 8, "0"))),
+        tail(17, concat(lit(" acct ZZ"),
+          lpad(pmod(id, lit(97)).cast("string"), 2, "0"), lit("GRAFT"),
+          lpad(pmod(id * 31, lit(1000000000L)).cast("string"), 9, "0")))
       ).as("text"))
   }
 
@@ -136,7 +180,9 @@ object Pii {
         | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END
         | || CASE WHEN doc_id % 5 = 0 THEN ' call 202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
         | || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
-        | || CASE WHEN doc_id % 11 = 0 THEN ' ssn 900-' || lpad(CAST((doc_id % 90) + 10 AS VARCHAR), 2, '0') || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+        | || CASE WHEN doc_id % 11 = 0 THEN ' ssn 900-' || lpad(CAST((doc_id % 90) + 10 AS VARCHAR), 2, '0') || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        | || CASE WHEN doc_id % 13 = 0 THEN ' intl +999' || lpad(CAST((doc_id * 17) % 100000000 AS VARCHAR), 8, '0') ELSE '' END
+        | || CASE WHEN doc_id % 17 = 0 THEN ' acct ZZ' || lpad(CAST(doc_id % 97 AS VARCHAR), 2, '0') || 'GRAFT' || lpad(CAST((doc_id * 31) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END"""
         .stripMargin.replace("\n", "")
 
     /** The masking chain over a text expression — identical pattern
@@ -144,11 +190,14 @@ object Pii {
       * Spark default, but DuckDB's default is first-match-only).
       */
     def scrub(texpr: String): String =
-      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($texpr, " +
+      s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(regexp_replace($texpr, " +
         s"'$EmailPattern', '$EmailMark', 'g'), " +
+        s"'$E164Pattern', '$E164Mark', 'g'), " +
         s"'$Ipv4Pattern', '$IpMark', 'g'), " +
         s"'$PhonePattern', '$PhoneMark', 'g'), " +
-        s"'$IdPattern', '$IdMark', 'g')"
+        s"'$IdPattern', '$IdMark', 'g'), " +
+        s"'$IbanPattern', '$IbanMark', 'g')"
 
     /** Per-family marker count over a scrubbed expression. */
     def markCount(cexpr: String, mark: String): String =

@@ -978,13 +978,33 @@ class LlmOpsSpec extends SparkSpec {
     val f = SparkEntry.queries("q_curation_funnel")(spark, sf).collect()
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
     assert(f.map(_._2).toSeq == Seq("corpus", "quality", "decontaminated",
-      "lexical_dedup", "semantic_dedup"), s"stage order: ${f.toSeq}")
-    assert(f.sliding(2).forall(w => w(0)._3 >= w(1)._3),
-      s"each stage can only shrink the corpus: ${f.toSeq}")
-    assert(f.head._3 > f.last._3 && f.last._3 > 0,
+      "pii_scrub", "lexical_dedup", "semantic_dedup"), s"stage order: ${f.toSeq}")
+    // survivor rows stay monotone; the scrub row is a zero-attrition
+    // AUDIT count (PII-affected docs among its input survivors), so it
+    // sits out the monotonicity chain but is bounded by its input stage
+    val surv = f.filter(_._2 != "pii_scrub")
+    assert(surv.sliding(2).forall(w => w(0)._3 >= w(1)._3),
+      s"each attrition stage can only shrink the corpus: ${f.toSeq}")
+    val scrubRow = f.find(_._2 == "pii_scrub").get
+    val decon = f.find(_._2 == "decontaminated").get
+    assert(scrubRow._3 <= decon._3 && scrubRow._3 > 0,
+      s"scrub audit count must be a nonzero subset of its input: ${f.toSeq}")
+    assert(surv.head._3 > surv.last._3 && surv.last._3 > 0,
       s"the funnel must be non-vacuous both ways: ${f.toSeq}")
     // the final stage IS the scale pipeline's survivor set
     val fin = SparkEntry.queries("q_pipeline_scale_clean")(spark, sf).count()
-    assert(f.last._3 == fin, s"funnel end ${f.last._3} != pipeline $fin")
+    assert(surv.last._3 == fin, s"funnel end ${surv.last._3} != pipeline $fin")
+    // consistency with the shipped scrub artifacts: the funnel's scrub
+    // row counts exactly q_pipeline_scrubbed's PII-affected survivors
+    // (same quality+decon survivor set), and is bounded by q_pii_rate's
+    // whole-corpus affected total
+    val scrubbedPii = SparkEntry.queries("q_pipeline_scrubbed")(spark, sf)
+      .filter(col("n_pii") > 0).count()
+    assert(scrubRow._3 == scrubbedPii,
+      s"funnel scrub row ${scrubRow._3} != pipeline_scrubbed $scrubbedPii")
+    val rateTotal = SparkEntry.queries("q_pii_rate")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_pii_docs")).head().getLong(0)
+    assert(scrubRow._3 <= rateTotal,
+      s"restricted scrub count ${scrubRow._3} cannot exceed corpus total $rateTotal")
   }
 }

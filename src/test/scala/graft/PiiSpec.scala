@@ -39,9 +39,38 @@ class PiiSpec extends SparkSpec {
   }
 
   test("scrubbing is idempotent (digit-free placeholders cannot re-match)") {
-    val dirty = "mail a@b.org ip 10.1.2.3 tel 202-555-0100 id 900-10-0000"
+    val dirty = "mail a@b.org ip 10.1.2.3 tel 202-555-0100 id 900-10-0000" +
+      " intl +99912345678 acct ZZ97GRAFT000000031"
     val once = scrubOne(dirty)._1
     assert(scrubOne(once)._1 == once, "second pass must be a fixpoint")
+  }
+
+  test("E.164 and IBAN shapes (r12 next-round 6): masked, bounded, never mid-word, all six coexist") {
+    def scrub6(text: String): (String, Long, Long) = {
+      val r = Pii.scrubPii(
+        Seq((1L, text, "en", "src0")).toDF("doc_id", "text", "lang", "source"))
+        .select("clean_text", "n_intl_phones", "n_ibans").head()
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    }
+    assert(scrub6("dial +99912345678 now") == (("dial <INTL> now", 1L, 0L)))
+    assert(scrub6("wire ZZ97GRAFT000000031 today") ==
+      (("wire <IBAN> today", 0L, 1L)))
+    // E.164 length envelope: 8-15 digits, leading nonzero — a 7-digit or
+    // 16-digit run, or a leading zero, is NOT a number (no prefix bite:
+    // the trailing \b fails at every backtrack width)
+    assert(scrub6("+1234567 short")._2 == 0L, "7 digits must not match")
+    assert(scrub6("+9999999999999999 long")._2 == 0L, "16 digits must not match")
+    assert(scrub6("+0123456789 zero")._2 == 0L, "leading zero must not match")
+    // IBAN anchors on a word start: an alnum prefix kills the match, and
+    // the BBAN length envelope (11-30 after the check digits) binds
+    assert(scrub6("XZZ97GRAFT000000031 glued")._3 == 0L,
+      "mid-word IBAN shapes must not match")
+    assert(scrub6("ZZ97SHORT1 tiny")._3 == 0L, "sub-11-char BBAN must not match")
+    // a NANP phone is not an E.164 (no +), an E.164 is not an IP (no dots)
+    val (c, i, b) = scrub6(
+      "a@b.org +99912345678 10.0.0.1 202-555-0100 900-10-0000 ZZ97GRAFT000000031")
+    assert(c == "<EMAIL> <INTL> <IP> <PHONE> <ID> <IBAN>", s"got: $c")
+    assert((i, b) == ((1L, 1L)))
   }
 
   test("injected fixture: residue classes carry their shapes and the scrub recovers the original tail-free text") {
@@ -66,6 +95,21 @@ class PiiSpec extends SparkSpec {
       assert(p == (if (i % 5 == 0) 1L else 0L), s"phone count at $i")
       assert(ip == (if (i % 7 == 0) 1L else 0L), s"ip count at $i")
       assert(id == (if (i % 11 == 0) 1L else 0L), s"id count at $i")
+    }
+    // the round-13 residue classes (mod 13 E.164, mod 17 IBAN) — widen
+    // the corpus so each class has a nonzero member
+    val wide = (0L to 20L).map(i => (i, s"base text $i", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    Pii.scrubPii(Pii.withInjectedPii(wide)).collect().foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getAs[Long]("n_intl_phones") == (if (i % 13 == 0) 1L else 0L),
+        s"intl count at $i")
+      assert(r.getAs[Long]("n_ibans") == (if (i % 17 == 0) 1L else 0L),
+        s"iban count at $i")
+      assert(r.getAs[Long]("n_pii") ==
+        Seq("n_emails", "n_phones", "n_ips", "n_ids", "n_intl_phones",
+          "n_ibans").map(r.getAs[Long](_)).sum,
+        s"n_pii must total all six families at $i")
     }
   }
 
