@@ -344,6 +344,31 @@ object Similarity {
                 probeDepth: Int = 3, maxPack: Int = MaxPackedCell): DataFrame =
     assignFine(prepared(embeddings), index, cprobe, probeDepth, "vec_id", maxPack)
 
+  /** Route NEW vectors into an EXISTING (frozen) cell geometry — the
+    * [[ivfAssign]] kernel for a streamed delta
+    * ([[graft.streaming.IvfStream]]'s per-batch step): the centroids are
+    * deliberately not retrained (the [[graft.streaming.EncodeStream]]
+    * commensurability argument verbatim — a cell id is only meaningful
+    * against ONE centroid generation, and every probe routing compares
+    * queries against the same frozen geometry the stored lists were
+    * routed with; geometry refresh is a snapshot rebuild, not a
+    * streaming concern). Differences from the corpus pass, both
+    * delta-shaped: a missing `label` column is tolerated (streamed
+    * vectors may arrive unlabeled; the lists' schema keeps the column as
+    * null — [[filteredTopK]]-style predicates simply never match them),
+    * and zero-norm vectors drop — they are cosine-unanswerable, so
+    * routing them anywhere would only seed NaN scores in every probe of
+    * their cell (the [[pqTopKForQueries]] eligibility rule).
+    */
+  def ivfAssignDelta(vecs: DataFrame, index: IvfIndex, cprobe: Int = 4,
+                     probeDepth: Int = 3, maxPack: Int = MaxPackedCell): DataFrame = {
+    val withLabel =
+      if (vecs.columns.contains("label")) vecs
+      else vecs.withColumn("label", lit(null).cast("int"))
+    assignFine(prepared(withLabel).filter(col("nrm") > 0), index, cprobe,
+      probeDepth, "vec_id", maxPack)
+  }
+
   /** Route fine centroids to their nearest coarse cell (packed-broadcast
     * argmax — the fine side stays distributed, no exchange added).
     */

@@ -485,6 +485,21 @@ class Pipeline(
     EncodeStream.start(vecs, codebookDir, pqStorePath, m, dim,
       checkpointDir = Some(s"$checkpointRoot/pq"))
 
+  def ivfStorePath: String = s"$storeRoot/ivf"
+
+  /** IVF inverted-list growth as a topology member ([[IvfStream]]): the
+    * embedding source routed into the frozen cell geometry per
+    * micro-batch, epoch deltas under the shared store root with their
+    * own checkpoint dir like every sibling — the last asymmetry of the
+    * stream-grown index story closed: a streamed vector is
+    * dedup-matchable ([[startEmbedDedup]]), ADC-searchable
+    * ([[startPqEncode]]) AND IVF-routable the epoch after it arrives.
+    */
+  def startIvfGrow(vecs: DataFrame, indexDir: String,
+                   probeDepth: Int = 4): StreamingQuery =
+    IvfStream.start(vecs, indexDir, ivfStorePath, probeDepth,
+      checkpointDir = Some(s"$checkpointRoot/ivf-grow"))
+
   def mediaSearchStorePath: String = s"$storeRoot/media-search"
 
   /** Reverse-media-search serving as a topology member (round-10 verdict

@@ -547,8 +547,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("thirteen-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
-    "embedding ingest + PQ encode, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("fourteen-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -579,6 +579,11 @@ class StreamingSpec extends SparkSpec {
         (2L, Array.tabulate(8)(i => if (i == 2) 10f else 1f)))
       .toDF("vec_id", "embedding"), m = 2, k = 2, trainIters = 1, dim = 8)
       .write.parquet(s"$base/pqcb")
+    Similarity.persistIndex(Seq(
+        (1L, Array.tabulate(8)(i => if (i == 0) 10f else 1f), 0),
+        (2L, Array.tabulate(8)(i => if (i == 2) 10f else 1f), 1))
+      .toDF("vec_id", "embedding", "label"),
+      s"$base/ivfindex", stamp = "spec", probeDepth = 2, pairNprobe = 2)
     // five sources: events, crawl docs, media ingest, media probes, tokenizer docs
     val events = MemoryStream[EventRec]
     val docs = MemoryStream[(Long, String)]
@@ -589,6 +594,7 @@ class StreamingSpec extends SparkSpec {
     val scrubDocs = MemoryStream[(Long, String)]
     val ixDocs = MemoryStream[(Long, String)]
     val pqVecs = MemoryStream[(Long, Array[Float])]
+    val ivfVecs = MemoryStream[(Long, Array[Float])]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -604,9 +610,11 @@ class StreamingSpec extends SparkSpec {
       p.startScrub(scrubDocs.toDF().toDF("doc_id", "text")),
       p.startIndexer(ixDocs.toDF().toDF("doc_id", "text")),
       p.startPqEncode(pqVecs.toDF().toDF("vec_id", "embedding"),
-        s"$base/pqcb", m = 2, dim = 8))
+        s"$base/pqcb", m = 2, dim = 8),
+      p.startIvfGrow(ivfVecs.toDF().toDF("vec_id", "embedding"),
+        s"$base/ivfindex", probeDepth = 2))
     try {
-      assert(queries.length == 13)
+      assert(queries.length == 14)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -618,6 +626,7 @@ class StreamingSpec extends SparkSpec {
       scrubDocs.addData((500L, "mail a@b.org"), (501L, "clean words"))
       ixDocs.addData((600L, "fresh crawl tokens"))
       pqVecs.addData((700L, Array.tabulate(8)(i => if (i == 0) 9f else 1f)))
+      ivfVecs.addData((800L, Array.tabulate(8)(i => if (i == 0) 9f else 1f)))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -653,5 +662,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(pqOut.keySet == Set(700L) && pqOut(700L).length == 2,
       s"PQ member must code against the frozen codebooks: $pqOut")
+    val ivfGrown = spark.read.parquet(s"${p.ivfStorePath}/lists_delta")
+      .select("vec_id", "cell_rank").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).intValue())).toSet
+    assert(ivfGrown.contains((800L, 1)),
+      s"IVF growth member must route the streamed vector to a home cell: $ivfGrown")
   }
 }
