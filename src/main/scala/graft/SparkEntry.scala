@@ -277,6 +277,32 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED passage-retrieval family — chunk vectors, the sign-LSH
+    * band-triple index and the default-parameter diversity-capped top-k
+    * ([[graft.operators.Passage.persistPassage]]): the RAG composition
+    * (chunk → embed → index → retrieve) builds once per documents
+    * snapshot; `q_passage_topk` serves the stored answer as one scan and
+    * [[graft.operators.Passage.passageTopKServeFrom]] stays the
+    * any-parameter path over the persisted vectors + bands. Same per-call
+    * staleness contract as every family.
+    */
+  private val passageCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, graft.operators.Passage.PassageTables)]()
+  private def passageTables(s: SparkSession, d: String): graft.operators.Passage.PassageTables = {
+    passageCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "passage-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    passageCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_passage")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
+          graft.operators.Passage.persistPassage(Tables.documents(s, d), dir, stamp)
+        (stamp, graft.operators.Passage.loadPassage(s, dir))
+      })._2
+  }
+
   /** PERSISTED full-text search index — postings + lexicon + corpus size
     * behind `q_keyword_search` ([[TextAnalysis.persistSearchIndex]]):
     * built once per documents snapshot; every query is an In-pruned
@@ -2914,6 +2940,56 @@ object SparkEntry {
         |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
         |  CAST(least(len(t) - chunk_id * 24, 32) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // CHUNK-LEVEL PASSAGE RETRIEVAL (the RAG data shape): chunk -> embed
+    // (closed-form text tower over chunk_text) -> sign-LSH band index ->
+    // per-query passage top-k with the max-2-passages-per-document
+    // DIVERSITY CAP (the rn_doc <= 2 clause below). Query q (doc_id < 5)
+    // retrieves with its FIRST chunk's vector from OTHER documents only.
+    // Served from the persisted graft_passage family (one scan; the
+    // chunk/embed/band/rank construction runs once per corpus snapshot);
+    // the oracle re-walks the ENTIRE composition — chunk strings, tower
+    // floats, plane dots, band buckets, exact cosines, both rank windows —
+    // so the persisted artifact hash-checks end to end at all SFs.
+    ("q_passage_topk",
+      (s, d) => passageTables(s, d).topk.orderBy("query_id", "rank"),
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.doc_id <> q.query_id),
+        |sc AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qv qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sc),
+        |rk AS (SELECT query_id, doc_id, chunk_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |  FROM dv WHERE rn_doc <= 2)
+        |SELECT query_id, doc_id, chunk_id, cosine, rank FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // incremental dedup: the 20% "new crawl" (doc_id mod 5 = 4) against the
     // 80% corpus, corpus side driven entirely by the signature index.

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** CHUNK-LEVEL PASSAGE RETRIEVAL — the RAG data shape (round-12 verdict
+  * next-round 3): chunk → embed → index → serve a per-query passage top-k
+  * with a max-passages-per-document diversity cap. This is the composition
+  * a retrieval-training corpus actually ships: not "which DOCUMENT is
+  * nearest" (the `q_lsh_topk` family) but "which PASSAGES answer this
+  * query", where a single long document must not monopolize the context
+  * window — hence the diversity cap, the one genuinely new ranking clause.
+  *
+  * Every ingredient is an existing, already-verified operator re-used at
+  * chunk granularity:
+  *  - chunking is [[Corpus.chunkDocuments]] (token windows with overlap,
+  *    oracle-green as `q_chunk_documents`);
+  *  - the passage encoder is the closed-form TEXT tower of
+  *    [[Multimodal.textEmbedStub]] applied to `chunk_text` — same
+  *    fingerprint-seeded formula, same (2d+3, 65599) mixing constants, so
+  *    a one-chunk document embeds identically at document and chunk
+  *    granularity (spec-pinned). A real deployment swaps the tower kernel;
+  *    the chunk-id plumbing, index shape and ranking are the real operator.
+  *  - the index is the sign-LSH band table of [[Similarity.lshBuckets]] on
+  *    the chunk vectors (closed-form planes — no training, fully
+  *    oracle-able, unlike the Lloyd-trained IVF);
+  *  - candidate → exact-cosine verify → rank is the
+  *    [[Similarity.lshTopKServeFrom]] discipline with the diversity window
+  *    inserted between verify and the global rank.
+  *
+  * Chunk identity: `pid = doc_id·2²⁰ + chunk_id` — one BIGINT key the band
+  * table and the oracle both derive by exact integer arithmetic.
+  * `chunk_id < 2²⁰` is enforced with a row-local raise (a 2²⁰-chunk
+  * document is ≈ 25 M tokens at the default stride — far past any training
+  * document; silent pid aliasing would corrupt the index, so overflowing
+  * rows fail loudly instead). `doc_id < 2⁴³` (no overflow of the product)
+  * is a documented contract of the id space.
+  *
+  * Scale shape: chunking + embedding is one narrow pass over the corpus
+  * (bounded explode, rows ∝ corpus tokens / stride); bucketing is
+  * codegen'd dot products against literal plane arrays (zero shuffle);
+  * construction runs ONCE per corpus snapshot ([[persistPassage]], the
+  * snapshot-store discipline) and the registry serves the persisted
+  * default answer as one scan. The serving path never scans text — only
+  * the narrow (pid, band, bb) triples and the bounded candidate set's
+  * vectors. Band geometry (nbits/bandBits) tunes the candidate rate
+  * exactly as in the document-level family.
+  *
+  * Reference scope note: the reference pipeline (consumer/producer Java,
+  * BASELINE.md) has no retrieval surface — this module is north-star
+  * extension surface for LLM-training data prep.
+  */
+object Passage {
+
+  /** Bits reserved for `chunk_id` inside the composite passage id. */
+  val ChunkIdBits = 20
+  private val ChunkIdCap = 1L << ChunkIdBits
+
+  /** Chunk the corpus and embed every chunk with the closed-form text
+    * tower: (pid, doc_id, chunk_id, embedding[dims]). Pure narrow
+    * projection over [[Corpus.chunkDocuments]]'s bounded explode.
+    */
+  def chunkVectors(documents: DataFrame, maxTokens: Int = 32,
+                   overlap: Int = 8, dims: Int = 16): DataFrame = {
+    val fp = TextAnalysis.fingerprintCol(col("chunk_text"))
+    // loud failure beats silent pid aliasing: a chunk_id at/over the cap
+    // would collide with the next doc_id's chunk 0
+    val cid = when(col("chunk_id") < lit(ChunkIdCap), col("chunk_id"))
+      .otherwise(raise_error(concat(lit("chunk_id overflows the pid field: "),
+        col("chunk_id").cast("string"))).cast("long"))
+    Corpus.chunkDocuments(documents, maxTokens, overlap)
+      .select(
+        (col("doc_id") * lit(ChunkIdCap) + cid).as("pid"),
+        col("doc_id"), col("chunk_id"),
+        transform(sequence(lit(0), lit(dims - 1)), d =>
+          ((fp * (d.cast("long") * 2L + 3L) + d.cast("long") * 65599L)
+            % 2000001L).cast("double") / 1000000.0 - 1.0).as("embedding"))
+  }
+
+  /** Sign-LSH band triples (pid, band, bb) over the chunk vectors — the
+    * passage index. Same closed-form planes as the document-level family
+    * ([[Similarity.lshPlaneWeights]]), instantiated at the chunk
+    * embedding's dimensionality.
+    */
+  def chunkBands(vectors: DataFrame, nbits: Int = 16, bandBits: Int = 4,
+                 dims: Int = 16): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val w = Similarity.lshPlaneWeights(nbits, dims)
+    val bucket = (0 until nbits).map { i =>
+      when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    Similarity.bandExplode(
+      vectors.select(col("pid").as("vec_id"), toDoubleVec(col("embedding")).as("v"))
+        .select(col("vec_id"), bucket.as("bucket")),
+      nbits / bandBits, bandBits)
+      .select(col("vec_id").as("pid"), col("band"), col("bb"))
+  }
+
+  /** Passage top-k with a diversity cap, served from persisted chunk
+    * vectors + band triples: for each query document (`doc_id <
+    * numQueries`), the query vector is its FIRST chunk's embedding
+    * (chunkDocuments guarantees every document at least one chunk);
+    * candidates band-join the triple table, own-document passages are
+    * excluded (a query must retrieve from OTHER documents — the retrieval
+    * shape, and it also drops the query pid's trivial self-match), exact
+    * cosine verifies the bounded candidate set, and ranking applies TWO
+    * windows: at most `maxPerDoc` passages per (query, document) — the
+    * context-window diversity cap — then the global per-query top-k.
+    * Zero-norm vectors are unanswerable under cosine and drop on both the
+    * query and candidate side (the hybrid-search guard).
+    *
+    * Both windows are rank-limit shapes (row_number ≤ constant) that
+    * compile to WindowGroupLimit — map-side group limits below the
+    * exchange, so the scored stream never shuffles more than the
+    * per-partition limit. Ties break deterministically: per-doc by pid,
+    * globally by (doc_id, chunk_id) — bit-stable across engines.
+    */
+  def passageTopKServeFrom(vectors: DataFrame, bands: DataFrame,
+                           numQueries: Int = 5, k: Int = 10,
+                           maxPerDoc: Int = 2): DataFrame = {
+    val v = vectors.select(col("pid"), col("doc_id"), col("chunk_id"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val qv = v.filter(col("doc_id") < numQueries && col("chunk_id") === 0 &&
+        col("nrm") > 0.0)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // query probes straight off the persisted triples: chunk 0 of doc q is
+    // pid = q·2^20 exactly, so the filter is pure integer arithmetic
+    val probes = bands
+      .filter(col("pid").bitwiseAND(lit(ChunkIdCap - 1)) === 0L &&
+        col("pid") < lit(numQueries * ChunkIdCap))
+      .select(shiftrightunsigned(col("pid"), ChunkIdBits).as("query_id"),
+        col("band"), col("bb"))
+    val p0 = bands.join(broadcast(probes), Seq("band", "bb"))
+      .filter(shiftrightunsigned(col("pid"), ChunkIdBits) =!= col("query_id"))
+      .select(col("query_id"), col("pid"))
+      .distinct()
+    val scored = p0
+      .join(v.filter(col("nrm") > 0.0), Seq("pid"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("pid"), col("doc_id"), col("chunk_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val perDoc = Window.partitionBy("query_id", "doc_id")
+      .orderBy(col("cosine").desc, col("pid"))
+    val overall = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_id"))
+    scored
+      .withColumn("rn_doc", row_number().over(perDoc))
+      .filter(col("rn_doc") <= maxPerDoc)
+      .withColumn("rank", row_number().over(overall).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The persisted passage family's three tables. */
+  case class PassageTables(vectors: DataFrame, bands: DataFrame, topk: DataFrame)
+
+  /** Build the passage-retrieval snapshot ONCE per corpus: chunk vectors,
+    * the band-triple index, and the default-parameter top-k answer,
+    * committed under a content-stamped marker
+    * ([[graft.sources.SnapshotStore]] — the family discipline). Each later
+    * stage reads the earlier one BACK from parquet (staging discipline:
+    * the chunk/embed explode runs once, not once per consumer), and
+    * serving any of the three is a scan.
+    */
+  def persistPassage(documents: DataFrame, dir: String, stamp: String,
+                     maxTokens: Int = 32, overlap: Int = 8, dims: Int = 16,
+                     nbits: Int = 16, bandBits: Int = 4,
+                     numQueries: Int = 5, k: Int = 10,
+                     maxPerDoc: Int = 2): Unit = {
+    val spark = documents.sparkSession
+    chunkVectors(documents, maxTokens, overlap, dims)
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    chunkBands(vecs, nbits, bandBits, dims)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    passageTopKServeFrom(vecs, spark.read.parquet(s"$dir/bands"),
+        numQueries, k, maxPerDoc)
+      .write.mode("overwrite").parquet(s"$dir/topk")
+    graft.sources.SnapshotStore.commit(spark, dir, stamp)
+  }
+
+  /** Load a [[persistPassage]]-ed snapshot. */
+  def loadPassage(spark: SparkSession, dir: String): PassageTables =
+    PassageTables(
+      vectors = spark.read.parquet(s"$dir/vectors"),
+      bands = spark.read.parquet(s"$dir/bands"),
+      topk = spark.read.parquet(s"$dir/topk"))
+}

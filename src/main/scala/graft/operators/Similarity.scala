@@ -1491,7 +1491,7 @@ object Similarity {
     * `bands` sub-buckets of `bandBits` bits — static shifts unrolled via
     * `inline`, so the explode stays one narrow codegen'd projection.
     */
-  private def bandExplode(buckets: DataFrame, bands: Int, bandBits: Int): DataFrame = {
+  private[operators] def bandExplode(buckets: DataFrame, bands: Int, bandBits: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
     buckets.select(col("vec_id"),
       inline(array((0 until bands).map(b =>

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Passage}
+
+/** Specs for chunk-level passage retrieval (the RAG composition):
+  * tower parity with the document-level text encoder, ranking contracts
+  * (diversity cap, own-doc exclusion, rank contiguity), the persisted
+  * family's serve ≡ construct identity, and the overflow guard.
+  */
+class PassageSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val vecs = Passage.chunkVectors(docs).cache()
+  private lazy val bands = Passage.chunkBands(vecs).cache()
+
+  test("chunk tower ≡ document text tower on one-chunk documents") {
+    // a document whose text fits in a single chunk has chunk_text == text,
+    // so its chunk-0 embedding must equal textEmbedStub's document
+    // embedding bit-for-bit (same formula, same constants)
+    val oneChunk = docs
+      .filter(size(split(col("text"), " ")) <= 32)
+      .limit(20)
+    assert(oneChunk.count() > 0, "fixture needs at least one short document")
+    val docEmb = Multimodal.textEmbedStub(oneChunk)
+      .select(col("media_id").as("doc_id"), col("embedding").as("de"))
+    val mismatch = Passage.chunkVectors(oneChunk)
+      .join(docEmb, "doc_id")
+      .filter(col("embedding") =!= col("de"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("pid packs (doc_id, chunk_id) bijectively; chunk rows match chunkDocuments") {
+    val n = vecs.count()
+    assert(n == graft.operators.Corpus.chunkDocuments(docs).count())
+    assert(vecs.select("pid").distinct().count() == n)
+    val bad = vecs.filter(
+      shiftrightunsigned(col("pid"), Passage.ChunkIdBits) =!= col("doc_id") ||
+      col("pid").bitwiseAND(lit((1L << Passage.ChunkIdBits) - 1)) =!= col("chunk_id"))
+    assert(bad.count() == 0)
+  }
+
+  test("chunk_id overflow raises instead of aliasing pids") {
+    import spark.implicits._
+    // a document long enough to exceed 2^20 chunks at stride 1: the guard
+    // must fail the job loudly, not let chunk 2^20 alias doc_id+1's chunk 0
+    val nTokens = (1 << Passage.ChunkIdBits) + 2
+    val long = Seq((1L, ("a " * nTokens).trim)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Passage.chunkVectors(long, maxTokens = 2, overlap = 1)
+        .select("pid").orderBy(col("pid").desc).limit(1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows")), s"got: ${msgs(e)}")
+  }
+
+  test("passage top-k: diversity cap, own-doc exclusion, contiguous ranks") {
+    val r = Passage.passageTopKServeFrom(vecs, bands).collect()
+    assert(r.nonEmpty)
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      // own-document passages never serve
+      assert(!rows.exists(_.getLong(1) == q))
+      // at most maxPerDoc (2) passages from any single document
+      rows.groupBy(_.getLong(1)).foreach { case (_, perDoc) =>
+        assert(perDoc.length <= 2)
+      }
+      // ranks are 1..n contiguous, cosines non-increasing in rank order
+      val ranks = rows.map(_.getLong(4)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+      assert(ranks.length <= 10)
+      val cs = rows.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("diversity cap binds: a repetitive document is held to maxPerDoc passages") {
+    import spark.implicits._
+    // doc 0 (the query) is exactly one 32-token chunk of "w"; doc 1 is a
+    // 104-token "w" run whose FOUR chunks are all byte-identical to the
+    // query chunk (stride 24 over a constant token stream) — cosine 1.0,
+    // colliding in every band. Without the cap all four monopolize the
+    // top of the list; the cap must keep exactly two.
+    val w32 = Array.fill(32)("w").mkString(" ")
+    val w104 = Array.fill(104)("w").mkString(" ")
+    val fixture = Seq((0L, w32), (1L, w104), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val v = Passage.chunkVectors(fixture)
+    val b = Passage.chunkBands(v)
+    val capped = Passage.passageTopKServeFrom(v, b)
+      .filter(col("query_id") === 0 && col("doc_id") === 1)
+    assert(capped.count() == 2)
+    val uncapped = Passage.passageTopKServeFrom(v, b, maxPerDoc = Int.MaxValue)
+      .filter(col("query_id") === 0 && col("doc_id") === 1)
+    assert(uncapped.count() == 4)
+    // the two survivors are the per-doc rank-1/2 (lowest pids among ties)
+    assert(capped.select("chunk_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L))
+  }
+
+  test("persisted family serves the construction bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
+    Passage.persistPassage(docs, dir, stamp = "spec")
+    assert(graft.sources.SnapshotStore.ready(spark, dir, "spec"))
+    val t = Passage.loadPassage(spark, dir)
+    val direct = Passage.passageTopKServeFrom(vecs, bands)
+    assert(t.topk.exceptAll(direct).isEmpty && direct.exceptAll(t.topk).isEmpty)
+    // and the persisted band index equals a fresh banding of the
+    // persisted vectors (the index is a pure function of the vectors)
+    val freshBands = Passage.chunkBands(t.vectors)
+    assert(t.bands.exceptAll(freshBands).isEmpty &&
+      freshBands.exceptAll(t.bands).isEmpty)
+  }
+}
