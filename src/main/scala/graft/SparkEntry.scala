@@ -1902,6 +1902,79 @@ object SparkEntry {
         |SELECT doc_id, score, cosine FROM r
         |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // RRF-FUSED hybrid retrieval (the PARALLEL hybrid — q_hybrid_search
+    // above is the cascade): per query document, its top-8 salient terms
+    // rank a lexical more-like-this top-20 from the persisted inverted
+    // index while its embedding ranks a cosine top-20 from the persisted
+    // band triples; the two rank lists fuse by reciprocal rank
+    // (1/(60+rank), absent side contributes exactly 0.0, lex-then-vec
+    // addition order) and the fused top-10 serves. Rank sentinel 0 =
+    // "absent from that list" — no nulls in the hashed surface. The
+    // oracle re-derives term selection, both rankers, and the fusion.
+    ("q_rrf_fusion",
+      (s, d) => Hybrid.mltHybridRrf(Tables.documents(s, d), searchIndex(s, d),
+        Tables.embeddings(s, d), annServeTables(s, d).bands),
+      Some(s"""WITH nt AS (SELECT count(*) AS n_total FROM documents),
+        |f AS (SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |lexi AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+        |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE doc_id < 5)
+        |  GROUP BY 1, 2),
+        |qsel AS (SELECT query_id, tok FROM (
+        |  SELECT q.query_id, q.tok, row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY q.qtf * (n_total - lexi.df + 0.5) / (lexi.df + 0.5) DESC,
+        |      q.tok) AS trank
+        |  FROM qtf q JOIN lexi USING (tok) CROSS JOIN nt) WHERE trank <= 8),
+        |ls AS (SELECT query_id, doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+        |      x -> x.w)), (a, b) -> a + b) AS score
+        |  FROM (SELECT qs.query_id, f.doc_id, f.tok,
+        |      f.tf * (n_total - lexi.df + 0.5) / (lexi.df + 0.5) AS w
+        |    FROM f JOIN qsel qs USING (tok) JOIN lexi USING (tok) CROSS JOIN nt
+        |    WHERE f.doc_id <> qs.query_id)
+        |  GROUP BY query_id, doc_id),
+        |lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM ls)
+        |  WHERE lex_rank <= 20),
+        |dv AS (${Similarity.Sql.prepared}),
+        |bk AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM dv),
+        |cb AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qb AS (SELECT vec_id AS query_id, band, bb FROM cb WHERE vec_id < 5),
+        |p0 AS (SELECT DISTINCT qb.query_id, c2.vec_id
+        |  FROM cb c2 JOIN qb ON c2.band = qb.band AND c2.bb = qb.bb
+        |  WHERE c2.vec_id <> qb.query_id),
+        |vsc AS (SELECT p0.query_id, p0.vec_id,
+        |  ${Similarity.Sql.cosine("qd.v", "cd.v")} AS cosine
+        |  FROM p0 JOIN dv qd ON p0.query_id = qd.vec_id
+        |          JOIN dv cd ON p0.vec_id = cd.vec_id),
+        |vecr AS (SELECT query_id, doc_id, vec_rank FROM (
+        |  SELECT query_id, vec_id AS doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+        |    AS vec_rank FROM vsc) WHERE vec_rank <= 20),
+        |fu AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |  COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |  COALESCE(l.lex_rank, 0) AS lex_rank,
+        |  COALESCE(v.vec_rank, 0) AS vec_rank
+        |  FROM lexr l FULL JOIN vecr v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        |sc2 AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+        |  (CASE WHEN lex_rank > 0
+        |    THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank)
+        |    ELSE CAST(0.0 AS DOUBLE) END)
+        |  + (CASE WHEN vec_rank > 0
+        |    THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vec_rank)
+        |    ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score FROM fu)
+        |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // The search QUERY-SERVING endpoint: a (query_id, terms) request
     // frame answered from the persisted inverted index — per-query
     // ranking (one request must not starve another's budget), same
