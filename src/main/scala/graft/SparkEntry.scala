@@ -3064,6 +3064,72 @@ object SparkEntry {
         |SELECT query_id, doc_id, chunk_id, cosine, rank FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // The passage QUERY-SERVING endpoint: arbitrary (query_id, query_text)
+    // requests tower-embedded as one chunk, bucketed with the index's
+    // frozen planes, answered from the persisted passage family with the
+    // same diversity-capped ranking as q_passage_topk. External id
+    // namespace — no own-document exclusion (an external query has no own
+    // document); in-corpus parity is spec-pinned. The oracle re-derives
+    // the corpus index AND the request towers, so the endpoint
+    // hash-checks end to end.
+    ("q_passage_query_serve",
+      (s, d) => {
+        import s.implicits._
+        val reqs = Seq(
+          (1L, "event stream processing"),
+          (2L, "vector similarity search"),
+          (3L, "data quality filter")).toDF("query_id", "query_text")
+        val t = passageTables(s, d)
+        Passage.passageTopKForQueries(t.vectors, t.bands, reqs)
+      },
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |reqs AS (SELECT * FROM (VALUES
+        |  (1, 'event stream processing'),
+        |  (2, 'vector similarity search'),
+        |  (3, 'data quality filter')) AS vr(query_id, query_text)),
+        |qf AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("query_text")} AS f FROM reqs),
+        |qe AS (SELECT query_id, list_transform(range(0, 16), dd ->
+        |  CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS v FROM qf),
+        |qg AS (SELECT query_id, v FROM qe WHERE ${Similarity.Sql.dot("v", "v")} > 0),
+        |qbk AS (SELECT query_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM qg),
+        |qc AS (SELECT query_id, band, (bucket >> (band * 4)) & 15 AS bb
+        |  FROM qbk CROSS JOIN (SELECT unnest(range(0, 4)) AS band) uq),
+        |p0 AS (SELECT DISTINCT qc.query_id, c2.pid FROM c c2
+        |  JOIN qc ON c2.band = qc.band AND c2.bb = qc.bb),
+        |sc AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qg qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sc),
+        |rk AS (SELECT query_id, doc_id, chunk_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |  FROM dv WHERE rn_doc <= 2)
+        |SELECT query_id, doc_id, chunk_id, cosine, rank FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // incremental dedup: the 20% "new crawl" (doc_id mod 5 = 4) against the
     // 80% corpus, corpus side driven entirely by the signature index.
     // ORACLE VALIDITY rests on the same LSH-recall assumption as

@@ -64,7 +64,6 @@ object Passage {
     */
   def chunkVectors(documents: DataFrame, maxTokens: Int = 32,
                    overlap: Int = 8, dims: Int = 16): DataFrame = {
-    val fp = TextAnalysis.fingerprintCol(col("chunk_text"))
     // loud failure beats silent pid aliasing: a chunk_id at/over the cap
     // would collide with the next doc_id's chunk 0
     val cid = when(col("chunk_id") < lit(ChunkIdCap), col("chunk_id"))
@@ -74,9 +73,32 @@ object Passage {
       .select(
         (col("doc_id") * lit(ChunkIdCap) + cid).as("pid"),
         col("doc_id"), col("chunk_id"),
-        transform(sequence(lit(0), lit(dims - 1)), d =>
-          ((fp * (d.cast("long") * 2L + 3L) + d.cast("long") * 65599L)
-            % 2000001L).cast("double") / 1000000.0 - 1.0).as("embedding"))
+        towerOf(col("chunk_text"), dims).as("embedding"))
+  }
+
+  /** Sign-LSH bucket of the double-vector column `v` at the chunk
+    * embedding's dimensionality — the [[Similarity.lshBuckets]] formula
+    * shared by index build and query probing (an incoming query must be
+    * bucketed with the SAME planes the index was built from).
+    */
+  private def bucketOf(nbits: Int, dims: Int): org.apache.spark.sql.Column = {
+    val w = Similarity.lshPlaneWeights(nbits, dims)
+    (0 until nbits).map { i =>
+      when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** The closed-form text tower over a string column — one chunk's
+    * embedding (the [[Multimodal.textEmbedStub]] formula, shared by the
+    * index build and the query endpoint).
+    */
+  private def towerOf(text: org.apache.spark.sql.Column,
+                      dims: Int): org.apache.spark.sql.Column = {
+    val fp = TextAnalysis.fingerprintCol(text)
+    transform(sequence(lit(0), lit(dims - 1)), d =>
+      ((fp * (d.cast("long") * 2L + 3L) + d.cast("long") * 65599L)
+        % 2000001L).cast("double") / 1000000.0 - 1.0)
   }
 
   /** Sign-LSH band triples (pid, band, bb) over the chunk vectors — the
@@ -87,16 +109,66 @@ object Passage {
   def chunkBands(vectors: DataFrame, nbits: Int = 16, bandBits: Int = 4,
                  dims: Int = 16): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
-    val w = Similarity.lshPlaneWeights(nbits, dims)
-    val bucket = (0 until nbits).map { i =>
-      when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
     Similarity.bandExplode(
       vectors.select(col("pid").as("vec_id"), toDoubleVec(col("embedding")).as("v"))
-        .select(col("vec_id"), bucket.as("bucket")),
+        .select(col("vec_id"), bucketOf(nbits, dims).as("bucket")),
       nbits / bandBits, bandBits)
       .select(col("vec_id").as("pid"), col("band"), col("bb"))
+  }
+
+  /** Passage retrieval for an ARBITRARY request frame — the
+    * serving-endpoint form of [[passageTopKServeFrom]] (the
+    * `q_pq_query_serve`/`keywordSearchForQueries` discipline): `queries`
+    * is any (query_id, query_text) frame — a REST batch, a micro-batch of
+    * a query stream. The query string is tower-embedded as ONE chunk
+    * (retrieval queries are short by construction; a long query would be
+    * truncated by a real encoder the same way), bucketed with the index's
+    * frozen planes, and candidates/cosine/diversity-cap/rank proceed
+    * exactly as the registry path. Request ids are an EXTERNAL namespace:
+    * no own-document exclusion exists (an external query has no own
+    * document), so feeding a corpus chunk's text under any id retrieves
+    * that chunk itself at cosine 1 — the bit-parity spec pins that
+    * in-corpus requests reproduce the registry path minus its own-doc
+    * filter. Zero-norm query vectors are unanswerable under cosine and
+    * drop, never served NaN.
+    */
+  def passageTopKForQueries(vectors: DataFrame, bands: DataFrame,
+                            queries: DataFrame, k: Int = 10,
+                            maxPerDoc: Int = 2, dims: Int = 16,
+                            nbits: Int = 16, bandBits: Int = 4): DataFrame = {
+    val qv = queries
+      .select(col("query_id"), toDoubleVec(towerOf(col("query_text"), dims)).as("v"))
+      .withColumn("qnrm", l2norm(col("v")))
+      .filter(col("qnrm") > 0.0)
+      .select(col("query_id"), col("v").as("qv"), col("qnrm"))
+    val probes = Similarity.bandExplode(
+        qv.select(col("query_id").as("vec_id"), col("qv").as("v"))
+          .select(col("vec_id"), bucketOf(nbits, dims).as("bucket")),
+        nbits / bandBits, bandBits)
+      .select(col("vec_id").as("query_id"), col("band"), col("bb"))
+    val p0 = bands.join(broadcast(probes), Seq("band", "bb"))
+      .select(col("query_id"), col("pid"))
+      .distinct()
+    val v = vectors.select(col("pid"), col("doc_id"), col("chunk_id"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val scored = p0
+      .join(v, Seq("pid"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("pid"), col("doc_id"), col("chunk_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val perDoc = Window.partitionBy("query_id", "doc_id")
+      .orderBy(col("cosine").desc, col("pid"))
+    val overall = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_id"))
+    scored
+      .withColumn("rn_doc", row_number().over(perDoc))
+      .filter(col("rn_doc") <= maxPerDoc)
+      .withColumn("rank", row_number().over(overall).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
   }
 
   /** Passage top-k with a diversity cap, served from persisted chunk

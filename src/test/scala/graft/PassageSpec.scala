@@ -99,6 +99,44 @@ class PassageSpec extends SparkSpec {
       == Seq(0L, 1L))
   }
 
+  test("query endpoint: an in-corpus chunk text retrieves itself at rank 1, cosine 1") {
+    import spark.implicits._
+    val someChunk = graft.operators.Corpus.chunkDocuments(docs)
+      .orderBy("doc_id", "chunk_id").limit(1).collect()(0)
+    val reqs = Seq((42L, someChunk.getString(2))).toDF("query_id", "query_text")
+    val top = Passage.passageTopKForQueries(vecs, bands, reqs)
+      .filter(col("rank") === 1).collect()(0)
+    assert(top.getLong(1) == someChunk.getLong(0) &&
+      top.getLong(2) == someChunk.getLong(1))
+    // dot(v,v)/(sqrt·sqrt) is 1 ± a couple ulp, not literal 1.0
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("query endpoint: in-corpus request reproduces the registry path modulo own-doc rows") {
+    import spark.implicits._
+    // query doc 0's chunk-0 text under an external id: candidates,
+    // cosines and both windows are the registry path's — the ONLY
+    // difference is the missing own-document exclusion. Over-fetch by
+    // maxPerDoc, drop doc 0's rows, re-rank by the same total order, and
+    // the top-10 must equal the registry answer for query 0 exactly.
+    val q0text = graft.operators.Corpus.chunkDocuments(docs.filter(col("doc_id") === 0))
+      .filter(col("chunk_id") === 0).collect()(0).getString(2)
+    val reqs = Seq((0L, q0text)).toDF("query_id", "query_text")
+    val endpoint = Passage.passageTopKForQueries(vecs, bands, reqs, k = 12)
+      .filter(col("doc_id") =!= 0L)
+      .collect()
+      .sortBy(r => (-r.getDouble(3), r.getLong(1), r.getLong(2)))
+      .take(10)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    val registry = Passage.passageTopKServeFrom(vecs, bands)
+      .filter(col("query_id") === 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(endpoint == registry)
+  }
+
   test("persisted family serves the construction bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
     Passage.persistPassage(docs, dir, stamp = "spec")
