@@ -514,6 +514,19 @@ class Pipeline(
     MediaSearchStream.start(queries, phashDir, mediaSearchStorePath, maxHamming,
       checkpointDir = Some(s"$checkpointRoot/media-search"))
 
+  def passageStorePath: String = s"$storeRoot/passage-search"
+
+  /** Passage-retrieval serving as a topology member ([[PassageStream]]):
+    * a (query_id, query_text) request source answered from the persisted
+    * passage family — the RAG serving twin beside the keyword-search and
+    * media-search request services, outputs under the shared store root
+    * with its own checkpoint dir like every sibling.
+    */
+  def startPassageSearch(queries: DataFrame, passageDir: String,
+                         k: Int = 10): StreamingQuery =
+    PassageStream.start(queries, passageDir, passageStorePath, k,
+      checkpointDir = Some(s"$checkpointRoot/passage-search"))
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 

@@ -547,8 +547,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("fourteen-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
-    "embedding ingest + PQ encode + IVF growth, and the tokenizer service run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("fifteen-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, the tokenizer service and passage retrieval run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -584,6 +584,9 @@ class StreamingSpec extends SparkSpec {
         (2L, Array.tabulate(8)(i => if (i == 2) 10f else 1f), 1))
       .toDF("vec_id", "embedding", "label"),
       s"$base/ivfindex", stamp = "spec", probeDepth = 2, pairNprobe = 2)
+    graft.operators.Passage.persistPassage(
+      Seq((1L, text("pass")), (2L, text("sage"))).toDF("doc_id", "text"),
+      s"$base/passage", stamp = "spec")
     // five sources: events, crawl docs, media ingest, media probes, tokenizer docs
     val events = MemoryStream[EventRec]
     val docs = MemoryStream[(Long, String)]
@@ -595,6 +598,7 @@ class StreamingSpec extends SparkSpec {
     val ixDocs = MemoryStream[(Long, String)]
     val pqVecs = MemoryStream[(Long, Array[Float])]
     val ivfVecs = MemoryStream[(Long, Array[Float])]
+    val passageQs = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -612,9 +616,11 @@ class StreamingSpec extends SparkSpec {
       p.startPqEncode(pqVecs.toDF().toDF("vec_id", "embedding"),
         s"$base/pqcb", m = 2, dim = 8),
       p.startIvfGrow(ivfVecs.toDF().toDF("vec_id", "embedding"),
-        s"$base/ivfindex", probeDepth = 2))
+        s"$base/ivfindex", probeDepth = 2),
+      p.startPassageSearch(passageQs.toDF().toDF("query_id", "query_text"),
+        s"$base/passage"))
     try {
-      assert(queries.length == 14)
+      assert(queries.length == 15)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -627,6 +633,9 @@ class StreamingSpec extends SparkSpec {
       ixDocs.addData((600L, "fresh crawl tokens"))
       pqVecs.addData((700L, Array.tabulate(8)(i => if (i == 0) 9f else 1f)))
       ivfVecs.addData((800L, Array.tabulate(8)(i => if (i == 0) 9f else 1f)))
+      // the exact chunk-0 text of passage doc 1 (tokens 1..32 of the
+      // 40-token text at the default 32/8 chunk geometry)
+      passageQs.addData((900L, (1 to 32).map(i => s"pass$i").mkString(" ")))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -667,5 +676,10 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Number](1).intValue())).toSet
     assert(ivfGrown.contains((800L, 1)),
       s"IVF growth member must route the streamed vector to a home cell: $ivfGrown")
+    val passTop = spark.read.parquet(s"${p.passageStorePath}/passages")
+      .filter(col("rank") === 1).select("query_id", "doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(passTop == Set((900L, 1L, 0L)),
+      s"passage member must retrieve the request's exact corpus chunk: $passTop")
   }
 }
