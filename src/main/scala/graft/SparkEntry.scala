@@ -303,6 +303,35 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED MLT-RRF default answer ([[graft.operators.Hybrid
+    * .persistRrf]]): the fusion composes TWO persisted families (the
+    * inverted index over documents, the band triples over embeddings),
+    * so its stamp combines BOTH source fingerprints plus both upstream
+    * family versions — either source regenerating, or either upstream
+    * layout bumping, rebuilds the fused answer. `q_rrf_fusion` serves
+    * one scan; [[graft.operators.Hybrid.mltHybridRrf]] stays the
+    * any-parameter path.
+    */
+  private val rrfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+  private def rrfTopK(s: SparkSession, d: String): DataFrame = {
+    rrfCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val docsSrc = s"$d/documents.parquet"
+    val embSrc = s"$d/embeddings.parquet"
+    val stamp = "rrf-v1+search-v1+annserve-v6:" +
+      graft.sources.SnapshotStore.fingerprint(s, docsSrc) + "+" +
+      graft.sources.SnapshotStore.fingerprint(s, embSrc)
+    rrfCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, docsSrc, "graft_rrf")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp))
+          Hybrid.persistRrf(Tables.documents(s, d), searchIndex(s, d),
+            Tables.embeddings(s, d), annServeTables(s, d).bands, dir, stamp)
+        (stamp, s.read.parquet(s"$dir/topk"))
+      })._2
+  }
+
   /** PERSISTED full-text search index — postings + lexicon + corpus size
     * behind `q_keyword_search` ([[TextAnalysis.persistSearchIndex]]):
     * built once per documents snapshot; every query is an In-pruned
@@ -1911,9 +1940,11 @@ object SparkEntry {
     // addition order) and the fused top-10 serves. Rank sentinel 0 =
     // "absent from that list" — no nulls in the hashed surface. The
     // oracle re-derives term selection, both rankers, and the fusion.
+    // Served from the persisted graft_rrf family (one scan; the fused
+    // construction runs once per snapshot pair) — the oracle re-walks
+    // the whole composition, hash-proving the persisted table current.
     ("q_rrf_fusion",
-      (s, d) => Hybrid.mltHybridRrf(Tables.documents(s, d), searchIndex(s, d),
-        Tables.embeddings(s, d), annServeTables(s, d).bands),
+      (s, d) => rrfTopK(s, d).orderBy("query_id", "rank"),
       Some(s"""WITH nt AS (SELECT count(*) AS n_total FROM documents),
         |f AS (SELECT doc_id, tok, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -103,6 +103,24 @@ object Hybrid {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the default-parameter MLT-RRF answer — the
+    * q_ivfpq_topk/annserve-v6 amortization discipline applied to the
+    * fusion: both input rankers already serve from persisted families,
+    * but the composition (two rank windows, a full-outer fuse, a third
+    * window) was the registry's heaviest per-call query. It now runs once
+    * per (documents, embeddings) snapshot PAIR — the stamp combines both
+    * source fingerprints, so either table regenerating rebuilds — and the
+    * registry serves one scan. [[mltHybridRrf]] stays the any-parameter
+    * path.
+    */
+  def persistRrf(documents: DataFrame, index: TextAnalysis.SearchIndex,
+                 embeddings: DataFrame, bands: DataFrame,
+                 dir: String, stamp: String): Unit = {
+    mltHybridRrf(documents, index, embeddings, bands)
+      .write.mode("overwrite").parquet(s"$dir/topk")
+    graft.sources.SnapshotStore.commit(documents.sparkSession, dir, stamp)
+  }
+
   /** The composed MORE-LIKE-THIS RRF endpoint the registry serves:
     * salient-term lexical top-kIn ∥ LSH-served cosine top-kIn → RRF.
     * `embeddings`/`bands` are the annserve family's tables; vec_id is

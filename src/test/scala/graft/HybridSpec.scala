@@ -62,6 +62,19 @@ class HybridSpec extends SparkSpec {
     }
   }
 
+  test("persisted RRF family serves the live composition bit-for-bit") {
+    val ix = freshIndex()
+    val annDir = java.nio.file.Files.createTempDirectory("graft-rrf-ann").toString
+    graft.operators.Similarity.persistAnnServe(emb, annDir, stamp = "spec")
+    val snap = graft.operators.Similarity.loadAnnServe(spark, annDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rrf").toString
+    Hybrid.persistRrf(docs, ix, emb, snap.bands, dir, stamp = "spec")
+    assert(graft.sources.SnapshotStore.ready(spark, dir, "spec"))
+    val served = spark.read.parquet(s"$dir/topk")
+    val live = Hybrid.mltHybridRrf(docs, ix, emb, snap.bands)
+    assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty)
+  }
+
   test("salient terms: at most nTerms per query, all drawn from the query doc") {
     val ix = freshIndex()
     val terms = Hybrid.salientTerms(docs, ix.lexicon, ix.nTotal).collect()
