@@ -527,6 +527,19 @@ class Pipeline(
     PassageStream.start(queries, passageDir, passageStorePath, k,
       checkpointDir = Some(s"$checkpointRoot/passage-search"))
 
+  def chunkStorePath: String = s"$storeRoot/chunk-ingest"
+
+  /** Passage-index growth as a topology member ([[ChunkStream]]): the
+    * crawl source chunked + tower-embedded + banded into epoch deltas
+    * under the shared store root — the ingest twin of
+    * [[startPassageSearch]]'s serving twin, completing the grown-index
+    * symmetry on the RAG side (a streamed document's passages are
+    * retrievable the epoch after it arrives).
+    */
+  def startChunkIngest(docs: DataFrame): StreamingQuery =
+    ChunkStream.start(docs, chunkStorePath,
+      checkpointDir = Some(s"$checkpointRoot/chunk-ingest"))
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 

@@ -547,7 +547,7 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("fifteen-member topology: events, crawl curation + scrub + indexer, media ingest + search, " +
+  test("sixteen-member topology: events, crawl curation + scrub + indexer + chunk ingest, media ingest + search, " +
     "embedding ingest + PQ encode + IVF growth, the tokenizer service and passage retrieval run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -599,6 +599,7 @@ class StreamingSpec extends SparkSpec {
     val pqVecs = MemoryStream[(Long, Array[Float])]
     val ivfVecs = MemoryStream[(Long, Array[Float])]
     val passageQs = MemoryStream[(Long, String)]
+    val chunkDocs = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -618,9 +619,10 @@ class StreamingSpec extends SparkSpec {
       p.startIvfGrow(ivfVecs.toDF().toDF("vec_id", "embedding"),
         s"$base/ivfindex", probeDepth = 2),
       p.startPassageSearch(passageQs.toDF().toDF("query_id", "query_text"),
-        s"$base/passage"))
+        s"$base/passage"),
+      p.startChunkIngest(chunkDocs.toDF().toDF("doc_id", "text")))
     try {
-      assert(queries.length == 15)
+      assert(queries.length == 16)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -636,6 +638,7 @@ class StreamingSpec extends SparkSpec {
       // the exact chunk-0 text of passage doc 1 (tokens 1..32 of the
       // 40-token text at the default 32/8 chunk geometry)
       passageQs.addData((900L, (1 to 32).map(i => s"pass$i").mkString(" ")))
+      chunkDocs.addData((950L, "fresh crawl chunk tokens"))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -681,5 +684,10 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(passTop == Set((900L, 1L, 0L)),
       s"passage member must retrieve the request's exact corpus chunk: $passTop")
+    val chunkGrown = spark.read.parquet(s"${p.chunkStorePath}/vectors_delta")
+      .select("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chunkGrown == Set((950L, 0L)),
+      s"chunk-ingest member must embed the crawl's chunks: $chunkGrown")
   }
 }
