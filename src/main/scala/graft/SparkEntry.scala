@@ -1832,6 +1832,83 @@ object SparkEntry {
         |  CAST(n_docs AS DOUBLE) / split_docs AS share
         |FROM a JOIN tt USING (split) ORDER BY split, bucket""".stripMargin)),
 
+    // QUALITY-CALIBRATION card — the cross-check between the LEARNED
+    // quality signal (the CCNet fluency terciles) and the two RULE gates:
+    // per fluency bucket, how many documents each gate keeps. If head's
+    // keep rates match tail's, the LM score adds no signal over the
+    // rules; where they diverge steeply is where a curator moves the
+    // perplexity threshold. Composes three persisted families (lm-v2
+    // scores, quality-v2 C4 + Gopher flags) — narrow doc_id joins, two
+    // integer sums, one division per rate; no cross-row float
+    // aggregation, so the card hash-checks like its parts.
+    ("q_quality_calibration",
+      (s, d) => {
+        val b = TextAnalysis.ccnetBuckets(lmScores(s, d), Tables.documents(s, d))
+          .select(col("doc_id"), col("bucket"))
+        val flags = qualityFlags(s, d).select(col("doc_id"), col("keep").as("c4"))
+          .join(gopherFlags(s, d).select(col("doc_id"), col("keep").as("gopher")),
+            Seq("doc_id"))
+        b.join(flags, Seq("doc_id"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("c4").cast("long")).as("n_c4_keep"),
+            sum(col("gopher").cast("long")).as("n_gopher_keep"))
+          .select(col("bucket"), col("n_docs"), col("n_c4_keep"),
+            col("n_gopher_keep"),
+            (col("n_c4_keep").cast("double") / col("n_docs")).as("c4_keep_rate"),
+            (col("n_gopher_keep").cast("double") / col("n_docs")).as("gopher_keep_rate"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bo AS (SELECT doc_id, i - 1 AS pos, t[i] AS l, t[i+1] AS r
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)),
+        |bc AS (SELECT l, r, count(*) AS c_xy FROM bo GROUP BY l, r),
+        |hc AS (SELECT l, sum(c_xy) AS c_x FROM bc GROUP BY l),
+        |sc AS (SELECT doc_id, pos,
+        |  CAST(c_xy AS DOUBLE) / CAST(c_x AS DOUBLE) AS ratio
+        |  FROM bo JOIN bc USING (l, r) JOIN hc USING (l)),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(pos := pos, ratio := ratio))),
+        |      x -> x.ratio)), (a, b) -> a + b) AS ratio_sum
+        |  FROM sc GROUP BY doc_id),
+        |f AS (SELECT doc_id, ratio_sum / CAST(n_bigrams AS DOUBLE) AS fluency FROM p),
+        |j AS (SELECT f.doc_id,
+        |  CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY f.fluency DESC, f.doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM f JOIN documents d USING (doc_id)),
+        |c4 AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3 AS keep
+        |  FROM documents),
+        |gp AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) >= 50
+        |  AND CAST(len(string_split(text, ' ')) AS BIGINT) <= 100000
+        |  AND (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+        |  AND (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 10.0
+        |  AND (CASE WHEN len(string_split(text, ' ')) > 1 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+        |      AS DOUBLE) / (len(string_split(text, ' ')) - 1)
+        |    ELSE 0.0 END) <= 0.2
+        |  AND CAST(${TextAnalysis.Sql.stopHits} AS BIGINT) >= 2 AS keep
+        |  FROM documents),
+        |a AS (SELECT j.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c4.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_keep,
+        |  CAST(sum(CASE WHEN gp.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_keep
+        |  FROM j JOIN c4 USING (doc_id) JOIN gp USING (doc_id)
+        |  GROUP BY j.bucket)
+        |SELECT bucket, n_docs, n_c4_keep, n_gopher_keep,
+        |  CAST(n_c4_keep AS DOUBLE) / n_docs AS c4_keep_rate,
+        |  CAST(n_gopher_keep AS DOUBLE) / n_docs AS gopher_keep_rate
+        |FROM a ORDER BY bucket""".stripMargin)),
+
     // zero-filled dataset-card histogram over the composite quality score;
     // empty buckets are EMITTED (a distribution audit that silently drops
     // empty ranges reads as coverage it doesn't have)

@@ -1007,4 +1007,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(scrubRow._3 <= rateTotal,
       s"restricted scrub count ${scrubRow._3} cannot exceed corpus total $rateTotal")
   }
+
+  test("quality calibration: conserves the bucketed corpus and matches the standalone gates") {
+    val cal = SparkEntry.queries("q_quality_calibration")(spark, sf).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5))).toMap
+    assert(cal.keySet == Set("head", "middle", "tail"))
+    // bucket totals conserve the scored corpus (docs with >= 1 bigram)
+    val scored = SparkEntry.queries("q_ccnet_buckets")(spark, sf).count()
+    assert(cal.values.map(_._1).sum == scored)
+    // keep counts equal an independent recount from the standalone gates
+    val buckets = SparkEntry.queries("q_ccnet_buckets")(spark, sf)
+      .select(col("doc_id"), col("bucket"))
+    val c4 = SparkEntry.queries("q_quality_filter")(spark, sf)
+      .select(col("doc_id"), col("keep").as("c4"))
+    val expect = buckets.join(c4, Seq("doc_id")).filter(col("c4"))
+      .groupBy("bucket").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    cal.foreach { case (b, (n, nC4, nGp, rC4, rGp)) =>
+      assert(nC4 == expect.getOrElse(b, 0L), s"bucket $b c4 recount")
+      assert(rC4 == nC4.toDouble / n && rGp == nGp.toDouble / n,
+        s"bucket $b rates must be the one-divide exact doubles")
+      assert(nC4 <= n && nGp <= n)
+    }
+  }
 }
