@@ -228,6 +228,69 @@ object Passage {
       .orderBy("query_id", "rank")
   }
 
+  /** EXACT brute-force diversity-capped passage top-k — the validation
+    * baseline of the band-indexed path ([[Similarity.bruteForceTopK]]'s
+    * role on the chunk side): same query set, same own-doc exclusion,
+    * same two rank windows, but candidates are ALL chunks instead of
+    * band colliders. O(queries · chunks) compute over a bounded query
+    * broadcast — the recall witness's reference, never the serving path.
+    */
+  def passageBruteTopK(vectors: DataFrame, numQueries: Int = 5, k: Int = 10,
+                       maxPerDoc: Int = 2): DataFrame = {
+    val v = vectors.select(col("pid"), col("doc_id"), col("chunk_id"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val qv = v.filter(col("doc_id") < numQueries && col("chunk_id") === 0)
+      .select(col("doc_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = v
+      .join(broadcast(qv), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("pid"), col("doc_id"), col("chunk_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+    val perDoc = Window.partitionBy("query_id", "doc_id")
+      .orderBy(col("cosine").desc, col("pid"))
+    val overall = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_id"))
+    scored
+      .withColumn("rn_doc", row_number().over(perDoc))
+      .filter(col("rn_doc") <= maxPerDoc)
+      .withColumn("rank", row_number().over(overall).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "chunk_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** MEASURED-RECALL witness of the band-indexed passage path against
+    * the exact baseline — aggregate across the query set (per-query
+    * recall on a near-random stub corpus is high-variance: a query whose
+    * exact top-10 sits just under the band-collision floor can
+    * legitimately recall 0.3 while the set-wide rate stays ≥ 0.7).
+    * Unlike the IVF/PQ witnesses this one emits the REAL n_found and
+    * recall columns, not just the flag: both sides are closed-form, so
+    * DuckDB re-derives the entire row and the hash check pins the exact
+    * recall value at every SF — any banding edit that loses a passage
+    * moves a hashed number, not merely a bit.
+    */
+  def recallBound(approx: DataFrame, exact: DataFrame,
+                  bound: Double = 0.6): DataFrame = {
+    val marked = exact.select(col("query_id"), col("doc_id"), col("chunk_id"))
+      .join(approx.select(col("query_id"), col("doc_id"), col("chunk_id"))
+          .withColumn("hit", lit(1L)),
+        Seq("query_id", "doc_id", "chunk_id"), "left")
+    marked
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        // empty query set ⇒ vacuously-met contract, matching the oracle's
+        // CASE instead of going NULL-red with no defect (the
+        // ivfRecallBound discipline)
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_exact")).as("recall"),
+        lit(bound).as("recall_bound"),
+        (col("n_found").cast("double") >= col("n_exact") * lit(bound))
+          .cast("int").as("within_bound"))
+  }
+
   /** The persisted passage family's three tables. */
   case class PassageTables(vectors: DataFrame, bands: DataFrame, topk: DataFrame)
 

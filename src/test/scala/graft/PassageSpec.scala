@@ -137,6 +137,22 @@ class PassageSpec extends SparkSpec {
     assert(endpoint == registry)
   }
 
+  test("recall witness: intact banding stays within bound and TRIPS when a passage drops") {
+    val served = Passage.passageTopKServeFrom(vecs, bands)
+    val exact = Passage.passageBruteTopK(vecs)
+    val intact = Passage.recallBound(served, exact).collect()(0)
+    assert(intact.getInt(4) == 1, s"intact family must meet the bound: $intact")
+    assert(intact.getDouble(2) ==
+      intact.getLong(1).toDouble / intact.getLong(0), "recall is the one-divide double")
+    // drop ALL served rows: recall collapses to 0 and the flag flips —
+    // the witness is falsifiable, not decorative
+    val tripped = Passage.recallBound(served.limit(0), exact).collect()(0)
+    assert(tripped.getInt(4) == 0 && tripped.getDouble(2) == 0.0)
+    // empty exact side: vacuously met (the oracle's CASE arm)
+    val vac = Passage.recallBound(served, exact.limit(0)).collect()(0)
+    assert(vac.getInt(4) == 1 && vac.getDouble(2) == 1.0)
+  }
+
   test("persisted family serves the construction bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
     Passage.persistPassage(docs, dir, stamp = "spec")

@@ -77,7 +77,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_pq_query_serve",                    // same, arbitrary-request form
       "q_pq_recall_bound",                   // same + 5-row exact probe set
       "q_ivfpq_topk",                        // centroid-set scoring + packed codebook
-      "q_ivfpq_recall_bound")                // same + 5-row exact probe set
+      "q_ivfpq_recall_bound",                // same + 5-row exact probe set
+      "q_passage_recall_bound")              // 5-row exact chunk probe set
     spark.catalog.clearCache()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
