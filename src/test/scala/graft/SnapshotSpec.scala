@@ -636,4 +636,52 @@ class SnapshotSpec extends SparkSpec {
     assert(top1() == 2L,
       "a stale persisted answer would still report vec 1 after regeneration")
   }
+
+  test("passage + RRF default answers persist: one-scan serving, recompute parity, staleness") {
+    import graft.operators.{Hybrid, Passage}
+    // recompute parity: the served tables equal the any-parameter paths
+    val passServed = SparkEntry.queries("q_passage_topk")(spark, sf)
+    val pDir = SnapshotStore.snapshotDir(spark, s"$sf/documents.parquet", "graft_passage")
+    val pt = Passage.loadPassage(spark, pDir)
+    val passLive = Passage.passageTopKServeFrom(pt.vectors, pt.bands)
+    assert(passServed.exceptAll(passLive).isEmpty && passLive.exceptAll(passServed).isEmpty,
+      "persisted passage topk must equal the any-parameter path at defaults")
+    val rrfServed = SparkEntry.queries("q_rrf_fusion")(spark, sf)
+    val ixDir = SnapshotStore.snapshotDir(spark, s"$sf/documents.parquet", "graft_search")
+    val annDir = SnapshotStore.snapshotDir(spark, s"$sf/embeddings.parquet", "graft_annserve")
+    val rrfLive = Hybrid.mltHybridRrf(Tables.documents(spark, sf),
+      graft.operators.TextAnalysis.loadSearchIndex(spark, ixDir),
+      Tables.embeddings(spark, sf), spark.read.parquet(s"$annDir/bands"))
+    assert(rrfServed.exceptAll(rrfLive).isEmpty && rrfLive.exceptAll(rrfServed).isEmpty,
+      "persisted RRF topk must equal the any-parameter path at defaults")
+    // serving is ONE scan of the family's topk table
+    Seq(("q_passage_topk", "graft_passage"), ("q_rrf_fusion", "graft_rrf"))
+      .foreach { case (q, fam) =>
+        val scans = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.collectLeaves()
+          .map(_.toString).filter(_.contains("FileScan"))
+        assert(scans.length == 1 && scans.head.contains(fam),
+          s"$q must serve one $fam scan:\n${scans.mkString("\n")}")
+      }
+    // per-call staleness: a regenerated documents source re-serves fresh
+    val base = Files.createTempDirectory("snappassage")
+    def writeDocs(twin: Long): Unit =
+      (0L until 10L).map { i =>
+        val text =
+          if (i == 0L) Array.fill(32)("w").mkString(" ")
+          else if (i == twin) Array.fill(32)("w").mkString(" ")
+          else (1 to 32).map(j => s"t$i-$j").mkString(" ")
+        (i, text, "en", "src0", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    writeDocs(twin = 7L)
+    def top1(): Long = SparkEntry.queries("q_passage_topk")(spark, base.toString)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(1)
+    assert(top1() == 7L, "corpus A plants doc 7's chunk as query 0's nearest")
+    Thread.sleep(5)
+    writeDocs(twin = 8L)
+    assert(top1() == 8L,
+      "a stale persisted answer would still report doc 7 after regeneration")
+  }
 }
