@@ -292,7 +292,9 @@ object SparkEntry {
   private def passageTables(s: SparkSession, d: String): graft.operators.Passage.PassageTables = {
     passageCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "passage-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v2: vectors carry per-chunk n_tokens (context packing reads them);
+    // committed v1 directories fail the stamp compare and rebuild in place
+    val stamp = "passage-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     passageCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -3171,6 +3173,64 @@ object SparkEntry {
         |  FROM dv WHERE rn_doc <= 2)
         |SELECT query_id, doc_id, chunk_id, cosine, rank FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // CONTEXT PACKING — the artifact a RAG pipeline assembles from the
+    // top-k: per query, passages admitted in RANK order while the running
+    // token total stays within the 128-token budget (greedy prefix —
+    // rank order is relevance order, so the prefix is the best context
+    // the budget buys; n_tokens >= 1 makes the running sum strictly
+    // monotone, so the cum <= budget filter IS the prefix). Serves from
+    // the persisted family's topk + per-chunk token counts; the oracle
+    // re-walks retrieval AND the running sum.
+    ("q_context_pack",
+      (s, d) => {
+        val t = passageTables(s, d)
+        Passage.contextPack(t.topk, t.vectors)
+      },
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+        |  CAST(least(len(t) - chunk_id * 24, 32) AS BIGINT) AS n_tokens
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id, n_tokens,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, n_tokens,
+        |  doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.doc_id <> q.query_id),
+        |sc AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.n_tokens, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qv qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sc),
+        |rk AS (SELECT query_id, doc_id, chunk_id, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |  FROM dv WHERE rn_doc <= 2),
+        |tk AS (SELECT query_id, rank, doc_id, chunk_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM rk WHERE rank <= 10)
+        |SELECT query_id, rank, doc_id, chunk_id, n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM tk WHERE cum_tokens <= 128 ORDER BY query_id, rank""".stripMargin)),
 
     // Passage-banding recall witness — the measured-recall row of the
     // band-indexed path vs the exact diversity-capped baseline, AGGREGATE

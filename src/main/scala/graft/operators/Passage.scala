@@ -72,7 +72,7 @@ object Passage {
     Corpus.chunkDocuments(documents, maxTokens, overlap)
       .select(
         (col("doc_id") * lit(ChunkIdCap) + cid).as("pid"),
-        col("doc_id"), col("chunk_id"),
+        col("doc_id"), col("chunk_id"), col("n_tokens"),
         towerOf(col("chunk_text"), dims).as("embedding"))
   }
 
@@ -325,4 +325,31 @@ object Passage {
       vectors = spark.read.parquet(s"$dir/vectors"),
       bands = spark.read.parquet(s"$dir/bands"),
       topk = spark.read.parquet(s"$dir/topk"))
+
+  /** CONTEXT PACKING — the artifact a RAG pipeline actually assembles
+    * from a top-k: per query, passages admitted in RANK order while the
+    * running token total stays within `budgetTokens` (greedy prefix
+    * packing — rank order IS the relevance order, so the prefix is the
+    * best context the budget buys; a passage that overflows the budget
+    * stops the prefix even if a later, shorter one would fit — skipping
+    * it would reorder relevance under the model's nose). Token counts
+    * come from the family's stored per-chunk `n_tokens`; the running sum
+    * is a per-query window over ≤ k rows — integer arithmetic, engine-
+    * exact, bounded input.
+    */
+  def contextPack(topk: DataFrame, vectors: DataFrame,
+                  budgetTokens: Int = 128): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    topk
+      .join(vectors.select(col("doc_id"), col("chunk_id"), col("n_tokens")),
+        Seq("doc_id", "chunk_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // n_tokens ≥ 1 makes the running sum strictly monotone in rank, so
+      // this filter IS the greedy prefix — the first overflow cuts
+      // everything after it, no separate prefix check needed
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("query_id", "rank", "doc_id", "chunk_id", "n_tokens", "cum_tokens")
+      .orderBy("query_id", "rank")
+  }
 }

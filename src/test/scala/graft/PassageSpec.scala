@@ -153,6 +153,33 @@ class PassageSpec extends SparkSpec {
     assert(vac.getInt(4) == 1 && vac.getDouble(2) == 1.0)
   }
 
+  test("context packing: greedy rank prefix, budget respected, first overflow cuts the tail") {
+    val topk = Passage.passageTopKServeFrom(vecs, bands)
+    val packed = Passage.contextPack(topk, vecs, budgetTokens = 128).collect()
+    assert(packed.nonEmpty)
+    val topkByQ = topk.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(4))).toMap
+    packed.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      // a strict PREFIX of the rank order, not a subset
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"query $q prefix: $ranks")
+      // running totals correct and within budget
+      val sorted = rows.sortBy(_.getLong(1))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) == cum && cum <= 128)
+      }
+      // maximality: the next-ranked passage (if any) would overflow
+      topkByQ(q).lift(ranks.length.toInt).foreach { next =>
+        val nextTokens = vecs.filter(col("doc_id") === next.getLong(1) &&
+          col("chunk_id") === next.getLong(2)).head().getAs[Long]("n_tokens")
+        assert(cum + nextTokens > 128,
+          s"query $q stopped early: $cum + $nextTokens <= 128")
+      }
+    }
+  }
+
   test("persisted family serves the construction bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
     Passage.persistPassage(docs, dir, stamp = "spec")
