@@ -3174,6 +3174,62 @@ object SparkEntry {
         |SELECT query_id, doc_id, chunk_id, cosine, rank FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // LATE-INTERACTION (ColBERT MaxSim) document ranking over the chunk
+    // vectors: a query doc is its BAG of chunk vectors; a candidate doc
+    // scores the sum over query chunks of the max chunk-pair cosine —
+    // fine-grained interaction a pooled vector can't express. Candidate
+    // pairs come from the persisted band index (non-colliding pairs
+    // contribute 0 — the production ANN-candidate lower bound); max is
+    // order-insensitive and the per-doc sum folds in sorted query-chunk
+    // order, so the MaxSim double hash-checks.
+    ("q_late_interaction_topk",
+      (s, d) => {
+        val t = passageTables(s, d)
+        Passage.lateInteractionTopK(t.vectors, t.bands)
+      },
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qc AS (SELECT doc_id AS query_id, pid AS qpid, v FROM pv
+        |  WHERE doc_id < 5 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |qp AS (SELECT qc.query_id, qc.qpid, c.band, c.bb FROM c
+        |  JOIN qc ON c.pid = qc.qpid),
+        |p0 AS (SELECT DISTINCT qp.query_id, qp.qpid, c2.pid FROM c c2
+        |  JOIN qp ON c2.band = qp.band AND c2.bb = qp.bb
+        |  WHERE c2.doc_id <> qp.query_id),
+        |pr AS (SELECT p0.query_id, p0.qpid, cv.doc_id,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qc qd ON qd.query_id = p0.query_id AND qd.qpid = p0.qpid
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |mx AS (SELECT query_id, qpid, doc_id, max(cosine) AS maxsim
+        |  FROM pr GROUP BY query_id, qpid, doc_id),
+        |ds AS (SELECT query_id, doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(qpid := qpid, maxsim := maxsim))),
+        |      x -> x.maxsim)), (a, b) -> a + b) AS score,
+        |  count(*) AS n_qchunks_matched
+        |  FROM mx GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, n_qchunks_matched, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM ds)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // CONTEXT PACKING — the artifact a RAG pipeline assembles from the
     // top-k: per query, passages admitted in RANK order while the running
     // token total stays within the 128-token budget (greedy prefix —

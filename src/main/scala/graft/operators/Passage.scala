@@ -228,6 +228,58 @@ object Passage {
       .orderBy("query_id", "rank")
   }
 
+  /** LATE-INTERACTION document ranking (ColBERT's MaxSim, banded): a
+    * query DOCUMENT is its bag of chunk vectors, a candidate document
+    * scores Σ over query chunks of max over its own chunks of the
+    * chunk-pair cosine — fine-grained interaction a single pooled vector
+    * can't express (the passage family's vectors double as the
+    * token-level multi-vector index). Candidate chunk pairs come from
+    * the band index; a pair that collides in no band contributes 0 to
+    * its max — the standard production lower bound (ColBERT serving
+    * generates candidates by ANN over token vectors exactly like this;
+    * only colliding pairs are exact-scored).
+    *
+    * Engine-exactness: max() is order-insensitive; the per-document sum
+    * folds in SORTED query-chunk order via aggregate() over a sorted
+    * struct array (the keywordSearch fold discipline), so the MaxSim
+    * double is bit-identical on any engine.
+    */
+  def lateInteractionTopK(vectors: DataFrame, bands: DataFrame,
+                          numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = vectors.select(col("pid"), col("doc_id"), col("chunk_id"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val qchunks = v.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("pid").as("qpid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val probes = bands
+      .filter(shiftrightunsigned(col("pid"), ChunkIdBits) < numQueries)
+      .select(shiftrightunsigned(col("pid"), ChunkIdBits).as("query_id"),
+        col("pid").as("qpid"), col("band"), col("bb"))
+    val p0 = bands.join(broadcast(probes), Seq("band", "bb"))
+      .filter(shiftrightunsigned(col("pid"), ChunkIdBits) =!= col("query_id"))
+      .select(col("query_id"), col("qpid"), col("pid"))
+      .distinct()
+    val perPair = p0
+      .join(v, Seq("pid"))
+      .join(broadcast(qchunks), Seq("query_id", "qpid"))
+      .select(col("query_id"), col("qpid"), col("doc_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .groupBy("query_id", "qpid", "doc_id")
+      .agg(max(col("cosine")).as("maxsim"))
+    val rw = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    perPair
+      .groupBy("query_id", "doc_id")
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("qpid"), col("maxsim")))),
+          lit(0.0), (acc, x) => acc + x.getField("maxsim")).as("score"),
+        count(lit(1)).as("n_qchunks_matched"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
   /** EXACT brute-force diversity-capped passage top-k — the validation
     * baseline of the band-indexed path ([[Similarity.bruteForceTopK]]'s
     * role on the chunk side): same query set, same own-doc exclusion,

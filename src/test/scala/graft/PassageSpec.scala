@@ -180,6 +180,34 @@ class PassageSpec extends SparkSpec {
     }
   }
 
+  test("late interaction: a full near-twin document dominates, contracts hold") {
+    import spark.implicits._
+    // doc 0 queries; doc 1 is its byte-identical twin (every chunk pair
+    // cosine 1), doc 2 shares nothing structurally
+    val w104 = Array.fill(104)("w").mkString(" ")
+    val fixture = Seq((0L, w104), (1L, w104),
+      (2L, (1 to 104).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val v = Passage.chunkVectors(fixture)
+    val b = Passage.chunkBands(v)
+    val r = Passage.lateInteractionTopK(v, b)
+      .filter(col("query_id") === 0).collect().sortBy(_.getLong(4))
+    assert(r.nonEmpty && r.head.getLong(1) == 1L,
+      s"the twin document must rank 1: ${r.toSeq}")
+    // the twin matches all 4 query chunks at cosine ~1 → score ~4
+    assert(r.head.getLong(3) == 4L && math.abs(r.head.getDouble(2) - 4.0) < 1e-9)
+    // corpus fixture contracts: no self, contiguous ranks, monotone scores,
+    // score bounded by matched query chunks (each maxsim <= 1 + ulp)
+    val full = Passage.lateInteractionTopK(vecs, bands).collect()
+    full.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(!rows.exists(_.getLong(1) == q))
+      val ranks = rows.map(_.getLong(4)).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+      val ss = rows.sortBy(_.getLong(4)).map(_.getDouble(2))
+      assert(ss.zip(ss.tail).forall { case (a, c) => a >= c })
+      rows.foreach(x => assert(x.getDouble(2) <= x.getLong(3) * (1.0 + 1e-9)))
+    }
+  }
+
   test("persisted family serves the construction bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
     Passage.persistPassage(docs, dir, stamp = "spec")
