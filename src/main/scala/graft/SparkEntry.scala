@@ -293,8 +293,9 @@ object SparkEntry {
     passageCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
     // v2: vectors carry per-chunk n_tokens (context packing reads them);
-    // committed v1 directories fail the stamp compare and rebuild in place
-    val stamp = "passage-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v3: adds the default-parameter MaxSim answer (li_topk); committed
+    // older directories fail the stamp compare and rebuild in place
+    val stamp = "passage-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     passageCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -3183,10 +3184,7 @@ object SparkEntry {
     // order-insensitive and the per-doc sum folds in sorted query-chunk
     // order, so the MaxSim double hash-checks.
     ("q_late_interaction_topk",
-      (s, d) => {
-        val t = passageTables(s, d)
-        Passage.lateInteractionTopK(t.vectors, t.bands)
-      },
+      (s, d) => passageTables(s, d).liTopk.orderBy("query_id", "rank"),
       Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
         |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
         |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),

@@ -343,8 +343,9 @@ object Passage {
           .cast("int").as("within_bound"))
   }
 
-  /** The persisted passage family's three tables. */
-  case class PassageTables(vectors: DataFrame, bands: DataFrame, topk: DataFrame)
+  /** The persisted passage family's four tables. */
+  case class PassageTables(vectors: DataFrame, bands: DataFrame,
+                           topk: DataFrame, liTopk: DataFrame)
 
   /** Build the passage-retrieval snapshot ONCE per corpus: chunk vectors,
     * the band-triple index, and the default-parameter top-k answer,
@@ -368,6 +369,10 @@ object Passage {
     passageTopKServeFrom(vecs, spark.read.parquet(s"$dir/bands"),
         numQueries, k, maxPerDoc)
       .write.mode("overwrite").parquet(s"$dir/topk")
+    // v3: the default-parameter MaxSim answer — the late-interaction
+    // ranking was the family's last default output rebuilt per call
+    lateInteractionTopK(vecs, spark.read.parquet(s"$dir/bands"), numQueries, k)
+      .write.mode("overwrite").parquet(s"$dir/li_topk")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -376,7 +381,8 @@ object Passage {
     PassageTables(
       vectors = spark.read.parquet(s"$dir/vectors"),
       bands = spark.read.parquet(s"$dir/bands"),
-      topk = spark.read.parquet(s"$dir/topk"))
+      topk = spark.read.parquet(s"$dir/topk"),
+      liTopk = spark.read.parquet(s"$dir/li_topk"))
 
   /** CONTEXT PACKING — the artifact a RAG pipeline actually assembles
     * from a top-k: per query, passages admitted in RANK order while the

@@ -84,9 +84,10 @@ object ChunkStream {
 
   /** The GROWN passage tables: base ∪ epoch deltas (merge-on-read), fed
     * straight to [[Passage.passageTopKForQueries]]. The `topk` member is
-    * the BASE's default answer unchanged — the default-parameter artifact
-    * is a snapshot-rebuild output ([[compact]] re-derives it); arbitrary
-    * queries over the grown view are the any-time path.
+    * the BASE's default answer unchanged (likewise `liTopk`) — the
+    * default-parameter artifacts are snapshot-rebuild outputs
+    * ([[compact]] re-derives them); arbitrary queries over the grown
+    * view are the any-time path.
     */
   def grownTables(spark: SparkSession, base: Passage.PassageTables,
                   outDir: String): Passage.PassageTables =
@@ -95,12 +96,13 @@ object ChunkStream {
         .map(base.vectors.unionByName(_)).getOrElse(base.vectors),
       bands = existing(spark, s"$outDir/bands_delta")
         .map(base.bands.unionByName(_)).getOrElse(base.bands),
-      topk = base.topk)
+      topk = base.topk, liTopk = base.liTopk)
 
   /** COMPACTION — fold the base family + epoch deltas into a NEW
     * committed family dir: vectors and bands union-fold, and the
     * default-parameter `topk` answer is RE-DERIVED from the folded
-    * tables (it must reflect the grown corpus — the one derived member).
+    * tables, as is the MaxSim default (both must reflect the grown
+    * corpus — the derived members).
     * Commit-before-delete; stop the stream first and restart it against
     * `newBaseDir` ([[CrawlDedup.compact]]'s stale-base argument).
     */
@@ -117,6 +119,10 @@ object ChunkStream {
         spark.read.parquet(s"$newBaseDir/bands"),
         numQueries, k, maxPerDoc)
       .write.mode("overwrite").parquet(s"$newBaseDir/topk")
+    Passage.lateInteractionTopK(
+        spark.read.parquet(s"$newBaseDir/vectors"),
+        spark.read.parquet(s"$newBaseDir/bands"), numQueries, k)
+      .write.mode("overwrite").parquet(s"$newBaseDir/li_topk")
     graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
     Seq("vectors_delta", "bands_delta").foreach { d =>
       val dp = new Path(s"$outDir/$d")

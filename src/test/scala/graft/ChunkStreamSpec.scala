@@ -98,9 +98,11 @@ class ChunkStreamSpec extends SparkSpec {
           .toDF("query_id", "query_text"))
       .collect().map(_.toSeq).toSet
     assert(afterServe == beforeServe)
-    // the default answer reflects the folded corpus exactly
+    // the default answers reflect the folded corpus exactly
     val expTopk = Passage.passageTopKServeFrom(nb.vectors, nb.bands)
     assert(nb.topk.exceptAll(expTopk).isEmpty && expTopk.exceptAll(nb.topk).isEmpty)
+    val expLi = Passage.lateInteractionTopK(nb.vectors, nb.bands)
+    assert(nb.liTopk.exceptAll(expLi).isEmpty && expLi.exceptAll(nb.liTopk).isEmpty)
     // deltas cleared: the grown view over the NEW base is the base itself
     val regrown = ChunkStream.grownTables(spark, nb, s"$base/out")
     assert(regrown.vectors.exceptAll(nb.vectors).isEmpty &&

@@ -646,6 +646,10 @@ class SnapshotSpec extends SparkSpec {
     val passLive = Passage.passageTopKServeFrom(pt.vectors, pt.bands)
     assert(passServed.exceptAll(passLive).isEmpty && passLive.exceptAll(passServed).isEmpty,
       "persisted passage topk must equal the any-parameter path at defaults")
+    val liServed = SparkEntry.queries("q_late_interaction_topk")(spark, sf)
+    val liLive = Passage.lateInteractionTopK(pt.vectors, pt.bands)
+    assert(liServed.exceptAll(liLive).isEmpty && liLive.exceptAll(liServed).isEmpty,
+      "persisted MaxSim topk must equal the any-parameter path at defaults")
     val rrfServed = SparkEntry.queries("q_rrf_fusion")(spark, sf)
     val ixDir = SnapshotStore.snapshotDir(spark, s"$sf/documents.parquet", "graft_search")
     val annDir = SnapshotStore.snapshotDir(spark, s"$sf/embeddings.parquet", "graft_annserve")
@@ -654,8 +658,10 @@ class SnapshotSpec extends SparkSpec {
       Tables.embeddings(spark, sf), spark.read.parquet(s"$annDir/bands"))
     assert(rrfServed.exceptAll(rrfLive).isEmpty && rrfLive.exceptAll(rrfServed).isEmpty,
       "persisted RRF topk must equal the any-parameter path at defaults")
-    // serving is ONE scan of the family's topk table
-    Seq(("q_passage_topk", "graft_passage"), ("q_rrf_fusion", "graft_rrf"))
+    // serving is ONE scan of the family's answer table
+    Seq(("q_passage_topk", "graft_passage"),
+        ("q_late_interaction_topk", "graft_passage"),
+        ("q_rrf_fusion", "graft_rrf"))
       .foreach { case (q, fam) =>
         val scans = SparkEntry.queries(q)(spark, sf)
           .queryExecution.executedPlan.collectLeaves()
