@@ -49,7 +49,10 @@ object Hybrid {
       .select(col("doc_id").as("query_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("query_id", "tok").agg(count(lit(1)).as("qtf"))
     val w = Window.partitionBy("query_id").orderBy(col("w").desc, col("tok"))
-    qtf.join(broadcast(lexicon), Seq("tok"))
+    // broadcast the QUERY side: qtf is a few docs' distinct tokens, the
+    // lexicon is vocabulary-sized (millions of rows at corpus scale) and
+    // must stream past the broadcast, never ship to every executor
+    lexicon.join(broadcast(qtf), Seq("tok"))
       .withColumn("w",
         col("qtf") * (lit(nTotal) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       .withColumn("trank", row_number().over(w))
@@ -67,7 +70,8 @@ object Hybrid {
                      k: Int = 20): DataFrame = {
     val tf = index.postings.join(broadcast(terms), Seq("tok"))
     val rw = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    tf.join(broadcast(index.lexicon.join(terms.select("tok").distinct(), Seq("tok"))),
+    tf.join(broadcast(index.lexicon
+          .join(broadcast(terms.select("tok").distinct()), Seq("tok"))),
         Seq("tok"))
       .withColumn("w",
         col("tf") * (lit(index.nTotal) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
