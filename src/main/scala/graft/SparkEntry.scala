@@ -293,9 +293,10 @@ object SparkEntry {
     passageCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
     // v2: vectors carry per-chunk n_tokens (context packing reads them);
-    // v3: adds the default-parameter MaxSim answer (li_topk); committed
-    // older directories fail the stamp compare and rebuild in place
-    val stamp = "passage-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v3: adds the default-parameter MaxSim answer (li_topk); v4: adds
+    // the distillation slate (distill); committed older directories fail
+    // the stamp compare and rebuild in place
+    val stamp = "passage-v4:" + graft.sources.SnapshotStore.fingerprint(s, src)
     passageCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -473,6 +474,48 @@ object SparkEntry {
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
         (stamp, s.read.parquet(s"$dir/collisions"))
+      })._2
+  }
+
+  /** PERSISTED broadcast-bloom decontamination family (graft_bloom):
+    * the packed bitmap (one row), the bloom candidate table, and the
+    * bloom-path contamination answer are all snapshot-determined, so the
+    * benchmark gram explode, the corpus probe, and the candidate-only
+    * exact verify run ONCE per documents snapshot — every q_bloom_*
+    * serve is then a scan (bitmap: staging discipline — candidates are
+    * probed against the READ-BACK parquet row, exactly the shape a
+    * cluster deployment broadcasts). [[Dedup.bloomCandidates]] /
+    * [[Dedup.bloomContamination]] remain the any-benchmark paths.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, (DataFrame, DataFrame))]()
+  private def bloomTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    bloomCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "bloom-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    bloomCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_bloom")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val docs = Tables.documents(s, d)
+          val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+          val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          Dedup.bloomBitmap(bench)
+            .write.mode("overwrite").parquet(s"$dir/bitmap")
+          Dedup.bloomCandidates(corpus, s.read.parquet(s"$dir/bitmap"))
+            .select("doc_id", "n_bloom_hits")
+            .write.mode("overwrite").parquet(s"$dir/candidates")
+          Dedup.contamination(
+              corpus.join(s.read.parquet(s"$dir/candidates").select("doc_id"),
+                Seq("doc_id"), "left_semi"),
+              bench, n = 5)
+            .write.mode("overwrite").parquet(s"$dir/contamination")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, (s.read.parquet(s"$dir/candidates"),
+          s.read.parquet(s"$dir/contamination")))
       })._2
   }
 
@@ -724,6 +767,61 @@ object SparkEntry {
   private val WITH_NORM_AGG    = s"WITH norm AS ($NORM), agg AS ($AGG)"
   private val WITH_NORM_ALERTS =
     s"WITH norm AS ($NORM), alerts AS (SELECT * FROM norm WHERE severity IN ('high','critical'))"
+
+  /** The registry's 5-gram list over a pre-split token array `t` — shared
+    * by the decontamination oracles so the gram definition can never
+    * drift between the exact and bloom paths.
+    */
+  private val GRAM5 = "list_transform(generate_series(1, len(t) - 4), " +
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+
+  /** The exact-contamination oracle (q_contamination's SQL) — also the
+    * oracle of q_bloom_contamination verbatim: the bloom pre-filter
+    * admits false positives but never false negatives, so exact-verify
+    * restricted to candidates IS the exact answer.
+    */
+  private val EXACT_CONTAM_SQL = s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+    |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+    |bg AS (SELECT DISTINCT unnest($GRAM5) AS g
+    |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+    |cg AS (SELECT doc_id, unnest(list_distinct($GRAM5)) AS g
+    |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp))
+    |SELECT doc_id, count(*) AS n_collisions
+    |FROM cg JOIN bg USING (g)
+    |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of the bloom probe — the shared CTE prefix of the
+    * q_bloom_* oracles: %11 splits, benchmark gram fingerprints, the
+    * 63-bit-packed word table (geometry interpolated from
+    * [[Dedup.BloomBits]]/[[Dedup.BloomHashes]] so the two engines can
+    * never disagree on a constant), and the per-(doc, gram)
+    * all-bits-set probe. Ends with the `cand` CTE (bloom-flagged docs +
+    * hit counts); `cg`/`bg` remain visible for the witness's exact side.
+    */
+  private val BLOOM_CTES = {
+    val m = Dedup.BloomBits
+    val probe = s"((fp % $m) + s * (1 + fp % ${m - 1})) % $m AS p"
+    val seeds = s"generate_series(0, ${Dedup.BloomHashes - 1}) AS t(s)"
+    s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
+    |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+    |bg AS (SELECT DISTINCT unnest($GRAM5) AS g
+    |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+    |bfp AS (SELECT DISTINCT ${TextAnalysis.Sql.fingerprintOf("g")} AS fp FROM bg),
+    |words AS (SELECT p // 63 AS word,
+    |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+    |  FROM (SELECT $probe FROM bfp, $seeds) GROUP BY 1),
+    |cg AS (SELECT doc_id, unnest(list_distinct($GRAM5)) AS g
+    |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp)),
+    |cfp AS (SELECT doc_id, g, ${TextAnalysis.Sql.fingerprintOf("g")} AS fp FROM cg),
+    |chk AS (SELECT doc_id, g,
+    |    bool_and((COALESCE(bits, CAST(0 AS BIGINT)) &
+    |      (CAST(1 AS BIGINT) << CAST(p % 63 AS INT))) <> 0) AS hit
+    |  FROM (SELECT doc_id, g, $probe FROM cfp, $seeds) cp
+    |  LEFT JOIN words ON cp.p // 63 = words.word
+    |  GROUP BY doc_id, g),
+    |cand AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+    |  FROM chk WHERE hit GROUP BY doc_id)""".stripMargin
+  }
 
   /** The registry's BPE merge count. Referenced by the persisted-table
     * build, the registry's artifact read, and BOTH generated oracles —
@@ -3228,6 +3326,78 @@ object SparkEntry {
         |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM ds)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // RETRIEVAL-DISTILLATION pairs (the ColBERTv2 training-data shape):
+    // for every (query, doc) the student passage top-k surfaced, the
+    // teacher's FULL MaxSim score (all chunk pairs — not band-limited: a
+    // distillation target must score the whole interaction or the
+    // student re-learns the index's blind spots) plus both ranks; the
+    // disagreement rows are the training signal. Teacher cost is
+    // slate-bounded (queries × ≤ k docs), never corpus-bounded. Served
+    // from the persisted family (passage-v4); the oracle re-walks the
+    // student retrieval AND the teacher fold end to end.
+    ("q_distill_pairs",
+      (s, d) => passageTables(s, d).distill.orderBy("query_id", "teacher_rank"),
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.doc_id <> q.query_id),
+        |sc AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qv qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sc),
+        |rk AS (SELECT query_id, doc_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |  FROM dv WHERE rn_doc <= 2),
+        |cand AS (SELECT query_id, doc_id, max(cosine) AS student_score,
+        |  min(rank) AS best_rank FROM rk WHERE rank <= 10 GROUP BY query_id, doc_id),
+        |qc AS (SELECT doc_id AS query_id, pid AS qpid, v FROM pv
+        |  WHERE doc_id IN (SELECT DISTINCT query_id FROM cand)
+        |    AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |pr AS (SELECT cand.query_id, cand.doc_id, qc.qpid,
+        |  ${Similarity.Sql.cosine("qc.v", "cv.v")} AS cosine
+        |  FROM cand JOIN pv cv ON cv.doc_id = cand.doc_id
+        |       JOIN qc ON qc.query_id = cand.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |mx AS (SELECT query_id, doc_id, qpid, max(cosine) AS maxsim
+        |  FROM pr GROUP BY query_id, doc_id, qpid),
+        |ts AS (SELECT query_id, doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(qpid := qpid, maxsim := maxsim))),
+        |      x -> x.maxsim)), (a, b) -> a + b) AS teacher_score
+        |  FROM mx GROUP BY query_id, doc_id)
+        |SELECT cand.query_id, cand.doc_id, cand.student_score,
+        |  CAST(row_number() OVER (PARTITION BY cand.query_id
+        |    ORDER BY cand.best_rank) AS BIGINT) AS student_rank,
+        |  ts.teacher_score,
+        |  CAST(row_number() OVER (PARTITION BY cand.query_id
+        |    ORDER BY ts.teacher_score DESC, cand.doc_id) AS BIGINT) AS teacher_rank
+        |FROM cand JOIN ts USING (query_id, doc_id)
+        |ORDER BY query_id, teacher_rank""".stripMargin)),
+
     // CONTEXT PACKING — the artifact a RAG pipeline assembles from the
     // top-k: per query, passages admitted in RANK order while the running
     // token total stays within the 128-token budget (greedy prefix —
@@ -3517,17 +3687,68 @@ object SparkEntry {
     // any-benchmark path.
     ("q_contamination",
       (s, d) => deconCollisions(s, d).orderBy("doc_id"),
-      Some("""WITH bench AS (SELECT * FROM documents WHERE doc_id % 11 = 0),
-        |corp AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
-        |bg AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(t) - 4),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
-        |  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
-        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp))
-        |SELECT doc_id, count(*) AS n_collisions
-        |FROM cg JOIN bg USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(EXACT_CONTAM_SQL)),
+
+    // BROADCAST-BLOOM DECONTAMINATION — the zero-shuffle pre-filter (the
+    // contamination plan that actually survives 100 TB): the benchmark's
+    // distinct 5-gram fingerprints set k=6 double-hashed bits in a
+    // 2^20-bit bitmap packed into ONE broadcast row (Dedup.bloomBitmap —
+    // the PQ packed-codebook idiom applied to set membership); the
+    // corpus probe is then a pure projection — grams, polynomial
+    // fingerprints, positions, and bit tests all evaluate INSIDE the row
+    // — so the corpus is scanned once and NEVER exchanged (even
+    // q_contamination's exact join map-side-aggregates and shuffles the
+    // corpus gram stream). Blooms have no false negatives, so the
+    // candidate set is a hash-checked SUPERSET of the exact flags
+    // (q_bloom_bound witnesses n_missed = 0); the full oracle re-derives
+    // every bit of the bitmap and probe in DuckDB.
+    // Served from the persisted graft_bloom family (bitmap build, probe
+    // and candidate-verify run once per snapshot — bloomTables); the
+    // oracle re-derives the whole construction.
+    ("q_bloom_candidates",
+      (s, d) => bloomTables(s, d)._1.orderBy("doc_id"),
+      Some(s"""$BLOOM_CTES
+        |SELECT doc_id, n_bloom_hits FROM cand ORDER BY doc_id""".stripMargin)),
+
+    // the composed production plan: exact-verify ONLY the bloom
+    // candidates. Output ≡ q_contamination — the identity is structural
+    // (no false negatives ⇒ restricting the exact gram join to
+    // candidates loses nothing), so the oracle is EXACT_CONTAM_SQL
+    // verbatim — while the corpus-wide stage drops from a gram join to
+    // the row-local probe: only the candidate sliver pays the explode.
+    ("q_bloom_contamination",
+      (s, d) => bloomTables(s, d)._2.orderBy("doc_id"),
+      Some(EXACT_CONTAM_SQL)),
+
+    // witness row: candidates ⊇ exact flags — n_missed MUST be 0 (the
+    // no-false-negative guarantee, hash-checked against the persisted
+    // exact table), plus the pre-filter's precision (measured 0.87–1.0
+    // across SFs; the surplus is polynomial-fingerprint birthday
+    // collisions, see Dedup.BloomBits scaladoc — bound at ≥ 0.8).
+    ("q_bloom_bound",
+      (s, d) => {
+        val cand = bloomTables(s, d)._1.select("doc_id")
+        val exact = deconCollisions(s, d).select("doc_id")
+        val prec = col("n_exact").cast("double") / col("n_candidates")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+          .crossJoin(exact.join(cand, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_missed")))
+          .select(col("n_candidates"), col("n_exact"), col("n_missed"),
+            prec.as("candidate_precision"),
+            (col("n_missed") === 0 && prec >= 0.8).cast("int").as("within_bound"))
+      },
+      Some(s"""$BLOOM_CTES,
+        |ex AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+        |n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ex
+        |     WHERE doc_id NOT IN (SELECT doc_id FROM cand)) AS n_missed)
+        |SELECT n_candidates, n_exact, n_missed,
+        |  n_exact / CAST(n_candidates AS DOUBLE) AS candidate_precision,
+        |  CAST((n_missed = 0 AND n_exact / CAST(n_candidates AS DOUBLE) >= 0.8) AS INT)
+        |    AS within_bound
+        |FROM n""".stripMargin)),
 
     // the drop-side: corpus anti-join against the persisted collision
     // table (exactly Dedup.decontaminate's shape with the contamination

@@ -907,6 +907,133 @@ object Dedup {
     corpus.join(contamination(corpus, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  // ===== Broadcast-Bloom decontamination (the zero-shuffle pre-filter) =====
+
+  /** Default Bloom geometry for the registry's benchmark scale (~23k
+    * distinct 5-grams at sf0.1): 2^20 bits = 16,644 longs ≈ 130 KiB
+    * packed, 6 hashes → per-gram bit-collision rate
+    * (1−e^(−kn/m))^k ≈ 4e-6. Sizing rule for other benchmark suites:
+    * m ≈ 45 bits per distinct benchmark gram keeps that regime; the
+    * bitmap stays a constants-bounded broadcast either way (a 2.3M-gram
+    * suite at the same rate is ~13 MiB — still one broadcast, never
+    * corpus-scaled). At these settings the measured candidate surplus is
+    * dominated not by bloom bits but by the ~2^30-wide polynomial
+    * fingerprint (birthday collisions: 6 surplus docs at sf0.1, matching
+    * |corpus grams|·|bench grams|/1e9 ≈ 5.5) — the polynomial is the
+    * DuckDB-mirrorable stand-in; a production deployment swaps
+    * [[TextAnalysis.fingerprintCol]] for xxhash64 (64-bit fp space, one
+    * line, identical plan shape) and the surplus reverts to bloom
+    * geometry.
+    */
+  val BloomBits: Int = 1 << 20
+  val BloomHashes: Int = 6
+
+  /** The k bloom bit positions of one gram fingerprint, by standard
+    * double hashing (Kirsch–Mitzenstein): pos_i = (h1 + i·h2) mod m with
+    * h1 = fp mod m, h2 = 1 + fp mod (m−1). All arithmetic stays below
+    * 2^31 (fp < 1e9+7, i·h2 < k·m), exact in Long on both engines; fp is
+    * a lambda-bound reference at every call site, so the fingerprint
+    * itself evaluates once per gram, not once per position.
+    */
+  private def bloomPositions(fp: Column, mBits: Int, kHashes: Int): Seq[Column] = {
+    val m = lit(mBits.toLong)
+    val h1 = fp % m
+    val h2 = lit(1L) + fp % lit((mBits - 1).toLong)
+    (0 until kHashes).map(i => (h1 + lit(i.toLong) * h2) % m)
+  }
+
+  /** ALL-k-bits-set membership test of one gram fingerprint against the
+    * packed bitmap column (array of ceil(mBits/63) longs, element_at
+    * 1-based). 63 bits per word, not 64: DuckDB's checked `<<` raises on
+    * `1 << 63` (the sign bit), so capping the shift at 62 keeps every
+    * mask positive and the layout bit-identical on both engines.
+    */
+  private def bloomHit(fp: Column, bloomArr: Column, mBits: Int,
+                       kHashes: Int): Column =
+    bloomPositions(fp, mBits, kHashes).map { p =>
+      val word = floor(p / lit(63)).cast("int") + lit(1)
+      val mask = call_function("shiftleft", lit(1L), (p % 63).cast("int"))
+      element_at(bloomArr, word).bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Bloom bitmap over the benchmark's distinct token `n`-gram
+    * fingerprints, packed into ONE row (`bloom`: array of ceil(mBits/63)
+    * longs) — the [[graft.operators.Similarity]] packed-codebook idiom
+    * applied to set membership. Build cost is benchmark-sized (one gram
+    * explode + one word-keyed aggregate over ≤ grams·k rows, densified
+    * against a range frame so array position IS the word index); the
+    * result is a constants-bounded broadcast payload, independent of
+    * corpus size. Gram fingerprints are the engine-wide polynomial
+    * ([[TextAnalysis.fingerprintCol]]), so the DuckDB oracle reproduces
+    * every bit.
+    */
+  def bloomBitmap(benchmark: DataFrame, n: Int = 5, mBits: Int = BloomBits,
+                  kHashes: Int = BloomHashes): DataFrame = {
+    val fps = benchmark
+      .select(explode(shingles(col("text"), n)).as("g")).distinct()
+      .select(TextAnalysis.fingerprintCol(col("g")).as("fp"))
+    val pos = fps.select(
+      explode(array(bloomPositions(col("fp"), mBits, kHashes): _*)).as("p"))
+    val words = pos
+      .select(floor(col("p") / lit(63)).cast("long").as("word"),
+        call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("m"))
+      .groupBy("word").agg(bit_or(col("m")).as("bits"))
+    benchmark.sparkSession.range((mBits + 62) / 63).toDF("word")
+      .join(words, Seq("word"), "left")
+      .select(col("word"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(transform(array_sort(collect_list(struct(col("word"), col("bits")))),
+        s => s.getField("bits")).as("bloom"))
+  }
+
+  /** Corpus documents whose distinct `n`-gram set probes the bloom with
+    * ≥ 1 full hit, with the per-document hit count — the ZERO-SHUFFLE
+    * contamination pre-filter. The bitmap rides one 1-row broadcast
+    * (BNLJ by construction, constants-bounded) and the probe is a pure
+    * projection: grams, fingerprints, k positions, and the bit tests all
+    * evaluate INSIDE the row, so the corpus stream is scanned once and
+    * never exchanged — the shape [[contamination]]'s gram join cannot
+    * reach at 100 TB (it shuffles or at best map-side-aggregates the
+    * corpus gram stream; this touches it element-wise in place).
+    * Guarantee: NO FALSE NEGATIVES — every document [[contamination]]
+    * flags carries a benchmark gram, whose fingerprint set exactly the
+    * k bits the probe tests — so the candidate set is a superset of the
+    * exact flags and safe to verify behind.
+    */
+  def bloomCandidates(corpus: DataFrame, bitmap: DataFrame, n: Int = 5,
+                      mBits: Int = BloomBits,
+                      kHashes: Int = BloomHashes): DataFrame = {
+    val fps = transform(shingles(col("text"), n),
+      g => TextAnalysis.fingerprintCol(g))
+    val hits = size(filter(fps, fp => bloomHit(fp, col("bloom"), mBits, kHashes)))
+    corpus.crossJoin(broadcast(bitmap))
+      .withColumn("n_bloom_hits", hits.cast("long"))
+      .filter(col("n_bloom_hits") > 0)
+      .drop("bloom")
+  }
+
+  /** Bloom-prefiltered exact decontamination: flags the SAME documents
+    * with the SAME collision counts as [[contamination]] — the identity
+    * is structural, not statistical: the bloom admits false positives
+    * but never false negatives, so restricting the exact gram join to
+    * the bloom candidates loses nothing (a non-candidate has zero
+    * benchmark collisions by the superset guarantee, and
+    * [[contamination]] only emits documents with ≥ 1) — while the
+    * corpus-wide stage drops from a gram hash-join to the row-local
+    * probe: only the candidate sliver (exact hits + the ~2e-4
+    * false-positive tail) pays the gram explode and join. This is the
+    * production decontamination plan at 100 TB; the collision-count
+    * equality carries [[contamination]]'s accepted 64-bit xxhash
+    * collision class (the probe tests gram STRINGS via their polynomial
+    * fingerprints; the verify join keys on xxhash64).
+    */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                         mBits: Int = BloomBits,
+                         kHashes: Int = BloomHashes): DataFrame =
+    contamination(
+      bloomCandidates(corpus, bloomBitmap(benchmark, n, mBits, kHashes),
+        n, mBits, kHashes).drop("n_bloom_hits"),
+      benchmark, n)
+
   /** EXACT SUBSTRING (span-level) deduplication: rewrite every document
     * with each token position covered by a cross-document k-gram removed —
     * the span-removal counterpart of the document-level near-dedup family

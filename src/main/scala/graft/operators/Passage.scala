@@ -280,6 +280,64 @@ object Passage {
       .orderBy("query_id", "rank")
   }
 
+  /** RETRIEVAL-DISTILLATION pairs — the training-data artifact a
+    * retriever-distillation run ships (the ColBERTv2 recipe, public):
+    * for every (query, candidate-document) pair the STUDENT retriever
+    * surfaced (the single-vector passage top-k — cheap, index-served),
+    * the TEACHER's full MaxSim score over ALL chunk pairs of the two
+    * documents, plus both rankings. The student trains on the teacher's
+    * ordering of its own candidate list — which is why the artifact
+    * carries both scores and both ranks, not just labels: the
+    * disagreement rows ARE the training signal.
+    *
+    * Scale shape: the teacher is the expensive exact scorer, but it only
+    * runs on the candidate slate (queries × ≤ k docs — slate-bounded,
+    * never corpus-bounded); query chunks ride one broadcast, candidate
+    * chunks arrive by one narrow equi-join on doc_id, and the per-pair
+    * MaxSim folds in sorted query-chunk order so the double hash-checks
+    * (the [[lateInteractionTopK]] determinism discipline). Unlike that
+    * ranking, the teacher here is NOT band-limited: a distillation
+    * target must score the full interaction, or the student just
+    * re-learns the index's blind spots.
+    *
+    * `student_rank` re-ranks the slate by the student's own evidence
+    * (best-passage rank from the top-k, already unique per query);
+    * `teacher_rank` orders by MaxSim. Both windows are per-query over
+    * ≤ k rows.
+    */
+  def distillPairs(vectors: DataFrame, topk: DataFrame): DataFrame = {
+    val cands = topk.groupBy("query_id", "doc_id")
+      .agg(max(col("cosine")).as("student_score"),
+        min(col("rank")).as("best_rank"))
+    val v = vectors.select(col("pid"), col("doc_id"), col("chunk_id"),
+        toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val qchunks = v.join(cands.select(col("query_id")).distinct(),
+        col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("pid").as("qpid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val teacher = cands.select("query_id", "doc_id")
+      .join(v, Seq("doc_id"))
+      .join(broadcast(qchunks), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"), col("qpid"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cosine"))
+      .groupBy("query_id", "doc_id", "qpid")
+      .agg(max(col("cosine")).as("maxsim"))
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("qpid"), col("maxsim")))),
+        lit(0.0), (acc, x) => acc + x.getField("maxsim")).as("teacher_score"))
+    val sw = Window.partitionBy("query_id").orderBy(col("best_rank"))
+    val tw = Window.partitionBy("query_id")
+      .orderBy(col("teacher_score").desc, col("doc_id"))
+    cands.join(teacher, Seq("query_id", "doc_id"))
+      .withColumn("student_rank", row_number().over(sw).cast("long"))
+      .withColumn("teacher_rank", row_number().over(tw).cast("long"))
+      .select("query_id", "doc_id", "student_score", "student_rank",
+        "teacher_score", "teacher_rank")
+      .orderBy("query_id", "teacher_rank")
+  }
+
   /** EXACT brute-force diversity-capped passage top-k — the validation
     * baseline of the band-indexed path ([[Similarity.bruteForceTopK]]'s
     * role on the chunk side): same query set, same own-doc exclusion,
@@ -343,9 +401,10 @@ object Passage {
           .cast("int").as("within_bound"))
   }
 
-  /** The persisted passage family's four tables. */
+  /** The persisted passage family's five tables. */
   case class PassageTables(vectors: DataFrame, bands: DataFrame,
-                           topk: DataFrame, liTopk: DataFrame)
+                           topk: DataFrame, liTopk: DataFrame,
+                           distill: DataFrame)
 
   /** Build the passage-retrieval snapshot ONCE per corpus: chunk vectors,
     * the band-triple index, and the default-parameter top-k answer,
@@ -373,6 +432,10 @@ object Passage {
     // ranking was the family's last default output rebuilt per call
     lateInteractionTopK(vecs, spark.read.parquet(s"$dir/bands"), numQueries, k)
       .write.mode("overwrite").parquet(s"$dir/li_topk")
+    // v4: the distillation slate — teacher MaxSim over the student's
+    // persisted candidates (both inputs read back from this snapshot)
+    distillPairs(vecs, spark.read.parquet(s"$dir/topk"))
+      .write.mode("overwrite").parquet(s"$dir/distill")
     graft.sources.SnapshotStore.commit(spark, dir, stamp)
   }
 
@@ -382,7 +445,8 @@ object Passage {
       vectors = spark.read.parquet(s"$dir/vectors"),
       bands = spark.read.parquet(s"$dir/bands"),
       topk = spark.read.parquet(s"$dir/topk"),
-      liTopk = spark.read.parquet(s"$dir/li_topk"))
+      liTopk = spark.read.parquet(s"$dir/li_topk"),
+      distill = spark.read.parquet(s"$dir/distill"))
 
   /** CONTEXT PACKING — the artifact a RAG pipeline actually assembles
     * from a top-k: per query, passages admitted in RANK order while the

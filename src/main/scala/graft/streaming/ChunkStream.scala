@@ -96,7 +96,7 @@ object ChunkStream {
         .map(base.vectors.unionByName(_)).getOrElse(base.vectors),
       bands = existing(spark, s"$outDir/bands_delta")
         .map(base.bands.unionByName(_)).getOrElse(base.bands),
-      topk = base.topk, liTopk = base.liTopk)
+      topk = base.topk, liTopk = base.liTopk, distill = base.distill)
 
   /** COMPACTION — fold the base family + epoch deltas into a NEW
     * committed family dir: vectors and bands union-fold, and the
@@ -123,6 +123,10 @@ object ChunkStream {
         spark.read.parquet(s"$newBaseDir/vectors"),
         spark.read.parquet(s"$newBaseDir/bands"), numQueries, k)
       .write.mode("overwrite").parquet(s"$newBaseDir/li_topk")
+    Passage.distillPairs(
+        spark.read.parquet(s"$newBaseDir/vectors"),
+        spark.read.parquet(s"$newBaseDir/topk"))
+      .write.mode("overwrite").parquet(s"$newBaseDir/distill")
     graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
     Seq("vectors_delta", "bands_delta").foreach { d =>
       val dp = new Path(s"$outDir/$d")

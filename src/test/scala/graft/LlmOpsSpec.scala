@@ -453,6 +453,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(clean == Set(3L))
   }
 
+  test("bloom decontamination: no false negatives, composed ≡ exact, " +
+    "probe is a pure projection (no Exchange)") {
+    // (a) direct no-false-negative property: probing the BENCHMARK itself
+    // flags every gram-bearing benchmark doc with hits == its distinct
+    // gram count (each gram set its own bits during construction)
+    val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+    val bitmap = Dedup.bloomBitmap(bench)
+    val selfProbe = Dedup.bloomCandidates(bench, bitmap)
+      .select(col("doc_id"), col("n_bloom_hits"),
+        size(Dedup.shingles(col("text"), 5)).cast("long").as("n_grams"))
+    val gramBearing = bench.filter(size(Dedup.shingles(col("text"), 5)) > 0).count()
+    assert(selfProbe.count() == gramBearing)
+    assert(selfProbe.filter(col("n_bloom_hits") =!= col("n_grams")).count() == 0,
+      "every benchmark gram must probe as a hit against its own bitmap")
+    // (b) superset of the exact flags + composed ≡ exact on the real corpus
+    val exact = Dedup.contamination(corpus, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cand = Dedup.bloomCandidates(corpus, bitmap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.keySet.subsetOf(cand),
+      s"bloom missed exact flags: ${exact.keySet -- cand}")
+    val composed = Dedup.bloomContamination(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(composed == exact,
+      "bloom-prefiltered exact verify must reproduce contamination() exactly")
+    // (c) the scale claim: with the bitmap materialized (one parquet row,
+    // the serving shape), the corpus probe plans with NO Exchange at all —
+    // scan → broadcast BNLJ → projection → filter
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    bitmap.write.mode("overwrite").parquet(dir)
+    val probe = Dedup.bloomCandidates(corpus, spark.read.parquet(dir))
+    val plan = probe.queryExecution.executedPlan.toString
+    // the 1-row BroadcastExchange of the bitmap is the intended (and only)
+    // exchange; any SHUFFLE partitioning would mean the corpus moved
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition").foreach(sh =>
+      assert(!plan.contains(sh),
+        s"bloom probe must not shuffle the corpus stream ($sh):\n$plan"))
+  }
+
   test("strip-dup-spans: shared runs excised from every carrier, uniques kept, " +
     "within-doc repetition and short docs untouched") {
     import spark.implicits._

@@ -208,6 +208,45 @@ class PassageSpec extends SparkSpec {
     }
   }
 
+  test("distillation pairs: slate identity, exact single-chunk scores, " +
+    "rank permutations, teacher scores the FULL interaction") {
+    import spark.implicits._
+    val topk = Passage.passageTopKServeFrom(vecs, bands)
+    val distill = Passage.distillPairs(vecs, topk).collect()
+    // (a) the distillation slate IS the student's candidate doc set —
+    // every retrieved doc gets a teacher score, nothing else does
+    val slate = distill.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val student = topk.select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slate == student)
+    // (b) both ranks are 1..n permutations per query; student_rank
+    // follows the student's own best-passage order (rank-1 doc of the
+    // top-k is student_rank 1)
+    distill.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val best = topk.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    distill.filter(_.getLong(3) == 1L).foreach(r =>
+      assert(best(r.getLong(0)) == r.getLong(1),
+        "student_rank 1 must be the top-k's rank-1 document"))
+    // (c) one-chunk query vs one-chunk twin: teacher == student == 1.0
+    // (MaxSim over a single pair is the pair's cosine)
+    val w20 = Array.fill(20)("w").mkString(" ")
+    val fx = Seq((0L, w20), (1L, w20),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val fv = Passage.chunkVectors(fx)
+    val fd = Passage.distillPairs(fv,
+        Passage.passageTopKServeFrom(fv, Passage.chunkBands(fv)))
+      .filter(col("query_id") === 0 && col("doc_id") === 1).collect()
+    assert(fd.length == 1 && math.abs(fd.head.getDouble(2) - 1.0) < 1e-9 &&
+      math.abs(fd.head.getDouble(4) - 1.0) < 1e-9)
+    // (NB: no sum-domination claim vs the band-limited MaxSim — the full
+    // teacher also scores query chunks the bands never matched, and those
+    // maxima can be negative; per-chunk domination doesn't lift to sums.)
+  }
+
   test("persisted family serves the construction bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
     Passage.persistPassage(docs, dir, stamp = "spec")
@@ -220,5 +259,10 @@ class PassageSpec extends SparkSpec {
     val freshBands = Passage.chunkBands(t.vectors)
     assert(t.bands.exceptAll(freshBands).isEmpty &&
       freshBands.exceptAll(t.bands).isEmpty)
+    // v4: the persisted distillation slate equals a fresh derivation
+    // from the persisted inputs
+    val freshDistill = Passage.distillPairs(t.vectors, t.topk)
+    assert(t.distill.exceptAll(freshDistill).isEmpty &&
+      freshDistill.exceptAll(t.distill).isEmpty)
   }
 }

@@ -396,6 +396,46 @@ class SnapshotSpec extends SparkSpec {
       s"persisted collisions must equal the direct computation (served=${served.size}, direct=${direct.size})")
   }
 
+  test("bloom family serves from graft_bloom scans; persisted bloom-path " +
+    "contamination equals the exact family; staleness honored per call") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    // serving scans: candidates and the bloom-path contamination are each
+    // ONE graft_bloom table scan — neither text nor bitmap rescans per call
+    for (q <- Seq("q_bloom_candidates", "q_bloom_contamination")) {
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0)
+      val scans = scansOf(SparkEntry.queries(q)(spark, sf))
+      assert(scans.size == 1 && scans.forall(_.contains("graft_bloom")),
+        s"$q must serve as one graft_bloom scan:\n${scans.mkString("\n")}")
+    }
+    // cross-family equality: the bloom-path answer (probe → verify on
+    // candidates) IS the exact decon table — the no-false-negative
+    // composition identity, here checked between two PERSISTED families
+    val viaBloom = SparkEntry.queries("q_bloom_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaExact = SparkEntry.queries("q_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBloom == viaExact,
+      s"bloom-path contamination must equal the exact family " +
+        s"(bloom=${viaBloom.size}, exact=${viaExact.size})")
+    // per-call staleness: a regenerated corpus re-probes (the planted
+    // cross-split collision appears, then vanishes with the rewrite)
+    val base = java.nio.file.Files.createTempDirectory("snapbloom")
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    val longText = (1 to 25).map(i => s"w$i").mkString(" ")
+    writeCorpus(Seq((1L, longText), (11L, longText + " x")))
+    assert(SparkEntry.queries("q_bloom_candidates")(spark, base.toString)
+      .count() == 1)
+    Thread.sleep(5)
+    writeCorpus(Seq((1L, "tiny"), (11L, "other words entirely")))
+    assert(SparkEntry.queries("q_bloom_candidates")(spark, base.toString)
+      .count() == 0, "stale bloom snapshot would still flag 1")
+  }
+
   test("quality flags serve from the persisted table and equal the direct regex pass") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
