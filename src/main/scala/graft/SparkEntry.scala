@@ -2109,6 +2109,185 @@ object SparkEntry {
         |SELECT doc_id, score, cosine FROM r
         |ORDER BY cosine DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // TAKEDOWN PROPAGATION (deletion compliance — GDPR erasure, DMCA,
+    // opt-out): the tombstone fixture (doc_id % 13 = 6, coprime to the
+    // %11 split and the PII residues, measured to intersect BOTH served
+    // surfaces at every SF) suppresses served answers IMMEDIATELY via a
+    // broadcast anti-join — no index rebuild on the serving path. The
+    // search form recalls 20 deep and serves 10 AFTER suppression
+    // (backfill: an erased result's slot is refilled from deeper recall,
+    // not left short), relative order preserved, TakeOrderedAndProject
+    // shape (operators.Takedown scaladoc for the re-rank/backfill
+    // rationale).
+    ("q_takedown_search",
+      (s, d) => Takedown.servedWithTakedown(
+        TextAnalysis.keywordSearchFrom(searchIndex(s, d),
+          Seq("hash", "join", "vector"), k = 20),
+        Takedown.tombstones(Tables.documents(s, d)),
+        Seq(col("score").desc, col("doc_id")), serveK = 10),
+      Some("""WITH f AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok),
+        |d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT doc_id, tok, tf * (n_total - df + 0.5) / (df + 0.5) AS w
+        |  FROM f JOIN d USING (tok) CROSS JOIN t),
+        |p AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+        |      x -> x.w)), (a, b) -> a + b) AS score,
+        |  count(*) AS n_terms_matched
+        |  FROM s GROUP BY doc_id),
+        |deep AS (SELECT doc_id, score, n_terms_matched FROM p
+        |  ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, score, n_terms_matched FROM deep
+        |WHERE doc_id % 13 <> 6
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // the per-query ranked form over the persisted passage top-k:
+    // suppress, close ranks up (a hole at rank 3 leaks that something
+    // was erased there), cut to 5 of the 10 recalled — per-query windows
+    // over <= 10 rows.
+    ("q_takedown_topk",
+      (s, d) => Takedown.topKWithTakedown(passageTables(s, d).topk,
+        Takedown.tombstones(Tables.documents(s, d)), serveK = 5),
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.doc_id <> q.query_id),
+        |sc AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qv qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sc),
+        |rk AS (SELECT query_id, doc_id, chunk_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |  FROM dv WHERE rn_doc <= 2),
+        |tk AS (SELECT * FROM rk WHERE rank <= 10),
+        |sup AS (SELECT query_id, doc_id, chunk_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT)
+        |    AS rank_t
+        |  FROM tk WHERE doc_id % 13 <> 6)
+        |SELECT query_id, doc_id, chunk_id, cosine, rank_t AS rank FROM sup
+        |WHERE rank_t <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // the compliance witness: zero tombstoned ids in each served surface
+    // (would trip if anyone edits a serving path to skip suppression),
+    // next to the suppression accounting — non-vacuous at every SF by
+    // the fixture's measured residue choice (>= 1 suppressed per
+    // surface).
+    ("q_takedown_audit",
+      (s, d) => {
+        val tombs = Takedown.tombstones(Tables.documents(s, d))
+        val deep = TextAnalysis.keywordSearchFrom(searchIndex(s, d),
+          Seq("hash", "join", "vector"), k = 20)
+        val topk = passageTables(s, d).topk
+        Takedown.takedownAudit(tombs, Seq(
+            "search" -> Takedown.servedWithTakedown(deep, tombs,
+              Seq(col("score").desc, col("doc_id")), serveK = 10)
+              .select("doc_id"),
+            "topk" -> Takedown.topKWithTakedown(topk, tombs, serveK = 5)
+              .select("doc_id")))
+          .crossJoin(deep.join(broadcast(tombs.select("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_suppressed_search")))
+          .crossJoin(topk.join(broadcast(tombs.select("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_suppressed_topk")))
+      },
+      Some(s"""WITH f AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok),
+        |d AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |sw AS (SELECT doc_id, tok, tf * (n_total - df + 0.5) / (df + 0.5) AS w
+        |  FROM f JOIN d USING (tok) CROSS JOIN t),
+        |p AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+        |      x -> x.w)), (a, b) -> a + b) AS score
+        |  FROM sw GROUP BY doc_id),
+        |deep AS (SELECT doc_id, score FROM p ORDER BY score DESC, doc_id LIMIT 20),
+        |served_search AS (SELECT doc_id FROM deep WHERE doc_id % 13 <> 6
+        |  ORDER BY score DESC, doc_id LIMIT 10),
+        |dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.doc_id <> q.query_id),
+        |sc AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qv qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dv AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sc),
+        |rk AS (SELECT query_id, doc_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank
+        |  FROM dv WHERE rn_doc <= 2),
+        |tk AS (SELECT * FROM rk WHERE rank <= 10),
+        |sup AS (SELECT query_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT)
+        |    AS rank_t
+        |  FROM tk WHERE doc_id % 13 <> 6),
+        |served_topk AS (SELECT doc_id FROM sup WHERE rank_t <= 5)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 13 = 6)
+        |    AS n_tombstones,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM served_search WHERE doc_id % 13 = 6)
+        |    AS n_leaked_search,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM served_topk WHERE doc_id % 13 = 6)
+        |    AS n_leaked_topk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM deep WHERE doc_id % 13 = 6)
+        |    AS n_suppressed_search,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE doc_id % 13 = 6)
+        |    AS n_suppressed_topk""".stripMargin)),
+
     // RRF-FUSED hybrid retrieval (the PARALLEL hybrid — q_hybrid_search
     // above is the cascade): per query document, its top-8 salient terms
     // rank a lexical more-like-this top-20 from the persisted inverted

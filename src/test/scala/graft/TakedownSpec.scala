@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Takedown, TextAnalysis}
+
+/** Takedown propagation: suppression, rank closing, backfill, audit. */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val tombs = Takedown.tombstones(docs).cache()
+  private lazy val index: TextAnalysis.SearchIndex = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tdx").toString
+    TextAnalysis.persistSearchIndex(docs, dir)
+    TextAnalysis.loadSearchIndex(spark, dir)
+  }
+
+  test("planted top-k: holes close contiguously, relative order kept, " +
+    "cut to serveK, untouched queries unchanged") {
+    // query 0: ranks 2 and 4 tombstoned (doc_ids 6, 19 ≡ 6 mod 13) —
+    // survivors at original ranks 1,3,5,6,7 must re-rank 1..5 in original
+    // order, so original ranks 6 and 7 (docs 104, 105) backfill into the
+    // served five; query 1 has no tombstoned docs and comes through
+    // identically.
+    val topk = Seq(
+      (0L, 101L, 0L, 0.9, 1L), (0L, 6L, 0L, 0.8, 2L), (0L, 102L, 0L, 0.7, 3L),
+      (0L, 19L, 0L, 0.6, 4L), (0L, 103L, 0L, 0.5, 5L), (0L, 104L, 0L, 0.4, 6L),
+      (0L, 105L, 0L, 0.3, 7L),
+      (1L, 211L, 0L, 0.9, 1L), (1L, 202L, 0L, 0.8, 2L))
+      .toDF("query_id", "doc_id", "chunk_id", "cosine", "rank")
+    val got = Takedown.topKWithTakedown(topk, tombs, serveK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(got.filter(_._1 == 0L).toSeq ==
+      Seq((0L, 101L, 1L), (0L, 102L, 2L), (0L, 103L, 3L), (0L, 104L, 4L),
+        (0L, 105L, 5L)))
+    assert(got.filter(_._1 == 1L).toSeq == Seq((1L, 211L, 1L), (1L, 202L, 2L)))
+  }
+
+  test("search backfill: full budget served, order preserved, a deeper " +
+    "candidate fills the erased slot (non-vacuous at the test SF)") {
+    val deep = TextAnalysis.keywordSearchFrom(index,
+      Seq("hash", "join", "vector"), k = 20)
+    val deepRows = deep.collect().map(_.getLong(0)).toSeq
+    val tombSet = tombs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val served = Takedown.servedWithTakedown(deep, tombs,
+      Seq(col("score").desc, col("doc_id")), serveK = 10)
+      .collect().map(_.getLong(0)).toSeq
+    // exact semantics: first 10 survivors of the deep list, in order
+    assert(served == deepRows.filterNot(tombSet).take(10))
+    // non-vacuity: the fixture residue intersects the PRE-takedown top-10
+    // (measured property of the %13=6 choice at sf0.001), so the served
+    // list genuinely differs and its last slot is a backfilled candidate
+    assert(deepRows.take(10).exists(tombSet),
+      "fixture must intersect the unsuppressed top-10 at the test SF")
+    assert(served != deepRows.take(10) && served.size == 10)
+    assert(!deepRows.take(10).contains(served.last),
+      "the last served slot must come from the deeper recall")
+  }
+
+  test("audit: zero leaked ids on every surface, suppression accounting " +
+    "non-vacuous, and the audit TRIPS when suppression is skipped") {
+    val r = SparkEntry.queries("q_takedown_audit")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_leaked_search") == 0L &&
+      r.getAs[Long]("n_leaked_topk") == 0L)
+    assert(r.getAs[Long]("n_suppressed_search") >= 1L &&
+      r.getAs[Long]("n_suppressed_topk") >= 1L,
+      "the fixture must suppress something at every SF")
+    // the tripwire: feeding the audit an UN-suppressed surface reports
+    // the leak instead of vacuously passing
+    val deep = TextAnalysis.keywordSearchFrom(index,
+      Seq("hash", "join", "vector"), k = 20)
+    val leaked = Takedown.takedownAudit(tombs,
+        Seq("search" -> deep.select("doc_id")))
+      .collect().head.getAs[Long]("n_leaked_search")
+    assert(leaked >= 1L, "an unsuppressed surface must report its leak")
+  }
+}
