@@ -540,6 +540,19 @@ class Pipeline(
     ChunkStream.start(docs, chunkStorePath,
       checkpointDir = Some(s"$checkpointRoot/chunk-ingest"))
 
+  def takedownStorePath: String = s"$storeRoot/takedown"
+
+  /** Takedown ingestion as a topology member ([[TakedownStream]]):
+    * erasure requests land as tombstone deltas under the shared store
+    * root; every serving member suppresses against the grown view
+    * ([[TakedownStream.grownTombstones]] ∘
+    * [[graft.operators.Takedown.suppress]]) — suppression latency is one
+    * micro-batch, no rebuild on the serving path.
+    */
+  def startTakedown(requests: DataFrame): StreamingQuery =
+    TakedownStream.start(requests, takedownStorePath,
+      checkpointDir = Some(s"$checkpointRoot/takedown"))
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 

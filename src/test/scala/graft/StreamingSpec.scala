@@ -547,8 +547,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("sixteen-member topology: events, crawl curation + scrub + indexer + chunk ingest, media ingest + search, " +
-    "embedding ingest + PQ encode + IVF growth, the tokenizer service and passage retrieval run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("seventeen-member topology: events, crawl curation + scrub + indexer + chunk ingest, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval and takedown ingestion run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -600,6 +600,7 @@ class StreamingSpec extends SparkSpec {
     val ivfVecs = MemoryStream[(Long, Array[Float])]
     val passageQs = MemoryStream[(Long, String)]
     val chunkDocs = MemoryStream[(Long, String)]
+    val erasures = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -620,9 +621,10 @@ class StreamingSpec extends SparkSpec {
         s"$base/ivfindex", probeDepth = 2),
       p.startPassageSearch(passageQs.toDF().toDF("query_id", "query_text"),
         s"$base/passage"),
-      p.startChunkIngest(chunkDocs.toDF().toDF("doc_id", "text")))
+      p.startChunkIngest(chunkDocs.toDF().toDF("doc_id", "text")),
+      p.startTakedown(erasures.toDF().toDF("doc_id", "reason")))
     try {
-      assert(queries.length == 16)
+      assert(queries.length == 17)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -639,6 +641,7 @@ class StreamingSpec extends SparkSpec {
       // 40-token text at the default 32/8 chunk geometry)
       passageQs.addData((900L, (1 to 32).map(i => s"pass$i").mkString(" ")))
       chunkDocs.addData((950L, "fresh crawl chunk tokens"))
+      erasures.addData((1L, "erasure_request"))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -689,5 +692,19 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(chunkGrown == Set((950L, 0L)),
       s"chunk-ingest member must embed the crawl's chunks: $chunkGrown")
+    // the takedown member's grown view suppresses a serving answer the
+    // SAME epoch: passage doc 1 — the rank-1 answer just asserted above —
+    // was erased mid-topology, so the stored passage answer re-served
+    // through the tombstone view must drop it (non-vacuous by the passTop
+    // assertion)
+    val tombs = graft.streaming.TakedownStream.grownTombstones(spark,
+      s"${p.takedownStorePath}/no-base", p.takedownStorePath)
+    assert(tombs.collect().map(_.getLong(0)).toSet == Set(1L))
+    val storedPassages = spark.read.parquet(s"${p.passageStorePath}/passages")
+    assert(storedPassages.filter(col("doc_id") === 1L).count() > 0)
+    val suppressed = graft.operators.Takedown.suppress(storedPassages, tombs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!suppressed.contains(1L),
+      s"the erased document must vanish from the served surface: $suppressed")
   }
 }

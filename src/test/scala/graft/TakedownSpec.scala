@@ -74,4 +74,39 @@ class TakedownSpec extends SparkSpec {
       .collect().head.getAs[Long]("n_leaked_search")
     assert(leaked >= 1L, "an unsuppressed surface must report its leak")
   }
+
+  test("takedown stream: grown view = base ∪ deltas distinct, absent base " +
+    "fine, replay idempotent, compaction folds commit-before-delete") {
+    import graft.streaming.TakedownStream
+    val root = java.nio.file.Files.createTempDirectory("graft-tds").toString
+    val baseDir = s"$root/base"
+    val outDir = s"$root/out"
+    // absent base + no deltas: the grown view is empty, not an error
+    assert(TakedownStream.grownTombstones(spark, baseDir, outDir).count() == 0)
+    // base with one erasure; two epochs, one repeating the base's doc
+    // with a DIFFERENT reason and one new — distinct-on-read keeps one
+    // row per doc with the min reason
+    Seq((5L, "dmca")).toDF("doc_id", "reason")
+      .write.parquet(s"$baseDir/tombstones")
+    TakedownStream.runBatch(
+      Seq((5L, "erasure"), (7L, "optout"), (7L, "dmca")).toDF("doc_id", "reason"),
+      outDir, epoch = 0)
+    TakedownStream.runBatch(Seq((9L, "erasure")).toDF("doc_id", "reason"),
+      outDir, epoch = 1)
+    val grown = TakedownStream.grownTombstones(spark, baseDir, outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == Map(5L -> "dmca", 7L -> "dmca", 9L -> "erasure"))
+    // replay: re-running epoch 1 overwrites its own delta — same view
+    TakedownStream.runBatch(Seq((9L, "erasure")).toDF("doc_id", "reason"),
+      outDir, epoch = 1)
+    assert(TakedownStream.grownTombstones(spark, baseDir, outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == grown)
+    // compaction: new base serves identically, deltas cleared
+    val newBase = s"$root/base2"
+    TakedownStream.compact(spark, baseDir, outDir, newBase)
+    assert(graft.sources.SnapshotStore.ready(spark, newBase, "compact"))
+    assert(TakedownStream.grownTombstones(spark, newBase, outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == grown)
+    assert(!new java.io.File(s"$outDir/tombstones_delta").exists())
+  }
 }
