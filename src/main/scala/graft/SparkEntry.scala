@@ -5282,6 +5282,76 @@ object SparkEntry {
         |SELECT media_id, clip_score, clip_score >= 0.0 AS keep
         |FROM sc ORDER BY media_id""".stripMargin)),
 
+    // CROSS-MODAL retrieval (text query ranks the media corpus): the
+    // text tower's query vectors against the media tower's corpus — one
+    // bounded query broadcast, one media scan, per-query rank windows.
+    // The paired media (same id) is the retrieval target, deliberately
+    // not excluded.
+    ("q_crossmodal_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Multimodal.crossModalTopK(
+          Multimodal.textEmbedStub(docs),
+          Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id AS media_id,
+        |  ${TextAnalysis.Sql.fingerprint} AS f FROM documents),
+        |tv AS (SELECT media_id, list_transform(range(0, 16), d ->
+        |  CAST((f * (2*d + 3) + d * 65599) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS t FROM fp),
+        |mv AS (SELECT media_id, list_transform(range(0, 16), d ->
+        |  CAST((f * (2*d + 1) + d * 40503) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS m FROM fp),
+        |q AS (SELECT media_id AS query_id, t AS qv FROM tv
+        |  WHERE media_id < 5 AND ${Similarity.Sql.dot("t", "t")} > 0),
+        |sc AS (SELECT q.query_id, mv.media_id,
+        |  ${Similarity.Sql.cosine("qv", "m")} AS cosine
+        |  FROM mv CROSS JOIN q WHERE ${Similarity.Sql.dot("m", "m")} > 0),
+        |rk AS (SELECT query_id, media_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, media_id) AS BIGINT) AS rank FROM sc)
+        |SELECT query_id, media_id, cosine, rank FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // the retrieval EVAL CARD (CLIP/DataComp recall@1/@k): a fixed query
+    // sample (doc_id % 101 = 0 — an eval budget, never corpus²) ranks
+    // the media corpus; the card reports where each query's PAIRED media
+    // landed. With stub towers the value is near chance by construction
+    // (Multimodal.crossModalRecall scaladoc) — the derivation is the
+    // operator, and it hash-checks end to end.
+    ("q_crossmodal_recall",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Multimodal.crossModalRecall(
+          Multimodal.textEmbedStub(docs),
+          Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id AS media_id,
+        |  ${TextAnalysis.Sql.fingerprint} AS f FROM documents),
+        |tv AS (SELECT media_id, list_transform(range(0, 16), d ->
+        |  CAST((f * (2*d + 3) + d * 65599) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS t FROM fp),
+        |mv AS (SELECT media_id, list_transform(range(0, 16), d ->
+        |  CAST((f * (2*d + 1) + d * 40503) % 2000001 AS DOUBLE)
+        |    / 1000000.0 - 1.0) AS m FROM fp),
+        |q AS (SELECT media_id AS query_id, t AS qv FROM tv
+        |  WHERE media_id % 101 = 0 AND ${Similarity.Sql.dot("t", "t")} > 0),
+        |sc AS (SELECT q.query_id, mv.media_id,
+        |  ${Similarity.Sql.cosine("qv", "m")} AS cosine
+        |  FROM mv CROSS JOIN q WHERE ${Similarity.Sql.dot("m", "m")} > 0),
+        |rk AS (SELECT query_id, media_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, media_id) AS BIGINT) AS rank FROM sc),
+        |pr AS (SELECT * FROM rk WHERE media_id = query_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_1,
+        |  CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_k,
+        |  sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) AS recall_at_1,
+        |  sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) AS recall_at_k
+        |FROM pr""".stripMargin)),
+
     // perceptual (locality-sensitive) hash per media payload — the codegen'd
     // PerceptualHash expression: dHash gradient sign on a fixed-stride
     // sample grid (all-integer, code-point decode — the Fingerprint

@@ -226,6 +226,76 @@ object Multimodal {
       .withColumn("keep", col("clip_score") >= threshold)
   }
 
+  /** CROSS-MODAL retrieval: a TEXT query's tower embedding ranks the
+    * MEDIA corpus by cosine against the media-tower embeddings — the
+    * text-to-image search a multimodal training pipeline serves (and the
+    * query shape of CLIP-style retrieval eval). Bounded query broadcast
+    * against one media scan, per-query rank windows — the
+    * [[Similarity]] brute-force-topk geometry across modalities. The
+    * PAIRED media (same id — [[mediaFromDocuments]] derives media from
+    * the document) is deliberately NOT excluded: the pair is the
+    * retrieval target, which is what makes [[crossModalRecall]]'s eval
+    * well-defined.
+    */
+  def crossModalTopK(textEmb: DataFrame, mediaEmb: DataFrame,
+                     numQueries: Int = 5, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, l2norm}
+    import org.apache.spark.sql.expressions.Window
+    val q = textEmb
+      .filter(col("media_id") < numQueries && l2norm(col("embedding")) > 0.0)
+      .select(col("media_id").as("query_id"), col("embedding").as("qv"))
+    val m = mediaEmb.filter(l2norm(col("embedding")) > 0.0)
+      .select(col("media_id"), col("embedding").as("mv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("media_id"))
+    m.crossJoin(broadcast(q))
+      .select(col("query_id"), col("media_id"),
+        cosine(col("qv"), col("mv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
+
+  /** CROSS-MODAL retrieval EVAL CARD (the CLIP/DataComp recall metric):
+    * over a deterministic query sample (doc_id ≡ 0 mod `sampleMod` — a
+    * fixed eval budget, never corpus²), each text query ranks the media
+    * corpus and the card reports where its PAIRED media (same id)
+    * landed: recall@1 and recall@k. One row.
+    *
+    * With the closed-form stub towers the alignment signal is absent by
+    * construction — the same fingerprint runs through different mixing
+    * constants, so the paired cosine is as arbitrary as any other and
+    * the measured recall is near chance. That is the point of the card,
+    * not a defect: its DERIVATION (sample → rank → pair position →
+    * aggregate) is the operator a tower swap inherits unchanged, and the
+    * deterministic value hash-checks end to end. A real encoder pair
+    * turns the same card into the retrieval eval.
+    */
+  def crossModalRecall(textEmb: DataFrame, mediaEmb: DataFrame,
+                       sampleMod: Int = 101, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.{cosine, l2norm}
+    import org.apache.spark.sql.expressions.Window
+    val q = textEmb
+      .filter(pmod(col("media_id"), lit(sampleMod)) === 0 &&
+        l2norm(col("embedding")) > 0.0)
+      .select(col("media_id").as("query_id"), col("embedding").as("qv"))
+    val m = mediaEmb.filter(l2norm(col("embedding")) > 0.0)
+      .select(col("media_id"), col("embedding").as("mv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("media_id"))
+    m.crossJoin(broadcast(q))
+      .select(col("query_id"), col("media_id"),
+        cosine(col("qv"), col("mv")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("media_id") === col("query_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("rank") === 1).cast("long")).as("n_at_1"),
+        sum((col("rank") <= k).cast("long")).as("n_at_k"))
+      .select(col("n_queries"), col("n_at_1"), col("n_at_k"),
+        (col("n_at_1").cast("double") / col("n_queries")).as("recall_at_1"),
+        (col("n_at_k").cast("double") / col("n_queries")).as("recall_at_k"))
+  }
+
   /** Perceptual hash per media row — the dHash-style (gradient-sign)
     * locality-sensitive fingerprint ([[graft.functions.PerceptualHash]],
     * codegen'd) over the payload decoded as text: near-identical payloads

@@ -279,4 +279,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.clipScores(zt, mv).count() == 0,
       "zero-norm text tower must drop the pair")
   }
+
+  test("cross-modal retrieval: planted alignment ranks first, pair included, " +
+    "ranks contiguous, recall card counts pair positions exactly") {
+    import spark.implicits._
+    def vec(hot: Int): Array[Double] =
+      Array.tabulate(4)(i => if (i == hot) 1.0 else 0.01)
+    // queries 0 and 1 (text tower); media corpus of 4 — media 0 (query
+    // 0's own PAIR) and media 2 carry the IDENTICAL vector (bitwise-
+    // equal cosines, so the media_id tie-break decides), media 1 is
+    // query 1's exactly-aligned pair, media 3 is zero-norm
+    val textEmb = Seq(
+      (0L, vec(0)), (1L, vec(1)),
+      (101L, vec(3))).toDF("media_id", "embedding")
+    val mediaEmb = Seq(
+      (0L, vec(0)), (1L, vec(1)),
+      (2L, vec(0)), (3L, Array.fill(4)(0.0))).toDF("media_id", "embedding")
+    val topk = Multimodal.crossModalTopK(textEmb, mediaEmb, numQueries = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // zero-norm media 3 never appears; ranks are 1..3 per query
+    assert(!topk.exists(_._2 == 3L))
+    topk.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) }
+    // query 0: media 0 and 2 tie at cosine 1 exactly (identical
+    // vectors) — media_id breaks it, the pair wins rank 1
+    assert(topk.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+      .startsWith(Seq(0L, 2L)))
+    // query 1: its pair is rank 1
+    assert(topk.filter(_._1 == 1L).sortBy(_._3).map(_._2).head == 1L)
+    // recall card over the sample {0, 101}: query 0's pair at rank 1
+    // (cosine tie, id order); query 101 has NO paired media in the
+    // corpus — it contributes no pair row, so n_queries counts pairs
+    // PRESENT (documented: recall over served pairs)
+    val card = Multimodal.crossModalRecall(textEmb, mediaEmb,
+      sampleMod = 101, k = 2).collect().head
+    assert(card.getLong(0) == 1L && card.getLong(1) == 1L &&
+      card.getDouble(3) == 1.0)
+  }
 }

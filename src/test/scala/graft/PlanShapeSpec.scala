@@ -80,7 +80,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_ivfpq_recall_bound",                // same + 5-row exact probe set
       "q_passage_recall_bound",              // 5-row exact chunk probe set
       "q_bloom_bound",                       // three 1-row count scalars
-      "q_takedown_audit")                    // five 1-row count scalars
+      "q_takedown_audit",                    // five 1-row count scalars
+      "q_crossmodal_topk",                   // 5-row broadcast query set
+      "q_crossmodal_recall")                 // bounded eval-sample broadcast
       // (q_bloom_candidates/q_bloom_contamination serve persisted scans;
       // their CONSTRUCTION's 1-row bitmap BNLJ runs inside bloomTables,
       // spec'd in LlmOpsSpec's no-shuffle probe row)
