@@ -4088,6 +4088,47 @@ object SparkEntry {
         |FROM toks d LEFT JOIN cv USING (doc_id) LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // SNAPSHOT DIFF — the dataset-versioning card between two corpus
+    // releases: per (source, status) counts + net char delta, content
+    // compared by fingerprint (the full-outer join moves one long per
+    // side, never bodies). The v2 fixture is deterministic and exercises
+    // every status: the scrubbed PII-injected view (modified docs at the
+    // injection residues) minus a removal slice (%19 = 3) plus an added
+    // slice (re-keyed %23 = 1 copies).
+    ("q_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v2 = Pii.scrubPii(Pii.withInjectedPii(docs))
+          .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+          .filter(pmod(col("doc_id"), lit(19)) =!= 3)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(23)) === 1)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+              col("source"), col("text")))
+        Corpus.snapshotDiff(docs, v2)
+      },
+      Some(s"""WITH inj AS (SELECT doc_id, source, ${Pii.Sql.inject} AS text
+        |  FROM documents),
+        |scr AS (SELECT doc_id, source, ${Pii.Sql.scrub("text")} AS text FROM inj),
+        |newd AS (SELECT doc_id, source, text FROM scr WHERE doc_id % 19 <> 3
+        |  UNION ALL SELECT doc_id + 10000000, source, text FROM documents
+        |  WHERE doc_id % 23 = 1),
+        |o AS (SELECT doc_id, source AS source_old,
+        |  ${TextAnalysis.Sql.fingerprintOf("text")} AS fp_old,
+        |  CAST(length(text) AS BIGINT) AS len_old FROM documents),
+        |n AS (SELECT doc_id, source AS source_new,
+        |  ${TextAnalysis.Sql.fingerprintOf("text")} AS fp_new,
+        |  CAST(length(text) AS BIGINT) AS len_new FROM newd),
+        |j AS (SELECT COALESCE(n.source_new, o.source_old) AS source,
+        |  CASE WHEN o.fp_old IS NULL THEN 'added'
+        |       WHEN n.fp_new IS NULL THEN 'removed'
+        |       WHEN o.fp_old <> n.fp_new THEN 'modified'
+        |       ELSE 'unchanged' END AS status,
+        |  COALESCE(n.len_new, 0) - COALESCE(o.len_old, 0) AS delta
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(delta) AS BIGINT) AS char_delta
+        |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)),
+
     // SPAN-LEVEL decontamination over the same %11 split as
     // q_contamination: the benchmark-overlapping 5-gram positions are
     // excised and the document kept, instead of dropped whole

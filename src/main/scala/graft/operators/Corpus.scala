@@ -64,6 +64,42 @@ object Corpus {
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_doc_tokens"))
       .orderBy("lang")
 
+  /** SNAPSHOT DIFF — the dataset-versioning card: corpora ship as
+    * versioned snapshots (a recrawl, a re-scrub, a takedown sweep), and
+    * the artifact a data-release review reads is the per-source change
+    * accounting between two of them: how many documents were added,
+    * removed, modified, unchanged — and the net character delta. Content
+    * comparison is by the engine-wide polynomial fingerprint, so the
+    * full-outer join moves one long per side, never document bodies; at
+    * scale the join on doc_id is the diff's honest cost (both sides are
+    * narrow projections of their scans), and the card aggregation is
+    * map-side-combinable. A document present in both snapshots under a
+    * changed source reports the NEW source (the snapshot being released
+    * owns its catalog).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"),
+      col("source").as("source_old"),
+      TextAnalysis.fingerprintCol(col("text")).as("fp_old"),
+      length(col("text")).cast("long").as("len_old"))
+    val n = newDocs.select(col("doc_id"),
+      col("source").as("source_new"),
+      TextAnalysis.fingerprintCol(col("text")).as("fp_new"),
+      length(col("text")).cast("long").as("len_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source_new"), col("source_old")).as("source"),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") =!= col("fp_new"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"),
+        (coalesce(col("len_new"), lit(0L)) - coalesce(col("len_old"), lit(0L)))
+          .as("delta"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("delta")).as("char_delta"))
+      .orderBy("source", "status")
+  }
+
   /** Token-budget sequence packing: within each (`lang`, `shard`) stratum —
     * shard = doc_id mod `shards` — documents (in doc_id order) are laid
     * head-to-tail and assigned `pack_id = floor(exclusive_prefix_tokens /

@@ -80,6 +80,33 @@ class CorpusSpec extends SparkSpec {
       }
   }
 
+  test("snapshot diff: every status classified exactly, char deltas signed, " +
+    "changed-source docs report the new catalog") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "s0", "same text"),          // unchanged
+      (2L, "s0", "old body"),           // modified (text changes)
+      (3L, "s1", "goes away"),          // removed
+      (5L, "s1", "relabeled")           // source changes, text same →
+                                        //   unchanged, reported under s2
+    ).toDF("doc_id", "source", "text")
+    val neu = Seq(
+      (1L, "s0", "same text"),
+      (2L, "s0", "new longer body"),
+      (4L, "s1", "brand new"),          // added
+      (5L, "s2", "relabeled")
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.snapshotDiff(old, neu).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      ("s0", "unchanged") -> (1L, 0L),
+      ("s0", "modified") -> (1L, "new longer body".length.toLong - "old body".length),
+      ("s1", "removed") -> (1L, -"goes away".length.toLong),
+      ("s1", "added") -> (1L, "brand new".length.toLong),
+      ("s2", "unchanged") -> (1L, 0L)))
+  }
+
   test("corpus stats: per-language report is internally consistent and complete") {
     val r = Corpus.corpusStats(docs).collect()
     assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")
