@@ -4129,6 +4129,58 @@ object SparkEntry {
         |  CAST(sum(delta) AS BIGINT) AS char_delta
         |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)),
 
+    // DISTRIBUTION-DRIFT card over the same release pair: snapshotDiff
+    // counts documents, this reports what the corpus is MADE of —
+    // total-variation distance (libm-free: pure count ratios, both
+    // engines bit-agree) of the lang / source / length-bucket share
+    // distributions, diffs folded in sorted key order.
+    ("q_drift_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v2 = Pii.scrubPii(Pii.withInjectedPii(docs))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("clean_text").as("text"))
+          .filter(pmod(col("doc_id"), lit(19)) =!= 3)
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(23)) === 1)
+            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+              col("lang"), col("source"), col("text")))
+        Corpus.driftCard(docs, v2)
+      },
+      Some(s"""WITH inj AS (SELECT doc_id, lang, source, ${Pii.Sql.inject} AS text
+        |  FROM documents),
+        |scr AS (SELECT doc_id, lang, source, ${Pii.Sql.scrub("text")} AS text
+        |  FROM inj),
+        |newd AS (SELECT doc_id, lang, source, text FROM scr WHERE doc_id % 19 <> 3
+        |  UNION ALL SELECT doc_id + 10000000, lang, source, text FROM documents
+        |  WHERE doc_id % 23 = 1),
+        |so AS (SELECT 'lang' AS dim, lang AS k,
+        |    count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS p
+        |  FROM documents GROUP BY lang
+        |  UNION ALL SELECT 'source', source,
+        |    count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |  FROM documents GROUP BY source
+        |  UNION ALL SELECT 'len_bucket', CAST(length(text) // 100 AS VARCHAR),
+        |    count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |  FROM documents GROUP BY 2),
+        |sn AS (SELECT 'lang' AS dim, lang AS k,
+        |    count(*) / CAST((SELECT count(*) FROM newd) AS DOUBLE) AS p
+        |  FROM newd GROUP BY lang
+        |  UNION ALL SELECT 'source', source,
+        |    count(*) / CAST((SELECT count(*) FROM newd) AS DOUBLE)
+        |  FROM newd GROUP BY source
+        |  UNION ALL SELECT 'len_bucket', CAST(length(text) // 100 AS VARCHAR),
+        |    count(*) / CAST((SELECT count(*) FROM newd) AS DOUBLE)
+        |  FROM newd GROUP BY 2),
+        |j AS (SELECT COALESCE(so.dim, sn.dim) AS dim, COALESCE(so.k, sn.k) AS k,
+        |  abs(COALESCE(so.p, 0.0) - COALESCE(sn.p, 0.0)) AS dd
+        |  FROM so FULL OUTER JOIN sn ON so.dim = sn.dim AND so.k = sn.k)
+        |SELECT dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list(struct_pack(k := k, dd := dd))),
+        |      x -> x.dd)), (a, b) -> a + b) * 0.5 AS total_variation,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM j GROUP BY dim ORDER BY dim""".stripMargin)),
+
     // SPAN-LEVEL decontamination over the same %11 split as
     // q_contamination: the benchmark-overlapping 5-gram positions are
     // excised and the document kept, instead of dropped whole

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,50 @@ object Corpus {
       .groupBy("source", "status")
       .agg(count(lit(1)).as("n_docs"), sum(col("delta")).as("char_delta"))
       .orderBy("source", "status")
+  }
+
+  /** DISTRIBUTION-DRIFT card between two corpus releases — the release
+    * gate [[snapshotDiff]]'s doc-level accounting doesn't cover: a
+    * snapshot can add/remove few documents yet still shift WHAT the
+    * corpus is made of (language mix, source mix, document-length
+    * profile), and a training run inherits that shift silently. Per
+    * dimension the card reports the total-variation distance
+    * 0.5·Σ|p_old − p_new| — chosen over KL exactly as in the
+    * [[sourceDivergence]] precedent's libm argument taken one step
+    * further: TV needs no log at all, every term is a ratio of exact
+    * counts, so both engines agree bit-for-bit. Per-dimension share
+    * tables are dimension-sized (≤ |langs| / |sources| / length
+    * buckets), the diffs fold in SORTED key order (the deterministic
+    * double-sum discipline), and the corpus-side work is three
+    * map-side-combinable aggregations per snapshot.
+    */
+  def driftCard(oldDocs: DataFrame, newDocs: DataFrame,
+                lenBucketChars: Int = 100): DataFrame = {
+    def shares(df: DataFrame, dim: Column, name: String): DataFrame = {
+      val counts = df.groupBy(dim.as("k")).agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+        .select(lit(name).as("dim"), col("k"),
+          (col("n").cast("double") / col("tot")).as("p"))
+    }
+    def dims(df: DataFrame): DataFrame =
+      shares(df, col("lang"), "lang")
+        .unionByName(shares(df, col("source"), "source"))
+        .unionByName(shares(df,
+          floor(length(col("text")) / lit(lenBucketChars)).cast("long")
+            .cast("string"), "len_bucket"))
+    val joined = dims(oldDocs).withColumnRenamed("p", "p_old")
+      .join(dims(newDocs).withColumnRenamed("p", "p_new"),
+        Seq("dim", "k"), "full_outer")
+      .select(col("dim"), col("k"),
+        abs(coalesce(col("p_old"), lit(0.0)) - coalesce(col("p_new"), lit(0.0)))
+          .as("d"))
+    joined.groupBy("dim")
+      .agg((aggregate(
+          array_sort(collect_list(struct(col("k"), col("d")))),
+          lit(0.0), (acc, x) => acc + x.getField("d")) * lit(0.5))
+        .as("total_variation"),
+        count(lit(1)).as("n_keys"))
+      .orderBy("dim")
   }
 
   /** Token-budget sequence packing: within each (`lang`, `shard`) stratum —

@@ -107,6 +107,32 @@ class CorpusSpec extends SparkSpec {
       ("s2", "unchanged") -> (1L, 0L)))
   }
 
+  test("drift card: hand-computed total variation per dimension, vanished " +
+    "and new keys both counted, identical snapshots at zero") {
+    import spark.implicits._
+    // shares chosen exactly representable in binary (quarters), so the
+    // expected TVs are exact doubles: lang en 2/4→3/4 (TV .25); source
+    // s1 vanishes and s2 appears, each 1/4 (TV .25); all texts in one
+    // length bucket both sides (TV 0)
+    val old = Seq(
+      (1L, "en", "s0", "aa"), (2L, "en", "s0", "bb"),
+      (3L, "de", "s0", "cc"), (4L, "de", "s1", "dd"))
+      .toDF("doc_id", "lang", "source", "text")
+    val neu = Seq(
+      (1L, "en", "s0", "aa"), (2L, "en", "s0", "bb"),
+      (3L, "en", "s0", "cc"), (4L, "de", "s2", "dd"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = Corpus.driftCard(old, neu).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "lang" -> (0.25, 2L),
+      "source" -> (0.25, 3L),     // s0, s1 (vanished), s2 (new)
+      "len_bucket" -> (0.0, 1L)))
+    val same = Corpus.driftCard(old, old).collect()
+      .map(r => r.getDouble(1))
+    assert(same.forall(_ == 0.0), "identical snapshots must show zero drift")
+  }
+
   test("corpus stats: per-language report is internally consistent and complete") {
     val r = Corpus.corpusStats(docs).collect()
     assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")
