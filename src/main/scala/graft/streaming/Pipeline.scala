@@ -540,6 +540,16 @@ class Pipeline(
     ChunkStream.start(docs, chunkStorePath,
       checkpointDir = Some(s"$checkpointRoot/chunk-ingest"))
 
+  def deconStorePath: String = s"$storeRoot/decon-gate"
+
+  /** Ingest-time decontamination as a topology member ([[DeconStream]]):
+    * the crawl source screened in-row against the frozen benchmark bloom,
+    * exact-verified candidates quarantined, the rest passing clean.
+    */
+  def startDeconGate(docs: DataFrame, benchmark: DataFrame): StreamingQuery =
+    DeconStream.start(docs, benchmark, deconStorePath,
+      checkpointDir = Some(s"$checkpointRoot/decon-gate"))
+
   def takedownStorePath: String = s"$storeRoot/takedown"
 
   /** Takedown ingestion as a topology member ([[TakedownStream]]):

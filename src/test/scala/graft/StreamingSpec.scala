@@ -547,7 +547,7 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("seventeen-member topology: events, crawl curation + scrub + indexer + chunk ingest, media ingest + search, " +
+  test("eighteen-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
     "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval and takedown ingestion run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -601,6 +601,7 @@ class StreamingSpec extends SparkSpec {
     val passageQs = MemoryStream[(Long, String)]
     val chunkDocs = MemoryStream[(Long, String)]
     val erasures = MemoryStream[(Long, String)]
+    val crawlIn = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -622,9 +623,11 @@ class StreamingSpec extends SparkSpec {
       p.startPassageSearch(passageQs.toDF().toDF("query_id", "query_text"),
         s"$base/passage"),
       p.startChunkIngest(chunkDocs.toDF().toDF("doc_id", "text")),
-      p.startTakedown(erasures.toDF().toDF("doc_id", "reason")))
+      p.startTakedown(erasures.toDF().toDF("doc_id", "reason")),
+      p.startDeconGate(crawlIn.toDF().toDF("doc_id", "text"),
+        Seq((0L, "held out eval item text")).toDF("doc_id", "text")))
     try {
-      assert(queries.length == 17)
+      assert(queries.length == 18)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -642,6 +645,9 @@ class StreamingSpec extends SparkSpec {
       passageQs.addData((900L, (1 to 32).map(i => s"pass$i").mkString(" ")))
       chunkDocs.addData((950L, "fresh crawl chunk tokens"))
       erasures.addData((1L, "erasure_request"))
+      crawlIn.addData(
+        (970L, "prefix held out eval item text suffix"),   // carries the gram
+        (971L, "entirely unrelated crawl tokens here"))
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -706,5 +712,12 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!suppressed.contains(1L),
       s"the erased document must vanish from the served surface: $suppressed")
+    // the decon gate quarantines the benchmark-gram carrier, passes the rest
+    val quarantined = spark.read.parquet(s"${p.deconStorePath}/contaminated")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deconClean = spark.read.parquet(s"${p.deconStorePath}/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quarantined == Set(970L) && deconClean == Set(971L),
+      s"decon gate must quarantine exactly the carrier: $quarantined / $deconClean")
   }
 }
