@@ -519,6 +519,49 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED release-comparison family (graft_release): the v2 release
+    * fixture (scrubbed PII-injected view minus the %19 removal slice plus
+    * the re-keyed %23 added slice) and both cards over it — the
+    * per-(source, status) snapshot diff and the total-variation drift
+    * card — are snapshot-determined, so the inject+scrub regex pass and
+    * both full-outer comparisons run ONCE per documents snapshot and
+    * each card serves as one tiny scan. [[Corpus.snapshotDiff]] /
+    * [[Corpus.driftCard]] remain the any-pair paths.
+    */
+  private val releaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, (DataFrame, DataFrame))]()
+  private def releaseTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    releaseCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "release-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    releaseCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_release")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val docs = Tables.documents(s, d)
+          val v2 = Pii.scrubPii(Pii.withInjectedPii(docs))
+            .select(col("doc_id"), col("lang"), col("source"),
+              col("clean_text").as("text"))
+            .filter(pmod(col("doc_id"), lit(19)) =!= 3)
+            .unionByName(docs.filter(pmod(col("doc_id"), lit(23)) === 1)
+              .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+                col("lang"), col("source"), col("text")))
+          // staging discipline: both cards read the MATERIALIZED v2, so
+          // the regex chain runs once, not once per card
+          v2.write.mode("overwrite").parquet(s"$dir/v2")
+          val v2Read = s.read.parquet(s"$dir/v2")
+          Corpus.snapshotDiff(docs, v2Read)
+            .write.mode("overwrite").parquet(s"$dir/diff")
+          Corpus.driftCard(docs, v2Read)
+            .write.mode("overwrite").parquet(s"$dir/drift")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, (s.read.parquet(s"$dir/diff"), s.read.parquet(s"$dir/drift")))
+      })._2
+  }
+
   /** PERSISTED C4 quality flags — [[TextAnalysis.qualityFilter]]'s
     * per-document audit row (n_tokens, ratios, per-rule flags, composite
     * keep) is row-local and snapshot-determined, so the corpus regex pass
@@ -4095,17 +4138,11 @@ object SparkEntry {
     // every status: the scrubbed PII-injected view (modified docs at the
     // injection residues) minus a removal slice (%19 = 3) plus an added
     // slice (re-keyed %23 = 1 copies).
+    // Served from the persisted graft_release family (the inject+scrub
+    // pass and both full-outer comparisons run once per snapshot —
+    // releaseTables); the oracle re-derives the whole construction.
     ("q_snapshot_diff",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val v2 = Pii.scrubPii(Pii.withInjectedPii(docs))
-          .select(col("doc_id"), col("source"), col("clean_text").as("text"))
-          .filter(pmod(col("doc_id"), lit(19)) =!= 3)
-          .unionByName(docs.filter(pmod(col("doc_id"), lit(23)) === 1)
-            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-              col("source"), col("text")))
-        Corpus.snapshotDiff(docs, v2)
-      },
+      (s, d) => releaseTables(s, d)._1.orderBy("source", "status"),
       Some(s"""WITH inj AS (SELECT doc_id, source, ${Pii.Sql.inject} AS text
         |  FROM documents),
         |scr AS (SELECT doc_id, source, ${Pii.Sql.scrub("text")} AS text FROM inj),
@@ -4134,18 +4171,9 @@ object SparkEntry {
     // total-variation distance (libm-free: pure count ratios, both
     // engines bit-agree) of the lang / source / length-bucket share
     // distributions, diffs folded in sorted key order.
+    // Served from the same persisted graft_release family.
     ("q_drift_card",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val v2 = Pii.scrubPii(Pii.withInjectedPii(docs))
-          .select(col("doc_id"), col("lang"), col("source"),
-            col("clean_text").as("text"))
-          .filter(pmod(col("doc_id"), lit(19)) =!= 3)
-          .unionByName(docs.filter(pmod(col("doc_id"), lit(23)) === 1)
-            .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-              col("lang"), col("source"), col("text")))
-        Corpus.driftCard(docs, v2)
-      },
+      (s, d) => releaseTables(s, d)._2.orderBy("dim"),
       Some(s"""WITH inj AS (SELECT doc_id, lang, source, ${Pii.Sql.inject} AS text
         |  FROM documents),
         |scr AS (SELECT doc_id, lang, source, ${Pii.Sql.scrub("text")} AS text

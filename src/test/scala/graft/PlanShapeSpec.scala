@@ -82,8 +82,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // five 1-row count scalars
       "q_crossmodal_topk",                   // 5-row broadcast query set
-      "q_crossmodal_recall",                 // bounded eval-sample broadcast
-      "q_drift_card")                        // 1-row share totals ×6
+      "q_crossmodal_recall")                 // bounded eval-sample broadcast
+      // (q_snapshot_diff/q_drift_card serve persisted graft_release scans;
+      // driftCard's 1-row share-total crossJoins run inside releaseTables)
       // (q_bloom_candidates/q_bloom_contamination serve persisted scans;
       // their CONSTRUCTION's 1-row bitmap BNLJ runs inside bloomTables,
       // spec'd in LlmOpsSpec's no-shuffle probe row)

@@ -436,6 +436,32 @@ class SnapshotSpec extends SparkSpec {
       .count() == 0, "stale bloom snapshot would still flag 1")
   }
 
+  test("release family serves both cards as graft_release scans; staleness honored") {
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("FileScan")).toSeq
+    for (q <- Seq("q_snapshot_diff", "q_drift_card")) {
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0)
+      val scans = scansOf(SparkEntry.queries(q)(spark, sf))
+      assert(scans.size == 1 && scans.forall(_.contains("graft_release")),
+        s"$q must serve as one graft_release scan:\n${scans.mkString("\n")}")
+    }
+    // staleness: a regenerated corpus rebuilds the fixture pair — the
+    // %23=1 added slice appears, then tracks the rewrite
+    val base = java.nio.file.Files.createTempDirectory("snaprel")
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+        .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    writeCorpus(Seq((1L, "alpha words"), (24L, "beta words")))
+    def added(): Long = SparkEntry.queries("q_snapshot_diff")(spark, base.toString)
+      .filter(col("status") === "added").collect().map(_.getLong(2)).sum
+    assert(added() == 2L, "1 and 24 are both ≡ 1 mod 23 — two added docs")
+    Thread.sleep(5)
+    writeCorpus(Seq((1L, "alpha words"), (24L, "beta words"), (47L, "gamma words")))
+    assert(added() == 3L, "stale release snapshot would still report 2 added")
+  }
+
   test("quality flags serve from the persisted table and equal the direct regex pass") {
     def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collectLeaves()
