@@ -2819,6 +2819,31 @@ object SparkEntry {
         |    / 512) AS BIGINT) AS pack_id
         |FROM documents ORDER BY lang, shard, doc_id""".stripMargin)),
 
+    // IN-CONTEXT packing (Shi et al. 2023): packSequences' greedy prefix
+    // with (lsh-bucket, doc_id) replacing doc_id order — related
+    // documents become contiguous and share context windows; the bucket
+    // (closed-form planes over the closed-form tower) makes the ordering
+    // fully oracle-able. Row-local tower+bucket on top of packing's own
+    // stratum window.
+    ("q_incontext_packing",
+      (s, d) => Corpus.inContextPack(Tables.documents(s, d))
+        .orderBy("lang", "shard", "bucket", "doc_id"),
+      Some(s"""WITH fp AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  ${TextAnalysis.Sql.fingerprintOf("text")} AS f FROM documents),
+        |pv AS (SELECT doc_id, lang, shard, n_tokens,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |b AS (SELECT doc_id, lang, shard, n_tokens,
+        |  ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket FROM pv)
+        |SELECT doc_id, lang, shard, n_tokens, bucket,
+        |  CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |    ORDER BY bucket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 512) AS BIGINT) AS pack_id
+        |FROM b ORDER BY lang, shard, bucket, doc_id""".stripMargin)),
+
     // exact-token-budget mixing: the mixture stated in tokens (training-
     // recipe units) rather than stratifiedSample's keep-probabilities;
     // greedy cut in portable-hash order per (lang, shard) stratum, budget

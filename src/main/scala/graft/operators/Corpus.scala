@@ -172,6 +172,51 @@ object Corpus {
         floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
   }
 
+  /** IN-CONTEXT packing (the "In-Context Pretraining" recipe, Shi et al.
+    * 2023, public): long-context training wants RELATED documents inside
+    * the same context window, not the incidental neighbors doc_id order
+    * produces — the published method orders documents by semantic
+    * similarity before packing. Here the similarity key is the sign-LSH
+    * bucket of each document's text-tower embedding (closed-form planes
+    * and tower — the [[graft.operators.Passage]] geometry — so the whole
+    * ordering is oracle-able), and the packing is [[packSequences]]'s
+    * per-(lang, shard) greedy prefix with `(bucket, doc_id)` replacing
+    * doc_id order: same-bucket documents become contiguous and land in
+    * the same pack whenever the budget allows.
+    *
+    * Scale shape: the tower + bucket are a pure row-local projection
+    * (codegen'd fingerprint + nbits literal-plane dots, zero shuffle on
+    * top of packing's own stratum exchange); the one window is the same
+    * bounded per-(lang, shard) running sum packSequences already pays.
+    * A production deployment swaps the stub tower exactly as everywhere
+    * else; bucket-as-sort-key is the method's scalable core (the paper's
+    * traveling-salesman refinement needs pairwise distances — the
+    * bucketed form is the linear-cost approximation that works at 100 TB).
+    */
+  def inContextPack(documents: DataFrame, budget: Int = 512, shards: Int = 8,
+                    dims: Int = 16, nbits: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val planes = Similarity.lshPlaneWeights(nbits, dims)
+    val fp = TextAnalysis.fingerprintCol(col("text"))
+    val tower = transform(sequence(lit(0), lit(dims - 1)), d =>
+      ((fp * (d.cast("long") * 2L + 3L) + d.cast("long") * 65599L)
+        % 2000001L).cast("double") / 1000000.0 - 1.0)
+    val bucket = (0 until nbits).map { i =>
+      when(dot(col("v"), typedLit(planes(i).toSeq)) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val w = Window.partitionBy("lang", "shard").orderBy("bucket", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        tower.as("v"))
+      .withColumn("bucket", bucket).drop("v")
+      .withColumn("pack_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
+  }
+
   /** Default per-language TOKEN budgets for [[tokenBudgetMix]] — the
     * mixture knob stated the way training recipes state it (tokens per
     * domain), sized so every language keeps a strict subset of the

@@ -133,6 +133,44 @@ class CorpusSpec extends SparkSpec {
     assert(same.forall(_ == 0.0), "identical snapshots must show zero drift")
   }
 
+  test("in-context packing: identical docs co-locate despite interleaved ids, " +
+    "budget accounting matches packSequences' discipline") {
+    import spark.implicits._
+    // 6 docs, one (lang, shard=doc_id%8... use shards=1) stratum: docs
+    // 1/3/5 share identical text (same tower, same bucket) interleaved
+    // with three distinct fillers — bucket order must make the twins
+    // CONTIGUOUS, so with budget 2·len they land in one pack together
+    val twin = "alpha beta gamma delta"
+    val docs = Seq(
+      (1L, "en", twin), (2L, "en", "one filler text here"),
+      (3L, "en", twin), (4L, "en", "another unrelated body"),
+      (5L, "en", twin), (6L, "en", "third different filler"))
+      .toDF("doc_id", "lang", "text")
+    val packed = Corpus.inContextPack(docs, budget = 12, shards = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    val twinRows = Seq(1L, 3L, 5L).map(packed)
+    assert(twinRows.map(_._1).distinct.size == 1,
+      "identical texts must share a bucket")
+    // the guarantee is CONTIGUITY in the packing order — the twins are
+    // consecutive in (bucket, doc_id), no filler interleaves them (which
+    // doc_id order, their ids being 1/3/5, could never provide)
+    val orderedIds = Corpus.inContextPack(docs, budget = 12, shards = 1)
+      .orderBy("bucket", "doc_id").collect().map(_.getLong(0)).toSeq
+    val twinPos = Seq(1L, 3L, 5L).map(orderedIds.indexOf)
+    assert(twinPos.max - twinPos.min == 2,
+      s"twins must be consecutive in packing order: $orderedIds")
+    // budget discipline: within the stratum ordered by (bucket, doc_id),
+    // pack_id = floor(exclusive prefix / budget) — recompute by hand
+    val ordered = Corpus.inContextPack(docs, budget = 12, shards = 1)
+      .orderBy("bucket", "doc_id")
+      .collect().map(r => (r.getLong(3), r.getLong(5)))
+    var cum = 0L
+    ordered.foreach { case (n, packId) =>
+      assert(packId == cum / 12, s"pack accounting drifted at cum=$cum")
+      cum += n
+    }
+  }
+
   test("corpus stats: per-language report is internally consistent and complete") {
     val r = Corpus.corpusStats(docs).collect()
     assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")
