@@ -2575,6 +2575,60 @@ object SparkEntry {
         |FROM c4 JOIN gf USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // COHEN'S KAPPA over the same cross-tab: the chance-corrected
+    // agreement statistic (two mostly-keep gates agree often by chance;
+    // kappa is the number a curation analysis actually quotes). Pure
+    // count ratios with the expression tree mirrored verbatim — the
+    // statistic hash-checks bit-for-bit. Serves from the two persisted
+    // flag families (one pass over two narrow tables).
+    ("q_filter_kappa",
+      (s, d) => TextAnalysis.filterKappa(
+        qualityFlags(s, d).select(col("doc_id"), col("keep").as("c4_keep"))
+          .join(gopherFlags(s, d)
+            .select(col("doc_id"), col("keep").as("gopher_keep")),
+            Seq("doc_id"))),
+      Some(s"""WITH c4 AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) >= 20
+        |  AND CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+        |    / length(text) < 0.1
+        |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) > 0.3 AS c4_keep
+        |  FROM documents),
+        |gf AS (SELECT doc_id,
+        |  len(string_split(text, ' ')) >= 50 AND len(string_split(text, ' ')) <= 100000
+        |  AND (length(text) - len(string_split(text, ' ')) + 1)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |  AND (CASE WHEN len(string_split(text, ' ')) > 1 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(string_split(text, ' ')) - 1),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))
+        |      AS DOUBLE) / (len(string_split(text, ' ')) - 1)
+        |    ELSE 0.0 END) <= 0.2
+        |  AND ${TextAnalysis.Sql.stopHits} >= 2 AS gopher_keep
+        |  FROM documents),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c4_keep AND gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_both_keep,
+        |  CAST(sum(CASE WHEN NOT c4_keep AND NOT gopher_keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both_drop,
+        |  CAST(sum(CASE WHEN c4_keep AND NOT gopher_keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c4_only,
+        |  CAST(sum(CASE WHEN NOT c4_keep AND gopher_keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gopher_only
+        |  FROM c4 JOIN gf USING (doc_id)),
+        |k AS (SELECT *,
+        |  (n_both_keep + n_both_drop) / CAST(n_docs AS DOUBLE) AS po,
+        |  (n_both_keep + n_c4_only) / CAST(n_docs AS DOUBLE) AS pc,
+        |  (n_both_keep + n_gopher_only) / CAST(n_docs AS DOUBLE) AS pg
+        |  FROM a)
+        |SELECT n_docs, n_both_keep, n_both_drop, n_c4_only, n_gopher_only,
+        |  po AS observed_agreement,
+        |  pc * pg + (1.0 - pc) * (1.0 - pg) AS chance_agreement,
+        |  CASE WHEN pc * pg + (1.0 - pc) * (1.0 - pg) = 1.0 THEN 1.0
+        |    ELSE (po - (pc * pg + (1.0 - pc) * (1.0 - pg)))
+        |         / (1.0 - (pc * pg + (1.0 - pc) * (1.0 - pg))) END AS kappa
+        |FROM k""".stripMargin)),
+
     // vocabulary-coverage / OOV-rate report: the tokenizer-health metric;
     // the in/out boundary is vocabulary's total-ordered top-k cut
     ("q_vocab_coverage",

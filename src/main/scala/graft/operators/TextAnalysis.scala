@@ -474,6 +474,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("c4_keep", "gopher_keep")
 
+  /** COHEN'S KAPPA between two keep/drop gates — the agreement STATISTIC
+    * over [[filterAgreement]]'s cross-tab (two gates can agree 85% of
+    * the time purely by chance when both keep most documents; kappa is
+    * the curation-analysis number that corrects for that). Input is any
+    * (c4_keep, gopher_keep) boolean frame — the registry feeds the
+    * joined persisted flag families. Every term is a ratio of exact
+    * counts and the kappa expression tree is mirrored verbatim in the
+    * oracle (no libm), so the statistic hash-checks bit-for-bit; the
+    * degenerate pe = 1 case (both gates constant) reports 1.0 by
+    * convention on both engines. One aggregation, one row.
+    */
+  def filterKappa(flags: DataFrame): DataFrame = {
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("c4_keep") && col("gopher_keep")).cast("long")).as("n_both_keep"),
+      sum((!col("c4_keep") && !col("gopher_keep")).cast("long")).as("n_both_drop"),
+      sum((col("c4_keep") && !col("gopher_keep")).cast("long")).as("n_c4_only"),
+      sum((!col("c4_keep") && col("gopher_keep")).cast("long")).as("n_gopher_only"))
+    val po = (col("n_both_keep") + col("n_both_drop")).cast("double") /
+      col("n_docs").cast("double")
+    val pc = (col("n_both_keep") + col("n_c4_only")).cast("double") /
+      col("n_docs").cast("double")
+    val pg = (col("n_both_keep") + col("n_gopher_only")).cast("double") /
+      col("n_docs").cast("double")
+    val pe = pc * pg + (lit(1.0) - pc) * (lit(1.0) - pg)
+    agg.select(col("n_docs"), col("n_both_keep"), col("n_both_drop"),
+      col("n_c4_only"), col("n_gopher_only"),
+      po.as("observed_agreement"), pe.as("chance_agreement"),
+      when(pe === 1.0, lit(1.0))
+        .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** Vocabulary-coverage / OOV-rate report — the tokenizer-health metric a
     * training-data pipeline tracks per corpus snapshot: for each document,
     * the fraction of token OCCURRENCES outside the top-`k` vocabulary

@@ -453,6 +453,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(clean == Set(3L))
   }
 
+  test("filter kappa: hand-computed 2x2 statistic, degenerate constant gates at 1.0") {
+    import spark.implicits._
+    // n11=2 n00=2 n10=1 n01=1, n=6: po=2/3, pc=pg=1/2, pe=1/2,
+    // kappa=(2/3-1/2)/(1/2)=1/3 — quarters and thirds of exact counts
+    val flags = Seq((true, true), (true, true), (false, false), (false, false),
+      (true, false), (false, true)).toDF("c4_keep", "gopher_keep")
+    val r = TextAnalysis.filterKappa(flags).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L && r.getLong(2) == 2L &&
+      r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(math.abs(r.getDouble(5) - 2.0 / 3) < 1e-15 &&
+      r.getDouble(6) == 0.5 &&
+      math.abs(r.getDouble(7) - 1.0 / 3) < 1e-15)
+    // both gates constant-keep: pe = 1, kappa reports 1.0 by convention
+    val const = Seq((true, true), (true, true)).toDF("c4_keep", "gopher_keep")
+    assert(TextAnalysis.filterKappa(const).collect().head.getDouble(7) == 1.0)
+  }
+
   test("bloom decontamination: no false negatives, composed ≡ exact, " +
     "probe is a pure projection (no Exchange)") {
     // (a) direct no-false-negative property: probing the BENCHMARK itself
