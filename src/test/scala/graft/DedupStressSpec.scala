@@ -79,4 +79,33 @@ class DedupStressSpec extends SparkSpec {
     assert(t10 <= 30L * math.max(t1, 2000L),
       s"10x corpus took ${t10}ms vs ${t1}ms at 1x — not near-linear")
   }
+
+  test("bloom at 4x/8x benchmark and corpus: packed payload EXACTLY constant, " +
+    "candidates exactly the planted carriers at every scale") {
+    import spark.implicits._
+    def bench(n: Int) = (0 until n)
+      .map(i => (i.toLong, s"b$i x$i y$i z$i w$i q$i"))
+      .toDF("doc_id", "text")
+    // the broadcast side is bounded by the GEOMETRY, not the data: the
+    // range-densified pack is ceil(mBits/63) longs at any benchmark size
+    val wantLen = (Dedup.BloomBits + 62) / 63
+    for (n <- Seq(500, 2000, 4000)) {
+      val len = Dedup.bloomBitmap(bench(n))
+        .select(size(col("bloom"))).head().getInt(0)
+      assert(len == wantLen, s"bitmap must stay $wantLen longs at bench=$n: $len")
+    }
+    // corpus growth at a fixed benchmark: the probe's OUTPUT is exactly
+    // the planted carrier density at 1x/4x/8x — candidate state scales
+    // with true contamination, never with corpus size
+    val bitmap = Dedup.bloomBitmap(bench(50)).localCheckpoint()
+    def corpusN(n: Int) = (0 until n).map { i =>
+      if (i % 100 == 0) (i.toLong, s"pad b1 x1 y1 z1 w1 q1 tail")
+      else (i.toLong, s"u$i v$i k$i t$i s$i r$i")
+    }.toDF("doc_id", "text")
+    for (n <- Seq(1000, 4000, 8000)) {
+      val cand = Dedup.bloomCandidates(corpusN(n), bitmap).count()
+      assert(cand == n / 100,
+        s"candidates must equal the planted carriers at corpus=$n: $cand")
+    }
+  }
 }
