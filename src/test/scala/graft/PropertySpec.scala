@@ -209,4 +209,34 @@ class PropertySpec extends SparkSpec {
         "alphabetic text must pass through untouched")
     }
   }
+
+  test("bloom composition equals exact contamination on generated corpora " +
+    "(small token alphabet forces real cross-split gram sharing)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a 12-token alphabet over 6-10-token docs makes shared 5-grams
+    // common, so the generated instances exercise non-empty exact flags,
+    // bloom hits, and (occasionally) zero-overlap corpora alike
+    val tokGen = Gen.oneOf((0 until 12).map(i => s"t$i"))
+    val docGen = Gen.choose(6, 10).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    for (seed <- Seq(3L, 11L, 59L)) {
+      val texts = sample(Gen.listOfN(60, docGen), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val corpus = df.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(4)) =!= 0)
+      val bench = df.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(4)) === 0)
+      val exact = Dedup.contamination(corpus, bench).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val composed = Dedup.bloomContamination(corpus, bench).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(composed == exact,
+        s"seed $seed: bloom-prefiltered verify diverged " +
+          s"(exact=${exact.size}, composed=${composed.size})")
+    }
+  }
 }
