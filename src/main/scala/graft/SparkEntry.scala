@@ -5513,12 +5513,17 @@ object SparkEntry {
         |SELECT query_id, media_id, cosine, rank FROM rk
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
-    // the retrieval EVAL CARD (CLIP/DataComp recall@1/@k): a fixed query
-    // sample (doc_id % 101 = 0 — an eval budget, never corpus²) ranks
-    // the media corpus; the card reports where each query's PAIRED media
-    // landed. With stub towers the value is near chance by construction
-    // (Multimodal.crossModalRecall scaladoc) — the derivation is the
-    // operator, and it hash-checks end to end.
+    // the retrieval EVAL CARD (CLIP/DataComp recall@1/@k): a CONSTANT
+    // 32-query sample (hash-least eligible ids — a fixed eval budget at
+    // EVERY corpus size; round-13 verdict 1 replaced the %101 corpus-
+    // fraction sample) ranks the media corpus; the card reports where
+    // each query's PAIRED media landed. The pair's rank is an AGGREGATE
+    // (1 + count of strictly-ahead rows under the (cosine DESC, id)
+    // order), never a corpus-wide per-query row_number — one media scan
+    // map-side-combining into 32 partial counts. With stub towers the
+    // value is near chance by construction (Multimodal.crossModalRecall
+    // scaladoc) — the derivation is the operator, and it hash-checks
+    // end to end.
     ("q_crossmodal_recall",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -5535,14 +5540,22 @@ object SparkEntry {
         |  CAST((f * (2*d + 1) + d * 40503) % 2000001 AS DOUBLE)
         |    / 1000000.0 - 1.0) AS m FROM fp),
         |q AS (SELECT media_id AS query_id, t AS qv FROM tv
-        |  WHERE media_id % 101 = 0 AND ${Similarity.Sql.dot("t", "t")} > 0),
-        |sc AS (SELECT q.query_id, mv.media_id,
+        |  WHERE ${Similarity.Sql.dot("t", "t")} > 0
+        |  ORDER BY ((media_id % 1000003) * 2654435761 + (media_id % 101))
+        |    % 1000000007, media_id
+        |  LIMIT 32),
+        |mm AS (SELECT media_id, m FROM mv
+        |  WHERE ${Similarity.Sql.dot("m", "m")} > 0),
+        |pr AS (SELECT query_id, qv,
+        |  ${Similarity.Sql.cosine("qv", "m")} AS paired_cosine
+        |  FROM q JOIN mm ON query_id = media_id),
+        |sc AS (SELECT pr.query_id, pr.paired_cosine, mm.media_id,
         |  ${Similarity.Sql.cosine("qv", "m")} AS cosine
-        |  FROM mv CROSS JOIN q WHERE ${Similarity.Sql.dot("m", "m")} > 0),
-        |rk AS (SELECT query_id, media_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, media_id) AS BIGINT) AS rank FROM sc),
-        |pr AS (SELECT * FROM rk WHERE media_id = query_id)
+        |  FROM mm CROSS JOIN pr),
+        |rk AS (SELECT query_id, CAST(1 + sum(CASE WHEN cosine > paired_cosine
+        |    OR (cosine = paired_cosine AND media_id < query_id)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS rank
+        |  FROM sc GROUP BY query_id)
         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(sum(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_1,
         |  CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_k,
@@ -5550,7 +5563,7 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS recall_at_1,
         |  sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE) AS recall_at_k
-        |FROM pr""".stripMargin)),
+        |FROM rk""".stripMargin)),
 
     // perceptual (locality-sensitive) hash per media payload — the codegen'd
     // PerceptualHash expression: dHash gradient sign on a fixed-stride

@@ -910,7 +910,7 @@ object Dedup {
   // ===== Broadcast-Bloom decontamination (the zero-shuffle pre-filter) =====
 
   /** Default Bloom geometry for the registry's benchmark scale (~23k
-    * distinct 5-grams at sf0.1): 2^20 bits = 16,644 longs ≈ 130 KiB
+    * distinct 5-grams at sf0.1): 2^20 bits = 16,645 longs ≈ 130 KiB
     * packed, 6 hashes → per-gram bit-collision rate
     * (1−e^(−kn/m))^k ≈ 4e-6. Sizing rule for other benchmark suites:
     * m ≈ 45 bits per distinct benchmark gram keeps that regime; the
@@ -929,7 +929,7 @@ object Dedup {
   val BloomHashes: Int = 6
 
   /** The k bloom bit positions of one gram fingerprint, by standard
-    * double hashing (Kirsch–Mitzenstein): pos_i = (h1 + i·h2) mod m with
+    * double hashing (Kirsch–Mitzenmacher): pos_i = (h1 + i·h2) mod m with
     * h1 = fp mod m, h2 = 1 + fp mod (m−1). All arithmetic stays below
     * 2^31 (fp < 1e9+7, i·h2 < k·m), exact in Long on both engines; fp is
     * a lambda-bound reference at every call site, so the fingerprint

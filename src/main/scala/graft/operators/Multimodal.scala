@@ -257,38 +257,68 @@ object Multimodal {
   }
 
   /** CROSS-MODAL retrieval EVAL CARD (the CLIP/DataComp recall metric):
-    * over a deterministic query sample (doc_id ≡ 0 mod `sampleMod` — a
-    * fixed eval budget, never corpus²), each text query ranks the media
-    * corpus and the card reports where its PAIRED media (same id)
-    * landed: recall@1 and recall@k. One row.
+    * over a CONSTANT-size deterministic query sample (the `sampleN`
+    * hash-least eligible ids — a fixed eval budget regardless of corpus
+    * size, round-13 verdict 1: the previous `doc_id % 101` sample was a
+    * corpus FRACTION, so the query broadcast and the pair count grew
+    * with the corpus), each text query ranks the media corpus and the
+    * card reports where its PAIRED media (same id) landed: recall@1 and
+    * recall@k. One row.
+    *
+    * Two scale decisions, both verdict-prescribed:
+    *  - The sample is `ORDER BY mix(media_id) LIMIT sampleN` over the
+    *    eligible (non-zero-norm) text tower — TakeOrderedAndProject, a
+    *    per-partition top-N then one constant-size merge, never a global
+    *    sort. `mix` is an all-Long multiplicative scramble
+    *    ((id % 1000003)·2654435761 + id % 101) mod 1e9+7 — every
+    *    intermediate < 2^62, exact in both engines, so the DuckDB
+    *    oracle draws the IDENTICAL sample. Ties (mix collisions) break
+    *    on media_id.
+    *  - The paired row's rank comes from an AGGREGATE, not a corpus-wide
+    *    per-query `row_number`: rank = 1 + |{m : cosine(q,m) >
+    *    paired_cosine ∨ (= ∧ media_id < query_id)}| — exactly the
+    *    row_number position under (cosine DESC, media_id) without ever
+    *    materializing or sorting the corpus×sample score relation; the
+    *    scan map-side-combines into sampleN partial counts.
+    *
+    * A sampled query whose PAIR is absent or zero-norm contributes no
+    * row (inner join on the media side): n_queries counts pairs
+    * PRESENT — recall over served pairs, as before.
     *
     * With the closed-form stub towers the alignment signal is absent by
     * construction — the same fingerprint runs through different mixing
     * constants, so the paired cosine is as arbitrary as any other and
     * the measured recall is near chance. That is the point of the card,
-    * not a defect: its DERIVATION (sample → rank → pair position →
-    * aggregate) is the operator a tower swap inherits unchanged, and the
+    * not a defect: its DERIVATION (sample → pair rank → aggregate) is
+    * the operator a tower swap inherits unchanged, and the
     * deterministic value hash-checks end to end. A real encoder pair
     * turns the same card into the retrieval eval.
     */
   def crossModalRecall(textEmb: DataFrame, mediaEmb: DataFrame,
-                       sampleMod: Int = 101, k: Int = 10): DataFrame = {
+                       sampleN: Int = 32, k: Int = 10): DataFrame = {
     import graft.functions.VectorFunctions.{cosine, l2norm}
-    import org.apache.spark.sql.expressions.Window
+    val mix = (pmod(col("media_id"), lit(1000003L)) * lit(2654435761L)
+      + pmod(col("media_id"), lit(101L))) % lit(1000000007L)
     val q = textEmb
-      .filter(pmod(col("media_id"), lit(sampleMod)) === 0 &&
-        l2norm(col("embedding")) > 0.0)
+      .filter(l2norm(col("embedding")) > 0.0)
+      .orderBy(mix, col("media_id"))
+      .limit(sampleN)
       .select(col("media_id").as("query_id"), col("embedding").as("qv"))
     val m = mediaEmb.filter(l2norm(col("embedding")) > 0.0)
       .select(col("media_id"), col("embedding").as("mv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("media_id"))
-    m.crossJoin(broadcast(q))
-      .select(col("query_id"), col("media_id"),
+    // each sampled query's target score — one equi-join, ≤ sampleN rows
+    val paired = q.join(m, col("query_id") === col("media_id"))
+      .select(col("query_id"), col("qv"),
+        cosine(col("qv"), col("mv")).as("paired_cosine"))
+    val ranks = m.crossJoin(broadcast(paired))
+      .select(col("query_id"), col("paired_cosine"), col("media_id"),
         cosine(col("qv"), col("mv")).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("media_id") === col("query_id"))
-      .agg(count(lit(1)).as("n_queries"),
+      .groupBy(col("query_id"), col("paired_cosine"))
+      .agg((lit(1L) + sum(
+        (col("cosine") > col("paired_cosine") ||
+          (col("cosine") === col("paired_cosine") &&
+            col("media_id") < col("query_id"))).cast("long"))).as("rank"))
+    ranks.agg(count(lit(1)).as("n_queries"),
         sum((col("rank") === 1).cast("long")).as("n_at_1"),
         sum((col("rank") <= k).cast("long")).as("n_at_k"))
       .select(col("n_queries"), col("n_at_1"), col("n_at_k"),

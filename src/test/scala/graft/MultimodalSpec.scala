@@ -307,13 +307,20 @@ class MultimodalSpec extends SparkSpec {
       .startsWith(Seq(0L, 2L)))
     // query 1: its pair is rank 1
     assert(topk.filter(_._1 == 1L).sortBy(_._3).map(_._2).head == 1L)
-    // recall card over the sample {0, 101}: query 0's pair at rank 1
-    // (cosine tie, id order); query 101 has NO paired media in the
+    // recall card, budget covering every eligible query: queries 0 and
+    // 1 both rank their pair first (query 0 by the cosine-tie id-break
+    // against media 2 — the aggregate rank must reproduce row_number's
+    // tie semantics exactly); query 101 has NO paired media in the
     // corpus — it contributes no pair row, so n_queries counts pairs
     // PRESENT (documented: recall over served pairs)
     val card = Multimodal.crossModalRecall(textEmb, mediaEmb,
-      sampleMod = 101, k = 2).collect().head
-    assert(card.getLong(0) == 1L && card.getLong(1) == 1L &&
+      sampleN = 3, k = 2).collect().head
+    assert(card.getLong(0) == 2L && card.getLong(1) == 2L &&
       card.getDouble(3) == 1.0)
+    // the budget is CONSTANT, not a fraction: sampleN = 1 draws exactly
+    // one query — the hash-least eligible id (mix(0) = 0 is minimal)
+    val one = Multimodal.crossModalRecall(textEmb, mediaEmb,
+      sampleN = 1, k = 2).collect().head
+    assert(one.getLong(0) == 1L && one.getLong(1) == 1L)
   }
 }

@@ -82,7 +82,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // five 1-row count scalars
       "q_crossmodal_topk",                   // 5-row broadcast query set
-      "q_crossmodal_recall")                 // bounded eval-sample broadcast
+      "q_crossmodal_recall")                 // constant 32-query eval-sample broadcast
       // (q_snapshot_diff/q_drift_card serve persisted graft_release scans;
       // driftCard's 1-row share-total crossJoins run inside releaseTables)
       // (q_bloom_candidates/q_bloom_contamination serve persisted scans;
@@ -122,6 +122,20 @@ class PlanShapeSpec extends SparkSpec {
       if (globals.isEmpty) None else Some(name)
     }
     assert(offenders.isEmpty, s"partition-less Window in: $offenders")
+  }
+
+  test("cross-modal recall card: constant-budget sample via TakeOrderedAndProject, no Window") {
+    // round-13 verdict 1: the eval sample must be a fixed budget (hash-
+    // order limit → per-partition top-N + constant merge, never a global
+    // sort) and the pair's rank an aggregate — a corpus-wide per-query
+    // row_number re-sorts corpus×sample rows for a 1-row card
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q_crossmodal_recall")(spark, sf)
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hash-order limit sample must compile to TakeOrderedAndProject:\n$p")
+    assert(df.queryExecution.sparkPlan.collect { case w: WindowExec => w }.isEmpty,
+      "the recall card must rank via aggregate, not Window")
   }
 
   test("serving-layer queries read the persisted aggregations store with city partition pruning") {
