@@ -108,7 +108,11 @@ object ChunkStream {
     */
   def compact(spark: SparkSession, baseDir: String, outDir: String,
               newBaseDir: String, stamp: String = "compact",
-              numQueries: Int = 5, k: Int = 10, maxPerDoc: Int = 2): Unit = {
+              numQueries: Int = 5, k: Int = 10, maxPerDoc: Int = 2,
+              checkpointDir: Option[String] = None): Unit = {
+    // refuse under a live stream (round-13 verdict 2; see CrawlDedup)
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "ChunkStream.compact")
     val base = Passage.loadPassage(spark, baseDir)
     val grown = grownTables(spark, base, outDir)
     grown.vectors.write.mode("overwrite").parquet(s"$newBaseDir/vectors")

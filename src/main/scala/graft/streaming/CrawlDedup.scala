@@ -103,10 +103,17 @@ object CrawlDedup {
     * pass as clean until restart. The contract is STOP the stream,
     * compact, RESTART with `baseIndexDir = newBaseDir` (the checkpoint
     * under `outDir` survives, so the restarted stream resumes from its
-    * committed offset against the folded index).
+    * committed offset against the folded index) — ENFORCED, not just
+    * documented (round-13 verdict 2): compact() refuses while the
+    * session still runs the query checkpointed under `outDir`
+    * ([[StreamGuard.requireStopped]]; pass `checkpointDir` if [[start]]
+    * was given one).
     */
   def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
-              newBaseDir: String, stamp: String = "compact"): Unit = {
+              newBaseDir: String, stamp: String = "compact",
+              checkpointDir: Option[String] = None): Unit = {
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "CrawlDedup.compact")
     val deltaDir = s"$outDir/index_delta"
     indexWithDeltas(spark, spark.read.parquet(baseIndexDir), deltaDir,
         beforeEpoch = Long.MaxValue)

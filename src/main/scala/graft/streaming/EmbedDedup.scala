@@ -96,7 +96,11 @@ object EmbedDedup {
     * mid-stream snapshot rebuild is likewise invisible until restart.
     */
   def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
-              newBaseDir: String, stamp: String = "compact"): Unit = {
+              newBaseDir: String, stamp: String = "compact",
+              checkpointDir: Option[String] = None): Unit = {
+    // refuse under a live stream (round-13 verdict 2; see CrawlDedup)
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "EmbedDedup.compact")
     val deltaDir = s"$outDir/index_delta"
     indexWithDeltas(spark, spark.read.parquet(baseIndexDir), deltaDir,
         beforeEpoch = Long.MaxValue)

@@ -106,7 +106,11 @@ object EncodeStream {
   def compact(spark: org.apache.spark.sql.SparkSession, baseCodesDir: String,
               outDir: String, newBaseDir: String,
               stamp: String = "compact",
-              baseVectorsDir: Option[String] = None): Unit = {
+              baseVectorsDir: Option[String] = None,
+              checkpointDir: Option[String] = None): Unit = {
+    // refuse under a live stream (round-13 verdict 2; see CrawlDedup)
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "EncodeStream.compact")
     withEpochs(spark, spark.read.parquet(baseCodesDir), outDir, "codes")
       .write.mode("overwrite").parquet(s"$newBaseDir/codes")
     val vp = new org.apache.hadoop.fs.Path(s"$outDir/vectors")

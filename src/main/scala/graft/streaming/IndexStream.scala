@@ -76,7 +76,11 @@ object IndexStream {
     * [[KeyedUpsertSink]] single-maintainer contract.
     */
   def compact(spark: SparkSession, baseDir: String, outDir: String,
-              newBaseDir: String, stamp: String = "compact"): Unit = {
+              newBaseDir: String, stamp: String = "compact",
+              checkpointDir: Option[String] = None): Unit = {
+    // refuse under a live stream (round-13 verdict 2; see CrawlDedup)
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "IndexStream.compact")
     val grown = servingIndex(spark, baseDir, outDir)
     grown.postings.write.mode("overwrite").parquet(s"$newBaseDir/postings")
     grown.lexicon.write.mode("overwrite").parquet(s"$newBaseDir/lexicon")

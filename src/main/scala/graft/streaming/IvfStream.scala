@@ -97,7 +97,11 @@ object IvfStream {
     * stale-base argument).
     */
   def compact(spark: SparkSession, baseIndexDir: String, outDir: String,
-              newBaseDir: String, stamp: String = "compact"): Unit = {
+              newBaseDir: String, stamp: String = "compact",
+              checkpointDir: Option[String] = None): Unit = {
+    // refuse under a live stream (round-13 verdict 2; see CrawlDedup)
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "IvfStream.compact")
     spark.read.parquet(s"$baseIndexDir/coarse")
       .write.mode("overwrite").parquet(s"$newBaseDir/coarse")
     spark.read.parquet(s"$baseIndexDir/fine")

@@ -75,17 +75,56 @@ object TakedownStream {
   }
 
   /** COMPACTION — fold base + deltas into a NEW committed tombstone base
-    * and clear the delta dir. Commit-before-delete; see the class doc
-    * for the reader-migration ordering (erasures must never reappear).
+    * and clear the folded deltas. Commit-before-delete; see the class
+    * doc for the reader-migration ordering (erasures must never
+    * reappear).
+    *
+    * Two erasure-loss defenses beyond the sibling stores (round-13
+    * ADVICE 2 — losing a tombstone UN-SUPPRESSES an erasure, a
+    * compliance violation, so the doc-only ordering contract is not
+    * enough here):
+    *  - the stop-first contract is ENFORCED
+    *    ([[StreamGuard.requireStopped]] — refuses while the session
+    *    still runs the query checkpointed under `outDir`);
+    *  - the fold is EPOCH-SCOPED: the epoch dirs are listed ONCE, the
+    *    fold reads exactly that list, and only those dirs are deleted —
+    *    an epoch delta written between the fold and the delete (a
+    *    foreign writer, or a race the same-session guard cannot see)
+    *    survives for the next compaction instead of being silently
+    *    swallowed by a recursive delta-dir delete.
     */
   def compact(spark: SparkSession, baseDir: String, outDir: String,
-              newBaseDir: String, stamp: String = "compact"): Unit = {
-    grownTombstones(spark, baseDir, outDir)
-      .write.mode("overwrite").parquet(s"$newBaseDir/tombstones")
-    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+              newBaseDir: String, stamp: String = "compact",
+              checkpointDir: Option[String] = None): Unit = {
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"),
+      "TakedownStream.compact")
     val deltaDir = new Path(s"$outDir/tombstones_delta")
-    deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(deltaDir, true)
+    val fs = deltaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochDirs =
+      if (fs.exists(deltaDir))
+        fs.listStatus(deltaDir).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("epoch=")).sortBy(_.getName).toSeq
+      else Seq.empty
+    val deltas =
+      if (epochDirs.isEmpty) None
+      else Some(spark.read.parquet(epochDirs.map(_.toString): _*)
+        .select(col("doc_id"), col("reason")))
+    val parts = existing(spark, s"$baseDir/tombstones").toSeq ++ deltas
+    val folded = parts match {
+      case Nil => spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("reason"))
+      case head +: tail =>
+        tail.foldLeft(head)(_ unionByName _)
+          .groupBy("doc_id").agg(min(col("reason")).as("reason"))
+    }
+    folded.write.mode("overwrite").parquet(s"$newBaseDir/tombstones")
+    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+    epochDirs.foreach(p => fs.delete(p, true))
+    // only if nothing arrived since the listing does the parent go too —
+    // a late epoch keeps the dir and survives into the next compaction
+    if (fs.exists(deltaDir) && fs.listStatus(deltaDir).isEmpty)
+      fs.delete(deltaDir, true)
   }
 
   private def existing(spark: SparkSession, dir: String): Option[DataFrame] = {

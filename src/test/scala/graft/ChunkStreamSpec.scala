@@ -80,6 +80,11 @@ class ChunkStreamSpec extends SparkSpec {
     try {
       input.addData((300L, text("epsilon")))
       q.processAllAvailable()
+      // round-13 verdict 2: compact() must REFUSE while this stream runs
+      intercept[IllegalStateException] {
+        ChunkStream.compact(spark, s"$base/passage", s"$base/out",
+          s"$base/passage_g")
+      }
     } finally q.stop()
     val grown = ChunkStream.grownTables(spark, bt, s"$base/out")
     // MATERIALIZE before compacting: the grown frame reads the delta

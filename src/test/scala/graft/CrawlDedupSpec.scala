@@ -50,7 +50,16 @@ class CrawlDedupSpec extends SparkSpec {
       assert(pairs.exists(p => p._1 == 12L && p._2 == 20L && p._3 == 1.0 && p._4 == 1L),
         s"cross-batch dup must pair against the APPENDED index in epoch 1: ${pairs.mkString(", ")}")
       assert(pairs.length == 3, s"exactly three dup pairs expected: ${pairs.mkString(", ")}")
+      // round-13 verdict 2: compact() must REFUSE while this stream runs
+      // (a fold-and-clear under a live stream would let every folded
+      // epoch's duplicates pass as clean until restart)
+      intercept[IllegalStateException] {
+        CrawlDedup.compact(spark, s"$base/index", outDir, s"$base/index_g")
+      }
     } finally q.stop()
+    // …and succeed once the stream is stopped, same checkpoint present
+    CrawlDedup.compact(spark, s"$base/index", outDir, s"$base/index_g")
+    assert(graft.sources.SnapshotStore.ready(spark, s"$base/index_g", "compact"))
   }
 
   test("a replayed epoch reproduces its output instead of self-matching (crash recovery)") {

@@ -58,7 +58,14 @@ class EmbedDedupSpec extends SparkSpec {
       assert(pairs.exists(p => p._1 == 12L && p._2 == 20L && p._3 == 1.0 && p._4 == 1L),
         s"cross-batch dup must pair against the APPENDED index in epoch 1: ${pairs.mkString(", ")}")
       assert(pairs.length == 3, s"exactly three dup pairs expected: ${pairs.mkString(", ")}")
+      // round-13 verdict 2: compact() must REFUSE while this stream runs
+      intercept[IllegalStateException] {
+        EmbedDedup.compact(spark, s"$base/index", outDir, s"$base/index_g")
+      }
     } finally q.stop()
+    // …and succeed once the stream is stopped, same checkpoint present
+    EmbedDedup.compact(spark, s"$base/index", outDir, s"$base/index_g")
+    assert(graft.sources.SnapshotStore.ready(spark, s"$base/index_g", "compact"))
   }
 
   test("stream epoch equals the batch kernel run directly on the same rows") {

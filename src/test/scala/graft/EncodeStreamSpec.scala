@@ -47,6 +47,10 @@ class EncodeStreamSpec extends SparkSpec {
         (20L, Array.tabulate(dim)(i => if (i == 6) 9f else 1f)),
         (21L, Array.fill(dim)(0f)))
       q.processAllAvailable()
+      // round-13 verdict 2: compact() must REFUSE while this stream runs
+      intercept[IllegalStateException] {
+        EncodeStream.compact(spark, s"$base/codes0", outDir, s"$base/nb_g")
+      }
     } finally q.stop()
     val out = spark.read.parquet(s"$outDir/codes")
     def key(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
@@ -79,6 +83,11 @@ class EncodeStreamSpec extends SparkSpec {
     EncodeStream.runBatch(b1, cb, outDir, epoch = 1L, m, dim)
     assert(key(spark.read.parquet(s"$outDir/codes")) == all,
       "replayed epoch must be idempotent")
+    // compact() succeeds once the stream is stopped, checkpoint present
+    // (last: it clears the outDir epoch deltas the asserts above read)
+    Similarity.pqEncode(train, cb, m, dim).write.parquet(s"$base/codes0")
+    EncodeStream.compact(spark, s"$base/codes0", outDir, s"$base/nb_g")
+    assert(graft.sources.SnapshotStore.ready(spark, s"$base/nb_g", "compact"))
   }
 
   test("grown view makes streamed vectors ADC-searchable; compaction folds into a new base identically") {

@@ -34,6 +34,10 @@ class IndexStreamSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData((20L, "join order join plan join"))
       q.processAllAvailable()
+      // round-13 verdict 2: compact() must REFUSE while this stream runs
+      intercept[IllegalStateException] {
+        IndexStream.compact(spark, s"$base/index", outDir, s"$base/index_g")
+      }
     } finally q.stop()
     val grown = IndexStream.servingIndex(spark, s"$base/index", outDir)
     // equivalence with the batch compactor over the same corpus
@@ -58,6 +62,9 @@ class IndexStreamSpec extends SparkSpec {
     // ...and the streamed docs actually rank: doc 20 leads on 'join'
     assert(hits(grown).head._1 == 20L,
       s"the triple-join streamed doc must rank first: ${hits(grown)}")
+    // compact() succeeds once the stream is stopped, checkpoint present
+    IndexStream.compact(spark, s"$base/index", outDir, s"$base/index_g")
+    assert(graft.sources.SnapshotStore.ready(spark, s"$base/index_g", "compact"))
   }
 
   test("a replayed epoch overwrites its delta; the view never double-counts") {

@@ -40,6 +40,11 @@ class IvfStreamSpec extends SparkSpec {
       // batch 1: a twin of vec 1 plus a zero-norm vector (must drop)
       input.addData((60L, vec(6, 9f)), (61L, Array.fill(dim)(0f)))
       q.processAllAvailable()
+      // round-13 verdict 2: compact() must REFUSE while this stream runs
+      // (the post-stop compact below proves the stopped path succeeds)
+      intercept[IllegalStateException] {
+        IvfStream.compact(spark, s"$base/index", outDir, s"$base/index2")
+      }
     } finally q.stop()
 
     def keyed(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =

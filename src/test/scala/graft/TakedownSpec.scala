@@ -109,4 +109,45 @@ class TakedownSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == grown)
     assert(!new java.io.File(s"$outDir/tombstones_delta").exists())
   }
+
+  test("takedown compact refuses under a live stream and never swallows an " +
+    "unfolded epoch (round-13 ADVICE 2 / verdict 2)") {
+    import graft.streaming.TakedownStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-tdg").toString
+    val baseDir = s"$root/base"
+    val outDir = s"$root/out"
+    val input = MemoryStream[(Long, String)]
+    val q = TakedownStream.start(input.toDF().toDF("doc_id", "reason"), outDir)
+    try {
+      input.addData((5L, "erasure"))
+      q.processAllAvailable()
+      // a live stream must make compact() REFUSE — a fold-and-clear here
+      // could silently drop a delta epoch, UN-SUPPRESSING an erasure
+      intercept[IllegalStateException] {
+        TakedownStream.compact(spark, baseDir, outDir, s"$root/base2")
+      }
+    } finally q.stop()
+    // stopped: compact folds the ingested epoch into the new base
+    TakedownStream.compact(spark, baseDir, outDir, s"$root/base2")
+    assert(TakedownStream.grownTombstones(spark, s"$root/base2", outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(5L -> "erasure"))
+    // the fold is epoch-scoped: an epoch landing AFTER one compaction is
+    // untouched by it and survives into the NEXT fold — across the two
+    // generations no erasure is ever lost
+    TakedownStream.runBatch(Seq((9L, "optout")).toDF("doc_id", "reason"),
+      outDir, epoch = 7)
+    assert(TakedownStream.grownTombstones(spark, s"$root/base2", outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(5L -> "erasure", 9L -> "optout"),
+      "a post-compaction epoch must stay served from the delta dir")
+    TakedownStream.compact(spark, s"$root/base2", outDir, s"$root/base3")
+    assert(TakedownStream.grownTombstones(spark, s"$root/base3", outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(5L -> "erasure", 9L -> "optout"),
+      "the second fold must carry BOTH generations' erasures")
+    assert(!new java.io.File(s"$outDir/tombstones_delta").exists())
+  }
 }
