@@ -58,8 +58,9 @@ class PlanShapeSpec extends SparkSpec {
       "q_hot_shingles",                                                  // 1-row k-th-df cut scalar
       "q_cosine_topk",                                                   // 5-row broadcast query set
       "q_filtered_topk",                     // 5-row broadcast query set (filtered corpus)
-      "q_ann_ivf_topk",                                                  // centroid-set scoring
-      "q_ivf_topk_recall_bound",             // centroid-set scoring + 5-row probe set
+      // (q_ann_ivf_topk now serves the persisted ivf-v6 topk scan; its
+      // CONSTRUCTION's centroid-set scoring runs inside persistIndex)
+      "q_ivf_topk_recall_bound",             // 5-row exact probe set
       "q_approx_topk_bound",                 // 1-row sketch-regime scalar
       "q_user_quartiles",                                                // 1-row splits + offsets rows
       "q_keyword_search",                                               // 1-row corpus-size scalar

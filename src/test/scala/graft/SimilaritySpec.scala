@@ -566,6 +566,19 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(keyed(stored) == keyed(pairs),
       "the persisted pairs table must equal ivfNearDupServe over the persisted lists")
+    // v6 (round-13 next-round 5): the snapshot also carries the
+    // default-parameter top-k answer — serving it is ONE snapshot scan,
+    // and the stored rows equal the per-call serve at the same defaults
+    val storedTopk = Similarity.loadIndexTopK(spark, idxDir)
+    val topkScans = storedTopk.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(topkScans.size == 1 && topkScans.forall(_.contains("idx")),
+      s"persisted topk must serve from one snapshot scan:\n${topkScans.mkString("\n")}")
+    def rk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rk(storedTopk) ==
+      rk(Similarity.ivfTopKServe(idx, lists, queries, nprobe = 16)),
+      "the persisted topk table must equal ivfTopKServe over the persisted lists")
   }
 
   test("ivfRecallBound: witness pins the contract and flips when recall drops (r10 next-round 3)") {
