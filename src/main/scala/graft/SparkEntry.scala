@@ -640,6 +640,159 @@ object SparkEntry {
       })._2
   }
 
+  /** Family serving-answer oracle SQL, shared VERBATIM by the family's
+    * own registry query and the takedown surfaces (round-13 verdict 7:
+    * every served family runs through the tombstone gate, and the audit
+    * re-derives each family's pre-suppression answer by nesting these as
+    * subqueries — DuckDB supports WITH inside a subquery/CTE, so one
+    * derivation feeds every consumer and the texts can never drift).
+    */
+  private lazy val RrfFusionSql: String =
+    s"""WITH nt AS (SELECT count(*) AS n_total FROM documents),
+      |f AS (SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |lexi AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
+      |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents WHERE doc_id < 5)
+      |  GROUP BY 1, 2),
+      |qsel AS (SELECT query_id, tok FROM (
+      |  SELECT q.query_id, q.tok, row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY q.qtf * (n_total - lexi.df + 0.5) / (lexi.df + 0.5) DESC,
+      |      q.tok) AS trank
+      |  FROM qtf q JOIN lexi USING (tok) CROSS JOIN nt) WHERE trank <= 8),
+      |ls AS (SELECT query_id, doc_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
+      |      x -> x.w)), (a, b) -> a + b) AS score
+      |  FROM (SELECT qs.query_id, f.doc_id, f.tok,
+      |      f.tf * (n_total - lexi.df + 0.5) / (lexi.df + 0.5) AS w
+      |    FROM f JOIN qsel qs USING (tok) JOIN lexi USING (tok) CROSS JOIN nt
+      |    WHERE f.doc_id <> qs.query_id)
+      |  GROUP BY query_id, doc_id),
+      |lexr AS (SELECT query_id, doc_id, lex_rank FROM (
+      |  SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM ls)
+      |  WHERE lex_rank <= 20),
+      |dv AS (${Similarity.Sql.prepared}),
+      |bk AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM dv),
+      |cb AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+      |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+      |qb AS (SELECT vec_id AS query_id, band, bb FROM cb WHERE vec_id < 5),
+      |p0 AS (SELECT DISTINCT qb.query_id, c2.vec_id
+      |  FROM cb c2 JOIN qb ON c2.band = qb.band AND c2.bb = qb.bb
+      |  WHERE c2.vec_id <> qb.query_id),
+      |vsc AS (SELECT p0.query_id, p0.vec_id,
+      |  ${Similarity.Sql.cosine("qd.v", "cd.v")} AS cosine
+      |  FROM p0 JOIN dv qd ON p0.query_id = qd.vec_id
+      |          JOIN dv cd ON p0.vec_id = cd.vec_id),
+      |vecr AS (SELECT query_id, doc_id, vec_rank FROM (
+      |  SELECT query_id, vec_id AS doc_id, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+      |    AS vec_rank FROM vsc) WHERE vec_rank <= 20),
+      |fu AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+      |  COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |  COALESCE(l.lex_rank, 0) AS lex_rank,
+      |  COALESCE(v.vec_rank, 0) AS vec_rank
+      |  FROM lexr l FULL JOIN vecr v
+      |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+      |sc2 AS (SELECT query_id, doc_id, lex_rank, vec_rank,
+      |  (CASE WHEN lex_rank > 0
+      |    THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank)
+      |    ELSE CAST(0.0 AS DOUBLE) END)
+      |  + (CASE WHEN vec_rank > 0
+      |    THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vec_rank)
+      |    ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score FROM fu)
+      |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val LateInteractionSql: String =
+    s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+      |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+      |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+      |  FROM dch),
+      |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+      |  FROM ch),
+      |fp AS (SELECT doc_id, chunk_id,
+      |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+      |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+      |  list_transform(range(0, 16), dd ->
+      |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+      |      / 1000000.0 - 1.0) AS v FROM fp),
+      |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+      |  FROM pv),
+      |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+      |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+      |qc AS (SELECT doc_id AS query_id, pid AS qpid, v FROM pv
+      |  WHERE doc_id < 5 AND ${Similarity.Sql.dot("v", "v")} > 0),
+      |qp AS (SELECT qc.query_id, qc.qpid, c.band, c.bb FROM c
+      |  JOIN qc ON c.pid = qc.qpid),
+      |p0 AS (SELECT DISTINCT qp.query_id, qp.qpid, c2.pid FROM c c2
+      |  JOIN qp ON c2.band = qp.band AND c2.bb = qp.bb
+      |  WHERE c2.doc_id <> qp.query_id),
+      |pr AS (SELECT p0.query_id, p0.qpid, cv.doc_id,
+      |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+      |  FROM p0 JOIN pv cv USING (pid)
+      |       JOIN qc qd ON qd.query_id = p0.query_id AND qd.qpid = p0.qpid
+      |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+      |mx AS (SELECT query_id, qpid, doc_id, max(cosine) AS maxsim
+      |  FROM pr GROUP BY query_id, qpid, doc_id),
+      |ds AS (SELECT query_id, doc_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list_sort(list(struct_pack(qpid := qpid, maxsim := maxsim))),
+      |      x -> x.maxsim)), (a, b) -> a + b) AS score,
+      |  count(*) AS n_qchunks_matched
+      |  FROM mx GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, score, n_qchunks_matched, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM ds)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val CrossModalTopKSql: String =
+    s"""WITH fp AS (SELECT doc_id AS media_id,
+      |  ${TextAnalysis.Sql.fingerprint} AS f FROM documents),
+      |tv AS (SELECT media_id, list_transform(range(0, 16), d ->
+      |  CAST((f * (2*d + 3) + d * 65599) % 2000001 AS DOUBLE)
+      |    / 1000000.0 - 1.0) AS t FROM fp),
+      |mv AS (SELECT media_id, list_transform(range(0, 16), d ->
+      |  CAST((f * (2*d + 1) + d * 40503) % 2000001 AS DOUBLE)
+      |    / 1000000.0 - 1.0) AS m FROM fp),
+      |q AS (SELECT media_id AS query_id, t AS qv FROM tv
+      |  WHERE media_id < 5 AND ${Similarity.Sql.dot("t", "t")} > 0),
+      |sc AS (SELECT q.query_id, mv.media_id,
+      |  ${Similarity.Sql.cosine("qv", "m")} AS cosine
+      |  FROM mv CROSS JOIN q WHERE ${Similarity.Sql.dot("m", "m")} > 0),
+      |rk AS (SELECT query_id, media_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, media_id) AS BIGINT) AS rank FROM sc)
+      |SELECT query_id, media_id, cosine, rank FROM rk
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val MediaNearDupSql: String =
+    """WITH codes AS (SELECT doc_id AS media_id,
+      |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+      |  FROM documents),
+      |hh AS (SELECT media_id, len(cs) AS n, cs FROM codes),
+      |sm AS (SELECT media_id, list_transform(generate_series(0, 48),
+      |  j -> cs[CAST(least(j * 2, n - 1) AS INT) + 1]) AS smp FROM hh WHERE n > 0),
+      |h AS (SELECT media_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 47),
+      |    i -> CASE WHEN smp[CAST(i AS INT) + 1] > smp[CAST(i AS INT) + 2]
+      |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+      |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      |  FROM sm
+      |  UNION ALL SELECT media_id, CAST(0 AS BIGINT) FROM hh WHERE n = 0)
+      |SELECT a.media_id AS id1, b.media_id AS id2,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 5
+      |ORDER BY id1, id2""".stripMargin
+
   /** PERSISTED windowed-aggregate store — the REFERENCE'S OWN
     * architecture applied to the batch registry: the consumer writes the
     * 5-minute aggregations to a keyed store ONCE and every API endpoint
@@ -2241,6 +2394,42 @@ object SparkEntry {
         |SELECT query_id, doc_id, chunk_id, cosine, rank_t AS rank FROM sup
         |WHERE rank_t <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // CROSS-MODAL serving behind the SAME tombstone gate (round-13
+    // verdict 7: every served family suppresses — media derive from
+    // documents, so one takedown set gates every modality): the
+    // text-to-media top-10 recalls, tombstoned media drop, ranks close
+    // up, serve 5. The oracle nests the family's shared serving SQL and
+    // re-ranks the suppressed survivors.
+    ("q_takedown_crossmodal",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Takedown.topKWithTakedown(
+          Multimodal.crossModalTopK(
+            Multimodal.textEmbedStub(docs),
+            Multimodal.embedStub(Multimodal.mediaFromDocuments(docs))),
+          Takedown.tombstones(docs), serveK = 5, idCol = "media_id")
+      },
+      Some(s"""WITH cm AS ($CrossModalTopKSql),
+        |sup AS (SELECT query_id, media_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT)
+        |    AS rank_t
+        |  FROM cm WHERE media_id % 13 <> 6)
+        |SELECT query_id, media_id, cosine, rank_t AS rank FROM sup
+        |WHERE rank_t <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // media near-dup pairs behind the gate: a pair leaks a tombstoned
+    // image's existence and similarity structure from EITHER side, so
+    // suppression drops both endpoints (two broadcast anti-joins — set
+    // semantics, no ranks to close).
+    ("q_takedown_media",
+      (s, d) => Takedown.pairsWithTakedown(
+          mediaPhashTables(s, d).nearDupPairs,
+          Takedown.tombstones(Tables.documents(s, d)))
+        .orderBy("id1", "id2"),
+      Some(s"""WITH mp AS ($MediaNearDupSql)
+        |SELECT id1, id2, hamming FROM mp
+        |WHERE id1 % 13 <> 6 AND id2 % 13 <> 6 ORDER BY id1, id2""".stripMargin)),
+
     // the compliance witness: zero tombstoned ids in each served surface
     // (would trip if anyone edits a serving path to skip suppression),
     // next to the suppression accounting — non-vacuous at every SF by
@@ -2248,22 +2437,62 @@ object SparkEntry {
     // surface).
     ("q_takedown_audit",
       (s, d) => {
-        val tombs = Takedown.tombstones(Tables.documents(s, d))
+        // EVERY served family runs through the gate (round-13 verdict 7):
+        // lexical search, passage top-k, RRF fusion, late-interaction
+        // MaxSim, cross-modal retrieval (media_id ≡ doc_id — media derive
+        // from documents) and the media near-dup pairs (both endpoints).
+        // Leak counts audit the SUPPRESSED serving paths (must be 0, and
+        // trip if any path skips suppression); the n_suppressed_* columns
+        // prove each surface's gate non-vacuous at every SF (measured
+        // ≥ 3 per surface).
+        val docs = Tables.documents(s, d)
+        val tombs = Takedown.tombstones(docs)
+        val t = broadcast(tombs.select("doc_id"))
         val deep = TextAnalysis.keywordSearchFrom(searchIndex(s, d),
           Seq("hash", "join", "vector"), k = 20)
         val topk = passageTables(s, d).topk
+        val rrf = rrfTopK(s, d)
+        val li = passageTables(s, d).liTopk
+        val cm = Multimodal.crossModalTopK(
+          Multimodal.textEmbedStub(docs),
+          Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
+        val mp = mediaPhashTables(s, d).nearDupPairs
+        val servedMp = Takedown.pairsWithTakedown(mp, tombs)
         Takedown.takedownAudit(tombs, Seq(
             "search" -> Takedown.servedWithTakedown(deep, tombs,
               Seq(col("score").desc, col("doc_id")), serveK = 10)
               .select("doc_id"),
             "topk" -> Takedown.topKWithTakedown(topk, tombs, serveK = 5)
-              .select("doc_id")))
-          .crossJoin(deep.join(broadcast(tombs.select("doc_id")),
-              Seq("doc_id"), "left_semi")
+              .select("doc_id"),
+            "rrf" -> Takedown.topKWithTakedown(rrf, tombs, serveK = 5)
+              .select("doc_id"),
+            "li" -> Takedown.topKWithTakedown(li, tombs, serveK = 5)
+              .select("doc_id"),
+            "crossmodal" -> Takedown.topKWithTakedown(cm, tombs,
+                serveK = 5, idCol = "media_id")
+              .select(col("media_id").as("doc_id")),
+            "media" -> servedMp
+              .select(explode(array(col("id1"), col("id2"))).as("doc_id"))))
+          .crossJoin(deep.join(t, Seq("doc_id"), "left_semi")
             .agg(count(lit(1)).as("n_suppressed_search")))
-          .crossJoin(topk.join(broadcast(tombs.select("doc_id")),
-              Seq("doc_id"), "left_semi")
+          .crossJoin(topk.join(t, Seq("doc_id"), "left_semi")
             .agg(count(lit(1)).as("n_suppressed_topk")))
+          .crossJoin(rrf.join(t, Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_suppressed_rrf")))
+          .crossJoin(li.join(t, Seq("doc_id"), "left_semi")
+            .agg(count(lit(1)).as("n_suppressed_li")))
+          .crossJoin(cm.join(
+              broadcast(tombs.select(col("doc_id").as("media_id"))),
+              Seq("media_id"), "left_semi")
+            .agg(count(lit(1)).as("n_suppressed_crossmodal")))
+          // pair suppression removes a row when EITHER endpoint matches —
+          // count removals as pre-suppression minus served (an OR-keyed
+          // semi-join would be a non-equi nested loop; two counts aren't)
+          .crossJoin(mp.agg(count(lit(1)).as("n_media_pairs")))
+          .crossJoin(servedMp.agg(count(lit(1)).as("n_media_served")))
+          .withColumn("n_suppressed_media",
+            col("n_media_pairs") - col("n_media_served"))
+          .drop("n_media_pairs", "n_media_served")
       },
       Some(s"""WITH f AS (
         |  SELECT doc_id, tok, count(*) AS tf
@@ -2332,7 +2561,34 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM deep WHERE doc_id % 13 = 6)
         |    AS n_suppressed_search,
         |  (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE doc_id % 13 = 6)
-        |    AS n_suppressed_topk""".stripMargin)),
+        |    AS n_suppressed_topk,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT doc_id, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY rank) AS rank_t
+        |     FROM ($RrfFusionSql) rrf0 WHERE doc_id % 13 <> 6) rrfs
+        |   WHERE rank_t <= 5 AND doc_id % 13 = 6) AS n_leaked_rrf,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ($RrfFusionSql) rrf1
+        |   WHERE doc_id % 13 = 6) AS n_suppressed_rrf,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT doc_id, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY rank) AS rank_t
+        |     FROM ($LateInteractionSql) li0 WHERE doc_id % 13 <> 6) lis
+        |   WHERE rank_t <= 5 AND doc_id % 13 = 6) AS n_leaked_li,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ($LateInteractionSql) li1
+        |   WHERE doc_id % 13 = 6) AS n_suppressed_li,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT media_id, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY rank) AS rank_t
+        |     FROM ($CrossModalTopKSql) cm0 WHERE media_id % 13 <> 6) cms
+        |   WHERE rank_t <= 5 AND media_id % 13 = 6) AS n_leaked_crossmodal,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ($CrossModalTopKSql) cm1
+        |   WHERE media_id % 13 = 6) AS n_suppressed_crossmodal,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM (
+        |     SELECT unnest([id1, id2]) AS e FROM ($MediaNearDupSql) mp0
+        |     WHERE id1 % 13 <> 6 AND id2 % 13 <> 6) mps
+        |   WHERE e % 13 = 6) AS n_leaked_media,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ($MediaNearDupSql) mp1
+        |   WHERE id1 % 13 = 6 OR id2 % 13 = 6) AS n_suppressed_media""".stripMargin)),
 
     // RRF-FUSED hybrid retrieval (the PARALLEL hybrid — q_hybrid_search
     // above is the cascade): per query document, its top-8 salient terms
@@ -2348,66 +2604,7 @@ object SparkEntry {
     // the whole composition, hash-proving the persisted table current.
     ("q_rrf_fusion",
       (s, d) => rrfTopK(s, d).orderBy("query_id", "rank"),
-      Some(s"""WITH nt AS (SELECT count(*) AS n_total FROM documents),
-        |f AS (SELECT doc_id, tok, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY doc_id, tok),
-        |lexi AS (SELECT tok, count(*) AS df FROM f GROUP BY tok),
-        |qtf AS (SELECT doc_id AS query_id, tok, count(*) AS qtf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |        FROM documents WHERE doc_id < 5)
-        |  GROUP BY 1, 2),
-        |qsel AS (SELECT query_id, tok FROM (
-        |  SELECT q.query_id, q.tok, row_number() OVER (PARTITION BY q.query_id
-        |    ORDER BY q.qtf * (n_total - lexi.df + 0.5) / (lexi.df + 0.5) DESC,
-        |      q.tok) AS trank
-        |  FROM qtf q JOIN lexi USING (tok) CROSS JOIN nt) WHERE trank <= 8),
-        |ls AS (SELECT query_id, doc_id,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list_transform(list_sort(list(struct_pack(tok := tok, w := w))),
-        |      x -> x.w)), (a, b) -> a + b) AS score
-        |  FROM (SELECT qs.query_id, f.doc_id, f.tok,
-        |      f.tf * (n_total - lexi.df + 0.5) / (lexi.df + 0.5) AS w
-        |    FROM f JOIN qsel qs USING (tok) JOIN lexi USING (tok) CROSS JOIN nt
-        |    WHERE f.doc_id <> qs.query_id)
-        |  GROUP BY query_id, doc_id),
-        |lexr AS (SELECT query_id, doc_id, lex_rank FROM (
-        |  SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM ls)
-        |  WHERE lex_rank <= 20),
-        |dv AS (${Similarity.Sql.prepared}),
-        |bk AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM dv),
-        |cb AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
-        |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
-        |qb AS (SELECT vec_id AS query_id, band, bb FROM cb WHERE vec_id < 5),
-        |p0 AS (SELECT DISTINCT qb.query_id, c2.vec_id
-        |  FROM cb c2 JOIN qb ON c2.band = qb.band AND c2.bb = qb.bb
-        |  WHERE c2.vec_id <> qb.query_id),
-        |vsc AS (SELECT p0.query_id, p0.vec_id,
-        |  ${Similarity.Sql.cosine("qd.v", "cd.v")} AS cosine
-        |  FROM p0 JOIN dv qd ON p0.query_id = qd.vec_id
-        |          JOIN dv cd ON p0.vec_id = cd.vec_id),
-        |vecr AS (SELECT query_id, doc_id, vec_rank FROM (
-        |  SELECT query_id, vec_id AS doc_id, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT)
-        |    AS vec_rank FROM vsc) WHERE vec_rank <= 20),
-        |fu AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-        |  COALESCE(l.doc_id, v.doc_id) AS doc_id,
-        |  COALESCE(l.lex_rank, 0) AS lex_rank,
-        |  COALESCE(v.vec_rank, 0) AS vec_rank
-        |  FROM lexr l FULL JOIN vecr v
-        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
-        |sc2 AS (SELECT query_id, doc_id, lex_rank, vec_rank,
-        |  (CASE WHEN lex_rank > 0
-        |    THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + lex_rank)
-        |    ELSE CAST(0.0 AS DOUBLE) END)
-        |  + (CASE WHEN vec_rank > 0
-        |    THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + vec_rank)
-        |    ELSE CAST(0.0 AS DOUBLE) END) AS rrf_score FROM fu)
-        |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank FROM sc2)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(RrfFusionSql)),
 
     // The search QUERY-SERVING endpoint: a (query_id, terms) request
     // frame answered from the persisted inverted index — per-query
@@ -3587,48 +3784,7 @@ object SparkEntry {
     // order, so the MaxSim double hash-checks.
     ("q_late_interaction_topk",
       (s, d) => passageTables(s, d).liTopk.orderBy("query_id", "rank"),
-      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
-        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
-        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
-        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
-        |  FROM dch),
-        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
-        |  FROM ch),
-        |fp AS (SELECT doc_id, chunk_id,
-        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
-        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
-        |  list_transform(range(0, 16), dd ->
-        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
-        |      / 1000000.0 - 1.0) AS v FROM fp),
-        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
-        |  FROM pv),
-        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
-        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
-        |qc AS (SELECT doc_id AS query_id, pid AS qpid, v FROM pv
-        |  WHERE doc_id < 5 AND ${Similarity.Sql.dot("v", "v")} > 0),
-        |qp AS (SELECT qc.query_id, qc.qpid, c.band, c.bb FROM c
-        |  JOIN qc ON c.pid = qc.qpid),
-        |p0 AS (SELECT DISTINCT qp.query_id, qp.qpid, c2.pid FROM c c2
-        |  JOIN qp ON c2.band = qp.band AND c2.bb = qp.bb
-        |  WHERE c2.doc_id <> qp.query_id),
-        |pr AS (SELECT p0.query_id, p0.qpid, cv.doc_id,
-        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
-        |  FROM p0 JOIN pv cv USING (pid)
-        |       JOIN qc qd ON qd.query_id = p0.query_id AND qd.qpid = p0.qpid
-        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
-        |mx AS (SELECT query_id, qpid, doc_id, max(cosine) AS maxsim
-        |  FROM pr GROUP BY query_id, qpid, doc_id),
-        |ds AS (SELECT query_id, doc_id,
-        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |    list_transform(list_sort(list(struct_pack(qpid := qpid, maxsim := maxsim))),
-        |      x -> x.maxsim)), (a, b) -> a + b) AS score,
-        |  count(*) AS n_qchunks_matched
-        |  FROM mx GROUP BY query_id, doc_id)
-        |SELECT query_id, doc_id, score, n_qchunks_matched, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM ds)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(LateInteractionSql)),
 
     // RETRIEVAL-DISTILLATION pairs (the ColBERTv2 training-data shape):
     // for every (query, doc) the student passage top-k surfaced, the
@@ -5490,24 +5646,7 @@ object SparkEntry {
           Multimodal.textEmbedStub(docs),
           Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
       },
-      Some(s"""WITH fp AS (SELECT doc_id AS media_id,
-        |  ${TextAnalysis.Sql.fingerprint} AS f FROM documents),
-        |tv AS (SELECT media_id, list_transform(range(0, 16), d ->
-        |  CAST((f * (2*d + 3) + d * 65599) % 2000001 AS DOUBLE)
-        |    / 1000000.0 - 1.0) AS t FROM fp),
-        |mv AS (SELECT media_id, list_transform(range(0, 16), d ->
-        |  CAST((f * (2*d + 1) + d * 40503) % 2000001 AS DOUBLE)
-        |    / 1000000.0 - 1.0) AS m FROM fp),
-        |q AS (SELECT media_id AS query_id, t AS qv FROM tv
-        |  WHERE media_id < 5 AND ${Similarity.Sql.dot("t", "t")} > 0),
-        |sc AS (SELECT q.query_id, mv.media_id,
-        |  ${Similarity.Sql.cosine("qv", "m")} AS cosine
-        |  FROM mv CROSS JOIN q WHERE ${Similarity.Sql.dot("m", "m")} > 0),
-        |rk AS (SELECT query_id, media_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, media_id) AS BIGINT) AS rank FROM sc)
-        |SELECT query_id, media_id, cosine, rank FROM rk
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(CrossModalTopKSql)),
 
     // the retrieval EVAL CARD (CLIP/DataComp recall@1/@k): a CONSTANT
     // 32-query sample (hash-least eligible ids — a fixed eval budget at
@@ -5594,24 +5733,7 @@ object SparkEntry {
     // the persisted table current.
     ("q_media_neardup",
       (s, d) => mediaPhashTables(s, d).nearDupPairs.orderBy("id1", "id2"),
-      Some("""WITH codes AS (SELECT doc_id AS media_id,
-        |  list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
-        |  FROM documents),
-        |hh AS (SELECT media_id, len(cs) AS n, cs FROM codes),
-        |sm AS (SELECT media_id, list_transform(generate_series(0, 48),
-        |  j -> cs[CAST(least(j * 2, n - 1) AS INT) + 1]) AS smp FROM hh WHERE n > 0),
-        |h AS (SELECT media_id,
-        |  CAST(list_sum(list_transform(generate_series(0, 47),
-        |    i -> CASE WHEN smp[CAST(i AS INT) + 1] > smp[CAST(i AS INT) + 2]
-        |         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-        |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
-        |  FROM sm
-        |  UNION ALL SELECT media_id, CAST(0 AS BIGINT) FROM hh WHERE n = 0)
-        |SELECT a.media_id AS id1, b.media_id AS id2,
-        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 5
-        |ORDER BY id1, id2""".stripMargin)),
+      Some(MediaNearDupSql)),
 
     // reverse-media-search endpoint: an arbitrary request frame hashed
     // and banded against the persisted corpus hash table (fingerprints

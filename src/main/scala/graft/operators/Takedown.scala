@@ -69,12 +69,15 @@ object Takedown {
 
   /** Suppress + re-rank a PER-QUERY ranked answer on its existing `rank`
     * column: surviving rows keep relative order within each query, ranks
-    * close up contiguously, cut to `serveK`.
+    * close up contiguously, cut to `serveK`. `idCol` names the served
+    * row's document identity (`media_id` for the cross-modal surface —
+    * media derive from documents, so the SAME tombstone set gates every
+    * modality; round-13 verdict 7).
     */
   def topKWithTakedown(topk: DataFrame, tombstones: DataFrame,
-                       serveK: Int): DataFrame = {
+                       serveK: Int, idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy("rank")
-    suppress(topk, tombstones)
+    suppress(topk, tombstones, idCol)
       .withColumn("rank_t", row_number().over(w).cast("long"))
       .filter(col("rank_t") <= serveK)
       .drop("rank").withColumnRenamed("rank_t", "rank")
@@ -83,6 +86,18 @@ object Takedown {
       .select(topk.columns.map(col).toIndexedSeq: _*)
       .orderBy("query_id", "rank")
   }
+
+  /** Suppress an UNDIRECTED pair surface (near-dup pairs, neighbor
+    * lists) on BOTH endpoints: a pair touching a tombstoned document
+    * leaks that document's existence and similarity structure from
+    * either side, so it drops whichever side matches. Two broadcast
+    * anti-joins; input column order restored (round-13 verdict 7 — the
+    * media family's serving gate).
+    */
+  def pairsWithTakedown(pairs: DataFrame, tombstones: DataFrame,
+                        id1: String = "id1", id2: String = "id2"): DataFrame =
+    suppress(suppress(pairs, tombstones, id1), tombstones, id2)
+      .select(pairs.columns.map(col).toIndexedSeq: _*)
 
   /** The compliance witness: for each suppressed surface, the count of
     * tombstoned ids still present (MUST be 0) next to the suppression

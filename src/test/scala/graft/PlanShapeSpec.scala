@@ -81,7 +81,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_ivfpq_recall_bound",                // same + 5-row exact probe set
       "q_passage_recall_bound",              // 5-row exact chunk probe set
       "q_bloom_bound",                       // three 1-row count scalars
-      "q_takedown_audit",                    // five 1-row count scalars
+      "q_takedown_audit",                    // 1-row count scalars, every served family
+      "q_takedown_crossmodal",               // 5-row broadcast query set
       "q_crossmodal_topk",                   // 5-row broadcast query set
       "q_crossmodal_recall")                 // constant 32-query eval-sample broadcast
       // (q_snapshot_diff/q_drift_card serve persisted graft_release scans;
