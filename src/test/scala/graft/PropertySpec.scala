@@ -220,6 +220,13 @@ class PropertySpec extends SparkSpec {
     val tokGen = Gen.oneOf((0 until 12).map(i => s"t$i"))
     val docGen = Gen.choose(6, 10).flatMap(n =>
       Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    // round-13 verdict 8: the identity must hold when the pre-filter is
+    // WEAK, not only at the production geometry — at (2^10, 2) and
+    // especially (128, 1) false-positive bits are dense, so the exact
+    // verify behind the candidate sliver carries the whole burden and
+    // any candidate/verify coupling bug would surface
+    val geometries = Seq((1 << 20, 6), (1 << 10, 2), (128, 1))
+    var weakFpSeen = false
     for (seed <- Seq(3L, 11L, 59L)) {
       val texts = sample(Gen.listOfN(60, docGen), seed)
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
@@ -232,11 +239,25 @@ class PropertySpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(4)) === 0)
       val exact = Dedup.contamination(corpus, bench).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val composed = Dedup.bloomContamination(corpus, bench).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(composed == exact,
-        s"seed $seed: bloom-prefiltered verify diverged " +
-          s"(exact=${exact.size}, composed=${composed.size})")
+      for ((mBits, kHashes) <- geometries) {
+        val nCands = Dedup.bloomCandidates(corpus,
+            Dedup.bloomBitmap(bench, mBits = mBits, kHashes = kHashes),
+            mBits = mBits, kHashes = kHashes).count()
+        assert(nCands >= exact.size,
+          s"seed $seed ($mBits,$kHashes): candidates must be a superset")
+        if (mBits == 128 && nCands > exact.size) weakFpSeen = true
+        val composed = Dedup.bloomContamination(corpus, bench,
+            mBits = mBits, kHashes = kHashes).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(composed == exact,
+          s"seed $seed ($mBits,$kHashes): bloom-prefiltered verify " +
+            s"diverged (exact=${exact.size}, composed=${composed.size})")
+      }
     }
+    // non-vacuity: the weakest geometry actually produced false-positive
+    // candidates on some instance — the identity was tested under load,
+    // not on a filter that happened to be exact anyway
+    assert(weakFpSeen,
+      "(128, 1) never false-positived — the weak-geometry case is vacuous")
   }
 }
