@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * `saltBuckets` reducers. Results are exactly those of the direct groupBy
   * (counts/sums re-aggregate losslessly), so the salted form is
   * oracle-checked against the plain SQL.
+  *
+  * WHEN EACH APPLIES (round-13 verdict 6; ScaleOpsSpec proves both on the
+  * same hot-key fixture): AQE's skew split needs a live exchange's runtime
+  * sizes and only covers joins — it re-plans the skewed reduce partition
+  * into task-sized chunks with zero query changes
+  * (`SortMergeJoin(skew=true)`, spec'd). Reach for [[saltedJoin]] when the
+  * plan must be deterministic up front (streaming micro-batches re-planned
+  * per batch, bucketed layouts AQE won't touch, or a build side cheap to
+  * replicate), and for [[saltedCount]] on hot-key aggregation.
   */
 object Skew {
 

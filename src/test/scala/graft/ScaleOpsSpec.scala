@@ -50,6 +50,63 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits the hot-key join at runtime — the salted join's adaptive twin") {
+    // round-13 verdict next-round 6: the same hot-key shape saltedJoin
+    // handles with a deterministic plan — ~90% of fact rows share one key
+    // — handled by AQE's runtime skew split instead: no salt column, no
+    // build-side replication, the skewed reduce partition splits across
+    // tasks after the exchange reports its real sizes
+    // (SortMergeJoin(skew=true)). WHEN EACH APPLIES: AQE needs a live
+    // exchange's runtime statistics and only covers JOINS — reach for
+    // saltedJoin when the plan must be deterministic up front (streaming
+    // micro-batches re-planned per batch, bucketed layouts AQE won't
+    // touch) and for saltedCount on hot-key AGGREGATION, which AQE's
+    // skew handling does not split.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // stress-fixture scale: detect at 32 KiB / 2x median, split to
+      // ~16 KiB chunks (production defaults are 256 MiB / 5x)
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 120000).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(7L))
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+        concat(lit("payload-padding-payload-padding-"),
+          col("id").cast("string")).as("pay"))
+      val build = spark.range(0, 100).select(col("id").as("k"),
+        concat(lit("dim"), col("id").cast("string")).as("dim_name"))
+      val joined = fact.join(build, "k")
+      // Dataset.collect() drives the Dataset's OWN queryExecution, so the
+      // adaptive plan below is the executed one (count() would plan a
+      // separate aggregate query)
+      assert(joined.collect().length == 120000,
+        "every fact row has exactly one build match")
+      val adaptive = joined.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a }
+      assert(adaptive.isDefined, "AQE must own the join plan")
+      // the final plan's SMJ sits inside a ResultQueryStage wrapper that
+      // plan-tree collect does not descend into — assert on the rendered
+      // final plan (isFinalPlan=true after the collect() above)
+      val plan = adaptive.get.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE must mark the hot-key join skew=true:\n$plan")
+      assert(plan.contains("AQEShuffleRead coalesced and skewed"),
+        s"the skewed fact-side shuffle read must split:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("co-bucketed tables join with zero runtime exchange") {
     val orders   = Tables.orders(spark, sf)
     val lineitem = Tables.lineitem(spark, sf)
