@@ -46,6 +46,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful members run green under the RocksDB state store (r13 next-round 4)") {
+    // the 100 TB state answer: the default HDFSBackedStateStore keeps
+    // every open window/session/dedup/throttle entry ON-HEAP per
+    // executor; RocksDB spills to local disk with bounded memory. The
+    // pipeline exposes the provider (a session conf each query captures
+    // at start — one topology per session is the deployment scope), and
+    // this test re-runs three distinct state shapes under it: update-mode
+    // windowed aggregation, append-mode session windows, and
+    // flatMapGroupsWithState throttle state. BEHAVIORAL DELTAS: none in
+    // semantics — the upsert/throttle assertions are the HDFS-backed
+    // tests' verbatim; the observable difference is the provider's
+    // rocksdb* custom metrics in StateOperatorProgress (asserted, which
+    // also proves the conf engaged) and state living off-heap.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    try {
+      val p = new Pipeline(spark, tmp("rocksstore"), tmp("rocksckpt"),
+        stateStoreProvider = Some(Pipeline.RocksDbStateStore))
+      val aggIn = MemoryStream[EventRec]
+      val sesIn = MemoryStream[EventRec]
+      val thrIn = MemoryStream[EventRec]
+      val qs = Seq(
+        p.startWindowedAgg(aggIn.toDF()),
+        p.startUserSessions(sesIn.toDF(), queryName = "rocks_sessions"),
+        p.startThrottledAlerts(thrIn.toDF(), queryName = "rocks_throttle"))
+      try {
+        aggIn.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:01:00"))
+        sesIn.addData(ev(10, "2024-01-01 10:00:00"))
+        thrIn.addData(ev(20, "2024-01-01 10:00:00", v = 300.0),
+          ev(21, "2024-01-01 10:05:00", v = 300.0)) // same city, inside gap
+        qs.foreach(_.processAllAvailable())
+        // upsert parity with the HDFS-backed test: same window replaced
+        aggIn.addData(ev(3, "2024-01-01 10:02:00"))
+        qs.foreach(_.processAllAvailable())
+        val s2 = KeyedUpsertSink.read(spark, p.aggStorePath)
+          .filter(col("window_start") === "2024-01-01 10:00:00").collect()
+        assert(s2.length == 1 && s2.head.getAs[Long]("event_count") == 3,
+          "windowed upsert semantics must be provider-independent")
+        // throttle state: the second same-city alert inside the gap drops
+        val thr = spark.table("rocks_throttle").collect()
+        assert(thr.length == 1,
+          s"one alert serves per (city, gap) under RocksDB: ${thr.length}")
+        // the provider actually engaged: rocksdb* state metrics reported
+        val metrics = qs.flatMap(_.recentProgress.toSeq)
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(so => scala.jdk.CollectionConverters
+            .MapHasAsScala(so.customMetrics).asScala.keys)
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb state-store metrics, got: ${metrics.distinct}")
+      } finally qs.foreach(_.stop())
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("count-map windowed agg stream: bounded state shape, upsert parity with the list form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
