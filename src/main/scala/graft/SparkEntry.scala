@@ -4905,6 +4905,34 @@ object SparkEntry {
         |    / count(*) AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // CROSS-SOURCE n-gram overlap matrix: the duplication audit ACROSS
+    // sources (syndication/mirrors put the same passages into different
+    // sources; independent mixing weights then double-count them). Grams
+    // collapse to polynomial fingerprints before the distinct + self-join
+    // (longs shuffle, never gram strings; the oracle mirrors the same
+    // fingerprint so even its collision class hash-checks), per-gram join
+    // fan-out is catalog-bounded (≤ |sources|² pair rows per gram), and
+    // the matrix zero-fills from two catalog-sized broadcast share tables.
+    ("q_source_overlap",
+      (s, d) => Corpus.sourceOverlap(Tables.documents(s, d)),
+      Some(s"""WITH g AS (SELECT DISTINCT source,
+        |  ${TextAnalysis.Sql.fingerprintOf("gram")} AS g
+        |  FROM (SELECT source, unnest($GRAM5) AS gram
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+        |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  COALESCE(ov.n_shared, 0) AS n_shared,
+        |  sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+        |  COALESCE(ov.n_shared, 0) / CAST(sa.n_grams + sb.n_grams
+        |    - COALESCE(ov.n_shared, 0) AS DOUBLE) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin)),
+
     // per-source token-distribution DIVERGENCE: total-variation distance
     // between each source's hashed-token distribution and the corpus's
     // (the mixture-drift metric a curation run watches); ≤4096-row count
@@ -5199,6 +5227,46 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // BITEXT MINING (LASER/CCMatrix): margin-based MUTUAL top-1
+    // alignment of every non-English document to an English one in
+    // embedding space — the operator that builds MT training pairs from
+    // comparable corpora. Candidates from the sign-LSH band index (never
+    // languages-cross-corpus), both argmax directions are per-document
+    // rank windows over bounded candidate lists, margin = exact cosine
+    // difference to the second-best candidate (no division — bit-stable).
+    // The oracle re-derives banding, candidates, both argmaxes and the
+    // margin end to end.
+    ("q_bitext_pairs",
+      (s, d) => Similarity.bitextMine(Tables.embeddings(s, d),
+        Tables.documents(s, d)),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |dl AS (SELECT d.vec_id, doc.lang, v FROM d
+        |  JOIN documents doc ON d.vec_id = doc.doc_id
+        |  WHERE sqrt(${Similarity.Sql.dot("v", "v")}) > 0),
+        |bk AS (SELECT vec_id, lang, ${Similarity.Sql.lshBucket("v")} AS bucket
+        |  FROM dl),
+        |cb AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id, lang
+        |  FROM bk CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |p0 AS (SELECT DISTINCT e.vec_id AS en_id, o.vec_id AS src_id, o.lang
+        |  FROM cb e JOIN cb o ON e.band = o.band AND e.bb = o.bb
+        |  WHERE e.lang = 'en' AND o.lang <> 'en'),
+        |sc AS (SELECT p0.src_id, p0.lang, p0.en_id,
+        |  ${Similarity.Sql.cosine("ev.v", "ov.v")} AS cosine
+        |  FROM p0 JOIN dl ev ON p0.en_id = ev.vec_id
+        |          JOIN dl ov ON p0.src_id = ov.vec_id),
+        |fwd AS (SELECT *, row_number() OVER (PARTITION BY src_id
+        |  ORDER BY cosine DESC, en_id) AS rn FROM sc),
+        |rev AS (SELECT *, row_number() OVER (PARTITION BY en_id
+        |  ORDER BY cosine DESC, src_id) AS rn FROM sc),
+        |f1 AS (SELECT src_id, lang, en_id, cosine FROM fwd WHERE rn = 1),
+        |f2 AS (SELECT src_id AS s2, cosine AS second_cosine FROM fwd WHERE rn = 2),
+        |r1 AS (SELECT src_id AS rs, en_id AS re FROM rev WHERE rn = 1)
+        |SELECT f1.src_id, f1.lang, f1.en_id, f1.cosine,
+        |  f1.cosine - COALESCE(f2.second_cosine, CAST(0.0 AS DOUBLE)) AS margin
+        |FROM f1 JOIN r1 ON f1.src_id = r1.rs AND f1.en_id = r1.re
+        |LEFT JOIN f2 ON f1.src_id = f2.s2
+        |ORDER BY f1.src_id""".stripMargin)),
 
     // HARD-NEGATIVE MINING for contrastive training: per anchor, the
     // top-5 band-sharing candidates strictly BELOW the near-dup

@@ -116,21 +116,42 @@ object Corpus {
     * map-side-combinable aggregations per snapshot.
     */
   def driftCard(oldDocs: DataFrame, newDocs: DataFrame,
-                lenBucketChars: Int = 100): DataFrame = {
-    def shares(df: DataFrame, dim: Column, name: String): DataFrame = {
+                lenBucketChars: Int = 100): DataFrame =
+    driftBetween(shareCard(oldDocs, lenBucketChars),
+      shareCard(newDocs, lenBucketChars))
+
+  /** Per-dimension SHARE TABLE of one corpus snapshot — (dim, k, p) over
+    * language, source and document-length-bucket shares. This is the
+    * factored front half of [[driftCard]], exposed so a frozen reference
+    * card can be PERSISTED once and diffed repeatedly — the shape
+    * streaming drift monitoring ([[graft.streaming.DriftStream]]) needs:
+    * the reference corpus is scanned once at freeze time, never per
+    * micro-batch. Dimension-sized output (≤ |langs| + |sources| + length
+    * buckets rows); each share table costs three map-side-combinable
+    * aggregations.
+    */
+  def shareCard(df: DataFrame, lenBucketChars: Int = 100): DataFrame = {
+    def shares(dim: Column, name: String): DataFrame = {
       val counts = df.groupBy(dim.as("k")).agg(count(lit(1)).as("n"))
       counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
         .select(lit(name).as("dim"), col("k"),
           (col("n").cast("double") / col("tot")).as("p"))
     }
-    def dims(df: DataFrame): DataFrame =
-      shares(df, col("lang"), "lang")
-        .unionByName(shares(df, col("source"), "source"))
-        .unionByName(shares(df,
-          floor(length(col("text")) / lit(lenBucketChars)).cast("long")
-            .cast("string"), "len_bucket"))
-    val joined = dims(oldDocs).withColumnRenamed("p", "p_old")
-      .join(dims(newDocs).withColumnRenamed("p", "p_new"),
+    shares(col("lang"), "lang")
+      .unionByName(shares(col("source"), "source"))
+      .unionByName(shares(
+        floor(length(col("text")) / lit(lenBucketChars)).cast("long")
+          .cast("string"), "len_bucket"))
+  }
+
+  /** Total-variation drift between two [[shareCard]]s — the factored
+    * back half of [[driftCard]]: full-outer join on (dim, k) with absent
+    * mass as 0, per-dimension sorted-order fold (the deterministic
+    * double-sum discipline), 0.5·Σ|p_old − p_new|.
+    */
+  def driftBetween(oldShares: DataFrame, newShares: DataFrame): DataFrame = {
+    val joined = oldShares.withColumnRenamed("p", "p_old")
+      .join(newShares.withColumnRenamed("p", "p_new"),
         Seq("dim", "k"), "full_outer")
       .select(col("dim"), col("k"),
         abs(coalesce(col("p_old"), lit(0.0)) - coalesce(col("p_new"), lit(0.0)))
@@ -332,6 +353,52 @@ object Corpus {
         (lit(1.0) - countDistinct(col("fp")).cast("double")
           / count(lit(1)).cast("double")).as("dup_rate"))
       .orderBy("source")
+
+  /** CROSS-SOURCE n-gram overlap matrix — the duplication audit ACROSS
+    * sources the per-source dup rate can't see: syndication, mirrors and
+    * scraped re-posts put the same passages into different sources, and a
+    * mixing recipe that weights such sources independently double-counts
+    * their shared content. For every source pair (a < b): the count of
+    * distinct `n`-gram fingerprints both carry, each side's distinct-gram
+    * total, and the Jaccard overlap — zero-overlap pairs included (the
+    * matrix is the deliverable, absence of overlap is a finding).
+    *
+    * Scale shape: grams collapse to 8-byte polynomial fingerprints BEFORE
+    * the distinct and the self-join ([[dupRateBySource]]'s discipline —
+    * the shuffle carries longs, never gram strings; the ~2^30 fingerprint
+    * space's birthday collisions are the bloom family's accepted and
+    * documented class, mirrored identically by the oracle so the compare
+    * still hash-checks). The per-gram join fan-out is bounded by the
+    * SOURCE CATALOG, not the corpus: a gram carried by s sources costs
+    * s² pair rows with s ≤ |sources| (tens-to-hundreds — a curated
+    * catalog dimension), so the candidate stream is at most |catalog|²/2
+    * per gram and the final matrix is |catalog|²/2 rows total. The
+    * zero-fill join of the two catalog-sized share tables is a tiny
+    * broadcast nested loop by construction.
+    */
+  def sourceOverlap(documents: DataFrame, n: Int = 5): DataFrame = {
+    val g = documents
+      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .select(col("source"),
+        graft.operators.TextAnalysis.fingerprintCol(col("gram")).as("g"))
+      .distinct()
+    val sz = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val ov = g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(sz.select(col("source").as("source_a"), col("n_grams").as("n_grams_a")))
+      .join(broadcast(sz.select(col("source").as("source_b"),
+        col("n_grams").as("n_grams_b"))), col("source_a") < col("source_b"))
+      .join(ov, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_grams_a"), col("n_grams_b"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_grams_a") + col("n_grams_b")
+            - coalesce(col("n_shared"), lit(0L))).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 
   /** Token-budget document CHUNKING with overlap — the training-prep step
     * between cleaning and packing: every document splits into windows of

@@ -1863,6 +1863,71 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** BITEXT MINING — margin-based mutual top-1 alignment of each
+    * non-pivot-language document to a `pivotLang` document in embedding
+    * space (the LASER/CCMatrix shape that builds MT training pairs out
+    * of comparable corpora): for every non-pivot document, its best
+    * pivot-side candidate by cosine; kept iff the match is MUTUAL (the
+    * pivot document's own best non-pivot candidate points back) and
+    * reported with its margin over the second-best candidate — the
+    * translation-vs-topically-similar separator (Artetxe & Schwenk's
+    * margin criterion, as the exact difference of two cosines — no
+    * division, bit-stable in both engines; 0.0 when only one candidate).
+    *
+    * Scale shape: candidates come from the sign-LSH band index, NEVER a
+    * languages-cross-corpus product — per band bucket the pair fan-out
+    * is pivot-occupancy × other-occupancy, the same bounded geometry as
+    * [[lshTopK]], but with the whole non-pivot corpus as the probe side
+    * (mining is corpus-to-corpus by definition; banding is what keeps it
+    * from being corpus²). Both argmax directions are per-document rank
+    * windows over candidate lists (partitioned, bounded by bucket
+    * occupancy). Zero-norm vectors drop before banding on both sides.
+    * With the registry's fingerprint-seeded stub embeddings the
+    * alignments are arbitrary-but-deterministic — the derivation
+    * (bands → candidates → mutual argmax → margin) is the operator a
+    * real encoder inherits unchanged, and it hash-checks end to end.
+    */
+  def bitextMine(embeddings: DataFrame, documents: DataFrame,
+                 pivotLang: String = "en", nbits: Int = 16,
+                 bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val nBands = nbits / bandBits
+    val live = prepared(embeddings).filter(col("nrm") > 0.0)
+      .join(documents.select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+    val banded = bandExplode(lshBuckets(embeddings, nbits, dim), nBands, bandBits)
+      .join(live.select("vec_id", "lang"), Seq("vec_id"))
+    val pivot = banded.filter(col("lang") === pivotLang)
+      .select(col("band"), col("bb"), col("vec_id").as("en_id"))
+    val other = banded.filter(col("lang") =!= pivotLang)
+      .select(col("band"), col("bb"), col("vec_id").as("src_id"), col("lang"))
+    val cand = other.join(pivot, Seq("band", "bb"))
+      .select(col("src_id"), col("lang"), col("en_id")).distinct()
+    val sc = cand
+      .join(live.select(col("vec_id").as("en_id"), col("v").as("ev"),
+        col("nrm").as("en_nrm")), Seq("en_id"))
+      .join(live.select(col("vec_id").as("src_id"), col("v").as("ov"),
+        col("nrm").as("src_nrm")), Seq("src_id"))
+      .select(col("src_id"), col("lang"), col("en_id"),
+        (dot(col("ev"), col("ov")) / (col("en_nrm") * col("src_nrm")))
+          .as("cosine"))
+    val wF = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("en_id"))
+    val wR = Window.partitionBy("en_id").orderBy(col("cosine").desc, col("src_id"))
+    val fwd = sc.withColumn("rn", row_number().over(wF))
+    val best = fwd.filter(col("rn") === 1).drop("rn")
+    val second = fwd.filter(col("rn") === 2)
+      .select(col("src_id"), col("cosine").as("second_cosine"))
+    val rev = sc.withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1)
+      .select(col("src_id").as("r_src"), col("en_id").as("r_en"))
+    best
+      .join(rev, col("src_id") === col("r_src") && col("en_id") === col("r_en"))
+      .join(second, Seq("src_id"), "left")
+      .select(col("src_id"), col("lang"), col("en_id"), col("cosine"),
+        (col("cosine") - coalesce(col("second_cosine"), lit(0.0))).as("margin"))
+      .orderBy("src_id")
+  }
+
   /** EMBEDDING QA card — per-dimension health statistics of an embedding
     * column: value range, exact-zero count, and sign balance. A dead
     * dimension (all zeros), a collapsed one (min ≈ max), or a

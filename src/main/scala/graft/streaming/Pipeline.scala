@@ -579,6 +579,20 @@ class Pipeline(
     TakedownStream.start(requests, takedownStorePath,
       checkpointDir = Some(s"$checkpointRoot/takedown"))
 
+  def driftStorePath: String = s"$storeRoot/drift"
+
+  /** Distribution-drift monitoring as a topology member
+    * ([[DriftStream]]): each crawl micro-batch's language/source/length
+    * shares diff against a frozen reference card and the per-dimension
+    * TV rows land under the shared store root — the data-quality gate
+    * that catches a source going dark or a crawler flooding one language
+    * within one micro-batch instead of at release audit.
+    */
+  def startDriftMonitor(docs: DataFrame, refSharesDir: String,
+                        threshold: Double = 0.5): StreamingQuery =
+    DriftStream.start(docs, refSharesDir, driftStorePath, threshold,
+      checkpointDir = Some(s"$checkpointRoot/drift"))
+
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 

@@ -83,6 +83,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // 1-row count scalars, every served family
       "q_takedown_crossmodal",               // 5-row broadcast query set
+      "q_source_overlap",                    // catalog-sized share-table zero-fill
       "q_crossmodal_topk",                   // 5-row broadcast query set
       "q_crossmodal_recall")                 // constant 32-query eval-sample broadcast
       // (q_snapshot_diff/q_drift_card serve persisted graft_release scans;

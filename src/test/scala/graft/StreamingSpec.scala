@@ -605,11 +605,11 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("eighteen-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
-    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval and takedown ingestion run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("nineteen-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion and drift monitoring run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+    import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
     def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
     val base = tmp("tentop")
     // frozen artifacts: crawl index, LM model, media hash table, vocab
@@ -645,6 +645,9 @@ class StreamingSpec extends SparkSpec {
     graft.operators.Passage.persistPassage(
       Seq((1L, text("pass")), (2L, text("sage"))).toDF("doc_id", "text"),
       s"$base/passage", stamp = "spec")
+    Corpus.shareCard(Seq((1L, text("ref"), "en", "src0"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .write.parquet(s"$base/refshares")
     // five sources: events, crawl docs, media ingest, media probes, tokenizer docs
     val events = MemoryStream[EventRec]
     val docs = MemoryStream[(Long, String)]
@@ -660,6 +663,7 @@ class StreamingSpec extends SparkSpec {
     val chunkDocs = MemoryStream[(Long, String)]
     val erasures = MemoryStream[(Long, String)]
     val crawlIn = MemoryStream[(Long, String)]
+    val driftDocs = MemoryStream[(Long, String, String, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -683,9 +687,12 @@ class StreamingSpec extends SparkSpec {
       p.startChunkIngest(chunkDocs.toDF().toDF("doc_id", "text")),
       p.startTakedown(erasures.toDF().toDF("doc_id", "reason")),
       p.startDeconGate(crawlIn.toDF().toDF("doc_id", "text"),
-        Seq((0L, "held out eval item text")).toDF("doc_id", "text")))
+        Seq((0L, "held out eval item text")).toDF("doc_id", "text")),
+      p.startDriftMonitor(
+        driftDocs.toDF().toDF("doc_id", "text", "lang", "source"),
+        s"$base/refshares"))
     try {
-      assert(queries.length == 18)
+      assert(queries.length == 19)
       events.addData(ev(10L, "2024-01-01 10:00:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
@@ -706,6 +713,7 @@ class StreamingSpec extends SparkSpec {
       crawlIn.addData(
         (970L, "prefix held out eval item text suffix"),   // carries the gram
         (971L, "entirely unrelated crawl tokens here"))
+      driftDocs.addData((980L, text("alpha"), "de", "src9")) // off-reference
       queries.foreach(_.processAllAvailable())
     } finally queries.foreach(_.stop())
     // every store root received its member's output
@@ -777,5 +785,11 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(quarantined == Set(970L) && deconClean == Set(971L),
       s"decon gate must quarantine exactly the carrier: $quarantined / $deconClean")
+    // the drift member flags the off-reference batch on the moved axes
+    val drift = graft.streaming.DriftStream.driftLog(spark, p.driftStorePath)
+      .select("dim", "drifted").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(drift.contains(("lang", true)) && drift.contains(("source", true)),
+      s"the all-German off-source batch must trip lang and source drift: $drift")
   }
 }
