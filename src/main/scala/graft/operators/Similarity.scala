@@ -1891,11 +1891,23 @@ object Similarity {
                  pivotLang: String = "en", nbits: Int = 16,
                  bandBits: Int = 4, dim: Int = 64): DataFrame = {
     require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
-    val nBands = nbits / bandBits
+    bitextMineFrom(embeddings,
+      bandExplode(lshBuckets(embeddings, nbits, dim), nbits / bandBits, bandBits),
+      documents, pivotLang)
+  }
+
+  /** [[bitextMine]] over an ALREADY-BANDED (vec_id, band, bb) frame —
+    * the serving split that lets the once-per-snapshot mining build
+    * ([[persistBitext]]) run off the persisted annserve band triples
+    * instead of re-sign-hashing the corpus.
+    */
+  def bitextMineFrom(embeddings: DataFrame, bands: DataFrame,
+                     documents: DataFrame,
+                     pivotLang: String = "en"): DataFrame = {
     val live = prepared(embeddings).filter(col("nrm") > 0.0)
       .join(documents.select(col("doc_id").as("vec_id"), col("lang")),
         Seq("vec_id"))
-    val banded = bandExplode(lshBuckets(embeddings, nbits, dim), nBands, bandBits)
+    val banded = bands.select("vec_id", "band", "bb")
       .join(live.select("vec_id", "lang"), Seq("vec_id"))
     val pivot = banded.filter(col("lang") === pivotLang)
       .select(col("band"), col("bb"), col("vec_id").as("en_id"))
@@ -1926,6 +1938,18 @@ object Similarity {
       .select(col("src_id"), col("lang"), col("en_id"), col("cosine"),
         (col("cosine") - coalesce(col("second_cosine"), lit(0.0))).as("margin"))
       .orderBy("src_id")
+  }
+
+  /** Mine once per (documents, embeddings) snapshot pair and commit —
+    * the family build behind `q_bitext_pairs` (mining is a batch job by
+    * nature: the pair table is training data, not a per-request answer).
+    */
+  def persistBitext(embeddings: DataFrame, bands: DataFrame,
+                    documents: DataFrame, dir: String, stamp: String,
+                    pivotLang: String = "en"): Unit = {
+    bitextMineFrom(embeddings, bands, documents, pivotLang)
+      .write.mode("overwrite").parquet(s"$dir/pairs")
+    graft.sources.SnapshotStore.commit(embeddings.sparkSession, dir, stamp)
   }
 
   /** EMBEDDING QA card — per-dimension health statistics of an embedding

@@ -83,11 +83,12 @@ class PlanShapeSpec extends SparkSpec {
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // 1-row count scalars, every served family
       "q_takedown_crossmodal",               // 5-row broadcast query set
-      "q_source_overlap",                    // catalog-sized share-table zero-fill
       "q_crossmodal_topk",                   // 5-row broadcast query set
       "q_crossmodal_recall")                 // constant 32-query eval-sample broadcast
-      // (q_snapshot_diff/q_drift_card serve persisted graft_release scans;
-      // driftCard's 1-row share-total crossJoins run inside releaseTables)
+      // (q_snapshot_diff/q_drift_card/q_source_overlap serve persisted
+      // graft_release scans; driftCard's 1-row share-total crossJoins and
+      // the overlap matrix's catalog-sized share-table zero-fill BNLJ run
+      // inside releaseTables)
       // (q_bloom_candidates/q_bloom_contamination serve persisted scans;
       // their CONSTRUCTION's 1-row bitmap BNLJ runs inside bloomTables,
       // spec'd in LlmOpsSpec's no-shuffle probe row)

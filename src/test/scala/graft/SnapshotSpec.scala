@@ -756,4 +756,20 @@ class SnapshotSpec extends SparkSpec {
     assert(top1() == 8L,
       "a stale persisted answer would still report doc 7 after regeneration")
   }
+
+  test("bitext pair table persists: one-scan serving, recompute parity (mining is a batch job)") {
+    import graft.operators.Similarity
+    val served = SparkEntry.queries("q_bitext_pairs")(spark, sf)
+    val annDir = SnapshotStore.snapshotDir(spark,
+      s"$sf/embeddings.parquet", "graft_annserve")
+    val live = Similarity.bitextMineFrom(Tables.embeddings(spark, sf),
+      spark.read.parquet(s"$annDir/bands"), Tables.documents(spark, sf))
+    assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty,
+      "persisted bitext pairs must equal the any-parameter path at defaults")
+    val scans = SparkEntry.queries("q_bitext_pairs")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(scans.length == 1 && scans.head.contains("graft_bitext"),
+      s"q_bitext_pairs must serve one graft_bitext scan:\n${scans.mkString("\n")}")
+  }
 }
