@@ -4972,6 +4972,55 @@ object SparkEntry {
         |LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin)),
 
+    // per-document NOVELTY card (the memorization-risk axis): distinct
+    // 5-gram count, grams shared with >= 1 other document, novelty
+    // ratio. Grams collapse to polynomial fingerprints (longs shuffle),
+    // then two gram-keyed aggregates + one equi-join — inverted-index
+    // shape, NO self-join, so a hot gram costs one df row.
+    ("q_novelty_score",
+      (s, d) => Dedup.noveltyScore(Tables.documents(s, d)),
+      Some(s"""WITH cg AS (SELECT doc_id, unnest(list_distinct($GRAM5)) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |cf AS (SELECT doc_id, ${TextAnalysis.Sql.fingerprintOf("gram")} AS g
+        |  FROM cg),
+        |df AS (SELECT g, count(*) AS df FROM cf GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  1.0 - sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM cf JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PREFERENCE-PAIR assembly (DPO/RLHF reward-modeling data): per
+    // source, the k=2 highest-quality docs pair positionally with the 2
+    // lowest — the synthetic preference set that bootstraps a quality
+    // reward model from the gate's extremes. Within-source pairing keeps
+    // the contrast about quality, not domain; per-source rank windows
+    // (bounded), k-row positional join, degenerate same-doc pairs drop.
+    ("q_preference_pairs",
+      (s, d) => Corpus.preferencePairs(Tables.documents(s, d)),
+      Some(s"""WITH q AS (
+        |  SELECT doc_id, source,
+        |    ${TextAnalysis.Sql.stopHits} / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |    len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+        |    len(regexp_extract_all(text, '[^a-z0-9 ]')) / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |  FROM documents),
+        |sq AS (SELECT doc_id, source,
+        |  least(stopword_ratio * 5.0, 1.0) * 0.3 + unique_ratio * 0.5
+        |    + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality FROM q),
+        |t AS (SELECT source, doc_id AS chosen_id, quality AS chosen_quality,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS BIGINT) AS pair_rank FROM sq),
+        |b AS (SELECT source, doc_id AS rejected_id, quality AS rejected_quality,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY quality ASC, doc_id) AS BIGINT) AS pair_rank FROM sq)
+        |SELECT t.source, t.pair_rank, chosen_id, rejected_id,
+        |  chosen_quality, rejected_quality,
+        |  chosen_quality - rejected_quality AS quality_gap
+        |FROM t JOIN b ON t.source = b.source AND t.pair_rank = b.pair_rank
+        |WHERE t.pair_rank <= 2 AND chosen_id <> rejected_id
+        |ORDER BY t.source, t.pair_rank""".stripMargin)),
+
     // per-source token-distribution DIVERGENCE: total-variation distance
     // between each source's hashed-token distribution and the corpus's
     // (the mixture-drift metric a curation run watches); ≤4096-row count

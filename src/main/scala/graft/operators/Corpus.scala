@@ -400,6 +400,47 @@ object Corpus {
       .orderBy("source_a", "source_b")
   }
 
+  /** PREFERENCE-PAIR assembly (the DPO/RLHF reward-modeling data shape):
+    * per source, the `k` highest-quality documents pair positionally
+    * with the `k` lowest — (chosen, rejected, quality gap) rows, the
+    * synthetic preference set that bootstraps a quality reward model
+    * when human labels don't exist yet (quality-classifier curricula do
+    * exactly this: treat the gate's extremes as labels). Pairing within
+    * a SOURCE keeps the contrast about writing quality rather than
+    * domain (a clean-wiki-vs-spam-forum pair teaches domain detection,
+    * not quality). Degenerate pairs (a source so small the same document
+    * tops both orders) drop.
+    *
+    * Scale shape: the quality pass is row-local
+    * ([[TextAnalysis.qualityScore]] — one regex scan per doc); both
+    * extremes come from per-source rank windows (partitioned — bounded
+    * by source membership, never a global sort) cut to k before the
+    * k-row-per-source positional join.
+    */
+  def preferencePairs(documents: DataFrame, k: Int = 2): DataFrame = {
+    val q = TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("quality"))
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wBot = Window.partitionBy("source")
+      .orderBy(col("quality").asc, col("doc_id"))
+    val top = q.withColumn("pair_rank", row_number().over(wTop).cast("long"))
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("chosen_id"), col("quality").as("chosen_quality"))
+    val bot = q.withColumn("pair_rank", row_number().over(wBot).cast("long"))
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("rejected_id"), col("quality").as("rejected_quality"))
+    top.join(bot, Seq("source", "pair_rank"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("source"), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"), col("chosen_quality"), col("rejected_quality"),
+        (col("chosen_quality") - col("rejected_quality")).as("quality_gap"))
+      .orderBy("source", "pair_rank")
+  }
+
   /** Token-budget document CHUNKING with overlap — the training-prep step
     * between cleaning and packing: every document splits into windows of
     * at most `maxTokens` whitespace tokens, consecutive chunks sharing

@@ -907,6 +907,42 @@ object Dedup {
     corpus.join(contamination(corpus, benchmark, n).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** Per-document NOVELTY card — the memorization-risk axis of the gram
+    * family: for each document, its distinct `n`-gram count, how many of
+    * those grams occur in AT LEAST ONE OTHER document, and the novelty
+    * ratio 1 − shared/total. High-novelty documents are what an eval-set
+    * builder samples FROM (an eval item assembled from corpus-shared
+    * passages measures retrieval, not generalization) and low-novelty
+    * documents are the memorization-amplifying tail a curation pass
+    * down-weights — the document-level complement of
+    * [[stripDupSpans]]'s span surgery and [[contamination]]'s
+    * benchmark-directed check.
+    *
+    * Scale shape: grams collapse to polynomial fingerprints (longs
+    * shuffle, never gram strings; same accepted-and-mirrored collision
+    * class as [[graft.operators.Corpus.sourceOverlap]]), then TWO
+    * gram-keyed map-side-combinable aggregates and one equi-join — the
+    * inverted-index shape with NO self-join, so a corpus-wide hot gram
+    * costs one df row, never k² pairs. Documents shorter than `n` tokens
+    * have no grams and emit no row (the [[contamination]] convention).
+    */
+  def noveltyScore(documents: DataFrame, n: Int = 5): DataFrame = {
+    val g = documents
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"), TextAnalysis.fingerprintCol(col("gram")).as("g"))
+    // shingles() is per-document distinct, so per-gram row count IS the
+    // carrying-document count
+    val df = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("df") >= 2).cast("long")).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (lit(1.0) - col("n_shared").cast("double")
+          / col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   // ===== Broadcast-Bloom decontamination (the zero-shuffle pre-filter) =====
 
   /** Default Bloom geometry for the registry's benchmark scale (~23k

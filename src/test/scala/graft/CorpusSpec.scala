@@ -601,4 +601,51 @@ class CorpusSpec extends SparkSpec {
     assert(hold.length == nonTrain - 1,
       s"exactly one eviction expected: ${hold.length} vs $nonTrain-1")
   }
+
+  test("novelty score: shared passage counts on every carrier, unique doc fully novel, short doc silent") {
+    import spark.implicits._
+    val passage = (1 to 6).map(i => s"p$i").mkString(" ") // 6 tokens → two 5-grams
+    val fixture = Seq(
+      (1L, s"$passage a1 a2 a3 a4"),     // carries the passage + 4 own grams...
+      (2L, s"$passage b1 b2 b3 b4"),     // second carrier
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"),   // fully novel
+      (4L, "x y z")).toDF("doc_id", "text") // < 5 tokens: no grams, no row
+    val r = graft.operators.Dedup.noveltyScore(fixture).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(!r.contains(4L), "sub-n documents emit no row")
+    // doc 3: 8 tokens → 4 grams, none shared
+    assert(r(3L) == ((4L, 0L, 1.0)), s"unique doc must be fully novel: ${r(3L)}")
+    // docs 1/2: 10 tokens → 6 grams each; exactly the passage-internal
+    // grams (p1..p5, p2..p6) occur in both carriers
+    assert(r(1L)._1 == 6L && r(1L)._2 == 2L && r(2L)._2 == 2L,
+      s"both carriers must count the shared passage grams: ${r(1L)} / ${r(2L)}")
+    assert(r(1L)._3 == 1.0 - 2.0 / 6.0)
+  }
+
+  test("preference pairs: per-source extremes pair positionally, degenerate single-doc source drops") {
+    import spark.implicits._
+    // quality is monotone in unique_ratio here (same length, no punct):
+    // repeated tokens sink a doc. srcA: clear best→worst order; srcB: one
+    // doc only → its top-1 IS its bottom-1, the pair must drop.
+    def rep(tok: String, n: Int) = Seq.fill(n)(tok).mkString(" ")
+    val fixture = Seq(
+      (1L, (1 to 8).map(i => s"w$i").mkString(" "), "srcA"),  // all unique: best
+      (2L, rep("u", 2) + " " + (1 to 6).map(i => s"v$i").mkString(" "), "srcA"),
+      (3L, rep("u", 5) + " " + (1 to 3).map(i => s"x$i").mkString(" "), "srcA"),
+      (4L, rep("u", 8), "srcA"),                               // one token: worst
+      (9L, "only doc here", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val pairs = Corpus.preferencePairs(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(6)))
+    assert(!pairs.exists(_._1 == "srcB"),
+      s"a single-doc source has no non-degenerate pair: ${pairs.mkString(",")}")
+    val a = pairs.filter(_._1 == "srcA").sortBy(_._2)
+    assert(a.map(p => (p._2, p._3, p._4)).toSeq == Seq((1L, 1L, 4L), (2L, 2L, 3L)),
+      s"extremes must pair positionally best-with-worst: ${a.mkString(",")}")
+    assert(a.forall(_._5 > 0.0), "chosen must out-score rejected")
+  }
 }
