@@ -5021,6 +5021,114 @@ object SparkEntry {
         |WHERE t.pair_rank <= 2 AND chosen_id <> rejected_id
         |ORDER BY t.source, t.pair_rank""".stripMargin)),
 
+    // k-ANONYMITY equivalence classes over the customer table's
+    // quasi-identifiers (nation, segment, balance band) + within-class
+    // sensitive diversity — re-identification governance, the structured
+    // complement of the PII text scrub. One map-side-combining aggregate
+    // keyed by the QI tuple; the shuffle carries |classes| rows (bounded
+    // by the QI domain product), never corpus-scaled.
+    ("q_k_anonymity",
+      (s, d) => Pii.kAnonymity(Tables.customer(s, d)),
+      Some("""SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+        |  count(*) AS class_size,
+        |  CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS INT) AS meets_k,
+        |  count(DISTINCT c_acctbal) AS n_distinct_sensitive
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // the one-row k-anonymity RELEASE-GATE card: the dataset's actual
+    // k (min class size) and l (min sensitive diversity), plus the
+    // suppression ledger a k=5 release would pay; second tiny aggregate
+    // over the bounded class table
+    ("q_k_anonymity_card",
+      (s, d) => Pii.kAnonymityCard(Tables.customer(s, d)),
+      Some("""WITH k AS (SELECT count(*) AS class_size,
+        |    count(DISTINCT c_acctbal) AS nds
+        |  FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes, min(class_size) AS k_min, min(nds) AS l_min,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below_k,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(class_size) AS DOUBLE) AS suppressed_frac
+        |FROM k""".stripMargin)),
+
+    // segment-level lexicon mixture (CODE-SWITCHING card): 16-token
+    // windows each take an argmax lexicon vote ('und' floor), per doc:
+    // detectable segments, distinct lexicons, majority vote, adjacent
+    // switches, mixed flag. Registered over the domain-REGISTER family
+    // (the corpus vocabulary carries no non-English stopword, so the
+    // natural-language default would be vacuously en/und here; the
+    // operator defaults to LangSets for real corpora). Pure narrow
+    // projection — nested higher-order array expressions, zero shuffle,
+    // scan speed at 100 TB.
+    ("q_code_switch",
+      (s, d) => TextAnalysis.codeSwitch(Tables.documents(s, d),
+        sets = TextAnalysis.RegisterSets).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |sl AS (SELECT doc_id, lang,
+        |  list_transform(generate_series(1, CAST(ceil(len(t) / 16.0) AS BIGINT)),
+        |    i -> ${TextAnalysis.Sql.segPredict("list_slice(t, (i-1)*16+1, i*16)",
+                 TextAnalysis.RegisterSets)}) AS seg_langs
+        |  FROM t),
+        |d AS (SELECT doc_id, lang, seg_langs,
+        |  list_filter(seg_langs, x -> x <> 'und') AS det FROM sl)
+        |SELECT doc_id, lang AS declared_lang,
+        |  CAST(len(seg_langs) AS BIGINT) AS n_segments,
+        |  CAST(len(det) AS BIGINT) AS n_detected,
+        |  CAST(len(list_distinct(det)) AS BIGINT) AS n_langs,
+        |  CASE WHEN len(det) = 0 THEN 'und' ELSE
+        |    list_transform([list_transform(${TextAnalysis.Sql.namesOf(TextAnalysis.RegisterSets)},
+        |        l -> len(list_filter(det, x -> x = l)))],
+        |      c -> ${TextAnalysis.Sql.namesOf(TextAnalysis.RegisterSets)}[CAST(list_position(c, list_max(c)) AS INT)])[1]
+        |  END AS majority_lang,
+        |  CASE WHEN len(det) >= 2 THEN CAST(len(list_filter(
+        |      generate_series(2, len(det)), i -> det[i] <> det[i-1])) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS n_switches,
+        |  CAST(CASE WHEN len(list_distinct(det)) >= 2 THEN 1 ELSE 0 END AS INT) AS mixed
+        |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // JL random-projection compression card (64 -> 16 dims): per-vector
+    // original vs projected squared norm — the coordinate-count
+    // compression path distinct from PQ/int8's bit-depth path. Narrow
+    // projection, 16 codegen'd dots/row, zero shuffle/training/broadcast.
+    ("q_jl_project",
+      (s, d) => Similarity.jlProject(Tables.embeddings(s, d)),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |z AS (SELECT vec_id, v, ${Similarity.Sql.jlCoord("v")} AS z FROM d
+        |  WHERE ${Similarity.Sql.dot("v", "v")} > 0.0)
+        |SELECT vec_id, ${Similarity.Sql.dot("v", "v")} AS orig_sq_norm,
+        |  ${Similarity.Sql.dot("z", "z")} AS proj_sq_norm,
+        |  ${Similarity.Sql.dot("z", "z")} / ${Similarity.Sql.dot("v", "v")} AS norm_ratio
+        |FROM z ORDER BY vec_id""".stripMargin)),
+
+    // measured JL distance-distortion witness over a CONSTANT 32-vector
+    // eval budget (496 pairs — fixed, never a corpus fraction): min/avg/
+    // max of the projected-vs-original squared-distance ratio plus the
+    // count inside the +/-0.5 band; sorted-fold average, broadcast
+    // sample self-join, sample^2-bounded work
+    ("q_jl_distortion",
+      (s, d) => Similarity.jlDistortion(Tables.embeddings(s, d)),
+      Some(s"""WITH d AS (${Similarity.Sql.prepared}),
+        |q AS (SELECT vec_id, v, ${Similarity.Sql.jlCoord("v")} AS z FROM d
+        |  WHERE vec_id < 32),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_transform(list_zip(a.v, b.v), p -> p[1] - p[2]) AS dv,
+        |  list_transform(list_zip(a.z, b.z), p -> p[1] - p[2]) AS dz
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id),
+        |r AS (SELECT ${Similarity.Sql.dot("dz", "dz")} / ${Similarity.Sql.dot("dv", "dv")} AS ratio
+        |  FROM p WHERE ${Similarity.Sql.dot("dv", "dv")} > 0.0)
+        |SELECT count(*) AS n_pairs, min(ratio) AS min_ratio,
+        |  max(ratio) AS max_ratio,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(ratio))),
+        |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS avg_ratio,
+        |  CAST(sum(CASE WHEN abs(ratio - 1.0) <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within
+        |FROM r""".stripMargin)),
+
     // per-source token-distribution DIVERGENCE: total-variation distance
     // between each source's hashed-token distribution and the corpus's
     // (the mixture-drift metric a curation run watches); ≤4096-row count

@@ -172,6 +172,71 @@ object Pii {
       ).as("text"))
   }
 
+  // ===== k-anonymity / l-diversity (re-identification governance) =====
+
+  /** k-anonymity equivalence classes over the customer table's
+    * quasi-identifiers — the OTHER half of privacy governance, distinct
+    * from this module's content scrubbing: scrubbing removes direct
+    * identifiers FROM text, while k-anonymity measures whether the
+    * structured attributes that survive release (nation, market segment,
+    * an account-balance band) still single a person out by combination
+    * (Sweeney 2002: 87% of the US population is unique on
+    * {zip, birthdate, sex}). A row is k-anonymous iff at least k−1 other
+    * rows share its full quasi-identifier tuple.
+    *
+    * Quasi-identifiers here: `c_nationkey`, `c_mktsegment`, and
+    * `floor(c_acctbal / 1000)` (the generalization step a release applies
+    * to a continuous attribute — the band IS the anonymization). The
+    * exact `c_acctbal` plays the sensitive attribute for the l-diversity
+    * column: a class where every member shares one sensitive value leaks
+    * it even at k — `n_distinct_sensitive` counts the distinct balances
+    * inside each class (Machanavajjhala 2007).
+    *
+    * Scale shape: ONE map-side-combining hash aggregate keyed by the
+    * quasi-identifier tuple — the shuffle carries |classes| rows
+    * (bounded by the QI domain product: nations × segments × bands,
+    * thousands, never corpus-scaled), so a 100 TB release audit is one
+    * scan. `count(distinct c_acctbal)` expands to the standard two-phase
+    * distinct aggregate on the same bounded key space.
+    */
+  def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame =
+    customer
+      .groupBy(col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("acctbal_band"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("c_acctbal")).as("n_distinct_sensitive"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("acctbal_band"),
+        col("class_size"),
+        (col("class_size") >= k).cast("int").as("meets_k"),
+        col("n_distinct_sensitive"))
+      .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+
+  /** One-row release-gate card over [[kAnonymity]]: the minimum class
+    * size (the dataset's actual k), the minimum within-class sensitive
+    * diversity (its actual l), and the suppression ledger — how many
+    * classes/rows a k-threshold release would have to withhold. The card
+    * a data-release review reads before approving an export; rows
+    * below k are the ones a release SUPPRESSES (the standard remedy),
+    * so `suppressed_frac` is the utility cost of the privacy bar.
+    *
+    * Second tiny aggregate over the bounded class table — nothing
+    * corpus-scaled moves.
+    */
+  def kAnonymityCard(customer: DataFrame, k: Int = 5): DataFrame =
+    kAnonymity(customer, k)
+      .agg(sum(col("class_size")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("k_min"),
+        min(col("n_distinct_sensitive")).as("l_min"),
+        sum((col("class_size") < k).cast("long")).as("n_classes_below_k"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(lit(0L)))
+          .as("n_rows_below_k"))
+      .select(col("n_rows"), col("n_classes"), col("k_min"), col("l_min"),
+        col("n_classes_below_k"), col("n_rows_below_k"),
+        (col("n_rows_below_k").cast("double") / col("n_rows").cast("double"))
+          .as("suppressed_frac"))
+
   /** DuckDB oracle fragments mirroring the Scala derivations. */
   object Sql {
     /** The injection tail as a SQL expression over `doc_id`/`text`. */

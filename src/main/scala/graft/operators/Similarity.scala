@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -2038,6 +2038,90 @@ object Similarity {
       .orderBy("anchor_id", "positive_id", "neg_rank")
   }
 
+  // ===== Johnson–Lindenstrauss random projection (embedding compression) =====
+
+  /** The JL projection of a double-vector column to `outDim` coordinates:
+    * z_i = sqrt(3/outDim) · ⟨v, h_i⟩ over the SAME closed-form
+    * uniform[−1,1] plane family as [[lshPlaneWeights]] (Arriaga–Vempala /
+    * Achlioptas "database-friendly" projections: any bounded zero-mean
+    * i.i.d. entry distribution carries the JL guarantee — no Gaussian
+    * needed, which is what keeps the matrix closed-form and the oracle
+    * SQL-mirrorable). The sqrt(3/outDim) factor makes the squared norm
+    * UNBIASED: Var of a uniform[−1,1] entry is 1/3, so
+    * E‖z‖² = outDim · (3/outDim) · ‖v‖²/3 = ‖v‖². A production
+    * deployment swaps in a seeded Gaussian matrix; the plan shape
+    * (outDim codegen'd [[graft.functions.VecDot]]s against literal
+    * plane arrays, zero shuffle) is identical.
+    */
+  private def jlCoords(v: Column, outDim: Int, dim: Int): Column = {
+    val w = lshPlaneWeights(outDim, dim)
+    val s = math.sqrt(3.0 / outDim)
+    array((0 until outDim).map(i => dot(v, typedLit(w(i).toSeq)) * lit(s)): _*)
+  }
+
+  /** Per-vector JL compression card: original vs projected squared norm
+    * and their ratio — the embedding-compression path DISTINCT from
+    * [[quantizeEmbeddings]]/PQ: quantization shrinks bits per coordinate,
+    * JL shrinks the number of coordinates (64 → `outDim` doubles, a 4×
+    * cut at the default) while approximately preserving every pairwise
+    * distance, so downstream ANN/clustering runs on the short vectors.
+    *
+    * Scale shape: pure narrow projection (`outDim` codegen'd dots per
+    * row, zero shuffle, zero training, zero broadcast state) — compression
+    * of a 100 TB embedding store is one read-transform-write pass at scan
+    * speed. Zero vectors are excluded on both sides (no norm to preserve).
+    */
+  def jlProject(embeddings: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val p = prepared(embeddings)
+    val z = jlCoords(col("v"), outDim, dim)
+    p.filter(dot(col("v"), col("v")) > lit(0.0))
+      .select(col("vec_id"),
+        dot(col("v"), col("v")).as("orig_sq_norm"),
+        dot(z, z).as("proj_sq_norm"),
+        (dot(z, z) / dot(col("v"), col("v"))).as("norm_ratio"))
+      .orderBy("vec_id")
+  }
+
+  /** One-row JL distance-distortion witness over a CONSTANT eval budget
+    * (all pairs among `vec_id < sample` — a fixed pair count, never a
+    * corpus fraction; the [[graft.operators.Multimodal]] round-13 lesson
+    * baked in from birth): for each sample pair, the ratio
+    * ‖z_a − z_b‖² / ‖v_a − v_b‖², reported as min / avg / max plus how
+    * many pairs sit inside the ±`eps` JL band. This is the measured
+    * counterpart of the JL lemma's (1±ε) guarantee — the card a pipeline
+    * checks before switching its ANN stage onto the compressed vectors.
+    *
+    * The average folds over a SORTED ratio list (sort_array ∘
+    * collect_list, the registry's sorted-fold double-sum discipline) so
+    * partition order can never move a bit. Everything is sample²-bounded:
+    * the join is a broadcast of `sample` rows against itself.
+    */
+  def jlDistortion(embeddings: DataFrame, sample: Int = 32, outDim: Int = 16,
+                   dim: Int = 64, eps: Double = 0.5): DataFrame = {
+    val q = prepared(embeddings).filter(col("vec_id") < sample)
+      .select(col("vec_id"), col("v"), jlCoords(col("v"), outDim, dim).as("z"))
+    val a = q.select(col("vec_id").as("id1"), col("v").as("v1"), col("z").as("z1"))
+    val b = q.select(col("vec_id").as("id2"), col("v").as("v2"), col("z").as("z2"))
+    val ratios = a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        zip_with(col("v1"), col("v2"), (x, y) => x - y).as("dv"),
+        zip_with(col("z1"), col("z2"), (x, y) => x - y).as("dz"))
+      .select(col("id1"), col("id2"),
+        dot(col("dv"), col("dv")).as("d2"), dot(col("dz"), col("dz")).as("p2"))
+      .filter(col("d2") > lit(0.0))
+      .select((col("p2") / col("d2")).as("ratio"))
+    ratios.agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        aggregate(sort_array(collect_list(col("ratio"))), lit(0.0),
+          (acc, x) => acc + x).as("ratio_sum"),
+        sum((abs(col("ratio") - lit(1.0)) <= lit(eps)).cast("long")).as("n_within"))
+      .select(col("n_pairs"), col("min_ratio"), col("max_ratio"),
+        (col("ratio_sum") / col("n_pairs").cast("double")).as("avg_ratio"),
+        col("n_within"))
+  }
+
   object Sql {
     val prepared: String =
       "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
@@ -2060,6 +2144,19 @@ object Similarity {
     def intDot(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    /** JL coordinates of a double-list column `v`, mirroring
+      * [[jlProject]] bit-for-bit: identical integer plane formula (the
+      * [[lshBucket]] family), identical left-fold dot order, identical
+      * sqrt(3/outDim) scale (IEEE sqrt and multiply are exact-identical
+      * on identical operands; a·b ≡ b·a in IEEE).
+      */
+    def jlCoord(v: String, outDim: Int = 16, dim: Int = 64): String =
+      s"list_transform(range(0, $outDim), i -> " +
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, $dim), j -> " +
+        s"(CAST((i*2654435761 + j*40503) % 1000003 AS DOUBLE) / 500001.5 - 1.0) * $v[j+1])), " +
+        s"(a, x) -> a + x) * sqrt(3.0 / $outDim.0))"
+
     /** Sign-LSH bucket of a double-list column `v`, mirroring
       * [[lshBuckets]] bit-for-bit: identical integer plane formula,
       * identical left-fold dot order, identical `> 0` bit test.

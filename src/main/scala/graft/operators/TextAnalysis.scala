@@ -29,6 +29,20 @@ object TextAnalysis {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "is", "of", "and", "to", "in", "it", "on", "for")
 
+  /** Domain-register lexicons over the synthetic corpus's vocabulary —
+    * the non-vacuous lexicon family for [[codeSwitch]] on THIS corpus
+    * (whose 31-word vocabulary contains no non-English stopword, so the
+    * natural-language [[LangSets]] can only ever vote en/und there). A
+    * register switch is the same analysis as a language switch: which
+    * bounded lexicon dominates each window. Order defines the argmax
+    * tie-break, the [[LangSets]] convention.
+    */
+  val RegisterSets: Seq[(String, Seq[String])] = Seq(
+    "sql" -> Seq("join", "query", "table", "scan", "filter", "hash"),
+    "stream" -> Seq("stream", "window", "batch", "merge", "key"),
+    "perf" -> Seq("fast", "slow", "big", "small"),
+    "data" -> Seq("data", "row", "column", "vector", "value"))
+
   private def tokens(text: Column): Column = split(text, " ")
 
   /** Whitespace + BPE-ish regex token counts, text length, average token
@@ -87,6 +101,67 @@ object TextAnalysis {
       col("doc_id"),
       col("lang").as("declared_lang"),
       element_at(langs, array_position(scores, array_max(scores)).cast("int")).as("predicted_lang"))
+  }
+
+  /** Segment-level language mixture (code-switching detection): the token
+    * stream splits into fixed `segLen`-token windows, each window gets its
+    * own [[languageId]]-style stopword argmax — or `und` when none of its
+    * tokens hits any language's set — and the per-document card reports
+    * how many segments were detectable, how many distinct languages they
+    * vote for, the majority language, and how often adjacent detected
+    * segments switch. Doc-level language ID silently labels a mixed
+    * document with its majority language; segment-level LID (the
+    * CCNet/FineWeb practice) is what lets a curation pass route
+    * `mixed = 1` documents to a splitter instead of poisoning a
+    * single-language bucket. Ties break to the first language in
+    * [[LangSets]] order, the [[languageId]] convention.
+    *
+    * Scale shape: one pure narrow projection — nested higher-order array
+    * expressions (sequence / slice / filter / transform), zero shuffle,
+    * zero state — so at 100 TB this runs at scan speed, embarrassingly
+    * parallel, like every row-local card in this module. Per-row work is
+    * O(tokens × |langs|); nothing is corpus-scaled.
+    *
+    * `sets` is the lexicon family — [[LangSets]] by default (real
+    * corpora), [[RegisterSets]] for the synthetic corpus whose vocabulary
+    * carries no non-English stopword.
+    */
+  def codeSwitch(documents: DataFrame, segLen: Int = 16,
+                 sets: Seq[(String, Seq[String])] = LangSets): DataFrame = {
+    val toks = tokens(col("text"))
+    // split('', ' ') = [''] so size >= 1 and nseg >= 1 always — sequence()
+    // never sees an empty/descending range
+    val nseg = ceil(size(toks).cast("double") / lit(segLen.toDouble)).cast("int")
+    val langsLit = array(sets.map(l => lit(l._1)): _*)
+    def predict(seg: Column): Column = {
+      val scores = array(sets.map { case (_, ws) =>
+        size(filter(seg, t => t.isin(ws: _*)))
+      }: _*)
+      when(array_max(scores) === 0, lit("und"))
+        .otherwise(element_at(langsLit,
+          array_position(scores, array_max(scores)).cast("int")))
+    }
+    val segLangs = transform(sequence(lit(1), nseg), i =>
+      predict(slice(toks, (i - lit(1)) * lit(segLen) + lit(1), lit(segLen))))
+    val det = filter(segLangs, s => s =!= lit("und"))
+    val counts = transform(langsLit, l => size(filter(det, x => x === l)))
+    val majority = when(size(det) === 0, lit("und"))
+      .otherwise(element_at(langsLit,
+        array_position(counts, array_max(counts)).cast("int")))
+    // guard: Spark's sequence(2, n) DESCENDS for n < 2 — never let it
+    val switches = when(size(det) >= 2,
+      size(filter(sequence(lit(2), size(det)), i =>
+        element_at(det, i) =!= element_at(det, i - lit(1)))))
+      .otherwise(lit(0))
+    documents.select(
+      col("doc_id"),
+      col("lang").as("declared_lang"),
+      nseg.cast("long").as("n_segments"),
+      size(det).cast("long").as("n_detected"),
+      size(array_distinct(det)).cast("long").as("n_langs"),
+      majority.as("majority_lang"),
+      switches.cast("long").as("n_switches"),
+      (size(array_distinct(det)) >= 2).cast("int").as("mixed"))
   }
 
   /** Text normalization for dedup/fingerprint robustness: digit runs
@@ -1151,6 +1226,28 @@ object TextAnalysis {
       s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(ws)}))"
     }.mkString("[", ", ", "]")
     val langNames: String = LangSets.map(l => s"'${l._1}'").mkString("[", ", ", "]")
+    /** Per-lexicon hit scores of an arbitrary token-list expression —
+      * the [[langScores]] family over a segment and an arbitrary lexicon
+      * family.
+      */
+    def langScoresOf(seg: String,
+                     sets: Seq[(String, Seq[String])] = LangSets): String =
+      sets.map { case (_, ws) =>
+        s"len(list_filter($seg, t -> t IN ${inList(ws)}))"
+      }.mkString("[", ", ", "]")
+    /** The lexicon-name list literal for a set family. */
+    def namesOf(sets: Seq[(String, Seq[String])]): String =
+      sets.map(l => s"'${l._1}'").mkString("[", ", ", "]")
+    /** Argmax lexicon of one token-list segment with the `und` floor —
+      * the DuckDB mirror of [[TextAnalysis.codeSwitch]]'s per-segment
+      * predict. The one-element list_transform binds the score list once
+      * (DuckDB lambdas have no let).
+      */
+    def segPredict(seg: String,
+                   sets: Seq[(String, Seq[String])] = LangSets): String =
+      s"list_transform([${langScoresOf(seg, sets)}], s -> " +
+        s"CASE WHEN list_max(s) = 0 THEN 'und' " +
+        s"ELSE ${namesOf(sets)}[CAST(list_position(s, list_max(s)) AS INT)] END)[1]"
     val stopHits: String =
       s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(EnStopwords)}))"
   }

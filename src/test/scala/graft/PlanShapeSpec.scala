@@ -84,7 +84,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_takedown_audit",                    // 1-row count scalars, every served family
       "q_takedown_crossmodal",               // 5-row broadcast query set
       "q_crossmodal_topk",                   // 5-row broadcast query set
-      "q_crossmodal_recall")                 // constant 32-query eval-sample broadcast
+      "q_crossmodal_recall",                 // constant 32-query eval-sample broadcast
+      "q_jl_distortion")                     // constant 32-vector sample self-join
       // (q_snapshot_diff/q_drift_card/q_source_overlap serve persisted
       // graft_release scans; driftCard's 1-row share-total crossJoins and
       // the overlap matrix's catalog-sized share-table zero-fill BNLJ run
