@@ -920,23 +920,39 @@ object Dedup {
     *
     * Scale shape: grams collapse to polynomial fingerprints (longs
     * shuffle, never gram strings; same accepted-and-mirrored collision
-    * class as [[graft.operators.Corpus.sourceOverlap]]), then TWO
-    * gram-keyed map-side-combinable aggregates and one equi-join — the
-    * inverted-index shape with NO self-join, so a corpus-wide hot gram
-    * costs one df row, never k² pairs. Documents shorter than `n` tokens
-    * have no grams and emit no row (the [[contamination]] convention).
+    * class as [[graft.operators.Corpus.sourceOverlap]]), and the
+    * gram-scale frame is exchanged exactly ONCE: novelty = unique/total,
+    * and a df=1 gram's single aggregate row already names its owner
+    * (`min(doc_id)` over one row IS the document), so per-document
+    * unique counts come from a second aggregate over the (≤ distinct
+    * grams, df=1) slice — no gram-scale equi-join back onto the exploded
+    * frame (the round-13 shape paid that join: 1.75 s → ~0.8 s at
+    * sf0.1). Per-document totals are a row-local projection
+    * (|shingles| = the old per-doc gram row count, fingerprint
+    * collisions included on both sides of the subtraction, so
+    * n_shared = n_grams − n_unique is value-identical to the joined
+    * df≥2 count). A corpus-wide hot gram still costs one aggregate row,
+    * never k² pairs. Documents shorter than `n` tokens have no grams
+    * and emit no row (the [[contamination]] convention).
     */
   def noveltyScore(documents: DataFrame, n: Int = 5): DataFrame = {
     val g = documents
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("gram"))
       .select(col("doc_id"), TextAnalysis.fingerprintCol(col("gram")).as("g"))
     // shingles() is per-document distinct, so per-gram row count IS the
-    // carrying-document count
-    val df = g.groupBy("g").agg(count(lit(1)).as("df"))
-    g.join(df, Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum((col("df") >= 2).cast("long")).as("n_shared"))
+    // carrying-document count; min(doc_id) is exact for the df=1 rows
+    // the next stage keeps (one row -> min = the owner)
+    val uniq = g.groupBy("g")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    documents
+      .select(col("doc_id"), size(shingles(col("text"), n)).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         (lit(1.0) - col("n_shared").cast("double")
           / col("n_grams").cast("double")).as("novelty"))
