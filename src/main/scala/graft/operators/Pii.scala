@@ -237,6 +237,36 @@ object Pii {
         (col("n_rows_below_k").cast("double") / col("n_rows").cast("double"))
           .as("suppressed_frac"))
 
+  /** BATCH k-anonymity release over the normalized event stream — the
+    * batch twin of [[graft.streaming.Stateful.kAnonymityGate]] and the
+    * event-side application of [[kAnonymity]]: a telemetry export
+    * releases an event row only when at least k events share its
+    * quasi-identifier tuple (city, event_type, day); `class_seen` is the
+    * row's 1-based (ts, event_id) rank within its class — the arrival
+    * ordinal the streaming gate assigns when fed in event-time order.
+    *
+    * Scale shape: one exchange keyed by the QI tuple feeding both the
+    * class-total count and the rank window (same partitioning — Spark
+    * plans ONE Exchange); partitions are class-sized (cities × types ×
+    * days, each day-bounded), never corpus-wide, so no partition-less
+    * Window and no single-reducer sort.
+    */
+  def kAnonymityRelease(normalized: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val cls = Window.partitionBy("city", "event_type", "day")
+    val rank = cls.orderBy(col("ts"), col("event_id"))
+    normalized
+      .select(col("city"), col("event_type"), day.as("day"),
+        col("ts"), col("ts_str"), col("event_id"))
+      .withColumn("class_total", count(lit(1)).over(cls))
+      .withColumn("class_seen", row_number().over(rank).cast("long"))
+      .filter(col("class_total") >= k)
+      .select(col("city"), col("event_type"), col("day"), col("ts_str"),
+        col("event_id"), col("class_seen"))
+      .orderBy("city", "event_type", "day", "class_seen")
+  }
+
   /** DuckDB oracle fragments mirroring the Scala derivations. */
   object Sql {
     /** The injection tail as a SQL expression over `doc_id`/`text`. */

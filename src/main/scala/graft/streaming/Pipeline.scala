@@ -201,6 +201,22 @@ class Pipeline(
       .option("checkpointLocation", s"$checkpointRoot/throttled-alerts")
       .start()
 
+  /** k-anonymity release gate as a topology member
+    * ([[Stateful.kAnonymityGate]]): events quarantine in keyed state
+    * until at least k share their (city, event_type, day)
+    * quasi-identifier tuple, then the class releases — the privacy gate
+    * between the raw stream and any externally-visible telemetry export.
+    */
+  def startKAnonGate(events: DataFrame, k: Int = 5,
+                     queryName: String = "kanon_release"): StreamingQuery =
+    Stateful.kAnonymityGate(normalized(events), k)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", s"$checkpointRoot/kanon-release")
+      .start()
+
   /** Stream-STREAM interval join (SURVEY.md §2.4 extension): each alert
     * joined to the events of the same city in the 5 minutes before it —
     * the burst-context query, as the canonical watermarked stream-stream

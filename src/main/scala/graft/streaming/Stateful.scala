@@ -11,6 +11,15 @@ case class StreakAlert(city: String, streak: Int, last_ts: Timestamp)
 case class ThrottledAlert(city: String, severity: String, ts: Timestamp,
                           event_id: Long)
 
+case class KAnonRelease(city: String, event_type: String, day: String,
+                        ts: Timestamp, event_id: Long, class_seen: Long)
+
+/** [[Stateful.kAnonymityGate]] per-class state: rows observed so far,
+  * plus the quarantined (event-time micros, event_id) pairs while the
+  * class is still below k — at most k−1 entries, then count-only.
+  */
+case class KAnonGateState(seen: Long, bufUs: Seq[Long], bufIds: Seq[Long])
+
 /** Custom keyed state beyond windowed aggregation (SURVEY.md §7.2 M3 /
   * build-brief Structured Streaming bullet): per-city consecutive
   * high-severity streak detection via `flatMapGroupsWithState` — state that
@@ -96,6 +105,75 @@ object Stateful {
     * processed in (event-time, event_id) order for determinism, with the
     * same buffered-group memory note as [[severityStreaks]].
     */
+  /** STREAMING k-anonymity release gate — the third custom keyed state
+    * and the streaming twin of [[graft.operators.Pii.kAnonymity]]: a
+    * telemetry export may only release an event once at least k events
+    * share its quasi-identifier tuple (city, event_type, day), so rows
+    * of a still-rare class QUARANTINE in state and the whole class
+    * releases the moment its k-th member arrives (the buffered k−1
+    * first, in arrival order, then everything subsequent flows straight
+    * through). `class_seen` is each row's 1-based arrival ordinal within
+    * its class — the batch twin ([[graft.operators.Pii
+    * .kAnonymityRelease]]) derives the same ordinal as a rank window,
+    * and the parity spec pins the two surfaces together.
+    *
+    * No built-in operator expresses "hold until the group is big
+    * enough, then flush and pass through": windowed aggregation emits
+    * aggregates (not the held rows) and dropDuplicates only shrinks.
+    *
+    * State per class is BOUNDED: ≤ k−1 packed (micros, event_id) pairs
+    * while closed, one counter after opening — unlike a windowed buffer
+    * it never grows with traffic. Day-keyed classes accrete over the
+    * stream's lifetime; a production deployment adds a state TTL beyond
+    * the day horizon (the compliance window), which is configuration,
+    * not shape. Within a batch the group's rows are processed in
+    * (event-time, event_id) order for determinism, with the same
+    * buffered-group memory note as [[severityStreaks]].
+    */
+  def kAnonymityGate(normalized: DataFrame, k: Int = 5): Dataset[KAnonRelease] = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    normalized
+      .select(col("city"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("event_id"))
+      .as[(String, String, String, Timestamp, Long)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String, String),
+         rows: Iterator[(String, String, String, Timestamp, Long)],
+         state: GroupState[KAnonGateState]) =>
+          val (city, etype, day) = key
+          val st = state.getOption.getOrElse(KAnonGateState(0L, Nil, Nil))
+          var seen = st.seen
+          var bufU = st.bufUs.toVector
+          var bufI = st.bufIds.toVector
+          val batch = rows.map { case (_, _, _, t, id) =>
+            (t.getTime * 1000 + (t.getNanos % 1000000) / 1000, id)
+          }.toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[KAnonRelease]
+          def mk(us: Long, id: Long, ord: Long): KAnonRelease = {
+            val t = new Timestamp(Math.floorDiv(us, 1000L))
+            t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+            KAnonRelease(city, etype, day, t, id, ord)
+          }
+          batch.foreach { case (us, id) =>
+            seen += 1
+            if (seen < k) { bufU :+= us; bufI :+= id }
+            else if (seen == k) {
+              var ord = 1L
+              bufU.iterator.zip(bufI.iterator).foreach { case (bu, bi) =>
+                out += mk(bu, bi, ord); ord += 1
+              }
+              out += mk(us, id, seen)
+              bufU = Vector.empty; bufI = Vector.empty
+            } else out += mk(us, id, seen)
+          }
+          state.update(KAnonGateState(seen, bufU, bufI))
+          out.iterator
+      }
+  }
+
   def alertThrottle(alerts: DataFrame,
                     gapMinutes: Int = 1440): Dataset[ThrottledAlert] = {
     val spark = alerts.sparkSession

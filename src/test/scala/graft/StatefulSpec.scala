@@ -268,6 +268,68 @@ class StatefulSpec extends SparkSpec {
       s"the 24h throttle must both emit and suppress on the corpus: $emitted of ${corpusAlerts.count()}")
   }
 
+  test("k-anon gate: a class quarantines until its k-th member, then flushes whole and passes through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventRec]
+    val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 3)
+      .writeStream.outputMode("append").format("memory").queryName("kanon_spec").start()
+    try {
+      // batch 1: two same-class rows — below k, both quarantined
+      input.addData(ev(1, "2024-01-01 10:00:00", 10), ev(2, "2024-01-01 10:00:10", 20))
+      q.processAllAvailable()
+      assert(spark.table("kanon_spec").count() == 0)
+      // batch 2: the k-th member arrives — the WHOLE class flushes, in
+      // arrival order, quarantined rows first
+      input.addData(ev(3, "2024-01-01 10:00:20", 30))
+      q.processAllAvailable()
+      val rel = spark.table("kanon_spec").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("class_seen"))).toSet
+      assert(rel == Set((1L, 1L), (2L, 2L), (3L, 3L)), s"flush must carry ordinals: $rel")
+      // batch 3: the class is open — straight through with the next ordinal
+      input.addData(ev(4, "2024-01-01 10:00:30", 40))
+      q.processAllAvailable()
+      assert(spark.table("kanon_spec").count() == 4)
+      // a different DAY is a different class — quarantined again
+      input.addData(ev(5, "2024-01-02 09:00:00", 10))
+      q.processAllAvailable()
+      assert(spark.table("kanon_spec").count() == 4)
+    } finally q.stop()
+  }
+
+  test("k-anon gate stream ≡ batch release twin on an in-order feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two cities (users 0/7), two types, two days — classes of width 1..4
+    def e(id: Long, t: String, user: Long, typ: String) =
+      EventRec(id, ts(t), user, typ, 50.0, s"""{"k": $id}""")
+    val batches = Seq(
+      Seq(e(1, "2024-01-01 08:00:00", 0, "click"), e(2, "2024-01-01 09:00:00", 0, "click"),
+        e(3, "2024-01-01 09:30:00", 7, "click")),
+      Seq(e(4, "2024-01-01 10:00:00", 0, "click"), e(5, "2024-01-01 11:00:00", 0, "view"),
+        e(6, "2024-01-01 12:00:00", 0, "click")),
+      Seq(e(7, "2024-01-02 08:00:00", 0, "click"), e(8, "2024-01-02 09:00:00", 0, "click")))
+    val input = MemoryStream[EventRec]
+    val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 2)
+      .writeStream.outputMode("append").format("memory").queryName("kanon_par").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("kanon_par")
+        .select("city", "event_type", "day", "event_id", "class_seen").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.operators.Pii.kAnonymityRelease(
+          CityEvents.normalize(batches.flatten.toDF()), k = 2)
+        .select("city", "event_type", "day", "event_id", "class_seen").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batch, s"stream: $streamed\nbatch: $batch")
+      // the single-member classes (user 7 click; user 0 view) stay quarantined
+      assert(!streamed.exists(r => r._4 == 3L || r._4 == 5L),
+        s"below-k classes must not release: $streamed")
+    } finally q.stop()
+  }
+
   test("kafka record stage: key=city, value=full-row JSON (S3)") {
     val norm = CityEvents.normalize(Tables.events(spark, sf))
     val recs = EventStreamSource.toKafkaRecords(norm)

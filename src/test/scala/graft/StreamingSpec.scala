@@ -605,8 +605,8 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("nineteen-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
-    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion and drift monitoring run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("twenty-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion, drift monitoring and the k-anonymity release gate run concurrently against their frozen artifacts (T5 at deployment scale)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -690,10 +690,15 @@ class StreamingSpec extends SparkSpec {
         Seq((0L, "held out eval item text")).toDF("doc_id", "text")),
       p.startDriftMonitor(
         driftDocs.toDF().toDF("doc_id", "text", "lang", "source"),
-        s"$base/refshares"))
+        s"$base/refshares"),
+      p.startKAnonGate(events.toDF(), k = 5))
     try {
-      assert(queries.length == 19)
-      events.addData(ev(10L, "2024-01-01 10:00:00"))
+      assert(queries.length == 20)
+      // five same-class events (user 1, click, one day): exactly k for the
+      // k-anonymity gate, so the class releases within the topology run
+      events.addData(ev(10L, "2024-01-01 10:00:00"),
+        ev(11L, "2024-01-01 10:05:00"), ev(12L, "2024-01-01 10:10:00"),
+        ev(13L, "2024-01-01 10:15:00"), ev(14L, "2024-01-01 10:20:00"))
       docs.addData((10L, "a b a b a b"))
       media.addData((100L, text("img1")), (101L, text("fresh")))
       probes.addData((200L, text("img2")))
@@ -791,5 +796,11 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getBoolean(1))).toSet
     assert(drift.contains(("lang", true)) && drift.contains(("source", true)),
       s"the all-German off-source batch must trip lang and source drift: $drift")
+    // the k-anonymity gate releases the five-member class with arrival ordinals
+    val released = spark.table("kanon_release")
+      .select("event_id", "class_seen").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(released == Set((10L, 1L), (11L, 2L), (12L, 3L), (13L, 4L), (14L, 5L)),
+      s"the k-member class must release whole, in arrival order: $released")
   }
 }
