@@ -4023,6 +4023,72 @@ object SparkEntry {
         |    AS within_bound
         |FROM mk""".stripMargin)),
 
+    // MRR card over the served passage list: the rank-POSITION-sensitive
+    // retrieval metric (where does the served list PLACE the exact
+    // brute-force top-1 chunk), complementing the set-overlap recall
+    // witness; both sides closed-form, whole card hash-checked. Two
+    // k-bounded lists join on the id triple — constant work.
+    ("q_passage_mrr",
+      (s, d) => {
+        val t = passageTables(s, d)
+        Passage.mrrCard(t.topk, Passage.passageBruteTopK(t.vectors))
+      },
+      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+        |  FROM dch),
+        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+        |  FROM ch),
+        |fp AS (SELECT doc_id, chunk_id,
+        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+        |  list_transform(range(0, 16), dd ->
+        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+        |      / 1000000.0 - 1.0) AS v FROM fp),
+        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+        |  FROM pv),
+        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+        |  WHERE c2.doc_id <> q.query_id),
+        |scb AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+        |  FROM p0 JOIN pv cv USING (pid)
+        |       JOIN qv qd ON qd.query_id = p0.query_id
+        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dvb AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM scb),
+        |rkb AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+        |  SELECT query_id, doc_id, chunk_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+        |  FROM dvb WHERE rn_doc <= 2) WHERE rank <= 10),
+        |sce AS (SELECT qv.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+        |  ${Similarity.Sql.cosine("qv.v", "cv.v")} AS cosine
+        |  FROM pv cv CROSS JOIN qv
+        |  WHERE cv.doc_id <> qv.query_id
+        |    AND ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+        |dve AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sce),
+        |rke1 AS (SELECT query_id, doc_id, chunk_id FROM (
+        |  SELECT query_id, doc_id, chunk_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+        |  FROM dve WHERE rn_doc <= 2) WHERE rank = 1),
+        |h AS (SELECT CASE WHEN rkb.rank IS NULL THEN CAST(0.0 AS DOUBLE)
+        |    ELSE 1.0 / CAST(rkb.rank AS DOUBLE) END AS rr
+        |  FROM rke1 LEFT JOIN rkb USING (query_id, doc_id, chunk_id))
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_found_top1,
+        |  CASE WHEN count(*) = 0 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(rr))),
+        |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) END AS mrr
+        |FROM h""".stripMargin)),
+
     // The passage QUERY-SERVING endpoint: arbitrary (query_id, query_text)
     // requests tower-embedded as one chunk, bucketed with the index's
     // frozen planes, answered from the persisted passage family with the

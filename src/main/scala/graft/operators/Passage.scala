@@ -401,6 +401,40 @@ object Passage {
           .cast("int").as("within_bound"))
   }
 
+  /** MEAN-RECIPROCAL-RANK card of the served passage list against the
+    * exact baseline — the rank-POSITION-sensitive retrieval metric the
+    * set-overlap [[recallBound]] cannot express: a served list that
+    * buries the true nearest chunk at rank 10 recalls it (set hit) yet
+    * serves it badly (rr 0.1). Ground truth per query is the exact
+    * brute-force top-1 chunk; its reciprocal served rank (0 when the
+    * banding missed it entirely) averages over the query set via the
+    * sorted-fold double-sum discipline. Both sides are closed-form, so
+    * the whole card — n_found AND the mrr value — hash-checks against
+    * the SQL re-derivation at every SF (the [[recallBound]] precedent).
+    *
+    * Scale shape: two k-bounded rank lists (queries × k rows each) join
+    * on their id triple — constant work once the lists exist; the lists
+    * come from the persisted snapshot and the numQueries-bounded exact
+    * pass that every witness already pays.
+    */
+  def mrrCard(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val top1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id"), col("chunk_id"))
+    val hit = top1.join(
+        approx.select(col("query_id"), col("doc_id"), col("chunk_id"),
+          col("rank").as("served_rank")),
+        Seq("query_id", "doc_id", "chunk_id"), "left")
+      .select(coalesce(lit(1.0) / col("served_rank").cast("double"), lit(0.0))
+        .as("rr"))
+    hit.agg(count(lit(1)).as("n_queries"),
+        sum((col("rr") > 0.0).cast("long")).as("n_found_top1"),
+        aggregate(sort_array(collect_list(col("rr"))), lit(0.0),
+          (a, x) => a + x).as("rr_sum"))
+      .select(col("n_queries"), col("n_found_top1"),
+        when(col("n_queries") === 0, lit(1.0))
+          .otherwise(col("rr_sum") / col("n_queries").cast("double")).as("mrr"))
+  }
+
   /** The persisted passage family's five tables. */
   case class PassageTables(vectors: DataFrame, bands: DataFrame,
                            topk: DataFrame, liTopk: DataFrame,

@@ -265,4 +265,32 @@ class PassageSpec extends SparkSpec {
     assert(t.distill.exceptAll(freshDistill).isEmpty &&
       freshDistill.exceptAll(t.distill).isEmpty)
   }
+
+  test("mrr card: reciprocal served rank of the exact top-1, zero when missed") {
+    import spark.implicits._
+    // q1's true best served at rank 2 (rr 0.5); q2's missed entirely
+    // (rr 0); q3's served at rank 1 (rr 1.0) -> mrr = 0.5
+    val exact = Seq(
+      (1L, 10L, 0L, 1L), (1L, 11L, 0L, 2L),
+      (2L, 20L, 1L, 1L),
+      (3L, 30L, 2L, 1L)
+    ).toDF("query_id", "doc_id", "chunk_id", "rank")
+    val approx = Seq(
+      (1L, 12L, 0L, 1L), (1L, 10L, 0L, 2L),
+      (2L, 21L, 0L, 1L),
+      (3L, 30L, 2L, 1L)
+    ).toDF("query_id", "doc_id", "chunk_id", "rank")
+    val r = Passage.mrrCard(approx, exact).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == (0.0 + 0.5 + 1.0) / 3.0)
+  }
+
+  test("mrr card on the corpus index: full query set, mrr within (0, 1]") {
+    val card = Passage.mrrCard(
+      Passage.passageTopKServeFrom(vecs, bands),
+      Passage.passageBruteTopK(vecs)).head()
+    assert(card.getLong(0) == 5L)
+    assert(card.getDouble(2) > 0.0 && card.getDouble(2) <= 1.0,
+      s"mrr ${card.getDouble(2)} out of range")
+  }
 }
