@@ -297,6 +297,34 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("k-anon gate: a 100k-row single-batch class processes in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the operational bound is per-batch group size (the severityStreaks
+    // memory note applies): one class takes a 100k-event micro-batch in
+    // SHUFFLED arrival order; the in-batch (event-time, event_id) sort
+    // must hand out ordinals in event-time order regardless
+    val n = 100000
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rng = new scala.util.Random(11)
+    val events = rng.shuffle((0 until n).toVector).map { i =>
+      EventRec(i.toLong, new Timestamp(base + i.toLong * 100), 0, "click",
+        50.0, s"""{"k": $i}""")
+    }
+    val input = MemoryStream[EventRec]
+    val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 5)
+      .writeStream.outputMode("append").format("memory").queryName("kanon_big").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val rel = spark.table("kanon_big").select("event_id", "class_seen").collect()
+      assert(rel.length == n)
+      // ordinal == event-time rank == event_id + 1 (ids were assigned in time order)
+      assert(rel.forall(r => r.getLong(1) == r.getLong(0) + 1),
+        "ordinals must follow event time, not arrival order")
+    } finally q.stop()
+  }
+
   test("k-anon gate stream ≡ batch release twin on an in-order feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
