@@ -80,6 +80,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_ivfpq_topk",                        // centroid-set scoring + packed codebook
       "q_ivfpq_recall_bound",                // same + 5-row exact probe set
       "q_passage_recall_bound",              // 5-row exact chunk probe set
+      "q_passage_mrr",                       // same 5-row exact probe set (mrr ground truth)
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // 1-row count scalars, every served family
       "q_takedown_crossmodal",               // 5-row broadcast query set

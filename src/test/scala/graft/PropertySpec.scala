@@ -260,4 +260,49 @@ class PropertySpec extends SparkSpec {
     assert(weakFpSeen,
       "(128, 1) never false-positived — the weak-geometry case is vacuous")
   }
+
+  test("codeSwitch equals a plain-Scala reference on generated token streams") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val sets = TextAnalysis.RegisterSets
+    val segLen = 4
+    // vocabulary: every register word plus two out-of-lexicon fillers, so
+    // generated docs mix detected and 'und' segments
+    val vocab = sets.flatMap(_._2) ++ Seq("zz", "qq")
+    val docGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = sample(Gen.listOfN(120, docGen), 23L)
+    // reference: the operator's contract in plain Scala
+    def ref(text: String): (Long, Long, Long, String, Long, Int) = {
+      val toks = text.split(" ", -1).toSeq
+      val segs = toks.grouped(segLen).toSeq
+      val names = sets.map(_._1)
+      def predict(seg: Seq[String]): String = {
+        val scores = sets.map { case (_, ws) => seg.count(ws.contains) }
+        if (scores.max == 0) "und" else names(scores.indexOf(scores.max))
+      }
+      val segLangs = segs.map(predict)
+      val det = segLangs.filter(_ != "und")
+      val majority =
+        if (det.isEmpty) "und"
+        else { val c = names.map(l => det.count(_ == l)); names(c.indexOf(c.max)) }
+      val switches =
+        if (det.length < 2) 0L
+        else det.sliding(2).count { case Seq(a, b) => a != b }.toLong
+      (segLangs.length.toLong, det.length.toLong, det.distinct.length.toLong,
+        majority, switches, if (det.distinct.length >= 2) 1 else 0)
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.codeSwitch(df, segLen = segLen, sets = sets)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5),
+          r.getLong(6), r.getInt(7)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"doc $i: '$t'")
+    }
+    // non-vacuity: the generated corpus exercised both mixture and switches
+    assert(got.values.exists(_._6 == 1) && got.values.exists(_._5 > 0))
+  }
 }

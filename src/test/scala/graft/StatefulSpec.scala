@@ -325,6 +325,27 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("k-anon release twin plan: count and rank share ONE QI-keyed exchange") {
+    import spark.implicits._
+    val norm = CityEvents.normalize(Seq(
+      EventRec(1, ts("2024-01-01 10:00:00"), 0, "click", 50, "{}"),
+      EventRec(2, ts("2024-01-01 10:00:10"), 0, "click", 50, "{}"),
+      EventRec(3, ts("2024-01-01 11:00:00"), 1, "view", 50, "{}")).toDF())
+      .repartition(4)
+    val df = graft.operators.Pii.kAnonymityRelease(norm, k = 2)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.linesIterator.map(_.trim).toList
+    // the class-total count window and the rank window cluster on the same
+    // (city, event_type, day) tuple — Spark must plan ONE live hash
+    // exchange for both (the presentation orderBy adds its range exchange)
+    val hashExchanges = finalPlan
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("ReusedExchange"))
+    assert(hashExchanges.size == 1,
+      s"count + rank must share one QI exchange:\n${hashExchanges.mkString("\n")}")
+  }
+
   test("k-anon gate stream ≡ batch release twin on an in-order feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
