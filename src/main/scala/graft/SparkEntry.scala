@@ -2484,22 +2484,20 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         val tombs = Takedown.tombstones(docs)
         val t = broadcast(tombs.select("doc_id"))
-        // deep and cm are each consumed TWICE below (the gated serve and
-        // the suppressed-count); both outputs are k-bounded (≤ 20 rows /
-        // queries × k rows) while their DAGs re-scan the corpus — the lazy
-        // localCheckpoint materializes each small frame once instead of
-        // paying the corpus pass per consumer (Dedup.scala:544 discipline;
-        // rows stay distributed). The snapshot-served frames (topk/rrf/
-        // li/mp) are already one-scan reads and stay as-is.
+        // deep and cm are each consumed twice below (the gated serve and
+        // the suppressed-count). A localCheckpoint of the two k-bounded
+        // frames was tried (round 14) and MEASURED SLOWER (+4 s per cold
+        // run at sf0.1: the barrier materialization costs more than the
+        // repeated snapshot-scan DAGs it saves) — Catalyst keeps the
+        // doubled lineage.
         val deep = TextAnalysis.keywordSearchFrom(searchIndex(s, d),
-          Seq("hash", "join", "vector"), k = 20).localCheckpoint(false)
+          Seq("hash", "join", "vector"), k = 20)
         val topk = passageTables(s, d).topk
         val rrf = rrfTopK(s, d)
         val li = passageTables(s, d).liTopk
         val cm = Multimodal.crossModalTopK(
           Multimodal.textEmbedStub(docs),
           Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
-          .localCheckpoint(false)
         val mp = mediaPhashTables(s, d).nearDupPairs
         val servedMp = Takedown.pairsWithTakedown(mp, tombs)
         Takedown.takedownAudit(tombs, Seq(
