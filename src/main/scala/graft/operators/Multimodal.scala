@@ -256,6 +256,22 @@ object Multimodal {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist the default-parameter cross-modal top-k answer — the last
+    * served family that still re-derived its corpus pass per call (the
+    * graft_rrf/ivf-v6 precedent): both towers and the ranking run ONCE
+    * per documents snapshot into `dir/topk`, committed under a
+    * content-stamped marker; serving (and the takedown twin's
+    * suppression accounting) becomes one scan.
+    * [[crossModalTopK]] stays the any-parameter path.
+    */
+  def persistCrossModal(documents: DataFrame, dir: String, stamp: String,
+                        numQueries: Int = 5, k: Int = 10): Unit = {
+    crossModalTopK(textEmbedStub(documents),
+        embedStub(mediaFromDocuments(documents)), numQueries, k)
+      .write.mode("overwrite").parquet(s"$dir/topk")
+    graft.sources.SnapshotStore.commit(documents.sparkSession, dir, stamp)
+  }
+
   /** CROSS-MODAL retrieval EVAL CARD (the CLIP/DataComp recall metric):
     * over a CONSTANT-size deterministic query sample (the `sampleN`
     * hash-least eligible ids — a fixed eval budget regardless of corpus

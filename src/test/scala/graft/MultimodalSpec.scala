@@ -323,4 +323,18 @@ class MultimodalSpec extends SparkSpec {
       sampleN = 1, k = 2).collect().head
     assert(one.getLong(0) == 1L && one.getLong(1) == 1L)
   }
+
+  test("persisted cross-modal family serves the live derivation bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm").toString
+    Multimodal.persistCrossModal(docs, dir, stamp = "spec")
+    assert(graft.sources.SnapshotStore.ready(spark, dir, "spec"))
+    val served = spark.read.parquet(s"$dir/topk")
+    val live = Multimodal.crossModalTopK(
+      Multimodal.textEmbedStub(docs),
+      Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
+    assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty)
+    // a stale stamp is not ready — the builder re-persists on corpus change
+    assert(!graft.sources.SnapshotStore.ready(spark, dir, "other-stamp"))
+  }
 }
