@@ -266,9 +266,15 @@ object Multimodal {
     */
   def persistCrossModal(documents: DataFrame, dir: String, stamp: String,
                         numQueries: Int = 5, k: Int = 10): Unit = {
-    crossModalTopK(textEmbedStub(documents),
-        embedStub(mediaFromDocuments(documents)), numQueries, k)
+    val text = textEmbedStub(documents)
+    val media = embedStub(mediaFromDocuments(documents))
+    crossModalTopK(text, media, numQueries, k)
       .write.mode("overwrite").parquet(s"$dir/topk")
+    // v2: the paired-recall eval card rides the same snapshot — it is a
+    // pure function of the corpus at the default eval budget, and its
+    // per-call form paid the corpus ranking pass every serve
+    crossModalRecall(text, media)
+      .write.mode("overwrite").parquet(s"$dir/recall")
     graft.sources.SnapshotStore.commit(documents.sparkSession, dir, stamp)
   }
 

@@ -334,6 +334,13 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.textEmbedStub(docs),
       Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
     assert(served.exceptAll(live).isEmpty && live.exceptAll(served).isEmpty)
+    // v2: the recall card rides the same snapshot
+    val servedCard = spark.read.parquet(s"$dir/recall")
+    val liveCard = Multimodal.crossModalRecall(
+      Multimodal.textEmbedStub(docs),
+      Multimodal.embedStub(Multimodal.mediaFromDocuments(docs)))
+    assert(servedCard.exceptAll(liveCard).isEmpty &&
+      liveCard.exceptAll(servedCard).isEmpty)
     // a stale stamp is not ready — the builder re-persists on corpus change
     assert(!graft.sources.SnapshotStore.ready(spark, dir, "other-stamp"))
   }

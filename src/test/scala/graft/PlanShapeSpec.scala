@@ -83,10 +83,10 @@ class PlanShapeSpec extends SparkSpec {
       "q_passage_mrr",                       // same 5-row exact probe set (mrr ground truth)
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // 1-row count scalars, every served family
-      "q_takedown_crossmodal",               // 5-row broadcast query set
-      "q_crossmodal_topk",                   // 5-row broadcast query set
-      "q_crossmodal_recall",                 // constant 32-query eval-sample broadcast
       "q_jl_distortion")                     // constant 32-vector sample self-join
+      // (q_crossmodal_topk/q_crossmodal_recall/q_takedown_crossmodal now
+      // serve graft_crossmodal scans; their CONSTRUCTION's 5-row / 32-row
+      // broadcasts run inside persistCrossModal, kernel-audited below)
       // (q_snapshot_diff/q_drift_card/q_source_overlap serve persisted
       // graft_release scans; driftCard's 1-row share-total crossJoins and
       // the overlap matrix's catalog-sized share-table zero-fill BNLJ run
@@ -134,9 +134,15 @@ class PlanShapeSpec extends SparkSpec {
     // round-13 verdict 1: the eval sample must be a fixed budget (hash-
     // order limit → per-partition top-N + constant merge, never a global
     // sort) and the pair's rank an aggregate — a corpus-wide per-query
-    // row_number re-sorts corpus×sample rows for a 1-row card
+    // row_number re-sorts corpus×sample rows for a 1-row card.
+    // (The registry row now serves the graft_crossmodal snapshot; the
+    // CONSTRUCTION kernel below is what persistCrossModal runs.)
     import org.apache.spark.sql.execution.window.WindowExec
-    val df = SparkEntry.queries("q_crossmodal_recall")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val df = graft.operators.Multimodal.crossModalRecall(
+      graft.operators.Multimodal.textEmbedStub(docs),
+      graft.operators.Multimodal.embedStub(
+        graft.operators.Multimodal.mediaFromDocuments(docs)))
     val p = physical(df)
     assert(p.contains("TakeOrderedAndProject"),
       s"hash-order limit sample must compile to TakeOrderedAndProject:\n$p")
