@@ -197,7 +197,11 @@ object Pii {
     * (bounded by the QI domain product: nations × segments × bands,
     * thousands, never corpus-scaled), so a 100 TB release audit is one
     * scan. `count(distinct c_acctbal)` expands to the standard two-phase
-    * distinct aggregate on the same bounded key space.
+    * distinct aggregate whose FIRST phase keys on (QI tuple, sensitive
+    * value) — map-side-deduped, so the exchange carries the distinct
+    * combination count (≤ rows, typically far less), not the corpus; a
+    * deployment that only gates on l ≥ 2 can swap in
+    * `approx_count_distinct` to make that phase constants-bounded too.
     */
   def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame =
     customer
