@@ -208,8 +208,9 @@ class Pipeline(
     * between the raw stream and any externally-visible telemetry export.
     */
   def startKAnonGate(events: DataFrame, k: Int = 5,
+                     quarantineTtl: Option[String] = None,
                      queryName: String = "kanon_release"): StreamingQuery =
-    Stateful.kAnonymityGate(normalized(events), k)
+    Stateful.kAnonymityGate(normalized(events), k, quarantineTtl)
       .writeStream
       .outputMode("append")
       .format("memory")

@@ -297,6 +297,46 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("k-anon gate TTL: an idle below-k class expires withholding — nothing ever releases") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, t: String, typ: String) =
+      EventRec(id, ts(t), 0, typ, 50.0, s"""{"k": $id}""")
+    val input = MemoryStream[EventRec]
+    val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 3,
+        quarantineTtl = Some("1 hour"))
+      .writeStream.outputMode("append").format("memory").queryName("kanon_ttl").start()
+    try {
+      // batch 1: two click events quarantine (k=3); timeout arms at 11:00:10
+      input.addData(e(1, "2024-01-01 10:00:00", "click"),
+        e(2, "2024-01-01 10:00:10", "click"))
+      q.processAllAvailable()
+      assert(spark.table("kanon_ttl").count() == 0)
+      // batch 2: a 13:00 event (different class) advances the watermark to
+      // 12:00 — past the click class's timeout, so its quarantine expires
+      input.addData(e(10, "2024-01-01 13:00:00", "view"))
+      q.processAllAvailable()
+      // batch 3: the click class's third member arrives LATE (10:30 vs the
+      // 12:00 watermark) — the expired class must release nothing, ever
+      input.addData(e(3, "2024-01-01 10:30:00", "click"))
+      q.processAllAvailable()
+      val clicks = spark.table("kanon_ttl")
+        .filter(col("event_type") === "click").count()
+      assert(clicks == 0, "an expired below-k class must stay withheld")
+      // the live class still works end-to-end under the TTL path
+      input.addData(e(11, "2024-01-01 13:00:10", "view"),
+        e(12, "2024-01-01 13:00:20", "view"))
+      q.processAllAvailable()
+      val views = spark.table("kanon_ttl")
+        .filter(col("event_type") === "view")
+        .select("event_id", "class_seen").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(views == Set((10L, 1L), (11L, 2L), (12L, 3L)),
+        s"the live class must release whole when it reaches k: $views")
+    } finally q.stop()
+  }
+
   test("k-anon gate: a 100k-row single-batch class processes in event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
