@@ -69,16 +69,27 @@ class StreamingSpec extends SparkSpec {
       val aggIn = MemoryStream[EventRec]
       val sesIn = MemoryStream[EventRec]
       val thrIn = MemoryStream[EventRec]
+      val kanIn = MemoryStream[EventRec]
       val qs = Seq(
         p.startWindowedAgg(aggIn.toDF()),
         p.startUserSessions(sesIn.toDF(), queryName = "rocks_sessions"),
-        p.startThrottledAlerts(thrIn.toDF(), queryName = "rocks_throttle"))
+        p.startThrottledAlerts(thrIn.toDF(), queryName = "rocks_throttle"),
+        // fourth state shape: the k-anon gate's Seq-carrying quarantine
+        // buffer (KAnonGateState) round-trips the RocksDB encoder
+        p.startKAnonGate(kanIn.toDF(), k = 2, queryName = "rocks_kanon"))
       try {
         aggIn.addData(ev(1, "2024-01-01 10:00:10"), ev(2, "2024-01-01 10:01:00"))
         sesIn.addData(ev(10, "2024-01-01 10:00:00"))
         thrIn.addData(ev(20, "2024-01-01 10:00:00", v = 300.0),
           ev(21, "2024-01-01 10:05:00", v = 300.0)) // same city, inside gap
+        kanIn.addData(ev(30, "2024-01-01 10:00:00")) // quarantines (k=2)
         qs.foreach(_.processAllAvailable())
+        assert(spark.table("rocks_kanon").count() == 0)
+        kanIn.addData(ev(31, "2024-01-01 10:00:30")) // class completes
+        qs.foreach(_.processAllAvailable())
+        assert(spark.table("rocks_kanon").select("event_id").collect()
+          .map(_.getLong(0)).toSet == Set(30L, 31L),
+          "the quarantined row must survive a RocksDB state round-trip")
         // upsert parity with the HDFS-backed test: same window replaced
         aggIn.addData(ev(3, "2024-01-01 10:02:00"))
         qs.foreach(_.processAllAvailable())
