@@ -124,15 +124,20 @@ object Stateful {
     * State per class is BOUNDED: ≤ k−1 packed (micros, event_id) pairs
     * while closed, one counter after opening — unlike a windowed buffer
     * it never grows with traffic. Day-keyed classes accrete over the
-    * stream's lifetime; `quarantineTtl` (e.g. `"2 hours"`) bounds that:
-    * the input takes a watermark at the TTL and every class carries an
-    * event-time timeout TTL past its latest event, so an idle class's
-    * state drops when the watermark passes it. Expiry is the STRICTLY
-    * WITHHOLDING direction — an expired below-k class's quarantined rows
-    * are discarded, never released (and the watermark filters its late
-    * stragglers), so a class that cannot reach k inside the compliance
-    * window releases nothing, which is exactly what a privacy gate must
-    * default to. Within a batch the group's rows are processed in
+    * stream's lifetime; `quarantineTtl` (the allowed LATENESS, any
+    * `withWatermark` duration string — it is passed to it verbatim)
+    * bounds that: the input takes a watermark at the TTL and every class
+    * arms an event-time timeout at its DAY END — a fixed timestamp, so a
+    * late-but-accepted arrival can never rewind it — and expires once
+    * the watermark passes the day. Expiry is FINAL and STRICTLY
+    * WITHHOLDING: past that same watermark every same-day event is
+    * late-filtered before the operator, so a removed class can never be
+    * revived (no ordinal restart for released classes) and an expired
+    * below-k class's quarantined rows are discarded, never released — a
+    * class that cannot reach k inside its day plus the lateness window
+    * releases nothing, which is exactly what a privacy gate must default
+    * to. State per class therefore lives at most one day plus the TTL in
+    * event time. Within a batch the group's rows are processed in
     * (event-time, event_id) order for determinism, with the same
     * buffered-group memory note as [[severityStreaks]].
     */
@@ -140,7 +145,7 @@ object Stateful {
                      quarantineTtl: Option[String] = None): Dataset[KAnonRelease] = {
     val spark = normalized.sparkSession
     import spark.implicits._
-    val ttlMs = quarantineTtl.map(parseDurationMs)
+    val useTimeout = quarantineTtl.isDefined
     val src = quarantineTtl.fold(normalized)(t => normalized.withWatermark("ts", t))
     src
       .select(col("city"), col("event_type"),
@@ -149,32 +154,20 @@ object Stateful {
       .as[(String, String, String, Timestamp, Long)]
       .groupByKey(r => (r._1, r._2, r._3))
       .flatMapGroupsWithState(OutputMode.Append,
-        if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        if (useTimeout) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) {
         (key: (String, String, String),
          rows: Iterator[(String, String, String, Timestamp, Long)],
          state: GroupState[KAnonGateState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else kAnonProcess(key, rows, state, k, ttlMs)
+          else kAnonProcess(key, rows, state, k, useTimeout)
       }
-  }
-
-  /** Tiny fixed-shape duration parser for [[kAnonymityGate]]'s TTL
-    * (`"<n> minute|hour|day[s]"`) — keeps the public API one string, the
-    * same shape `withWatermark` takes.
-    */
-  private def parseDurationMs(s: String): Long = s.trim.toLowerCase match {
-    case d if d.matches("""\d+\s+minutes?""") => d.split("\\s+")(0).toLong * 60000L
-    case d if d.matches("""\d+\s+hours?""")   => d.split("\\s+")(0).toLong * 3600000L
-    case d if d.matches("""\d+\s+days?""")    => d.split("\\s+")(0).toLong * 86400000L
-    case other => throw new IllegalArgumentException(
-      s"quarantineTtl must be '<n> minutes|hours|days': '$other'")
   }
 
   private def kAnonProcess(key: (String, String, String),
                            rows: Iterator[(String, String, String, Timestamp, Long)],
                            state: GroupState[KAnonGateState], k: Int,
-                           ttlMs: Option[Long]): Iterator[KAnonRelease] = {
+                           useTimeout: Boolean): Iterator[KAnonRelease] = {
           val (city, etype, day) = key
           val st = state.getOption.getOrElse(KAnonGateState(0L, Nil, Nil))
           var seen = st.seen
@@ -202,13 +195,19 @@ object Stateful {
             } else out += mk(us, id, seen)
           }
           state.update(KAnonGateState(seen, bufU, bufI))
-          // TTL: every class (closed or open) stays alive while events keep
-          // arriving; an idle class expires once the watermark passes its
-          // latest event + TTL. Post-expiry stragglers are late vs the
-          // watermark and never reach this operator — the class is closed
-          // for good, releasing nothing (the withholding default).
-          ttlMs.filter(_ => batch.nonEmpty).foreach { t =>
-            state.setTimeoutTimestamp(Math.floorDiv(batch.last._1, 1000L) + t)
+          // TTL: the timeout arms at the class's DAY END — a FIXED
+          // timestamp (a late-but-accepted arrival can never rewind it)
+          // that fires only once the watermark passes the day, at which
+          // point every remaining same-day event is late-filtered before
+          // this operator, so removal is final: no revival, no ordinal
+          // restart, nothing released from an expired below-k class.
+          // Always > the current watermark: this invocation saw at least
+          // one accepted (>= watermark) row of this day, and day end
+          // strictly bounds every same-day timestamp.
+          if (useTimeout && batch.nonEmpty) {
+            val dayEndMs = java.time.LocalDate.parse(day).plusDays(1)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            state.setTimeoutTimestamp(dayEndMs)
           }
           out.iterator
   }

@@ -297,7 +297,7 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("k-anon gate TTL: an idle below-k class expires withholding — nothing ever releases") {
+  test("k-anon gate TTL: state expires at the day horizon, withholding and final") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
@@ -308,32 +308,47 @@ class StatefulSpec extends SparkSpec {
         quarantineTtl = Some("1 hour"))
       .writeStream.outputMode("append").format("memory").queryName("kanon_ttl").start()
     try {
-      // batch 1: two click events quarantine (k=3); timeout arms at 11:00:10
+      // batch 1: two day-1 click events quarantine (k=3)
       input.addData(e(1, "2024-01-01 10:00:00", "click"),
         e(2, "2024-01-01 10:00:10", "click"))
       q.processAllAvailable()
       assert(spark.table("kanon_ttl").count() == 0)
-      // batch 2: a 13:00 event (different class) advances the watermark to
-      // 12:00 — past the click class's timeout, so its quarantine expires
-      input.addData(e(10, "2024-01-01 13:00:00", "view"))
+      // batch 2: three day-1 view events release whole; watermark -> 12:02
+      input.addData(e(10, "2024-01-01 13:00:00", "view"),
+        e(11, "2024-01-01 13:01:00", "view"), e(12, "2024-01-01 13:02:00", "view"))
       q.processAllAvailable()
-      // batch 3: the click class's third member arrives LATE (10:30 vs the
-      // 12:00 watermark) — the expired class must release nothing, ever
-      input.addData(e(3, "2024-01-01 10:30:00", "click"))
+      assert(spark.table("kanon_ttl").count() == 3)
+      // batch 3: a LATE day-1 click (11:00 < the 12:02 watermark) is
+      // filtered before the operator — it must not complete the class
+      input.addData(e(3, "2024-01-01 11:00:00", "click"))
       q.processAllAvailable()
-      val clicks = spark.table("kanon_ttl")
-        .filter(col("event_type") === "click").count()
-      assert(clicks == 0, "an expired below-k class must stay withheld")
-      // the live class still works end-to-end under the TTL path
-      input.addData(e(11, "2024-01-01 13:00:10", "view"),
-        e(12, "2024-01-01 13:00:20", "view"))
+      assert(spark.table("kanon_ttl")
+        .filter(col("event_type") === "click").count() == 0)
+      // batches 4-5: day-2 traffic pushes the watermark past day-1's end
+      // (02:10 - 1h > midnight) — BOTH day-1 classes expire: the click
+      // class's quarantined rows drop forever, the view class's counter
+      // drops after its release. The day-2 class (2 < k) is the only
+      // state left. Expiry is final by construction: any day-1 timestamp
+      // is now below the watermark, so no event can revive the class.
+      input.addData(e(20, "2024-01-02 02:10:00", "view"))
       q.processAllAvailable()
-      val views = spark.table("kanon_ttl")
-        .filter(col("event_type") === "view")
+      input.addData(e(21, "2024-01-02 02:20:00", "view"))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1,
+        s"day-1 classes must expire at the day horizon: $stateRows state rows")
+      assert(spark.table("kanon_ttl")
+        .filter(col("event_type") === "click").count() == 0,
+        "an expired below-k class releases nothing, ever")
+      // the surviving day-2 class still releases whole at k
+      input.addData(e(22, "2024-01-02 02:30:00", "view"))
+      q.processAllAvailable()
+      val day2 = spark.table("kanon_ttl")
+        .filter(col("day") === "2024-01-02")
         .select("event_id", "class_seen").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(views == Set((10L, 1L), (11L, 2L), (12L, 3L)),
-        s"the live class must release whole when it reaches k: $views")
+      assert(day2 == Set((20L, 1L), (21L, 2L), (22L, 3L)),
+        s"the live class must release whole when it reaches k: $day2")
     } finally q.stop()
   }
 
