@@ -2064,7 +2064,15 @@ object Similarity {
     * [[quantizeEmbeddings]]/PQ: quantization shrinks bits per coordinate,
     * JL shrinks the number of coordinates (64 → `outDim` doubles, a 4×
     * cut at the default) while approximately preserving every pairwise
-    * distance, so downstream ANN/clustering runs on the short vectors.
+    * distance within the JL ε ≈ sqrt(8·ln n / outDim). Honest limit,
+    * measured: at outDim = 16 over THIS structureless random corpus
+    * (where all pairwise cosines cluster tightly) top-10 rank order is
+    * NOT preserved — JL-space brute-force recall vs the exact top-10 is
+    * near chance (0.04–0.16 across SFs), so this outDim serves coarse
+    * filtering/dedup-blocking/clustering; ANN-grade rank fidelity needs
+    * a larger outDim (ε shrinks as 1/sqrt(outDim)) or a clustered
+    * corpus whose neighbor gaps exceed ε. [[jlDistortion]] reports the
+    * pairwise-distance band that drives this.
     *
     * Scale shape: pure narrow projection (`outDim` codegen'd dots per
     * row, zero shuffle, zero training, zero broadcast state) — compression
