@@ -549,7 +549,9 @@ object SparkEntry {
   private def bloomTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     bloomCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "bloom-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v2: the candidate-sliver exact verify moved into the probe's hash
+    // space (Dedup.bloomVerify — r14 verdict 4)
+    val stamp = "bloom-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     bloomCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -563,7 +565,7 @@ object SparkEntry {
           Dedup.bloomCandidates(corpus, s.read.parquet(s"$dir/bitmap"))
             .select("doc_id", "n_bloom_hits")
             .write.mode("overwrite").parquet(s"$dir/candidates")
-          Dedup.contamination(
+          Dedup.bloomVerify(
               corpus.join(s.read.parquet(s"$dir/candidates").select("doc_id"),
                 Seq("doc_id"), "left_semi"),
               bench, n = 5)

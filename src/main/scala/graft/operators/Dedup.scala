@@ -1073,18 +1073,44 @@ object Dedup {
     * corpus-wide stage drops from a gram hash-join to the row-local
     * probe: only the candidate sliver (exact hits + the ~2e-4
     * false-positive tail) pays the gram explode and join. This is the
-    * production decontamination plan at 100 TB; the collision-count
-    * equality carries [[contamination]]'s accepted 64-bit xxhash
-    * collision class (the probe tests gram STRINGS via their polynomial
-    * fingerprints; the verify join keys on xxhash64).
+    * production decontamination plan at 100 TB. Probe and verify share
+    * ONE hash space: the verify join keys on the SAME polynomial gram
+    * fingerprints the probe tested (r14 verdict 4 — with the verify in
+    * a different 64-bit space, a cross-space collision could
+    * (astronomically rarely) break the superset guarantee; in the
+    * unified space it is structural: every verify-joined fingerprint is
+    * a benchmark fingerprint, whose bits the probe necessarily hit).
+    * The collision risk class is [[contamination]]'s accepted 64-bit
+    * one, just in the polynomial space instead of xxhash64.
     */
   def bloomContamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                          mBits: Int = BloomBits,
                          kHashes: Int = BloomHashes): DataFrame =
-    contamination(
+    bloomVerify(
       bloomCandidates(corpus, bloomBitmap(benchmark, n, mBits, kHashes),
         n, mBits, kHashes).drop("n_bloom_hits"),
       benchmark, n)
+
+  /** Exact contamination counts over the bloom-candidate sliver, keyed in
+    * the PROBE's hash space (polynomial gram fingerprints,
+    * [[TextAnalysis.fingerprintCol]]) — [[contamination]]'s join shape
+    * with the gram key swapped so the bloom family's no-false-negative
+    * guarantee holds structurally in the verify join's own key space.
+    * Distinct is applied on fingerprints (the [[shingleHashes]]
+    * same-document-collision convention, same accepted risk class).
+    */
+  private[graft] def bloomVerify(candidates: DataFrame, benchmark: DataFrame,
+                                 n: Int): DataFrame = {
+    def fps(text: Column): Column = array_distinct(
+      transform(shingles(text, n), g => TextAnalysis.fingerprintCol(g)))
+    val bFps = benchmark
+      .select(explode(fps(col("text"))).as("fp")).distinct()
+    candidates
+      .select(col("doc_id"), explode(fps(col("text"))).as("fp"))
+      .join(bFps, "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
+      .orderBy("doc_id")
+  }
 
   /** EXACT SUBSTRING (span-level) deduplication: rewrite every document
     * with each token position covered by a cross-document k-gram removed —

@@ -206,9 +206,11 @@ class Pipeline(
     * until at least k share their (city, event_type, day)
     * quasi-identifier tuple, then the class releases — the privacy gate
     * between the raw stream and any externally-visible telemetry export.
+    * Bounded state by default: the day-horizon quarantine TTL is on
+    * unless explicitly opted out (see [[Stateful.kAnonymityGate]]).
     */
   def startKAnonGate(events: DataFrame, k: Int = 5,
-                     quarantineTtl: Option[String] = None,
+                     quarantineTtl: Option[String] = Some("1 day"),
                      queryName: String = "kanon_release"): StreamingQuery =
     Stateful.kAnonymityGate(normalized(events), k, quarantineTtl)
       .writeStream

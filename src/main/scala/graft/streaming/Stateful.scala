@@ -126,7 +126,12 @@ object Stateful {
     * it never grows with traffic. Day-keyed classes accrete over the
     * stream's lifetime; `quarantineTtl` (the allowed LATENESS, any
     * `withWatermark` duration string — it is passed to it verbatim)
-    * bounds that: the input takes a watermark at the TTL and every class
+    * bounds that, and it is ON BY DEFAULT (`Some("1 day")`): a privacy
+    * gate whose default configuration grows state forever is a
+    * deployment foot-gun, so the unbounded mode is the explicit opt-out
+    * (`None` — for finite replays or batch-analysis feeds where every
+    * class must stay completable regardless of disorder). With a TTL,
+    * the input takes a watermark at the TTL and every class
     * arms an event-time timeout at its DAY END — a fixed timestamp, so a
     * late-but-accepted arrival can never rewind it — and expires once
     * the watermark passes the day. Expiry is FINAL and STRICTLY
@@ -140,12 +145,22 @@ object Stateful {
     * event time. Within a batch the group's rows are processed in
     * (event-time, event_id) order for determinism, with the same
     * buffered-group memory note as [[severityStreaks]].
+    *
+    * Timezone: the class's `day` string follows
+    * `spark.sql.session.timeZone` (it comes from `date_format`), so the
+    * day-end timeout is derived in that SAME zone — captured at plan
+    * time and shipped to the state function. Deriving it in a fixed
+    * zone instead would, west of UTC, place "day end" at or below the
+    * watermark (an `IllegalArgumentException` from
+    * `setTimeoutTimestamp` that fails the query) and, east of UTC,
+    * silently widen the expiry horizon (r14 ADVICE).
     */
   def kAnonymityGate(normalized: DataFrame, k: Int = 5,
-                     quarantineTtl: Option[String] = None): Dataset[KAnonRelease] = {
+                     quarantineTtl: Option[String] = Some("1 day")): Dataset[KAnonRelease] = {
     val spark = normalized.sparkSession
     import spark.implicits._
     val useTimeout = quarantineTtl.isDefined
+    val sessionZone = spark.conf.get("spark.sql.session.timeZone")
     val src = quarantineTtl.fold(normalized)(t => normalized.withWatermark("ts", t))
     src
       .select(col("city"), col("event_type"),
@@ -160,14 +175,15 @@ object Stateful {
          rows: Iterator[(String, String, String, Timestamp, Long)],
          state: GroupState[KAnonGateState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else kAnonProcess(key, rows, state, k, useTimeout)
+          else kAnonProcess(key, rows, state, k, useTimeout, sessionZone)
       }
   }
 
   private def kAnonProcess(key: (String, String, String),
                            rows: Iterator[(String, String, String, Timestamp, Long)],
                            state: GroupState[KAnonGateState], k: Int,
-                           useTimeout: Boolean): Iterator[KAnonRelease] = {
+                           useTimeout: Boolean,
+                           sessionZone: String): Iterator[KAnonRelease] = {
           val (city, etype, day) = key
           val st = state.getOption.getOrElse(KAnonGateState(0L, Nil, Nil))
           var seen = st.seen
@@ -202,11 +218,14 @@ object Stateful {
           // this operator, so removal is final: no revival, no ordinal
           // restart, nothing released from an expired below-k class.
           // Always > the current watermark: this invocation saw at least
-          // one accepted (>= watermark) row of this day, and day end
-          // strictly bounds every same-day timestamp.
+          // one accepted (>= watermark) row of this day, and — because
+          // the day end is derived in the SAME session zone that
+          // date_format used to name the day — day end strictly bounds
+          // every same-day timestamp in any configured zone.
           if (useTimeout && batch.nonEmpty) {
             val dayEndMs = java.time.LocalDate.parse(day).plusDays(1)
-              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+              .atStartOfDay(java.time.ZoneId.of(sessionZone))
+              .toInstant.toEpochMilli
             state.setTimeoutTimestamp(dayEndMs)
           }
           out.iterator

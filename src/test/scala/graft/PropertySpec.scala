@@ -239,12 +239,25 @@ class PropertySpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(4)) === 0)
       val exact = Dedup.contamination(corpus, bench).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // r14 verdict 4: the verify now keys in the PROBE's fingerprint
+      // space — its full-corpus answer must agree with the xxhash64
+      // exact path (cross-space agreement on real instances) ...
+      val unified = Dedup.bloomVerify(corpus, bench, 5).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(unified == exact,
+        s"seed $seed: probe-space verify diverged from the xxhash64 exact path")
       for ((mBits, kHashes) <- geometries) {
-        val nCands = Dedup.bloomCandidates(corpus,
+        val candDocs = Dedup.bloomCandidates(corpus,
             Dedup.bloomBitmap(bench, mBits = mBits, kHashes = kHashes),
-            mBits = mBits, kHashes = kHashes).count()
+            mBits = mBits, kHashes = kHashes)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val nCands = candDocs.size
         assert(nCands >= exact.size,
           s"seed $seed ($mBits,$kHashes): candidates must be a superset")
+        // ... and the superset guarantee is STRUCTURAL in that space:
+        // every probe-space-flagged doc is a candidate at EVERY geometry
+        assert(unified.keySet.subsetOf(candDocs),
+          s"seed $seed ($mBits,$kHashes): a unified-space flag escaped the candidates")
         if (mBits == 128 && nCands > exact.size) weakFpSeen = true
         val composed = Dedup.bloomContamination(corpus, bench,
             mBits = mBits, kHashes = kHashes).collect()

@@ -352,6 +352,88 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("k-anon gate DEFAULT is bounded: state drops at day rollover without opting in (r14 verdict 1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def e(id: Long, t: String, typ: String) =
+      EventRec(id, ts(t), 0, typ, 50.0, s"""{"k": $id}""")
+    val input = MemoryStream[EventRec]
+    // NO quarantineTtl argument: the default configuration must be the
+    // bounded one (day-horizon TTL at the default 1-day lateness)
+    val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 3)
+      .writeStream.outputMode("append").format("memory").queryName("kanon_default").start()
+    try {
+      // batch 1: two day-1 click events quarantine (k=3)
+      input.addData(e(1, "2024-01-01 10:00:00", "click"),
+        e(2, "2024-01-01 10:00:10", "click"))
+      q.processAllAvailable()
+      assert(spark.table("kanon_default").count() == 0)
+      // batches 2-3: day-3 traffic pushes the watermark (default 1-day
+      // lateness) past day-1's end — the below-k click class must EXPIRE
+      // under the default configuration, releasing nothing
+      input.addData(e(20, "2024-01-03 02:00:00", "view"))
+      q.processAllAvailable()
+      input.addData(e(21, "2024-01-03 02:10:00", "view"))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1,
+        s"the DEFAULT gate must expire day-1 state at the day horizon: $stateRows state rows")
+      assert(spark.table("kanon_default")
+        .filter(col("event_type") === "click").count() == 0,
+        "an expired below-k class releases nothing under the default gate")
+    } finally q.stop()
+  }
+
+  test("k-anon gate TTL in a non-UTC session: day end follows the session zone (r14 ADVICE)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // Instants fixed explicitly (TZ-independent of the JVM default); the
+    // session zone names the day. 07:00Z on Jan 2 is 23:00 Jan 1 in LA.
+    def e(id: Long, instant: String, typ: String) =
+      EventRec(id, Timestamp.from(java.time.Instant.parse(instant)), 0, typ,
+        50.0, s"""{"k": $id}""")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val input = MemoryStream[EventRec]
+      val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 3,
+          quarantineTtl = Some("1 hour"))
+        .writeStream.outputMode("append").format("memory").queryName("kanon_la").start()
+      try {
+        // batch 1: two clicks in the LA evening of Jan 1 (already Jan 2
+        // in UTC) — watermark after the batch: 06:10Z
+        input.addData(e(1, "2024-01-02T07:00:00Z", "click"),
+          e(2, "2024-01-02T07:10:00Z", "click"))
+        q.processAllAvailable()
+        assert(spark.table("kanon_la").count() == 0)
+        // batch 2: the k-th click at 07:30Z (23:30 LA, same LA day). The
+        // class releases and re-arms its timeout; the pre-fix UTC day end
+        // (2024-01-02T00:00Z) is BELOW the 06:10Z watermark here, so the
+        // old code threw from setTimeoutTimestamp and failed the query —
+        // the session-zone day end (08:00Z) stays ahead.
+        input.addData(e(3, "2024-01-02T07:30:00Z", "click"))
+        q.processAllAvailable()
+        val rel = spark.table("kanon_la").collect()
+        assert(rel.length == 3)
+        assert(rel.forall(_.getAs[String]("day") == "2024-01-01"),
+          "the class day must be named in the session zone")
+        // batches 3-4: push the watermark past the LA day end (08:00Z) —
+        // the released class's counter state expires exactly then
+        input.addData(e(20, "2024-01-02T10:00:00Z", "view"))
+        q.processAllAvailable()
+        input.addData(e(21, "2024-01-02T10:10:00Z", "view"))
+        q.processAllAvailable()
+        val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+        assert(stateRows == 1,
+          s"the LA day-1 class must expire once the watermark passes 08:00Z: $stateRows")
+        assert(spark.table("kanon_la")
+          .filter(col("event_type") === "click").count() == 3)
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("k-anon gate: a 100k-row single-batch class processes in event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
