@@ -588,16 +588,18 @@ object SparkEntry {
     * release-v2 adds the cross-source overlap matrix (the third release
     * card — [[Corpus.sourceOverlap]] is likewise a pure function of the
     * snapshot, and its gram self-join was the heaviest per-call cost in
-    * the card family at 0.9 s); committed v1 directories rebuild in
-    * place.
+    * the card family at 0.9 s); release-v3 adds the df-CAPPED overlap
+    * matrix (the fourth card — the 100 TB boilerplate-safe variant, r14
+    * verdict 2, at the cap measured binding at every SF); committed
+    * older directories rebuild in place.
     */
   private val releaseCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, (DataFrame, DataFrame, DataFrame))]()
-  private def releaseTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+      (String, (DataFrame, DataFrame, DataFrame, DataFrame))]()
+  private def releaseTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     releaseCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
-    val stamp = "release-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "release-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     releaseCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -621,12 +623,24 @@ object SparkEntry {
             .write.mode("overwrite").parquet(s"$dir/drift")
           Corpus.sourceOverlap(docs)
             .write.mode("overwrite").parquet(s"$dir/overlap")
+          Corpus.sourceOverlap(docs, dfCap = Some(SourceOverlapDfCap))
+            .write.mode("overwrite").parquet(s"$dir/overlap_capped")
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
         (stamp, (s.read.parquet(s"$dir/diff"), s.read.parquet(s"$dir/drift"),
-          s.read.parquet(s"$dir/overlap")))
+          s.read.parquet(s"$dir/overlap"),
+          s.read.parquet(s"$dir/overlap_capped")))
       })._2
   }
+
+  /** The registry's overlap-matrix source-df cap — referenced by the
+    * persisted build and the generated oracle so the two can never
+    * disagree. 2 = "exclusively-shared grams": binding at every SF
+    * (measured max source-df 3/3/4 at sf0.001/0.01/0.1), the
+    * catalog-relative choice a production corpus would set to a small
+    * fraction of |catalog|.
+    */
+  private val SourceOverlapDfCap = 2
 
   /** PERSISTED C4 quality flags — [[TextAnalysis.qualityFilter]]'s
     * per-document audit row (n_tokens, ratios, per-rule flags, composite
@@ -2507,56 +2521,34 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         val tombs = Takedown.tombstones(docs)
         val t = broadcast(tombs.select("doc_id"))
-        // deep and cm are each consumed twice below (the gated serve and
-        // the suppressed-count). A localCheckpoint of the two k-bounded
-        // frames was tried (round 14) and MEASURED SLOWER (+4 s per cold
-        // run at sf0.1: the barrier materialization costs more than the
-        // repeated snapshot-scan DAGs it saves) — Catalyst keeps the
-        // doubled lineage; every family here is a persisted one-scan
-        // read (cm joined them via graft_crossmodal in round 14).
+        // r14 verdict 3: each ranked/pair surface is now ONE flagged
+        // scan producing BOTH conditional counts (Takedown
+        // .topKAuditCounts / pairsAuditCounts — gate≡audit parity
+        // spec'd), halving the per-surface snapshot scans. The search
+        // surface keeps the real-gate pass + suppressed-count pair: its
+        // gate is a global TakeOrderedAndProject and the one-scan form
+        // would need the partition-less Window the plan guard bans. (A
+        // localCheckpoint of the k-bounded frames was the round-14
+        // experiment: MEASURED SLOWER, +4 s/cold run at sf0.1.)
         val deep = TextAnalysis.keywordSearchFrom(searchIndex(s, d),
           Seq("hash", "join", "vector"), k = 20)
-        val topk = passageTables(s, d).topk
-        val rrf = rrfTopK(s, d)
-        val li = passageTables(s, d).liTopk
         val cm = crossModalServe(s, d)
-        val mp = mediaPhashTables(s, d).nearDupPairs
-        val servedMp = Takedown.pairsWithTakedown(mp, tombs)
         Takedown.takedownAudit(tombs, Seq(
             "search" -> Takedown.servedWithTakedown(deep, tombs,
               Seq(col("score").desc, col("doc_id")), serveK = 10)
-              .select("doc_id"),
-            "topk" -> Takedown.topKWithTakedown(topk, tombs, serveK = 5)
-              .select("doc_id"),
-            "rrf" -> Takedown.topKWithTakedown(rrf, tombs, serveK = 5)
-              .select("doc_id"),
-            "li" -> Takedown.topKWithTakedown(li, tombs, serveK = 5)
-              .select("doc_id"),
-            "crossmodal" -> Takedown.topKWithTakedown(cm, tombs,
-                serveK = 5, idCol = "media_id")
-              .select(col("media_id").as("doc_id")),
-            "media" -> servedMp
-              .select(explode(array(col("id1"), col("id2"))).as("doc_id"))))
+              .select("doc_id")))
           .crossJoin(deep.join(t, Seq("doc_id"), "left_semi")
             .agg(count(lit(1)).as("n_suppressed_search")))
-          .crossJoin(topk.join(t, Seq("doc_id"), "left_semi")
-            .agg(count(lit(1)).as("n_suppressed_topk")))
-          .crossJoin(rrf.join(t, Seq("doc_id"), "left_semi")
-            .agg(count(lit(1)).as("n_suppressed_rrf")))
-          .crossJoin(li.join(t, Seq("doc_id"), "left_semi")
-            .agg(count(lit(1)).as("n_suppressed_li")))
-          .crossJoin(cm.join(
-              broadcast(tombs.select(col("doc_id").as("media_id"))),
-              Seq("media_id"), "left_semi")
-            .agg(count(lit(1)).as("n_suppressed_crossmodal")))
-          // pair suppression removes a row when EITHER endpoint matches —
-          // count removals as pre-suppression minus served (an OR-keyed
-          // semi-join would be a non-equi nested loop; two counts aren't)
-          .crossJoin(mp.agg(count(lit(1)).as("n_media_pairs")))
-          .crossJoin(servedMp.agg(count(lit(1)).as("n_media_served")))
-          .withColumn("n_suppressed_media",
-            col("n_media_pairs") - col("n_media_served"))
-          .drop("n_media_pairs", "n_media_served")
+          .crossJoin(Takedown.topKAuditCounts(passageTables(s, d).topk,
+            tombs, serveK = 5, "topk"))
+          .crossJoin(Takedown.topKAuditCounts(rrfTopK(s, d),
+            tombs, serveK = 5, "rrf"))
+          .crossJoin(Takedown.topKAuditCounts(passageTables(s, d).liTopk,
+            tombs, serveK = 5, "li"))
+          .crossJoin(Takedown.topKAuditCounts(cm,
+            tombs, serveK = 5, "crossmodal", idCol = "media_id"))
+          .crossJoin(Takedown.pairsAuditCounts(
+            mediaPhashTables(s, d).nearDupPairs, tombs, "media"))
       },
       Some(s"""WITH f AS (
         |  SELECT doc_id, tok, count(*) AS tf
@@ -5064,6 +5056,48 @@ object SparkEntry {
         |    - COALESCE(ov.n_shared, 0) AS DOUBLE) AS jaccard
         |FROM sz sa JOIN sz sb ON sa.source < sb.source
         |LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin)),
+
+    // the df-CAPPED overlap matrix — the 100 TB boilerplate-safe variant
+    // (r14 verdict 2): grams carried by more than SourceOverlapDfCap
+    // sources are excluded from the overlap universe entirely (the
+    // jaccardPairs df-cap precedent — catalog-saturating boilerplate is
+    // noise for syndication detection, and uncapped it costs
+    // |catalog|²/2 pair rows PER GRAM), with every quantity (shared,
+    // totals, jaccard) computed self-consistently over the capped
+    // universe, so the capped matrix is deterministic and fully
+    // oracle'd, not a sketch. The pair stream is generated row-locally
+    // from each gram's sorted source array (the self-join is gone from
+    // the whole family this round); the stress spec pins the stream
+    // FLAT when a boilerplate gram saturates the catalog.
+    ("q_source_overlap_capped",
+      (s, d) => releaseTables(s, d)._4.orderBy("source_a", "source_b"),
+      Some(s"""WITH g AS (SELECT DISTINCT source,
+        |  ${TextAnalysis.Sql.fingerprintOf("gram")} AS g
+        |  FROM (SELECT source, unnest($GRAM5) AS gram
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+        |cat AS (SELECT DISTINCT source FROM g),
+        |df AS (SELECT g, count(*) AS sdf FROM g GROUP BY g),
+        |kept AS (SELECT g.source, g.g FROM g JOIN df USING (g)
+        |  WHERE sdf <= $SourceOverlapDfCap),
+        |sz AS (SELECT source, count(*) AS n_grams FROM kept GROUP BY source),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT ca.source AS source_a, cb.source AS source_b,
+        |  COALESCE(ov.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |  COALESCE(sa.n_grams, CAST(0 AS BIGINT)) AS n_grams_a,
+        |  COALESCE(sb.n_grams, CAST(0 AS BIGINT)) AS n_grams_b,
+        |  CASE WHEN COALESCE(sa.n_grams, 0) + COALESCE(sb.n_grams, 0)
+        |      - COALESCE(ov.n_shared, 0) > 0
+        |    THEN COALESCE(ov.n_shared, 0) / CAST(COALESCE(sa.n_grams, 0)
+        |      + COALESCE(sb.n_grams, 0) - COALESCE(ov.n_shared, 0) AS DOUBLE)
+        |    ELSE 0.0 END AS jaccard
+        |FROM cat ca JOIN cat cb ON ca.source < cb.source
+        |LEFT JOIN ov ON ov.source_a = ca.source AND ov.source_b = cb.source
+        |LEFT JOIN sz sa ON sa.source = ca.source
+        |LEFT JOIN sz sb ON sb.source = cb.source
         |ORDER BY source_a, source_b""".stripMargin)),
 
     // per-document NOVELTY card (the memorization-risk axis): distinct

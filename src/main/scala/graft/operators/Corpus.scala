@@ -363,42 +363,102 @@ object Corpus {
     * total, and the Jaccard overlap — zero-overlap pairs included (the
     * matrix is the deliverable, absence of overlap is a finding).
     *
-    * Scale shape: grams collapse to 8-byte polynomial fingerprints BEFORE
-    * the distinct and the self-join ([[dupRateBySource]]'s discipline —
-    * the shuffle carries longs, never gram strings; the ~2^30 fingerprint
-    * space's birthday collisions are the bloom family's accepted and
-    * documented class, mirrored identically by the oracle so the compare
-    * still hash-checks). The per-gram join fan-out is bounded by the
-    * SOURCE CATALOG, not the corpus: a gram carried by s sources costs
-    * s² pair rows with s ≤ |sources| (tens-to-hundreds — a curated
-    * catalog dimension), so the candidate stream is at most |catalog|²/2
-    * per gram and the final matrix is |catalog|²/2 rows total. The
-    * zero-fill join of the two catalog-sized share tables is a tiny
+    * Scale shape (r15 — the r14 watch item closed): grams collapse to
+    * 8-byte polynomial fingerprints BEFORE the distinct
+    * ([[dupRateBySource]]'s discipline — the shuffle carries longs,
+    * never gram strings; the ~2^30 fingerprint space's birthday
+    * collisions are the bloom family's accepted and documented class,
+    * mirrored identically by the oracle so the compare still
+    * hash-checks), and the former gram SELF-JOIN is gone: ONE gram-keyed
+    * aggregate collects each gram's sorted source set (≤ |catalog|
+    * strings — a curated catalog dimension, tens-to-hundreds), and the
+    * pair stream is generated INSIDE the row from that array, so a gram
+    * carried by s sources costs s²/2 row-local expansions feeding a
+    * map-side-combined pair aggregate bounded by |catalog|²/2 — nothing
+    * per-gram is ever joined. `dfCap` closes the remaining 100 TB
+    * exposure: a corpus-ubiquitous gram (site chrome, license
+    * boilerplate syndicated everywhere) still expands |catalog|²/2 rows
+    * PER GRAM; with a cap, grams carried by more than `dfCap` sources
+    * are excluded from the overlap universe entirely (zero pair rows —
+    * the [[Dedup.jaccardPairs]] df-cap precedent: catalog-saturating
+    * boilerplate is noise for syndication detection, exactly as
+    * corpus-hot grams are for near-dup mining), and EVERY quantity
+    * (n_shared, the per-source totals, jaccard) is computed over the
+    * capped universe, so the capped matrix is a self-consistent
+    * deterministic answer with a full oracle, not an approximation. The
+    * zero-fill join of the catalog-sized share tables is a tiny
     * broadcast nested loop by construction.
     */
-  def sourceOverlap(documents: DataFrame, n: Int = 5): DataFrame = {
-    val g = documents
+  def sourceOverlap(documents: DataFrame, n: Int = 5,
+                    dfCap: Option[Int] = None): DataFrame = {
+    val gramSources = distinctGramSources(documents, n)
+    // catalog = sources carrying >= 1 distinct gram BEFORE capping (the
+    // pre-cap matrix universe, so a source whose every gram is capped
+    // still appears — with honest zero totals — rather than vanishing)
+    val catalog = gramSources.select("source").distinct()
+    val kept = capGramSources(gramSources, dfCap)
+    val sz = kept.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val ov = sourceOverlapPairStream(kept)
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    val shared = coalesce(col("n_shared"), lit(0L))
+    val denom = (coalesce(col("n_grams_a"), lit(0L))
+      + coalesce(col("n_grams_b"), lit(0L)) - shared).cast("double")
+    broadcast(catalog.select(col("source").as("source_a")))
+      .join(broadcast(catalog.select(col("source").as("source_b"))),
+        col("source_a") < col("source_b"))
+      .join(ov, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sz.select(col("source").as("source_a"),
+        col("n_grams").as("n_grams_a"))), Seq("source_a"), "left")
+      .join(broadcast(sz.select(col("source").as("source_b"),
+        col("n_grams").as("n_grams_b"))), Seq("source_b"), "left")
+      .select(col("source_a"), col("source_b"), shared.as("n_shared"),
+        coalesce(col("n_grams_a"), lit(0L)).as("n_grams_a"),
+        coalesce(col("n_grams_b"), lit(0L)).as("n_grams_b"),
+        when(denom > 0, shared.cast("double") / denom)
+          .otherwise(lit(0.0)).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** The distinct (source, gram fingerprint) frame — the one
+    * corpus-scaled stage of the overlap matrix.
+    */
+  private def distinctGramSources(documents: DataFrame, n: Int): DataFrame =
+    documents
       .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("gram"))
       .select(col("source"),
         graft.operators.TextAnalysis.fingerprintCol(col("gram")).as("g"))
       .distinct()
-    val sz = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val ov = g.as("a").join(g.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    broadcast(sz.select(col("source").as("source_a"), col("n_grams").as("n_grams_a")))
-      .join(broadcast(sz.select(col("source").as("source_b"),
-        col("n_grams").as("n_grams_b"))), col("source_a") < col("source_b"))
-      .join(ov, Seq("source_a", "source_b"), "left")
-      .select(col("source_a"), col("source_b"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        col("n_grams_a"), col("n_grams_b"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") /
-          (col("n_grams_a") + col("n_grams_b")
-            - coalesce(col("n_shared"), lit(0L))).cast("double")).as("jaccard"))
-      .orderBy("source_a", "source_b")
-  }
+
+  /** Gram → sorted source array, df-capped when asked: one gram-keyed
+    * aggregate whose per-row payload is catalog-bounded.
+    */
+  private def capGramSources(gramSources: DataFrame,
+                             dfCap: Option[Int]): DataFrame =
+    gramSources
+      .groupBy("g").agg(sort_array(collect_list(col("source"))).as("ss"))
+      .filter(dfCap.fold(lit(true))(c => size(col("ss")) <= c))
+
+  /** The pre-aggregation (source_a, source_b) pair stream of
+    * [[sourceOverlap]] — generated row-locally from each kept gram's
+    * sorted source array (array order gives a < b for free). Exposed to
+    * the stress spec, which asserts the stream stays FLAT when a
+    * boilerplate gram saturates the catalog under a df-cap.
+    */
+  private[graft] def sourceOverlapPairStream(kept: DataFrame): DataFrame =
+    kept
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => array(x, y))))).as("p"))
+      .select(element_at(col("p"), 1).as("source_a"),
+        element_at(col("p"), 2).as("source_b"))
+
+  /** [[sourceOverlapPairStream]] from raw documents (spec convenience). */
+  private[graft] def sourceOverlapPairStream(documents: DataFrame, n: Int,
+                                             dfCap: Option[Int]): DataFrame =
+    sourceOverlapPairStream(
+      capGramSources(distinctGramSources(documents, n), dfCap))
 
   /** PREFERENCE-PAIR assembly (the DPO/RLHF reward-modeling data shape):
     * per source, the `k` highest-quality documents pair positionally

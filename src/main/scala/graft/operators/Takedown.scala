@@ -113,4 +113,78 @@ object Takedown {
           .agg(count(lit(1)).as(s"n_leaked_$name")))
     }
   }
+
+  /** ONE-scan audit counts over a per-query ranked surface (r14 verdict
+    * 3): the recall frame is scanned ONCE with a broadcast tombstone
+    * flag; the serving gate's close-up-and-cut applies in place — for an
+    * unflagged row, the running count of unflagged rows in rank order IS
+    * [[topKWithTakedown]]'s row_number over the anti-joined survivors
+    * (pinned by the gate≡audit parity spec) — and one aggregate returns
+    * both compliance counts: `n_leaked_<name>` (tombstoned rows inside
+    * the served cut) and `n_suppressed_<name>` (tombstoned rows anywhere
+    * in the recall). The leak term is zero BY CONSTRUCTION here, exactly
+    * as it is through the served path's anti-join; the regression
+    * tripwire for "a serving path stopped suppressing" is not this
+    * column but each surface's DuckDB oracle (whose SQL bakes the
+    * suppression predicate in) and the parity spec — the audit row is
+    * the exportable compliance artifact, now at one snapshot scan per
+    * surface instead of the previous gate-pass + suppressed-count pair.
+    */
+  def topKAuditCounts(topk: DataFrame, tombstones: DataFrame, serveK: Int,
+                      name: String, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    tombFlagged(topk, tombstones, idCol, "tombstoned")
+      .withColumn("served", !col("tombstoned") &&
+        sum(when(col("tombstoned"), 0L).otherwise(1L)).over(w) <= serveK)
+      .agg(
+        count(when(col("tombstoned") && col("served"), lit(1)))
+          .as(s"n_leaked_$name"),
+        count(when(col("tombstoned"), lit(1))).as(s"n_suppressed_$name"))
+  }
+
+  /** The served slice of [[topKAuditCounts]]'s flagged pass, in
+    * [[topKWithTakedown]]'s output shape — exists for the parity spec
+    * that pins the audit's in-place gate to the serving gate.
+    */
+  private[graft] def topKAuditServed(topk: DataFrame, tombstones: DataFrame,
+                                     serveK: Int,
+                                     idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    tombFlagged(topk, tombstones, idCol, "tombstoned")
+      .withColumn("rank_t",
+        sum(when(col("tombstoned"), 0L).otherwise(1L)).over(w))
+      .filter(!col("tombstoned") && col("rank_t") <= serveK)
+      .drop("rank").withColumnRenamed("rank_t", "rank")
+      .select(topk.columns.map(col).toIndexedSeq: _*)
+      .orderBy("query_id", "rank")
+  }
+
+  /** ONE-scan audit counts over an undirected pair surface: both
+    * endpoint flags ride broadcast joins on the single scan; a pair is
+    * suppressed when EITHER endpoint is tombstoned and served otherwise
+    * ([[pairsWithTakedown]] semantics). Leak accounting counts
+    * tombstoned ENDPOINTS inside served pairs (the served-path audit
+    * exploded endpoints) — zero by construction, as above.
+    */
+  def pairsAuditCounts(pairs: DataFrame, tombstones: DataFrame,
+                       name: String, id1: String = "id1",
+                       id2: String = "id2"): DataFrame =
+    tombFlagged(tombFlagged(pairs, tombstones, id1, "t1"),
+        tombstones, id2, "t2")
+      .agg(
+        coalesce(sum(when(!(col("t1") || col("t2")),
+            col("t1").cast("long") + col("t2").cast("long"))
+          .otherwise(0L)), lit(0L)).as(s"n_leaked_$name"),
+        count(when(col("t1") || col("t2"), lit(1)))
+          .as(s"n_suppressed_$name"))
+
+  /** Broadcast tombstone FLAG join — [[suppress]]'s anti-join with the
+    * verdict kept instead of applied, so one scan can feed both sides
+    * of the audit accounting.
+    */
+  private def tombFlagged(df: DataFrame, tombstones: DataFrame,
+                          idCol: String, flagCol: String): DataFrame =
+    df.join(broadcast(tombstones.select(col("doc_id").as(idCol),
+        lit(true).as(flagCol))), Seq(idCol), "left")
+      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
 }

@@ -171,6 +171,40 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("source overlap df-cap: the pair stream stays FLAT when a boilerplate " +
+    "gram saturates the catalog (r14 verdict 2)") {
+    import spark.implicits._
+    // 12-source catalog: one private 5-gram each, plus ONE gram shared by
+    // exactly (s0, s1) — each text is 5 tokens, i.e. exactly one 5-gram
+    val base = (0 until 12).map(i => (i.toLong, s"p$i a b c d", s"s$i")) ++
+      Seq((100L, "shared x y z w", "s0"), (101L, "shared x y z w", "s1"))
+    val df = base.toDF("doc_id", "text", "source")
+    val capped = Corpus.sourceOverlapPairStream(df, 5, Some(2)).count()
+    assert(capped == 1L, s"base: one exclusively-shared pair, got $capped")
+    // the boilerplate event: the SAME gram lands in EVERY source
+    val boiler = (0 until 12).map(i => (200L + i, "boiler q r t u", s"s$i"))
+    val df2 = (base ++ boiler).toDF("doc_id", "text", "source")
+    assert(Corpus.sourceOverlapPairStream(df2, 5, Some(2)).count() == capped,
+      "a catalog-saturating gram must add ZERO pair rows under the cap")
+    // uncapped, that one gram alone costs |catalog|·(|catalog|−1)/2 rows
+    assert(Corpus.sourceOverlapPairStream(df2, 5, None).count() == capped + 66,
+      "uncapped, the saturating gram must cost C(12,2) pair rows")
+    // the capped matrix stays a self-consistent exact answer over the
+    // capped universe: the (s0,s1) cell counts only the exclusive gram
+    // and its totals exclude the boilerplate
+    val m = Corpus.sourceOverlap(df2, dfCap = Some(2))
+      .filter(col("source_a") === "s0" && col("source_b") === "s1")
+      .collect().head
+    assert(m.getAs[Long]("n_shared") == 1L)
+    assert(m.getAs[Long]("n_grams_a") == 2L && m.getAs[Long]("n_grams_b") == 2L)
+    val u = Corpus.sourceOverlap(df2)
+      .filter(col("source_a") === "s0" && col("source_b") === "s1")
+      .collect().head
+    assert(u.getAs[Long]("n_shared") == 2L && u.getAs[Long]("n_grams_a") == 3L)
+    // matrix completeness: full catalog pairs either way
+    assert(Corpus.sourceOverlap(df2, dfCap = Some(2)).count() == 66L)
+  }
+
   test("corpus stats: per-language report is internally consistent and complete") {
     val r = Corpus.corpusStats(docs).collect()
     assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")

@@ -75,6 +75,46 @@ class TakedownSpec extends SparkSpec {
     assert(leaked >= 1L, "an unsuppressed surface must report its leak")
   }
 
+  test("audit one-scan counts ≡ the serving gate (r14 verdict 3): the " +
+    "in-place close-up matches topKWithTakedown, pair accounting matches " +
+    "pairsWithTakedown, on planted and real surfaces") {
+    // planted frame: same fixture as the rank-closing test — tombstoned
+    // rows inside the cut, backfill engaged
+    val topk = Seq(
+      (0L, 101L, 0L, 0.9, 1L), (0L, 6L, 0L, 0.8, 2L), (0L, 102L, 0L, 0.7, 3L),
+      (0L, 19L, 0L, 0.6, 4L), (0L, 103L, 0L, 0.5, 5L), (0L, 104L, 0L, 0.4, 6L),
+      (0L, 105L, 0L, 0.3, 7L),
+      (1L, 211L, 0L, 0.9, 1L), (1L, 202L, 0L, 0.8, 2L))
+      .toDF("query_id", "doc_id", "chunk_id", "cosine", "rank")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Takedown.topKAuditServed(topk, tombs, serveK = 5)) ==
+      rows(Takedown.topKWithTakedown(topk, tombs, serveK = 5)),
+      "the audit's in-place gate must equal the serving gate on the planted frame")
+    val counts = Takedown.topKAuditCounts(topk, tombs, serveK = 5, "t")
+      .collect().head
+    assert(counts.getAs[Long]("n_leaked_t") == 0L)
+    assert(counts.getAs[Long]("n_suppressed_t") == 2L)
+    // real ranked surface: the registry's passage top-k
+    val real = SparkEntry.queries("q_passage_topk")(spark, sf)
+    assert(rows(Takedown.topKAuditServed(real, tombs, serveK = 5)) ==
+      rows(Takedown.topKWithTakedown(real, tombs, serveK = 5)),
+      "parity must hold on the real passage surface")
+    val realCounts = Takedown.topKAuditCounts(real, tombs, serveK = 5, "r")
+      .collect().head
+    assert(realCounts.getAs[Long]("n_suppressed_r") ==
+      real.join(tombs.select("doc_id"), Seq("doc_id"), "left_semi").count())
+    // pair surface: suppressed count ≡ pre-gate minus served, leak ≡ the
+    // exploded-endpoint semi count over the served pairs (both 0 here)
+    val pairs = Seq((6L, 2L, 1L), (2L, 3L, 2L), (4L, 19L, 0L), (5L, 9L, 3L))
+      .toDF("id1", "id2", "hamming")
+    val pc = Takedown.pairsAuditCounts(pairs, tombs, "p").collect().head
+    assert(pc.getAs[Long]("n_suppressed_p") ==
+      pairs.count() - Takedown.pairsWithTakedown(pairs, tombs).count())
+    assert(pc.getAs[Long]("n_suppressed_p") == 2L)
+    assert(pc.getAs[Long]("n_leaked_p") == 0L)
+  }
+
   test("takedown stream: grown view = base ∪ deltas distinct, absent base " +
     "fine, replay idempotent, compaction folds commit-before-delete") {
     import graft.streaming.TakedownStream
