@@ -208,7 +208,7 @@ object SparkEntry {
     // components over the read-back verified pairs — SemDeDup's grouping).
     // v6: adds the contrastive training triples (the negative-mining band
     // pass over the pair members — previously the heaviest per-call query).
-    val stamp = "annserve-v6:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "annserve-v7:" + graft.sources.SnapshotStore.fingerprint(s, src)
     annServeCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -236,7 +236,7 @@ object SparkEntry {
     // v2: k=64 codebooks + 3 Lloyd rounds (v1's k=16 shortlists recalled
     // poorly on the near-random synthetic corpus); v3: adds the
     // default-parameter ADC-shortlist + exact-rerank answer (topk/) —
-    // round-12 verdict next-round 1, the annserve-v6 precedent
+    // round-12 verdict next-round 1, the annserve-v7 precedent
     val stamp = PqStampVersion + ":" + graft.sources.SnapshotStore.fingerprint(s, src)
     val t = pqCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
@@ -299,7 +299,7 @@ object SparkEntry {
     // v3: adds the default-parameter MaxSim answer (li_topk); v4: adds
     // the distillation slate (distill); committed older directories fail
     // the stamp compare and rebuild in place
-    val stamp = "passage-v4:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "passage-v5:" + graft.sources.SnapshotStore.fingerprint(s, src)
     passageCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -325,7 +325,7 @@ object SparkEntry {
     rrfCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val docsSrc = s"$d/documents.parquet"
     val embSrc = s"$d/embeddings.parquet"
-    val stamp = "rrf-v1+search-v1+annserve-v6:" +
+    val stamp = "rrf-v2+search-v1+annserve-v7:" +
       graft.sources.SnapshotStore.fingerprint(s, docsSrc) + "+" +
       graft.sources.SnapshotStore.fingerprint(s, embSrc)
     rrfCache.compute((s, d), (_, cached) =>
@@ -353,7 +353,7 @@ object SparkEntry {
     bitextCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val docsSrc = s"$d/documents.parquet"
     val embSrc = s"$d/embeddings.parquet"
-    val stamp = "bitext-v1+annserve-v6:" +
+    val stamp = "bitext-v2+annserve-v7:" +
       graft.sources.SnapshotStore.fingerprint(s, docsSrc) + "+" +
       graft.sources.SnapshotStore.fingerprint(s, embSrc)
     bitextCache.compute((s, d), (_, cached) =>
@@ -551,7 +551,7 @@ object SparkEntry {
     val src = s"$d/documents.parquet"
     // v2: the candidate-sliver exact verify moved into the probe's hash
     // space (Dedup.bloomVerify — r14 verdict 4)
-    val stamp = "bloom-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    val stamp = "bloom-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     bloomCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -5652,7 +5652,7 @@ object SparkEntry {
     // verified near-dup pair is an (anchor, positive) in both directions,
     // each anchor carrying its top-3 sub-threshold confusables (anchors
     // without a single sub-threshold candidate contribute no triples —
-    // a triple REQUIRES a negative). Served from the annserve-v6
+    // a triple REQUIRES a negative). Served from the annserve-v7
     // snapshot's persisted triples table (the negative-mining band pass
     // runs once per corpus snapshot); the oracle re-walks the whole
     // pairs + band geometry + exact-cosine construction, so the

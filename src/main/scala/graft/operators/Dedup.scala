@@ -1075,13 +1075,17 @@ object Dedup {
     * false-positive tail) pays the gram explode and join. This is the
     * production decontamination plan at 100 TB. Probe and verify share
     * ONE hash space: the verify join keys on the SAME polynomial gram
-    * fingerprints the probe tested (r14 verdict 4 — with the verify in
-    * a different 64-bit space, a cross-space collision could
-    * (astronomically rarely) break the superset guarantee; in the
-    * unified space it is structural: every verify-joined fingerprint is
-    * a benchmark fingerprint, whose bits the probe necessarily hit).
-    * The collision risk class is [[contamination]]'s accepted 64-bit
-    * one, just in the polynomial space instead of xxhash64.
+    * fingerprints the probe tested, PLUS the gram string (r14 verdict
+    * 4). The fingerprint key makes the no-false-negative guarantee
+    * structural — every verify-joined row matched on a benchmark
+    * fingerprint, whose bits the probe necessarily hit — and the string
+    * key keeps the counts exact: the polynomial space is ~2^30, and a
+    * real cross-gram collision DID surface at sf0.001 (one corpus doc
+    * flagged on fp equality alone without sharing any gram), so an
+    * fp-only verify is measurably wrong where the xxhash64 one was only
+    * astronomically so. Carrying the string costs nothing at scale:
+    * only the candidate sliver and the benchmark gram set enter the
+    * verify join, never the corpus gram stream.
     */
   def bloomContamination(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
                          mBits: Int = BloomBits,
@@ -1091,23 +1095,23 @@ object Dedup {
         n, mBits, kHashes).drop("n_bloom_hits"),
       benchmark, n)
 
-  /** Exact contamination counts over the bloom-candidate sliver, keyed in
-    * the PROBE's hash space (polynomial gram fingerprints,
-    * [[TextAnalysis.fingerprintCol]]) — [[contamination]]'s join shape
-    * with the gram key swapped so the bloom family's no-false-negative
-    * guarantee holds structurally in the verify join's own key space.
-    * Distinct is applied on fingerprints (the [[shingleHashes]]
-    * same-document-collision convention, same accepted risk class).
+  /** Exact contamination counts over the bloom-candidate sliver, keyed on
+    * (polynomial gram fingerprint, gram string): the fp ties every match
+    * to the PROBE's hash space ([[TextAnalysis.fingerprintCol]] — the
+    * structural superset guarantee), the string makes the count
+    * STRING-EXACT (no hash collision class at all on this path — the
+    * ~2^30 polynomial space measurably collides at corpus scale; see
+    * [[bloomContamination]]).
     */
   private[graft] def bloomVerify(candidates: DataFrame, benchmark: DataFrame,
                                  n: Int): DataFrame = {
-    def fps(text: Column): Column = array_distinct(
-      transform(shingles(text, n), g => TextAnalysis.fingerprintCol(g)))
-    val bFps = benchmark
-      .select(explode(fps(col("text"))).as("fp")).distinct()
-    candidates
-      .select(col("doc_id"), explode(fps(col("text"))).as("fp"))
-      .join(bFps, "fp")
+    def grams(df: DataFrame, cols: Column*): DataFrame = df
+      .select(cols :+ explode(shingles(col("text"), n)).as("gram"): _*)
+      .select(cols :+ col("gram")
+        :+ TextAnalysis.fingerprintCol(col("gram")).as("fp"): _*)
+    val bG = grams(benchmark).distinct()
+    grams(candidates, col("doc_id"))
+      .join(bG, Seq("fp", "gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_collisions"))
       .orderBy("doc_id")
   }

@@ -1478,17 +1478,39 @@ object Similarity {
     * left-fold dot product matching [[graft.functions.VectorFunctions]].
     */
   /** Deterministic sign-LSH (random-hyperplane) hyperplane weights:
-    * `w(i,j) = ((i·2654435761 + j·40503) mod 1000003) / 500001.5 − 1` —
-    * pseudo-random in [−1, 1), derived from plane and dimension indices by
-    * EXACT integer arithmetic followed by two IEEE double ops, so any
+    * with `k = i·dim + j`,
+    * `w(i,j) = (((k² mod 1000003)·40503 + k·2654435761) mod 1000003) / 500001.5 − 1`
+    * — pseudo-random in [−1, 1), derived from plane and dimension indices
+    * by EXACT integer arithmetic followed by two IEEE double ops, so any
     * engine regenerates the identical planes from the two integers
     * `(nbits, dim)` alone. No RNG state to persist, nothing to broadcast:
     * the whole "index" of sign-LSH is this closed-form formula, which is
     * what makes it — unlike the Lloyd-trained IVF — fully oracle-able.
+    *
+    * The QUADRATIC term is load-bearing (r15). The previous family,
+    * `(i·A + j·B) mod p`, is LINEAR in j: every row is the same
+    * slope-B sawtooth, rows differing only by a phase offset — so the
+    * rows were heavily CORRELATED (measured over 16×64: mean pairwise
+    * |row cosine| 0.38, max ≈ 1.0, vs the ≈ 1/√dim ≈ 0.125 of
+    * independent directions). Correlated planes waste sign bits and
+    * break the i.i.d. assumption behind the JL distance guarantee —
+    * measured consequences at the registry geometry, old → new family:
+    * banded 4×4 near-dup recall at the 0.4-cosine threshold
+    * 0.46 → 0.56 (sf0.01) and 0.46 → 0.53 (sf0.1) at a slightly LOWER
+    * candidate rate, and [[jlProject]]'s distance fidelity reaches the
+    * i.i.d.-Gaussian reference instead of plateauing (see its scaladoc
+    * for the numbers). The k² mod-p term makes each row a different
+    * segment of a quadratic residue sequence — no shared slope, and the
+    * measured row correlation (mean |cos| 0.087, max 0.35) sits at the
+    * independent-direction level. Overflow-exact everywhere: k ≤
+    * nbits·dim (thousands), so k² < 2^63 and every product stays in
+    * 64-bit integer range in Spark and DuckDB alike.
     */
   def lshPlaneWeights(nbits: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nbits, dim)((i, j) =>
-      ((i * 2654435761L + j * 40503L) % 1000003L).toDouble / 500001.5 - 1.0)
+    Array.tabulate(nbits, dim) { (i, j) =>
+      val k = i.toLong * dim + j
+      ((k * k % 1000003L) * 40503L + k * 2654435761L) % 1000003L / 500001.5 - 1.0
+    }
 
   /** Sign-LSH bucket per vector: bit i of `bucket` is `⟨v, h_i⟩ > 0` for
     * the [[lshPlaneWeights]] hyperplanes — Charikar's SimHash for
@@ -2064,15 +2086,27 @@ object Similarity {
     * [[quantizeEmbeddings]]/PQ: quantization shrinks bits per coordinate,
     * JL shrinks the number of coordinates (64 → `outDim` doubles, a 4×
     * cut at the default) while approximately preserving every pairwise
-    * distance within the JL ε ≈ sqrt(8·ln n / outDim). Honest limit,
-    * measured: at outDim = 16 over THIS structureless random corpus
-    * (where all pairwise cosines cluster tightly) top-10 rank order is
-    * NOT preserved — JL-space brute-force recall vs the exact top-10 is
-    * near chance (0.04–0.16 across SFs), so this outDim serves coarse
-    * filtering/dedup-blocking/clustering; ANN-grade rank fidelity needs
-    * a larger outDim (ε shrinks as 1/sqrt(outDim)) or a clustered
-    * corpus whose neighbor gaps exceed ε. [[jlDistortion]] reports the
-    * pairwise-distance band that drives this.
+    * distance within the JL ε ≈ sqrt(8·ln n / outDim). Honest limits,
+    * measured and re-measured after the r15 plane-family fix (see
+    * [[lshPlaneWeights]] — the OLD sawtooth family's correlated rows
+    * capped distance fidelity at EVERY outDim: separating the 0.4-cosine
+    * near-dup pairs at 0.9 recall admitted a flat 52–56% of all pairs
+    * from outDim 16 through 64, where an i.i.d. Gaussian reaches 18% at
+    * outDim 32; the quadratic family now MATCHES the Gaussian reference,
+    * 17.7% vs 17.8% measured at outDim 32): at the default outDim = 16
+    * over THIS structureless random corpus (all pairwise cosines inside
+    * the ε band) top-10 rank order is still NOT preserved — JL-space
+    * brute-force recall vs the exact top-10 is near chance (0.06–0.13
+    * across SFs) — and threshold-blocking the 0.4-cosine dedup pairs at
+    * 0.9 recall still admits 31–36% of all pairs, strictly dominated by
+    * the banded sign-LSH front-end (≈23% candidate rate). So no
+    * JL-blocked dedup twin ships at this outDim (r14 verdict 6, resolved
+    * by measurement): 16 dims serve compression cards and coarse
+    * clustering; ANN-grade or blocking-grade fidelity needs outDim ≥ 32
+    * (ε shrinks as 1/sqrt(outDim) — and with the fixed planes it now
+    * actually does) or a clustered corpus whose neighbor gaps exceed ε.
+    * [[jlDistortion]] reports the pairwise-distance band that drives
+    * this.
     *
     * Scale shape: pure narrow projection (`outDim` codegen'd dots per
     * row, zero shuffle, zero training, zero broadcast state) — compression
@@ -2152,6 +2186,17 @@ object Similarity {
     def intDot(a: String, b: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+    /** The [[lshPlaneWeights]] entry w(i,j) as DuckDB SQL over loop
+      * variables `i`/`j` (both BIGINT from range()) — the quadratic
+      * decorrelated family, shared by [[jlCoord]] and [[lshBucket]] so
+      * the mirrors can never drift from each other.
+      */
+    private def planeSql(dim: Int): String = {
+      val k = s"(i*$dim + j)"
+      s"(CAST((($k*$k % 1000003) * 40503 + $k*2654435761) % 1000003 " +
+        "AS DOUBLE) / 500001.5 - 1.0)"
+    }
+
     /** JL coordinates of a double-list column `v`, mirroring
       * [[jlProject]] bit-for-bit: identical integer plane formula (the
       * [[lshBucket]] family), identical left-fold dot order, identical
@@ -2162,7 +2207,7 @@ object Similarity {
       s"list_transform(range(0, $outDim), i -> " +
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"list_transform(range(0, $dim), j -> " +
-        s"(CAST((i*2654435761 + j*40503) % 1000003 AS DOUBLE) / 500001.5 - 1.0) * $v[j+1])), " +
+        s"${planeSql(dim)} * $v[j+1])), " +
         s"(a, x) -> a + x) * sqrt(3.0 / $outDim.0))"
 
     /** Sign-LSH bucket of a double-list column `v`, mirroring
@@ -2174,7 +2219,7 @@ object Similarity {
         s"list_transform(range(0, $nbits), i -> " +
         s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"list_transform(range(0, $dim), j -> " +
-        s"(CAST((i*2654435761 + j*40503) % 1000003 AS DOUBLE) / 500001.5 - 1.0) * $v[j+1])), " +
+        s"${planeSql(dim)} * $v[j+1])), " +
         s"(a, x) -> a + x) > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)), " +
         s"(a, x) -> a + x)"
   }

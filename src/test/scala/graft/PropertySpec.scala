@@ -239,13 +239,13 @@ class PropertySpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(4)) === 0)
       val exact = Dedup.contamination(corpus, bench).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // r14 verdict 4: the verify now keys in the PROBE's fingerprint
-      // space — its full-corpus answer must agree with the xxhash64
-      // exact path (cross-space agreement on real instances) ...
+      // r14 verdict 4: the verify now keys on (probe fingerprint, gram
+      // string) — its full-corpus answer is string-exact and must agree
+      // with the xxhash64 exact path on real instances ...
       val unified = Dedup.bloomVerify(corpus, bench, 5).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(unified == exact,
-        s"seed $seed: probe-space verify diverged from the xxhash64 exact path")
+        s"seed $seed: unified-space verify diverged from the xxhash64 exact path")
       for ((mBits, kHashes) <- geometries) {
         val candDocs = Dedup.bloomCandidates(corpus,
             Dedup.bloomBitmap(bench, mBits = mBits, kHashes = kHashes),

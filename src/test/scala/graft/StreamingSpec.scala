@@ -618,6 +618,25 @@ class StreamingSpec extends SparkSpec {
 
   test("twenty-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
     "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion, drift monitoring and the k-anonymity release gate run concurrently against their frozen artifacts (T5 at deployment scale)") {
+    twentyMemberTopology(stateStoreProvider = None)
+  }
+
+  test("twenty-member topology under the RocksDB state store: the full " +
+    "closed-loop run end-to-end off-heap, rocksdb metrics engaged (r14 verdict 5)") {
+    // the per-shape RocksDB test proves each state encoder round-trips;
+    // this one proves the DEPLOYMENT story — all twenty members, every
+    // store and serving assertion of the default-provider run verbatim,
+    // with the provider conf captured by each query at start
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    try twentyMemberTopology(Some(Pipeline.RocksDbStateStore))
+    finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
+  private def twentyMemberTopology(stateStoreProvider: Option[String]): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -678,7 +697,8 @@ class StreamingSpec extends SparkSpec {
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
-    val p = new Pipeline(spark, tmp("store9"), tmp("ckpt9"))
+    val p = new Pipeline(spark, tmp("store9"), tmp("ckpt9"),
+      stateStoreProvider = stateStoreProvider)
     val queries = p.startAllWithCuration(events.toDF(),
         docs.toDF().toDF("doc_id", "text"), s"$base/index", s"$base/lm",
         threshold = 0.5) ++ Seq(
@@ -731,6 +751,15 @@ class StreamingSpec extends SparkSpec {
         (971L, "entirely unrelated crawl tokens here"))
       driftDocs.addData((980L, text("alpha"), "de", "src9")) // off-reference
       queries.foreach(_.processAllAvailable())
+      // under RocksDB, prove the provider actually engaged topology-wide
+      if (stateStoreProvider.isDefined) {
+        val metrics = queries.flatMap(_.recentProgress.toSeq)
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(so => scala.jdk.CollectionConverters
+            .MapHasAsScala(so.customMetrics).asScala.keys)
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb state metrics across the topology, got: ${metrics.distinct}")
+      }
     } finally queries.foreach(_.stop())
     // every store root received its member's output
     assert(spark.read.parquet(s"${p.crawlStorePath}/clean").count() == 1)
