@@ -1044,6 +1044,56 @@ object SparkEntry {
   private val WITH_NORM_ALERTS =
     s"WITH norm AS ($NORM), alerts AS (SELECT * FROM norm WHERE severity IN ('high','critical'))"
 
+  /** Shared CTE chain of the passage retrieval-quality oracles
+    * (q_passage_mrr / q_passage_ndcg): chunking, towers, band index,
+    * the banded SERVED ranking (`rkb`, ranks ≤ 10) and the exact
+    * brute-force scoring (`dve`, with its per-doc diversity ordinal) —
+    * one site, so the two metric cards can never disagree on what
+    * "served" or "exact" means.
+    */
+  private val PassageEvalCtes = s"""dch AS (SELECT doc_id, string_split(text, ' ') AS t,
+    |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
+    |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
+    |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+    |  FROM dch),
+    |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+    |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+    |  FROM ch),
+    |fp AS (SELECT doc_id, chunk_id,
+    |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
+    |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
+    |  list_transform(range(0, 16), dd ->
+    |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
+    |      / 1000000.0 - 1.0) AS v FROM fp),
+    |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
+    |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
+    |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
+    |  FROM pv),
+    |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
+    |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+    |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
+    |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
+    |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
+    |  WHERE c2.doc_id <> q.query_id),
+    |scb AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+    |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
+    |  FROM p0 JOIN pv cv USING (pid)
+    |       JOIN qv qd ON qd.query_id = p0.query_id
+    |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+    |dvb AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+    |  ORDER BY cosine DESC, pid) AS rn_doc FROM scb),
+    |rkb AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+    |  SELECT query_id, doc_id, chunk_id, row_number() OVER (
+    |    PARTITION BY query_id ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+    |  FROM dvb WHERE rn_doc <= 2) WHERE rank <= 10),
+    |sce AS (SELECT qv.query_id, cv.doc_id, cv.chunk_id, cv.pid,
+    |  ${Similarity.Sql.cosine("qv.v", "cv.v")} AS cosine
+    |  FROM pv cv CROSS JOIN qv
+    |  WHERE cv.doc_id <> qv.query_id
+    |    AND ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
+    |dve AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+    |  ORDER BY cosine DESC, pid) AS rn_doc FROM sce)""".stripMargin
+
   /** The registry's 5-gram list over a pre-split token array `t` — shared
     * by the decontamination oracles so the gram definition can never
     * drift between the exact and bloom paths.
@@ -4053,48 +4103,7 @@ object SparkEntry {
         val t = passageTables(s, d)
         Passage.mrrCard(t.topk, Passage.passageBruteTopK(t.vectors))
       },
-      Some(s"""WITH dch AS (SELECT doc_id, string_split(text, ' ') AS t,
-        |  CAST(floor((greatest(len(string_split(text, ' ')) - 8, 1) + 23)
-        |    / CAST(24 AS DOUBLE)) AS INT) AS n_chunks FROM documents),
-        |ch AS (SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
-        |  FROM dch),
-        |cht AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
-        |  FROM ch),
-        |fp AS (SELECT doc_id, chunk_id,
-        |  ${TextAnalysis.Sql.fingerprintOf("chunk_text")} AS f FROM cht),
-        |pv AS (SELECT doc_id, chunk_id, doc_id * 1048576 + chunk_id AS pid,
-        |  list_transform(range(0, 16), dd ->
-        |    CAST((f * (2*dd + 3) + dd * 65599) % 2000001 AS DOUBLE)
-        |      / 1000000.0 - 1.0) AS v FROM fp),
-        |qv AS (SELECT doc_id AS query_id, pid, v FROM pv
-        |  WHERE doc_id < 5 AND chunk_id = 0 AND ${Similarity.Sql.dot("v", "v")} > 0),
-        |b AS (SELECT pid, doc_id, ${Similarity.Sql.lshBucket("v", 16, 16)} AS bucket
-        |  FROM pv),
-        |c AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, pid, doc_id
-        |  FROM b CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
-        |q AS (SELECT qv.query_id, c.band, c.bb FROM c JOIN qv USING (pid)),
-        |p0 AS (SELECT DISTINCT q.query_id, c2.pid FROM c c2
-        |  JOIN q ON c2.band = q.band AND c2.bb = q.bb
-        |  WHERE c2.doc_id <> q.query_id),
-        |scb AS (SELECT p0.query_id, cv.doc_id, cv.chunk_id, cv.pid,
-        |  ${Similarity.Sql.cosine("qd.v", "cv.v")} AS cosine
-        |  FROM p0 JOIN pv cv USING (pid)
-        |       JOIN qv qd ON qd.query_id = p0.query_id
-        |  WHERE ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
-        |dvb AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
-        |  ORDER BY cosine DESC, pid) AS rn_doc FROM scb),
-        |rkb AS (SELECT query_id, doc_id, chunk_id, rank FROM (
-        |  SELECT query_id, doc_id, chunk_id, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, doc_id, chunk_id) AS rank
-        |  FROM dvb WHERE rn_doc <= 2) WHERE rank <= 10),
-        |sce AS (SELECT qv.query_id, cv.doc_id, cv.chunk_id, cv.pid,
-        |  ${Similarity.Sql.cosine("qv.v", "cv.v")} AS cosine
-        |  FROM pv cv CROSS JOIN qv
-        |  WHERE cv.doc_id <> qv.query_id
-        |    AND ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
-        |dve AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
-        |  ORDER BY cosine DESC, pid) AS rn_doc FROM sce),
+      Some(s"""WITH $PassageEvalCtes,
         |rke1 AS (SELECT query_id, doc_id, chunk_id FROM (
         |  SELECT query_id, doc_id, chunk_id, row_number() OVER (
         |    PARTITION BY query_id ORDER BY cosine DESC, doc_id, chunk_id) AS rank
@@ -4108,6 +4117,45 @@ object SparkEntry {
         |    ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(rr))),
         |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) END AS mrr
         |FROM h""".stripMargin)),
+
+    // nDCG@10 card over the served passage list: the rank-WEIGHTED
+    // retrieval metric (the whole served list graded against the exact
+    // ranking, positions discounted by 1/log2(rank+1)), complementing
+    // MRR's top-1 position and the recall witness's set overlap. The
+    // log2 discounts are computed ONCE in Scala and embedded as
+    // LITERALS in both the plan and this SQL (shortest-round-trip
+    // doubles — no engine evaluates a transcendental at query time), so
+    // the card hash-checks end to end. Same constant k-bounded shape.
+    ("q_passage_ndcg",
+      (s, d) => {
+        val t = passageTables(s, d)
+        Passage.ndcgCard(t.topk, Passage.passageBruteTopK(t.vectors))
+      },
+      Some {
+        val discSql = Passage.ndcgDiscounts(10).map(_.toString)
+          .mkString("[", ", ", "]")
+        s"""WITH $PassageEvalCtes,
+        |rke AS (SELECT query_id, doc_id, chunk_id, rank FROM (
+        |  SELECT query_id, doc_id, chunk_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, doc_id, chunk_id) AS rank
+        |  FROM dve WHERE rn_doc <= 2) WHERE rank <= 10),
+        |idcg AS (SELECT query_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_sort(list(CAST(11 - rank AS DOUBLE) * ($discSql)[rank]))),
+        |  (a, b) -> a + b) AS idcg FROM rke GROUP BY query_id),
+        |g AS (SELECT rkb.query_id,
+        |    COALESCE(CAST(11 - rke.rank AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |      * ($discSql)[rkb.rank] AS g
+        |  FROM rkb LEFT JOIN rke USING (query_id, doc_id, chunk_id)),
+        |dcg AS (SELECT query_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_sort(list(g))), (a, b) -> a + b) AS dcg
+        |  FROM g GROUP BY query_id)
+        |SELECT idcg.query_id AS query_id,
+        |  COALESCE(dcg.dcg, CAST(0.0 AS DOUBLE)) AS dcg,
+        |  idcg.idcg AS idcg,
+        |  COALESCE(dcg.dcg, CAST(0.0 AS DOUBLE)) / idcg.idcg AS ndcg
+        |FROM idcg LEFT JOIN dcg ON idcg.query_id = dcg.query_id
+        |ORDER BY 1""".stripMargin
+      }),
 
     // The passage QUERY-SERVING endpoint: arbitrary (query_id, query_text)
     // requests tower-embedded as one chunk, bucketed with the index's

@@ -435,6 +435,58 @@ object Passage {
           .otherwise(col("rr_sum") / col("n_queries").cast("double")).as("mrr"))
   }
 
+  /** The per-rank nDCG discount weights 1/log2(rank+1), rank = 1..k —
+    * computed ONCE here and embedded as LITERALS on both engines (the
+    * Spark plan carries the array literal; the generated oracle prints
+    * each double via `Double.toString`, whose shortest-round-trip decimal
+    * DuckDB parses back to the identical bits), so the two sides can
+    * never diverge on a transcendental: no engine evaluates log at query
+    * time.
+    */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** nDCG@k retrieval-quality card — the rank-WEIGHTED companion of
+    * [[mrrCard]] (MRR sees only the exact top-1's served position;
+    * nDCG grades the WHOLE served list): relevance of an exact-top-k
+    * chunk is `k + 1 − exact_rank` (graded by the exact ranking, 10
+    * down to 1 at the default — chunks outside the exact top-k gain 0),
+    * DCG discounts each served position by [[ndcgDiscounts]], and IDCG
+    * is the exact list's own DCG (the ideal ordering by construction),
+    * so `ndcg = dcg / idcg ∈ [0, 1]` per query. Per-query sums fold
+    * over SORTED ≤k-element lists (the registry's sorted-fold
+    * discipline) so partitioning can never move a bit, and every
+    * product is (integer-valued double) × (shared literal) — IEEE
+    * identical on both engines.
+    *
+    * Scale shape: [[mrrCard]]'s — two k-bounded rank lists join on
+    * their id triple; constant work past the persisted snapshot and the
+    * numQueries-bounded exact pass every witness already pays.
+    */
+  def ndcgCard(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    val discArr = typedLit(ndcgDiscounts(k))
+    val rel = exact.select(col("query_id"), col("doc_id"), col("chunk_id"),
+      (lit(k + 1L) - col("rank")).cast("double").as("rel"),
+      element_at(discArr, col("rank").cast("int")).as("ideal_disc"))
+    val idcg = rel.groupBy("query_id").agg(
+      aggregate(sort_array(collect_list(col("rel") * col("ideal_disc"))),
+        lit(0.0), (a, x) => a + x).as("idcg"))
+    val dcg = approx
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        element_at(discArr, col("rank").cast("int")).as("disc"))
+      .join(rel.select("query_id", "doc_id", "chunk_id", "rel"),
+        Seq("query_id", "doc_id", "chunk_id"), "left")
+      .groupBy("query_id").agg(
+        aggregate(sort_array(collect_list(
+          coalesce(col("rel"), lit(0.0)) * col("disc"))),
+          lit(0.0), (a, x) => a + x).as("dcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** The persisted passage family's five tables. */
   case class PassageTables(vectors: DataFrame, bands: DataFrame,
                            topk: DataFrame, liTopk: DataFrame,

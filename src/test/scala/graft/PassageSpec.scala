@@ -293,4 +293,42 @@ class PassageSpec extends SparkSpec {
     assert(card.getDouble(2) > 0.0 && card.getDouble(2) <= 1.0,
       s"mrr ${card.getDouble(2)} out of range")
   }
+
+  test("ndcg card: hand-computed on a planted permutation; a perfectly " +
+    "ordered served list scores exactly 1.0") {
+    import spark.implicits._
+    // q0: served swaps the exact top-2 and its third slot misses (doc 99
+    // not in the exact list); q1: served == exact order
+    val exact = Seq(
+      (0L, 10L, 0L, 0.9, 1L), (0L, 11L, 0L, 0.8, 2L), (0L, 12L, 0L, 0.7, 3L),
+      (1L, 20L, 0L, 0.9, 1L), (1L, 21L, 0L, 0.8, 2L))
+      .toDF("query_id", "doc_id", "chunk_id", "cosine", "rank")
+    val served = Seq(
+      (0L, 11L, 0L, 0.85, 1L), (0L, 10L, 0L, 0.80, 2L), (0L, 99L, 0L, 0.5, 3L),
+      (1L, 20L, 0L, 0.9, 1L), (1L, 21L, 0L, 0.8, 2L))
+      .toDF("query_id", "doc_id", "chunk_id", "cosine", "rank")
+    val rows = Passage.ndcgCard(served, exact).collect()
+    val d = Passage.ndcgDiscounts(10)
+    // rel = 11 - exact_rank: doc10 -> 10, doc11 -> 9, doc12 -> 8
+    val idcg0 = Seq(10.0 * d(0), 9.0 * d(1), 8.0 * d(2)).sorted.sum
+    val dcg0 = Seq(9.0 * d(0), 10.0 * d(1), 0.0 * d(2)).sorted.sum
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(math.abs(r0.getAs[Double]("ndcg") - dcg0 / idcg0) < 1e-12,
+      s"q0 ndcg ${r0.getAs[Double]("ndcg")} != ${dcg0 / idcg0}")
+    assert(r0.getAs[Double]("ndcg") < 1.0)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Double]("ndcg") == 1.0,
+      "a perfectly ordered served list must score exactly 1.0 (identical sorted folds)")
+  }
+
+  test("ndcg card on the corpus index: full query set, each ndcg within [0, 1]") {
+    val rows = Passage.ndcgCard(
+      Passage.passageTopKServeFrom(vecs, bands),
+      Passage.passageBruteTopK(vecs)).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => r.getAs[Double]("ndcg") >= 0.0
+      && r.getAs[Double]("ndcg") <= 1.0))
+    assert(rows.exists(_.getAs[Double]("ndcg") > 0.0),
+      "the banded index must place at least one exact-top-k chunk")
+  }
 }

@@ -81,6 +81,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_ivfpq_recall_bound",                // same + 5-row exact probe set
       "q_passage_recall_bound",              // 5-row exact chunk probe set
       "q_passage_mrr",                       // same 5-row exact probe set (mrr ground truth)
+      "q_passage_ndcg",                      // same 5-row exact probe set (ndcg ground truth)
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // 1-row count scalars, every served family
       "q_jl_distortion")                     // constant 32-vector sample self-join
