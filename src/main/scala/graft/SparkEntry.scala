@@ -5529,6 +5529,29 @@ object SparkEntry {
         |SELECT * FROM intra UNION ALL SELECT * FROM xg
         |ORDER BY vec_id1, vec_id2""".stripMargin)),
 
+    // THRESHOLD-SENSITIVITY card over the persisted verified pairs: the
+    // pair count and the greedy drop count at each candidate dedup
+    // threshold — the curve a curator reads before committing a
+    // threshold (where does the drop count fall off; what survives at
+    // 0.9 is the exact-duplicate floor, cosine 1.0 intra pairs).
+    // Thresholds >= the mining threshold (0.4) are exact over the
+    // verified frame; the axis rides a row-local explode of a literal
+    // array over the snapshot scan — one conditional aggregate, no join.
+    ("q_dedup_sensitivity",
+      (s, d) => Similarity.dedupThresholdSensitivity(
+        annServeTables(s, d).pairs, Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)),
+      Some(s"""WITH $lshPairsSqlCtes,
+        |allp AS (SELECT * FROM intra UNION ALL SELECT * FROM xg),
+        |tx AS (SELECT allp.cosine, allp.vec_id2, t.threshold FROM allp
+        |  CROSS JOIN (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+        |    AS threshold) t)
+        |SELECT threshold,
+        |  CAST(sum(CASE WHEN cosine >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST(count(DISTINCT CASE WHEN cosine >= threshold THEN vec_id2 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM tx GROUP BY threshold ORDER BY threshold""".stripMargin)),
+
     // SEMANTIC duplicate clusters (SemDeDup's grouping step — the
     // embedding-side twin of q_dup_clusters): exact min-label connected
     // components over the persisted verified cosine pairs, served from

@@ -140,6 +140,35 @@ object Similarity {
     embeddings.join(drop, Seq("vec_id"), "left_anti")
   }
 
+  /** THRESHOLD-SENSITIVITY card over a verified near-dup pair frame
+    * (vec_id1, vec_id2, cosine): for each candidate threshold, the pair
+    * count and the greedy dedup drop count (distinct higher-id
+    * endpoints — [[cosineNearDedup]]'s dropset convention) the corpus
+    * would see at that setting. The curve a curator reads BEFORE
+    * committing a dedup threshold: how sharply does the drop count fall
+    * as the bar rises, and where do only the exact duplicates
+    * (cosine 1.0) remain. Thresholds at or above the pair frame's
+    * mining threshold are exact; below it the frame simply has no
+    * candidates, which is why the registry card starts at the mining
+    * threshold.
+    *
+    * Shape: the threshold axis rides a row-local `explode` of a literal
+    * array over the (persisted, verified) pair frame — |thresholds|×
+    * a k-bounded table, one conditional aggregate, no join — so every
+    * threshold row is present even when nothing qualifies.
+    */
+  def dedupThresholdSensitivity(pairs: DataFrame,
+                                thresholds: Seq[Double]): DataFrame =
+    pairs
+      .select(explode(typedLit(thresholds)).as("threshold"),
+        col("cosine"), col("vec_id2"))
+      .groupBy("threshold")
+      .agg(
+        count(when(col("cosine") >= col("threshold"), lit(1))).as("n_pairs"),
+        countDistinct(when(col("cosine") >= col("threshold"),
+          col("vec_id2"))).as("n_dropped"))
+      .orderBy("threshold")
+
   /** Per-cell element-wise means of an assignment frame (centroid_id, v):
     * ONE aggregation via the custom [[graft.functions.VecSum]] vector-sum
     * aggregate — partials combine map-side like any native sum, the

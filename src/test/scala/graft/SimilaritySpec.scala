@@ -123,6 +123,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!keptPlanted.contains(1000000L + emb.limit(1).head().getLong(0)))
   }
 
+  test("dedup threshold sensitivity: hand-computed counts on a planted " +
+    "pair frame; every threshold row present even when nothing qualifies") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 0.85), (5L, 4L, 0.45), (6L, 7L, 0.45))
+      .toDF("vec_id1", "vec_id2", "cosine")
+    val rows = Similarity.dedupThresholdSensitivity(pairs, Seq(0.4, 0.8, 0.9, 2.0))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    // t=0.4: 4 pairs, dropset {2,4,7}; t=0.8: 2 pairs, {2,4}; t=0.9: the
+    // exact-duplicate floor, 1 pair, {2}; t=2.0: nothing — row still there
+    assert(rows == Seq((0.4, 4L, 3L), (0.8, 2L, 2L), (0.9, 1L, 1L), (2.0, 0L, 0L)))
+  }
+
   test("IVF near-dup pairs: exact-verified candidates, recall rises with nprobe") {
     val exact = Similarity.cosineNearDupPairs(emb, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
