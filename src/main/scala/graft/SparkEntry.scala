@@ -152,7 +152,7 @@ object SparkEntry {
     * committed ivfpq marker as stale — without this, an ivf-v5 rebuild
     * would leave a v4-derived ivfpq answer serving as fresh.
     */
-  private val IvfStampVersion = "ivf-v6"
+  private val IvfStampVersion = "ivf-v7"
   private val PqStampVersion = "pq-v3"
 
   private val ivfTablesCache =
@@ -175,6 +175,14 @@ object SparkEntry {
     // indexes must rebuild.
     // v6: adds the default-parameter top-k answer (topk/) — round-13
     // verdict next-round 5, the pq-v3/ivfpq precedent.
+    // v7 (r15): list depth 4 → 5. The decorrelated plane family made the
+    // LSH reference pair set STRONGER (sf0.1: 484 verified pairs vs ~440;
+    // banded recall of true pairs 0.46 → 0.53), and the plane-independent
+    // depth-4 IVF pair path covered 0.9401 of it — under the
+    // q_ivf_recall_bound 0.95 contract. One more probed rank restores
+    // the margin (measured on the v7 build: 480/484 = 0.9917 at
+    // sf0.1); the contract stays 0.95
+    // rather than being weakened to fit.
     val stamp = IvfStampVersion + ":" + graft.sources.SnapshotStore.fingerprint(s, src)
     ivfTablesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
@@ -182,7 +190,7 @@ object SparkEntry {
         val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_ivf")
         if (!Similarity.indexReady(s, dir, stamp))
           Similarity.persistIndex(Tables.embeddings(s, d), dir, stamp = stamp,
-            probeDepth = 4, pairNprobe = 4)
+            probeDepth = 5, pairNprobe = 5)
         val (idx, lists) = Similarity.loadIndex(s, dir)
         (stamp, (idx, lists, Similarity.loadIndexPairs(s, dir),
           Similarity.loadIndexTopK(s, dir)))
@@ -1093,6 +1101,44 @@ object SparkEntry {
     |    AND ${Similarity.Sql.dot("cv.v", "cv.v")} > 0),
     |dve AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
     |  ORDER BY cosine DESC, pid) AS rn_doc FROM sce)""".stripMargin
+
+  /** Exact near-dup pair chain (0.8 jaccard over 3-shingle sets) shared
+    * by the split-hygiene oracles — the q_split_leakage derivation
+    * hoisted to one site. Ends with `prs` (doc_id1, doc_id2, jaccard).
+    */
+  private val NearDupPairsCtes = s"""sets AS (${Dedup.Sql.shingleSets}),
+    |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+    |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+    |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+    |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    |  GROUP BY 1, 2),
+    |sz AS (SELECT doc_id, len(sh) AS n_sh FROM nonempty),
+    |prs AS (SELECT doc_id1, doc_id2,
+    |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+    |  FROM inter JOIN sz s1 ON doc_id1 = s1.doc_id
+    |              JOIN sz s2 ON doc_id2 = s2.doc_id
+    |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.8)""".stripMargin
+
+  /** Min-label connected components over `prs` → `cl` (doc_id,
+    * cluster_id) — the q_dup_clusters reachability, for oracles that
+    * consume the persisted cluster assignment downstream.
+    */
+  private val DupClusterCtes = s"""edges AS (SELECT doc_id1 AS src, doc_id2 AS dst FROM prs
+    |  UNION SELECT doc_id2, doc_id1 FROM prs),
+    |reach(doc_id, lbl) AS (
+    |  SELECT DISTINCT src, src FROM edges
+    |  UNION
+    |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+    |cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  /** The deterministic split CASE over any id expression — dataSplit's
+    * double-mod hash as SQL, one site for every split oracle.
+    */
+  private def splitCaseSql(e: String): String = {
+    def b(x: String) =
+      s"(((((($x % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100"
+    s"CASE WHEN ${b(e)} < 90 THEN 'train' WHEN ${b(e)} < 95 THEN 'val' ELSE 'test' END"
+  }
 
   /** The registry's 5-gram list over a pre-split token array `t` — shared
     * by the decontamination oracles so the gram definition can never
@@ -3018,6 +3064,55 @@ object SparkEntry {
         |       WHEN ((((((doc_id % 1000003) * 2246822519) % 999999937) % 1000003) * 3266489917) % 999999893) % 100 < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // LEAKAGE-SAFE split — the FIX for what q_split_leakage measures:
+    // the split key is the near-dup CLUSTER representative (persisted
+    // dup-cluster assignment; unclustered docs key by their own id), so
+    // every member of a near-dup cluster lands on the SAME side and
+    // cross-split leakage is zero STRUCTURALLY, not by eviction
+    // (q_eval_holdout remains the retrofit for an already-shipped
+    // split). One doc-bounded cluster join + the same row-local split
+    // hash; the oracle re-walks pairs → components → keyed hash.
+    ("q_safe_split",
+      (s, d) => Corpus.leakageSafeSplit(Tables.documents(s, d),
+        dedupTables(s, d).clusters).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $NearDupPairsCtes,
+        |$DupClusterCtes
+        |SELECT d.doc_id AS doc_id, d.lang,
+        |  COALESCE(cl.cluster_id, d.doc_id) AS split_key,
+        |  ${splitCaseSql("COALESCE(cl.cluster_id, d.doc_id)")} AS split
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |ORDER BY 1""".stripMargin)),
+
+    // the one-row witness: the doc_id split MEASURABLY leaks
+    // (n_cross_docid_split, non-vacuous at every SF), the cluster-keyed
+    // split leaks ZERO (both endpoints of a verified pair share a
+    // component, hence a split key), with the pair and cluster-keyed-doc
+    // counts proving neither side vacuous.
+    ("q_safe_split_audit",
+      (s, d) => Corpus.safeSplitAudit(Tables.documents(s, d),
+        dedupTables(s, d).clusters, nearDupPairs(s, d)),
+      Some(s"""WITH RECURSIVE $NearDupPairsCtes,
+        |$DupClusterCtes,
+        |sp_plain AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split
+        |  FROM documents),
+        |sp_safe AS (SELECT d.doc_id,
+        |  ${splitCaseSql("COALESCE(cl.cluster_id, d.doc_id)")} AS split
+        |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |jp AS (SELECT p1.split AS s1, p2.split AS s2 FROM prs
+        |  JOIN sp_plain p1 ON prs.doc_id1 = p1.doc_id
+        |  JOIN sp_plain p2 ON prs.doc_id2 = p2.doc_id),
+        |js AS (SELECT p1.split AS s1, p2.split AS s2 FROM prs
+        |  JOIN sp_safe p1 ON prs.doc_id1 = p1.doc_id
+        |  JOIN sp_safe p2 ON prs.doc_id2 = p2.doc_id)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_near_dup_pairs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM jp WHERE s1 <> s2)
+        |    AS n_cross_docid_split,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM js WHERE s1 <> s2)
+        |    AS n_cross_safe_split,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cl
+        |   WHERE cl.cluster_id <> cl.doc_id) AS n_cluster_keyed_docs""".stripMargin)),
 
     // split-leakage audit: persisted near-dup pairs straddling the split
     // boundary (an eval doc with a train near-dup = contaminated eval —

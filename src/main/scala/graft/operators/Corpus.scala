@@ -877,16 +877,82 @@ object Corpus {
   def dataSplit(documents: DataFrame, trainPct: Int = 90,
                 valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "test share must be nonempty")
-    val h1 = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2246822519L),
-      lit(999999937L))
-    val bucket = pmod(pmod(pmod(h1, lit(1000003L)) * lit(3266489917L),
-      lit(999999893L)), lit(100L))
     documents
-      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitOf(col("bucket"), trainPct, valPct))
+  }
+
+  /** [[dataSplit]]'s deterministic bucket hash of an id column — one
+    * site, shared with the cluster-keyed split so the two can never
+    * disagree on the hash.
+    */
+  private def splitBucket(id: Column): Column = {
+    val h1 = pmod(pmod(id, lit(1000003L)) * lit(2246822519L),
+      lit(999999937L))
+    pmod(pmod(pmod(h1, lit(1000003L)) * lit(3266489917L),
+      lit(999999893L)), lit(100L))
+  }
+
+  private def splitOf(bucket: Column, trainPct: Int, valPct: Int): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+
+  /** LEAKAGE-SAFE split — the FIX for what [[splitLeakage]] measures:
+    * hashing doc_id sends near-duplicates to independent splits, so an
+    * eval document routinely has a train twin (contaminated evaluation).
+    * Here the split key is the document's near-dup CLUSTER representative
+    * (the persisted [[graft.operators.Dedup.dupClusters]]-style
+    * `cluster_id` = the component's min doc_id; unclustered documents
+    * key by their own id), so every member of a near-dup cluster lands
+    * on the SAME side by construction — cross-split leakage is zero
+    * structurally, not by eviction. The eviction policy
+    * ([[evalHoldout]]) remains the retrofit for an already-shipped
+    * split; this is what a new training run should cut.
+    *
+    * Scale: one equi-join of documents against the doc-bounded persisted
+    * cluster assignment (near-dup members only — broadcastable in
+    * practice), then the same row-local hash/bucket projection as
+    * [[dataSplit]]. Nothing rescans text, no new shuffle shape.
+    */
+  def leakageSafeSplit(documents: DataFrame, clusters: DataFrame,
+                       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "test share must be nonempty")
+    documents.select(col("doc_id"), col("lang"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
       .withColumn("split",
-        when(col("bucket") < trainPct, "train")
-          .when(col("bucket") < trainPct + valPct, "val")
-          .otherwise("test"))
+        splitOf(splitBucket(col("split_key")), trainPct, valPct))
+  }
+
+  /** One-row witness card for [[leakageSafeSplit]]: the verified
+    * near-dup pair count, how many pairs straddle the PLAIN doc_id
+    * split (the measured leak — non-vacuous), how many straddle the
+    * cluster-keyed split (MUST be 0 — both endpoints of a verified pair
+    * share a component, hence a split key), and how many documents were
+    * cluster-keyed at all.
+    */
+  def safeSplitAudit(documents: DataFrame, clusters: DataFrame,
+                     pairs: DataFrame, trainPct: Int = 90,
+                     valPct: Int = 5): DataFrame = {
+    val safe = leakageSafeSplit(documents, clusters, trainPct, valPct)
+    val straddles = count(when(col("split1") =!= col("split2"), lit(1)))
+    def joined(split: DataFrame): DataFrame = pairs
+      .join(split.select(col("doc_id").as("doc_id1"),
+        col("split").as("split1")), Seq("doc_id1"))
+      .join(split.select(col("doc_id").as("doc_id2"),
+        col("split").as("split2")), Seq("doc_id2"))
+    joined(dataSplit(documents, trainPct, valPct))
+      .agg(count(lit(1)).as("n_near_dup_pairs"),
+        straddles.as("n_cross_docid_split"))
+      .crossJoin(joined(safe.select(col("doc_id"), col("split")))
+        .agg(straddles.as("n_cross_safe_split")))
+      .crossJoin(safe
+        .agg(count(when(col("split_key") =!= col("doc_id"), lit(1)))
+          .as("n_cluster_keyed_docs")))
   }
 
   /** SPLIT-LEAKAGE audit — near-duplicate pairs that STRADDLE a split

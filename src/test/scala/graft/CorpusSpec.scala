@@ -205,6 +205,36 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.sourceOverlap(df2, dfCap = Some(2)).count() == 66L)
   }
 
+  test("leakage-safe split: planted cluster members co-locate; unclustered " +
+    "docs keep dataSplit's assignment") {
+    import spark.implicits._
+    val dd = (1L to 10L).map(i => (i, s"text $i", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val sp = Corpus.leakageSafeSplit(dd, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    assert((1L to 4L).map(sp(_)).toSet.size == 1,
+      s"cluster members must share one (key, split): $sp")
+    assert((1L to 4L).forall(sp(_)._1 == 1L))
+    val plain = Corpus.dataSplit(dd).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert((5L to 10L).forall(i => sp(i) == ((i, plain(i)))),
+      "unclustered docs must keep the doc_id-keyed assignment")
+  }
+
+  test("safe split audit: zero cross-split pairs on the cluster-keyed split " +
+    "while the doc_id split measurably leaks (non-vacuous both ways)") {
+    val r = SparkEntry.queries("q_safe_split_audit")(spark, sf).head()
+    assert(r.getAs[Long]("n_near_dup_pairs") > 0L)
+    assert(r.getAs[Long]("n_cluster_keyed_docs") > 0L)
+    assert(r.getAs[Long]("n_cross_docid_split") > 0L,
+      "the doc_id split must leak at the test SF, else the fix is vacuous")
+    assert(r.getAs[Long]("n_cross_safe_split") == 0L,
+      "a verified pair's endpoints share a component, hence a split key")
+  }
+
   test("corpus stats: per-language report is internally consistent and complete") {
     val r = Corpus.corpusStats(docs).collect()
     assert(r.map(_.getLong(1)).sum == docs.count(), "doc counts partition the corpus")

@@ -84,6 +84,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_passage_ndcg",                      // same 5-row exact probe set (ndcg ground truth)
       "q_bloom_bound",                       // three 1-row count scalars
       "q_takedown_audit",                    // 1-row count scalars, every served family
+      "q_safe_split_audit",                  // three 1-row count scalars
       "q_jl_distortion")                     // constant 32-vector sample self-join
       // (q_crossmodal_topk/q_crossmodal_recall/q_takedown_crossmodal now
       // serve graft_crossmodal scans; their CONSTRUCTION's 5-row / 32-row
