@@ -227,6 +227,35 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED plane-migration card (graft_planes):
+    * [[Similarity.planeMigrationCard]] is a pure function of the
+    * embeddings snapshot (both plane families are closed-form; the exact
+    * ground truth is deterministic), and its exact-truth arm costs a
+    * q_cosine_pairs-sized blocked all-pairs pass (~0.9 s at sf0.1) — so
+    * the card builds ONCE per snapshot and `q_plane_migration` serves a
+    * 2-row scan. Its build-time 1-row truth/rep-count crossJoins never
+    * reach a registry plan (the q_snapshot_diff precedent).
+    */
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, DataFrame)]()
+  private def planesTable(s: SparkSession, d: String): DataFrame = {
+    planesCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/embeddings.parquet"
+    val stamp = "planes-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    planesCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_planes")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          Similarity.planeMigrationCard(Tables.embeddings(s, d))
+            .write.mode("overwrite").parquet(s"$dir/card")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, s.read.parquet(s"$dir/card"))
+      })._2
+  }
+
   /** PERSISTED product-quantization family — per-subspace codebooks,
     * the PQ-encoded corpus, and the default-parameter rerank answer
     * ([[Similarity.persistPq]]): training is once-per-snapshot batch
@@ -558,7 +587,10 @@ object SparkEntry {
     bloomCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/documents.parquet"
     // v2: the candidate-sliver exact verify moved into the probe's hash
-    // space (Dedup.bloomVerify — r14 verdict 4)
+    // space (Dedup.bloomVerify — r14 verdict 4); v3: the verify key
+    // gained the gram STRING next to the fingerprint after a real ~2^30
+    // polynomial collision at sf0.001 flagged a doc with zero shared
+    // grams — counts are string-exact, superset guarantee structural
     val stamp = "bloom-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     bloomCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
@@ -1038,6 +1070,43 @@ object SparkEntry {
        |  greatest(m1.vec_id, m2.vec_id) AS vec_id2, rp.cosine
        |  FROM rp JOIN m m1 ON rp.vec_id1 = m1.rep
        |          JOIN m m2 ON rp.vec_id2 = m2.rep)""".stripMargin
+
+  /** The lexical verified Jaccard pair pipeline (rep-collapse → df-capped
+    * shingle index → intersection → verify → dup-group expansion) as a
+    * WITH-body, shared by the `q_jaccard_pairs` oracle and the lexical
+    * threshold-sensitivity card so the two can never drift (the
+    * [[lshPairsSqlCtes]] precedent).
+    */
+  private val jaccardPairsSqlCtes: String =
+    """reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+      |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
+      |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
+      |sets AS (SELECT doc_id, list_distinct(
+      |  list_transform(generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs)),
+      |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
+      |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+      |kept AS (SELECT * FROM ex0 WHERE shingle IN
+      |  (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 50)),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |rp AS (SELECT doc_id1, doc_id2,
+      |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
+      |  FROM inter
+      |  JOIN sz s1 ON doc_id1 = s1.doc_id
+      |  JOIN sz s2 ON doc_id2 = s2.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
+      |elig AS (SELECT * FROM members WHERE rep IN (SELECT doc_id FROM sz)),
+      |intra AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+      |  CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM elig a JOIN elig b ON a.rep = b.rep AND a.doc_id < b.doc_id),
+      |xg AS (SELECT least(m1.doc_id, m2.doc_id) AS doc_id1,
+      |  greatest(m1.doc_id, m2.doc_id) AS doc_id2, rp.jaccard
+      |  FROM rp JOIN members m1 ON rp.doc_id1 = m1.rep
+      |           JOIN members m2 ON rp.doc_id2 = m2.rep)""".stripMargin
   private val AGG =
     """SELECT city || '#' || event_type || '#' || strftime(ws, '%Y-%m-%dT%H:%M:%S') AS partition_key,
       |  strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -3652,37 +3721,34 @@ object SparkEntry {
     // index remains the any-threshold path.
     ("q_jaccard_pairs",
       (s, d) => dedupTables(s, d).jaccardPairs.orderBy("doc_id1", "doc_id2"),
-      Some("""WITH reps AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
-        |members AS (SELECT r.rep, d.doc_id FROM documents d JOIN reps r ON d.text = r.text),
-        |rdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.rep),
-        |sets AS (SELECT doc_id, list_distinct(
-        |  list_transform(generate_series(1, len(t) - 2),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs)),
-        |nonempty AS (SELECT * FROM sets WHERE len(sh) > 0),
-        |ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
-        |kept AS (SELECT * FROM ex0 WHERE shingle IN
-        |  (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) <= 50)),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, count(*) AS n_common
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |rp AS (SELECT doc_id1, doc_id2,
-        |  CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) AS jaccard
-        |  FROM inter
-        |  JOIN sz s1 ON doc_id1 = s1.doc_id
-        |  JOIN sz s2 ON doc_id2 = s2.doc_id
-        |  WHERE CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common) >= 0.5),
-        |elig AS (SELECT * FROM members WHERE rep IN (SELECT doc_id FROM sz)),
-        |intra AS (SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
-        |  CAST(1.0 AS DOUBLE) AS jaccard
-        |  FROM elig a JOIN elig b ON a.rep = b.rep AND a.doc_id < b.doc_id),
-        |xg AS (SELECT least(m1.doc_id, m2.doc_id) AS doc_id1,
-        |  greatest(m1.doc_id, m2.doc_id) AS doc_id2, rp.jaccard
-        |  FROM rp JOIN members m1 ON rp.doc_id1 = m1.rep
-        |           JOIN members m2 ON rp.doc_id2 = m2.rep)
+      Some(s"""WITH $jaccardPairsSqlCtes
         |SELECT * FROM intra UNION ALL SELECT * FROM xg
         |ORDER BY doc_id1, doc_id2""".stripMargin)),
+
+    // LEXICAL threshold-sensitivity card (r15 verdict 6): the same
+    // row-local curve as q_dedup_sensitivity, over the persisted
+    // verified JACCARD pairs — pair count and greedy higher-id drop
+    // count at each candidate resemblance threshold, so curators read
+    // the lexical and semantic dedup knobs side by side (the 1.0 floor
+    // is the exact-duplicate intra pairs, exactly as cosine 1.0 is on
+    // the semantic card). Thresholds >= the mining threshold (0.5) are
+    // exact over the verified frame; one conditional aggregate over the
+    // snapshot scan, no join.
+    ("q_dedup_sensitivity_lexical",
+      (s, d) => Similarity.dedupThresholdSensitivity(
+        dedupTables(s, d).jaccardPairs, Seq(0.5, 0.6, 0.7, 0.8, 0.9, 1.0),
+        scoreCol = "jaccard", dropCol = "doc_id2"),
+      Some(s"""WITH $jaccardPairsSqlCtes,
+        |allp AS (SELECT * FROM intra UNION ALL SELECT * FROM xg),
+        |tx AS (SELECT allp.jaccard, allp.doc_id2, t.threshold FROM allp
+        |  CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9, 1.0])
+        |    AS threshold) t)
+        |SELECT threshold,
+        |  CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs,
+        |  CAST(count(DISTINCT CASE WHEN jaccard >= threshold THEN doc_id2 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM tx GROUP BY threshold ORDER BY threshold""".stripMargin)),
 
     // DIRECTED containment (Broder) pairs — |S(a)∩S(b)|/|S(a)| over the
     // same persisted index + df-cap as q_jaccard_pairs; catches
@@ -5172,48 +5238,26 @@ object SparkEntry {
 
     // CROSS-SOURCE n-gram overlap matrix: the duplication audit ACROSS
     // sources (syndication/mirrors put the same passages into different
-    // sources; independent mixing weights then double-count them). Grams
-    // collapse to polynomial fingerprints before the distinct + self-join
-    // (longs shuffle, never gram strings; the oracle mirrors the same
-    // fingerprint so even its collision class hash-checks), per-gram join
-    // fan-out is catalog-bounded (≤ |sources|² pair rows per gram), and
-    // the matrix zero-fills from two catalog-sized broadcast share tables.
-    // Served from the persisted graft_release family (release-v2: the
-    // overlap matrix is the third release card, built once per snapshot);
-    // Corpus.sourceOverlap stays the any-corpus path.
+    // sources; independent mixing weights then double-count them). The
+    // PRIMARY registered form is the df-CAPPED matrix (r15 verdict 2):
+    // grams carried by more than SourceOverlapDfCap sources are excluded
+    // from the overlap universe entirely — uncapped, a corpus-ubiquitous
+    // gram (site chrome, syndicated license boilerplate) costs
+    // |catalog|²/2 pair rows PER GRAM, real money at 100 TB, so the
+    // boilerplate-safe form is what a production corpus runs first. Every
+    // quantity (shared, totals, jaccard) is computed self-consistently
+    // over the capped universe (fully oracle'd, not a sketch); the
+    // uncapped matrix survives below as the labeled validation baseline
+    // q_source_overlap_uncapped (the semantic_dedup precedent). Grams
+    // collapse to polynomial fingerprints before the distinct (longs
+    // shuffle, never gram strings; the oracle mirrors the fingerprint so
+    // even its collision class hash-checks), the pair stream is generated
+    // row-locally from each gram's sorted source array (no self-join
+    // anywhere in the family since r15), and the matrix zero-fills from
+    // catalog-sized broadcast share tables. Served from the persisted
+    // graft_release family (built once per snapshot); Corpus.sourceOverlap
+    // stays the any-corpus path.
     ("q_source_overlap",
-      (s, d) => releaseTables(s, d)._3.orderBy("source_a", "source_b"),
-      Some(s"""WITH g AS (SELECT DISTINCT source,
-        |  ${TextAnalysis.Sql.fingerprintOf("gram")} AS g
-        |  FROM (SELECT source, unnest($GRAM5) AS gram
-        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
-        |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
-        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
-        |  count(*) AS n_shared
-        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT sa.source AS source_a, sb.source AS source_b,
-        |  COALESCE(ov.n_shared, 0) AS n_shared,
-        |  sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
-        |  COALESCE(ov.n_shared, 0) / CAST(sa.n_grams + sb.n_grams
-        |    - COALESCE(ov.n_shared, 0) AS DOUBLE) AS jaccard
-        |FROM sz sa JOIN sz sb ON sa.source < sb.source
-        |LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
-        |ORDER BY source_a, source_b""".stripMargin)),
-
-    // the df-CAPPED overlap matrix — the 100 TB boilerplate-safe variant
-    // (r14 verdict 2): grams carried by more than SourceOverlapDfCap
-    // sources are excluded from the overlap universe entirely (the
-    // jaccardPairs df-cap precedent — catalog-saturating boilerplate is
-    // noise for syndication detection, and uncapped it costs
-    // |catalog|²/2 pair rows PER GRAM), with every quantity (shared,
-    // totals, jaccard) computed self-consistently over the capped
-    // universe, so the capped matrix is deterministic and fully
-    // oracle'd, not a sketch. The pair stream is generated row-locally
-    // from each gram's sorted source array (the self-join is gone from
-    // the whole family this round); the stress spec pins the stream
-    // FLAT when a boilerplate gram saturates the catalog.
-    ("q_source_overlap_capped",
       (s, d) => releaseTables(s, d)._4.orderBy("source_a", "source_b"),
       Some(s"""WITH g AS (SELECT DISTINCT source,
         |  ${TextAnalysis.Sql.fingerprintOf("gram")} AS g
@@ -5241,6 +5285,33 @@ object SparkEntry {
         |LEFT JOIN ov ON ov.source_a = ca.source AND ov.source_b = cb.source
         |LEFT JOIN sz sa ON sa.source = ca.source
         |LEFT JOIN sz sb ON sb.source = cb.source
+        |ORDER BY source_a, source_b""".stripMargin)),
+
+    // the UNCAPPED overlap matrix — the labeled exact validation
+    // baseline for q_source_overlap (every gram counts regardless of
+    // source-df; at the registry SFs the cap excludes only the
+    // max-source-df 3/3/4 tail, so the two matrices are comparable
+    // side by side). NOT the 100 TB path: a catalog-saturating
+    // boilerplate gram costs |catalog|²/2 pair rows here — the capped
+    // primary above is what a production corpus runs.
+    ("q_source_overlap_uncapped",
+      (s, d) => releaseTables(s, d)._3.orderBy("source_a", "source_b"),
+      Some(s"""WITH g AS (SELECT DISTINCT source,
+        |  ${TextAnalysis.Sql.fingerprintOf("gram")} AS g
+        |  FROM (SELECT source, unnest($GRAM5) AS gram
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+        |sz AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  COALESCE(ov.n_shared, 0) AS n_shared,
+        |  sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+        |  COALESCE(ov.n_shared, 0) / CAST(sa.n_grams + sb.n_grams
+        |    - COALESCE(ov.n_shared, 0) AS DOUBLE) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN ov ON ov.source_a = sa.source AND ov.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin)),
 
     // per-document NOVELTY card (the memorization-risk axis): distinct
@@ -5646,6 +5717,53 @@ object SparkEntry {
         |  CAST(count(DISTINCT CASE WHEN cosine >= threshold THEN vec_id2 END)
         |    AS BIGINT) AS n_dropped
         |FROM tx GROUP BY threshold ORDER BY threshold""".stripMargin)),
+
+    // PLANE-FAMILY MIGRATION card (r15 verdict 8): the r15 sign-LSH
+    // plane fix (linear sawtooth family → quadratic-residue family)
+    // re-stamped every plane-derived snapshot; this card puts the
+    // migration's EVIDENCE in the hash-checked surface — per family,
+    // banded candidate count, exact-verified find count, shared exact
+    // truth, recall and candidate rate, all over the duplicate-collapsed
+    // rep set. Non-vacuous: the quadratic row's recall is HIGHER at a
+    // LOWER candidate rate (the r15 measurement, now pinned per
+    // snapshot). Served from the persisted graft_planes card (the exact
+    // truth costs a q_cosine_pairs-sized blocked pass, built once); the
+    // oracle re-walks BOTH closed-form families end-to-end.
+    ("q_plane_migration",
+      (s, d) => planesTable(s, d).orderBy("family"),
+      Some(s"""WITH g AS (SELECT embedding, min(vec_id) AS rep
+        |  FROM embeddings GROUP BY embedding),
+        |d AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
+        |  WHERE vec_id IN (SELECT rep FROM g)),
+        |bq AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
+        |bl AS (SELECT vec_id, ${Similarity.Sql.lshBucketLinearV1("v")} AS bucket FROM d),
+        |cq AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM bq CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |cl AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM bl CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |pq AS (SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+        |  FROM cq a JOIN cq b ON a.band = b.band AND a.bb = b.bb
+        |    AND a.vec_id < b.vec_id),
+        |pl AS (SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+        |  FROM cl a JOIN cl b ON a.band = b.band AND a.bb = b.bb
+        |    AND a.vec_id < b.vec_id),
+        |cand AS (SELECT 'linear-v1' AS family, vec_id1, vec_id2 FROM pl
+        |  UNION ALL SELECT 'quadratic-v2', vec_id1, vec_id2 FROM pq),
+        |ver AS (SELECT family, ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |  FROM cand JOIN d a ON cand.vec_id1 = a.vec_id
+        |            JOIN d b2 ON cand.vec_id2 = b2.vec_id),
+        |fam AS (SELECT family, count(*) AS n_candidates,
+        |  count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_found
+        |  FROM ver GROUP BY family),
+        |tr AS (SELECT count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_truth
+        |  FROM (SELECT ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |    FROM d a JOIN d b2 ON a.vec_id < b2.vec_id)),
+        |nr AS (SELECT count(*) AS n_reps FROM d)
+        |SELECT family, n_candidates, n_found, n_truth,
+        |  CAST(n_found AS DOUBLE) / n_truth AS recall,
+        |  CAST(n_candidates AS DOUBLE) / (n_reps * (n_reps - 1) / 2)
+        |    AS candidate_rate
+        |FROM fam CROSS JOIN tr CROSS JOIN nr ORDER BY family""".stripMargin)),
 
     // SEMANTIC duplicate clusters (SemDeDup's grouping step — the
     // embedding-side twin of q_dup_clusters): exact min-label connected

@@ -156,17 +156,25 @@ object Similarity {
     * array over the (persisted, verified) pair frame — |thresholds|×
     * a k-bounded table, one conditional aggregate, no join — so every
     * threshold row is present even when nothing qualifies.
+    *
+    * `scoreCol`/`dropCol` generalize the card across dedup families
+    * (r15 verdict 6): the semantic card reads the cosine pairs
+    * (`cosine`/`vec_id2`), the lexical card the persisted Jaccard pairs
+    * (`jaccard`/`doc_id2`) — same curve, same greedy higher-id drop
+    * convention, so a curator reads the two knobs side by side.
     */
   def dedupThresholdSensitivity(pairs: DataFrame,
-                                thresholds: Seq[Double]): DataFrame =
+                                thresholds: Seq[Double],
+                                scoreCol: String = "cosine",
+                                dropCol: String = "vec_id2"): DataFrame =
     pairs
       .select(explode(typedLit(thresholds)).as("threshold"),
-        col("cosine"), col("vec_id2"))
+        col(scoreCol).as("score"), col(dropCol).as("drop_id"))
       .groupBy("threshold")
       .agg(
-        count(when(col("cosine") >= col("threshold"), lit(1))).as("n_pairs"),
-        countDistinct(when(col("cosine") >= col("threshold"),
-          col("vec_id2"))).as("n_dropped"))
+        count(when(col("score") >= col("threshold"), lit(1))).as("n_pairs"),
+        countDistinct(when(col("score") >= col("threshold"),
+          col("drop_id"))).as("n_dropped"))
       .orderBy("threshold")
 
   /** Per-cell element-wise means of an assignment frame (centroid_id, v):
@@ -1533,13 +1541,23 @@ object Similarity {
     * measured row correlation (mean |cos| 0.087, max 0.35) sits at the
     * independent-direction level. Overflow-exact everywhere: k ≤
     * nbits·dim (thousands), so k² < 2^63 and every product stays in
-    * 64-bit integer range in Spark and DuckDB alike.
+    * 64-bit integer range in Spark and DuckDB alike — and that envelope
+    * is ENFORCED, not assumed (r15 ADVICE): past ⌊√(2^63−1)⌋ =
+    * 3 037 000 499 a Scala `Long` would silently wrap while DuckDB
+    * BIGINT raises, so the two engines would diverge instead of failing
+    * together; the `require` makes the pathological geometry fail loudly
+    * on BOTH.
     */
-  def lshPlaneWeights(nbits: Int, dim: Int): Array[Array[Double]] =
+  def lshPlaneWeights(nbits: Int, dim: Int): Array[Array[Double]] = {
+    require(nbits.toLong * dim <= 3037000499L,
+      s"lshPlaneWeights: nbits*dim = ${nbits.toLong * dim} exceeds the " +
+        "exact-arithmetic envelope (k^2 must stay below 2^63; max nbits*dim " +
+        "is 3037000499)")
     Array.tabulate(nbits, dim) { (i, j) =>
       val k = i.toLong * dim + j
       ((k * k % 1000003L) * 40503L + k * 2654435761L) % 1000003L / 500001.5 - 1.0
     }
+  }
 
   /** Sign-LSH bucket per vector: bit i of `bucket` is `⟨v, h_i⟩ > 0` for
     * the [[lshPlaneWeights]] hyperplanes — Charikar's SimHash for
@@ -1553,14 +1571,96 @@ object Similarity {
     * `dim` is index configuration like `nbits` (the plane literals must be
     * materialized in the plan); [[VecDot]] folds over `min(dim, |v|)`.
     */
-  def lshBuckets(embeddings: DataFrame, nbits: Int = 16, dim: Int = 64): DataFrame = {
-    val w = lshPlaneWeights(nbits, dim)
-    val bucket = (0 until nbits).map { i =>
+  def lshBuckets(embeddings: DataFrame, nbits: Int = 16, dim: Int = 64): DataFrame =
+    lshBucketsWith(embeddings, lshPlaneWeights(nbits, dim))
+
+  /** [[lshBuckets]] against an explicit plane matrix — the seam that
+    * lets [[planeMigrationCard]] bucket the same corpus under BOTH the
+    * retired and the current plane family with one code path.
+    */
+  private def lshBucketsWith(embeddings: DataFrame,
+                             w: Array[Array[Double]]): DataFrame = {
+    val bucket = w.indices.map { i =>
       when(dot(col("v"), typedLit(w(i).toSeq)) > lit(0.0), lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
     embeddings.select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  /** The RETIRED linear plane family,
+    * `w(i,j) = ((i·2654435761 + j·40503) mod 1000003) / 500001.5 − 1` —
+    * kept ONLY as [[planeMigrationCard]]'s comparison arm (r15 verdict
+    * 8). It is linear in j, so every row is the same slope-40503 sawtooth
+    * phase-shifted (measured mean pairwise |row cosine| 0.38 at 16×64) —
+    * the defect the quadratic [[lshPlaneWeights]] family fixed. Nothing
+    * else may call this.
+    */
+  private[graft] def lshPlaneWeightsLinearV1(nbits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nbits, dim)((i, j) =>
+      ((i * 2654435761L + j * 40503L) % 1000003L).toDouble / 500001.5 - 1.0)
+
+  /** PLANE-FAMILY MIGRATION card (r15 verdict 8): the r15 plane-family
+    * fix re-stamped every plane-derived snapshot, and this card moves the
+    * migration's EVIDENCE into the hash-checked surface — one row per
+    * family (the retired `linear-v1`, the shipped `quadratic-v2`), each
+    * carrying the banded near-dup candidate count, the exact-verified
+    * find count, the shared exact ground truth, and the derived
+    * recall / candidate-rate. Non-vacuous by measurement: the quadratic
+    * family's recall is HIGHER at a LOWER candidate rate (the r15
+    * measured result, now pinned per-snapshot by this card's oracle).
+    *
+    * Everything is computed over the duplicate-collapsed rep set (the
+    * [[lshNearDupPairs]] discipline) so trivially-identical vectors
+    * can't flatter either family with free cosine-1.0 pairs. Exact truth
+    * reuses [[cosineNearDupPairs]]'s blocked equi-join (no cartesian);
+    * the two band arms share one [[lshBucketsWith]] path and differ only
+    * in the plane matrix. The 1-row truth/rep-count crossJoins are
+    * build-time only — the registry serves the persisted 2-row card.
+    */
+  def planeMigrationCard(embeddings: DataFrame, threshold: Double = 0.4,
+                         nbits: Int = 16, bandBits: Int = 4,
+                         dim: Int = 64): DataFrame = {
+    require(nbits % bandBits == 0, s"nbits=$nbits must split into bandBits=$bandBits bands")
+    val bands = nbits / bandBits
+    val members = vecGroups(embeddings)
+    val repEmb = embeddings.join(
+      members.filter(col("rep") === col("vec_id")).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    val d = prepared(repEmb)
+    def armPairs(family: String, w: Array[Array[Double]]): DataFrame = {
+      val cand = bandExplode(lshBucketsWith(repEmb, w), bands, bandBits)
+      cand.as("a")
+        .join(cand.as("b"),
+          col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
+        .distinct()
+        .withColumn("family", lit(family))
+    }
+    val cands = armPairs("linear-v1", lshPlaneWeightsLinearV1(nbits, dim))
+      .unionByName(armPairs("quadratic-v2", lshPlaneWeights(nbits, dim)))
+    val verified = cands
+      .join(d.select(col("vec_id").as("vec_id1"), col("v").as("v1"),
+        col("nrm").as("nrm1")), Seq("vec_id1"))
+      .join(d.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
+        col("nrm").as("nrm2")), Seq("vec_id2"))
+      .select(col("family"),
+        (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2"))).as("cosine"))
+    val perFamily = verified.groupBy("family").agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(col("cosine") >= lit(threshold), lit(1))).as("n_found"))
+    val truth = cosineNearDupPairs(repEmb, threshold)
+      .agg(count(lit(1)).as("n_truth"))
+    val nRep = d.agg(count(lit(1)).as("n_reps"))
+    perFamily.crossJoin(truth).crossJoin(nRep)
+      .select(col("family"), col("n_candidates"), col("n_found"),
+        col("n_truth"),
+        (col("n_found").cast("double") / col("n_truth")).as("recall"),
+        (col("n_candidates").cast("double")
+          / (col("n_reps") * (col("n_reps") - lit(1L)) / lit(2L)))
+          .as("candidate_rate"))
+      .orderBy("family")
   }
 
   /** (vec_id, band, bb) triples: each vector's `bucket` split into
@@ -2225,6 +2325,26 @@ object Similarity {
       s"(CAST((($k*$k % 1000003) * 40503 + $k*2654435761) % 1000003 " +
         "AS DOUBLE) / 500001.5 - 1.0)"
     }
+
+    /** The RETIRED linear family's w(i,j) — mirrors
+      * [[lshPlaneWeightsLinearV1]] exactly; referenced ONLY by the
+      * plane-migration card's oracle (r15 verdict 8).
+      */
+    private val planeSqlLinearV1: String =
+      "(CAST((i*2654435761 + j*40503) % 1000003 AS DOUBLE) / 500001.5 - 1.0)"
+
+    /** Sign-LSH bucket under the RETIRED linear plane family — the
+      * migration card's comparison arm, same fold/bit-test shape as
+      * [[lshBucket]].
+      */
+    def lshBucketLinearV1(v: String, nbits: Int = 16, dim: Int = 64): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(range(0, $nbits), i -> " +
+        s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, $dim), j -> " +
+        s"$planeSqlLinearV1 * $v[j+1])), " +
+        s"(a, x) -> a + x) > 0 THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)), " +
+        s"(a, x) -> a + x)"
 
     /** JL coordinates of a double-list column `v`, mirroring
       * [[jlProject]] bit-for-bit: identical integer plane formula (the

@@ -122,13 +122,17 @@ object Takedown {
     * (pinned by the gate≡audit parity spec) — and one aggregate returns
     * both compliance counts: `n_leaked_<name>` (tombstoned rows inside
     * the served cut) and `n_suppressed_<name>` (tombstoned rows anywhere
-    * in the recall). The leak term is zero BY CONSTRUCTION here, exactly
-    * as it is through the served path's anti-join; the regression
-    * tripwire for "a serving path stopped suppressing" is not this
-    * column but each surface's DuckDB oracle (whose SQL bakes the
-    * suppression predicate in) and the parity spec — the audit row is
-    * the exportable compliance artifact, now at one snapshot scan per
-    * surface instead of the previous gate-pass + suppressed-count pair.
+    * in the recall). CONSUMER NOTE (r15 ADVICE): in this one-scan form
+    * `n_leaked_*` ATTESTS CONSTRUCTION, NOT MEASUREMENT — the leak
+    * predicate contradicts the served definition computed in the same
+    * expression, so the column is structurally zero and can never fire
+    * on a gate regression (exactly as the served path's anti-join makes
+    * it). The MANDATORY regression tripwires are (a) the gate≡audit
+    * parity spec ([[topKAuditServed]] vs [[topKWithTakedown]]) and
+    * (b) each surface's DuckDB oracle, whose SQL bakes the suppression
+    * predicate in; a downstream compliance consumer must read
+    * `n_leaked_* = 0` as "the gate is applied by construction on this
+    * export", not as an independent audit of the serving path.
     */
   def topKAuditCounts(topk: DataFrame, tombstones: DataFrame, serveK: Int,
                       name: String, idCol: String = "doc_id"): DataFrame = {

@@ -146,11 +146,15 @@ object Stateful {
     * (event-time, event_id) order for determinism, with the same
     * buffered-group memory note as [[severityStreaks]].
     *
-    * Timezone: the class's `day` string follows
-    * `spark.sql.session.timeZone` (it comes from `date_format`), so the
-    * day-end timeout is derived in that SAME zone — captured at plan
-    * time and shipped to the state function. Deriving it in a fixed
-    * zone instead would, west of UTC, place "day end" at or below the
+    * Timezone: the class's `day` string and the day-end timeout are BOTH
+    * derived from the session timezone CAPTURED WHEN THE GATE IS BUILT —
+    * the day comes from the captured `ZoneId` inside the typed key
+    * function, not from `date_format` (which would re-resolve
+    * `spark.sql.session.timeZone` at query start, so a config change
+    * between building the Dataset and starting the stream would split
+    * day naming from the timeout zone — r15 ADVICE). One captured zone
+    * feeds both, so they cannot diverge; deriving either in a fixed zone
+    * instead would, west of UTC, place "day end" at or below the
     * watermark (an `IllegalArgumentException` from
     * `setTimeoutTimestamp` that fails the query) and, east of UTC,
     * silently widen the expiry horizon (r14 ADVICE).
@@ -162,17 +166,23 @@ object Stateful {
     val useTimeout = quarantineTtl.isDefined
     val sessionZone = spark.conf.get("spark.sql.session.timeZone")
     val src = quarantineTtl.fold(normalized)(t => normalized.withWatermark("ts", t))
+    // day naming uses the SAME captured zone as the timeout derivation
+    // below (not date_format, which re-resolves the session timezone at
+    // query start — r15 ADVICE): one ZoneId, captured here, feeds both.
+    val zone = java.time.ZoneId.of(sessionZone)
     src
-      .select(col("city"), col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("ts"), col("event_id"))
-      .as[(String, String, String, Timestamp, Long)]
-      .groupByKey(r => (r._1, r._2, r._3))
+      .select(col("city"), col("event_type"), col("ts"), col("event_id"))
+      .as[(String, String, Timestamp, Long)]
+      .groupByKey { r =>
+        val day = java.time.Instant.ofEpochMilli(r._3.getTime)
+          .atZone(zone).toLocalDate.toString
+        (r._1, r._2, day)
+      }
       .flatMapGroupsWithState(OutputMode.Append,
         if (useTimeout) GroupStateTimeout.EventTimeTimeout
         else GroupStateTimeout.NoTimeout) {
         (key: (String, String, String),
-         rows: Iterator[(String, String, String, Timestamp, Long)],
+         rows: Iterator[(String, String, Timestamp, Long)],
          state: GroupState[KAnonGateState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else kAnonProcess(key, rows, state, k, useTimeout, sessionZone)
@@ -180,7 +190,7 @@ object Stateful {
   }
 
   private def kAnonProcess(key: (String, String, String),
-                           rows: Iterator[(String, String, String, Timestamp, Long)],
+                           rows: Iterator[(String, String, Timestamp, Long)],
                            state: GroupState[KAnonGateState], k: Int,
                            useTimeout: Boolean,
                            sessionZone: String): Iterator[KAnonRelease] = {
@@ -189,7 +199,7 @@ object Stateful {
           var seen = st.seen
           var bufU = st.bufUs.toVector
           var bufI = st.bufIds.toVector
-          val batch = rows.map { case (_, _, _, t, id) =>
+          val batch = rows.map { case (_, _, t, id) =>
             (t.getTime * 1000 + (t.getNanos % 1000000) / 1000, id)
           }.toArray.sorted
           val out = scala.collection.mutable.ArrayBuffer.empty[KAnonRelease]
