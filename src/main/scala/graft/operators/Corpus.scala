@@ -899,6 +899,16 @@ object Corpus {
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
 
+  /** split-key → split-name projection — [[splitBucket]] ∘ [[splitOf]],
+    * the ONE hash+cut site shared by [[dataSplit]], [[leakageSafeSplit]]
+    * and the streaming split assigner
+    * ([[graft.streaming.SplitStream]]), so no two assignment paths can
+    * ever disagree on where a key lands.
+    */
+  private[graft] def splitOfKey(key: Column, trainPct: Int = 90,
+                                valPct: Int = 5): Column =
+    splitOf(splitBucket(key), trainPct, valPct)
+
   /** LEAKAGE-SAFE split — the FIX for what [[splitLeakage]] measures:
     * hashing doc_id sends near-duplicates to independent splits, so an
     * eval document routinely has a train twin (contaminated evaluation).
@@ -924,8 +934,7 @@ object Corpus {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
-      .withColumn("split",
-        splitOf(splitBucket(col("split_key")), trainPct, valPct))
+      .withColumn("split", splitOfKey(col("split_key"), trainPct, valPct))
   }
 
   /** One-row witness card for [[leakageSafeSplit]]: the verified

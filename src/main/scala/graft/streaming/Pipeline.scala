@@ -369,6 +369,24 @@ class Pipeline(
     DsirStream.start(docs, modelDir, dsirStorePath, threshold,
       checkpointDir = Some(s"$checkpointRoot/dsir-gate"))
 
+  def splitStorePath: String = s"$storeRoot/split"
+
+  /** Leakage-safe split assignment as a topology member (r15 verdict 4):
+    * the [[SplitStream]] assigner over the crawl source against the
+    * frozen signature index + cluster assignment, writing `assigned/`
+    * (+ its own signature/key growth deltas) under the shared store
+    * root with its own checkpoint dir like every sibling — a new
+    * document joining an existing near-dup cluster inherits the
+    * cluster's split at INGEST, completing the [[Corpus
+    * .leakageSafeSplit]] story for post-split arrivals.
+    */
+  def startSplitAssign(docs: DataFrame, baseIndexDir: String,
+                       clustersDir: String, trainPct: Int = 90,
+                       valPct: Int = 5): StreamingQuery =
+    SplitStream.start(docs, baseIndexDir, clustersDir, splitStorePath,
+      trainPct, valPct,
+      checkpointDir = Some(s"$checkpointRoot/split-assign"))
+
   def indexStorePath: String = s"$storeRoot/index"
 
   /** CHAINED curation — the stages wired the way a deployment actually

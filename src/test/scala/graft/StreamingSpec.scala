@@ -616,27 +616,27 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("twenty-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
-    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion, drift monitoring and the k-anonymity release gate run concurrently against their frozen artifacts (T5 at deployment scale)") {
-    twentyMemberTopology(stateStoreProvider = None)
+  test("twenty-one-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion, drift monitoring, the k-anonymity release gate and the split assigner run concurrently against their frozen artifacts (T5 at deployment scale)") {
+    fullTopology(stateStoreProvider = None)
   }
 
-  test("twenty-member topology under the RocksDB state store: the full " +
+  test("twenty-one-member topology under the RocksDB state store: the full " +
     "closed-loop run end-to-end off-heap, rocksdb metrics engaged (r14 verdict 5)") {
     // the per-shape RocksDB test proves each state encoder round-trips;
-    // this one proves the DEPLOYMENT story — all twenty members, every
+    // this one proves the DEPLOYMENT story — all twenty-one members, every
     // store and serving assertion of the default-provider run verbatim,
     // with the provider conf captured by each query at start
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
-    try twentyMemberTopology(Some(Pipeline.RocksDbStateStore))
+    try fullTopology(Some(Pipeline.RocksDbStateStore))
     finally prev match {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
     }
   }
 
-  private def twentyMemberTopology(stateStoreProvider: Option[String]): Unit = {
+  private def fullTopology(stateStoreProvider: Option[String]): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -645,6 +645,11 @@ class StreamingSpec extends SparkSpec {
     // frozen artifacts: crawl index, LM model, media hash table, vocab
     val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
     Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
+    // frozen cluster assignment for the split assigner: docs 1 and 2
+    // form one near-dup cluster keyed 1 (a planted assignment — the
+    // assigner's contract is to INHERIT it, not re-derive it)
+    Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+      .write.parquet(s"$base/clusters")
     TextAnalysis.persistLmModel(
       Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text"),
       s"$base/lm", stamp = "spec")
@@ -694,6 +699,7 @@ class StreamingSpec extends SparkSpec {
     val erasures = MemoryStream[(Long, String)]
     val crawlIn = MemoryStream[(Long, String)]
     val driftDocs = MemoryStream[(Long, String, String, String)]
+    val splitDocs = MemoryStream[(Long, String)]
     def asMedia(ms: MemoryStream[(Long, String)], id: String) = ms.toDF()
       .toDF(id, "text")
       .select(col(id), lit("image").as("kind"), col("text").cast("binary").as("payload"))
@@ -722,9 +728,11 @@ class StreamingSpec extends SparkSpec {
       p.startDriftMonitor(
         driftDocs.toDF().toDF("doc_id", "text", "lang", "source"),
         s"$base/refshares"),
-      p.startKAnonGate(events.toDF(), k = 5))
+      p.startKAnonGate(events.toDF(), k = 5),
+      p.startSplitAssign(splitDocs.toDF().toDF("doc_id", "text"),
+        s"$base/index", s"$base/clusters"))
     try {
-      assert(queries.length == 20)
+      assert(queries.length == 21)
       // five same-class events (user 1, click, one day): exactly k for the
       // k-anonymity gate, so the class releases within the topology run
       events.addData(ev(10L, "2024-01-01 10:00:00"),
@@ -750,6 +758,8 @@ class StreamingSpec extends SparkSpec {
         (970L, "prefix held out eval item text suffix"),   // carries the gram
         (971L, "entirely unrelated crawl tokens here"))
       driftDocs.addData((980L, text("alpha"), "de", "src9")) // off-reference
+      // a twin of corpus doc 2 (must inherit cluster key 1) + a novel doc
+      splitDocs.addData((990L, text("beta")), (991L, text("fresh")))
       queries.foreach(_.processAllAvailable())
       // under RocksDB, prove the provider actually engaged topology-wide
       if (stateStoreProvider.isDefined) {
@@ -836,6 +846,19 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getBoolean(1))).toSet
     assert(drift.contains(("lang", true)) && drift.contains(("source", true)),
       s"the all-German off-source batch must trip lang and source drift: $drift")
+    // the split assigner: the corpus twin inherits the planted cluster's
+    // key (so it co-locates with docs 1 and 2 by construction); the
+    // novel doc keys by its own id; both splits come off the ONE shared
+    // Corpus.splitOfKey hash (asserted against its literal evaluation)
+    val assignedSplits = spark.read.parquet(s"${p.splitStorePath}/assigned")
+      .select("doc_id", "split_key", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val wantSplits = Seq((990L, 1L), (991L, 991L)).toDF("doc_id", "split_key")
+      .withColumn("split", graft.operators.Corpus.splitOfKey(col("split_key")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(assignedSplits == wantSplits,
+      s"split assigner must inherit the cluster key and hash through the " +
+        s"shared site: $assignedSplits vs $wantSplits")
     // the k-anonymity gate releases the five-member class with arrival ordinals
     val released = spark.table("kanon_release")
       .select("event_id", "class_seen").collect()
