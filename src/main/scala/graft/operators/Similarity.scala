@@ -2237,6 +2237,25 @@ object Similarity {
     * [[jlDistortion]] reports the pairwise-distance band that drives
     * this.
     *
+    * r16 follow-up (r15 verdict 5 — the JL-32 BLOCKING twin, measured
+    * and NOT shipped): over unit-normalized vectors the IDEAL JL-32
+    * distance FILTER strictly dominates the banded sign-LSH front-end —
+    * at the bands' own recall (0.56) it admits 3.9% of all pairs vs
+    * their ≈23%, and 17.6–20.5% at 0.9 recall (consistent with the r15
+    * Gaussian-parity number). But a filter needs the all-pairs distance
+    * pass that blocking exists to avoid, and NO equi-join-able grid
+    * realization gets near that ROC on this corpus: single-shift grids
+    * over JL-32 (4/8/16 bands × 8/4/2 dims, cell = per-dim floor(z/w),
+    * w ∈ 0.3–1.2) at best TIE the sign-LSH bands (8 bands × 4 dims,
+    * w = 0.3: recall 0.59 @ rate 0.223 at sf0.01 but 0.47 @ 0.228 at
+    * sf0.1 — no dominance at matched recall), and E2LSH-style
+    * multi-shift unions (2–3 offsets per band) saturate toward rate ≈ 1
+    * by w = 0.8 because this structureless corpus's pairwise-distance
+    * band is narrower than any workable cell width. Sign-LSH bands stay
+    * the shipped blocking front-end; JL-32 remains the compression/
+    * filter space. (Measured on the rep sets of sf0.01 and sf0.1,
+    * truth = exact 0.4-cosine pairs: 59 and 920.)
+    *
     * Scale shape: pure narrow projection (`outDim` codegen'd dots per
     * row, zero shuffle, zero training, zero broadcast state) — compression
     * of a 100 TB embedding store is one read-transform-write pass at scan
