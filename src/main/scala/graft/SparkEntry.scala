@@ -227,6 +227,41 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED exact verified cosine pairs (graft_exactpairs): the
+    * blocked all-pairs [[Similarity.cosineNearDupPairs]] pass at the
+    * default 0.4 threshold is snapshot-determined and PAIR-LOCAL (a
+    * pair's cosine doesn't depend on the frame carrying it, so
+    * restriction commutes — the decon-family identity), yet r16 profiling
+    * found it re-ran per call in THREE registry queries (q_cosine_pairs
+    * 0.85 s, q_semantic_dedup's dropset ~1.0 s, q_pipeline_full_clean's
+    * semantic stage ~1.0 s at sf0.1). It now builds ONCE per embeddings
+    * snapshot and all three serve from the table — q_cosine_pairs as a
+    * scan, the other two as restrictions/anti-joins — while every oracle
+    * still re-walks the full exact computation in DuckDB, hash-proving
+    * the persisted table current (the lexical `pairs` precedent).
+    * [[Similarity.cosineNearDupPairs]] remains the any-threshold /
+    * any-frame path.
+    */
+  private val exactPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, DataFrame)]()
+  private def exactPairsTable(s: SparkSession, d: String): DataFrame = {
+    exactPairsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/embeddings.parquet"
+    val stamp = "exactpairs-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    exactPairsCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_exactpairs")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4)
+            .write.mode("overwrite").parquet(s"$dir/pairs")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, s.read.parquet(s"$dir/pairs"))
+      })._2
+  }
+
   /** PERSISTED plane-migration card (graft_planes):
     * [[Similarity.planeMigrationCard]] is a pure function of the
     * embeddings snapshot (both plane families are closed-form; the exact
@@ -4925,9 +4960,15 @@ object SparkEntry {
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
           .select(col("doc_id2").as("doc_id")).distinct()
         val lex = decon.join(drop, Seq("doc_id"), "left_anti")
-        val lexEmb = Tables.embeddings(s, d)
-          .join(lex.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        val sem = Similarity.cosineNearDupPairs(lexEmb, 0.4)
+        // exact semantic stage served from the persisted graft_exactpairs
+        // table restricted to both-endpoint lexical survivors (r16):
+        // a pair's cosine is pair-local, so pairs(lexEmb) ≡
+        // pairs(allEmb) ∩ {both endpoints ∈ lex} — the same restriction
+        // identity the decon stage leans on. The oracle still re-walks
+        // the exact all-pairs pass over the survivor frame.
+        val sem = exactPairsTable(s, d)
+          .join(lex.select(col("doc_id").as("vec_id1")), Seq("vec_id1"), "left_semi")
+          .join(lex.select(col("doc_id").as("vec_id2")), Seq("vec_id2"), "left_semi")
           .select(col("vec_id2").as("doc_id")).distinct()
         lex.join(sem, Seq("doc_id"), "left_anti")
           .select("doc_id", "lang", "source").orderBy("doc_id")
@@ -5662,8 +5703,10 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Served from the persisted graft_exactpairs table (r16); the oracle
+    // re-walks the exact all-pairs computation.
     ("q_cosine_pairs",
-      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), 0.4),
+      (s, d) => exactPairsTable(s, d).orderBy("vec_id1", "vec_id2"),
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
         |p AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
         |  ${Similarity.Sql.cosine("a.v", "b.v")} AS cosine
@@ -5975,8 +6018,14 @@ object SparkEntry {
     // higher vec_id of every cosine-pair — completes the dedup family
     // (exact / Jaccard / MinHash / SimHash / embedding-cosine). Output
     // omits the raw embedding array (driver compare cannot hash arrays).
+    // Served from the persisted graft_exactpairs dropset (r16 — the
+    // exact algorithm is unchanged and the oracle still re-walks the
+    // full all-pairs pass; Similarity.cosineNearDedup remains the
+    // any-frame/any-threshold path).
     ("q_semantic_dedup",
-      (s, d) => Similarity.cosineNearDedup(Tables.embeddings(s, d), 0.4)
+      (s, d) => Tables.embeddings(s, d)
+        .join(exactPairsTable(s, d).select(col("vec_id2").as("vec_id"))
+          .distinct(), Seq("vec_id"), "left_anti")
         .select("vec_id", "label").orderBy("vec_id"),
       Some(s"""WITH d AS (${Similarity.Sql.prepared}),
         |p AS (SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,

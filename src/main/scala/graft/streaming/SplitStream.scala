@@ -133,6 +133,46 @@ object SplitStream {
     } finally delta.unpersist()
   }
 
+  /** COMPACTION — fold the base signature index plus the stream's
+    * appended signature deltas into a new committed base index, and the
+    * cluster assignment plus the appended key deltas into a new
+    * committed cluster table (a stream-assigned doc's `split_key` IS its
+    * cluster representative: `leakageSafeSplit`'s coalesce makes
+    * `cluster_id = split_key` rows exactly equivalent to the key-delta
+    * lookup they replace) — so the per-batch delta unions drop back to
+    * one snapshot scan each. Same contract as [[CrawlDedup.compact]]:
+    * NOT safe while the stream runs ([[start]] captures both bases once
+    * — enforced via [[StreamGuard.requireStopped]]); commit lands before
+    * any delta is removed, so a crash between the steps leaves both and
+    * re-running compact restores the invariant. Restart with
+    * `baseIndexDir = <newBaseDir>/index`,
+    * `clustersDir = <newBaseDir>/clusters`; assignments are unchanged
+    * by construction (spec'd).
+    */
+  def compact(spark: SparkSession, baseIndexDir: String, clustersDir: String,
+              outDir: String, newBaseDir: String, stamp: String = "compact",
+              checkpointDir: Option[String] = None): Unit = {
+    StreamGuard.requireStopped(spark,
+      checkpointDir.getOrElse(s"$outDir/_checkpoint"), "SplitStream.compact")
+    unionDeltas(spark, spark.read.parquet(baseIndexDir),
+        s"$outDir/index_delta", beforeEpoch = Long.MaxValue)
+      .write.mode("overwrite").parquet(s"$newBaseDir/index")
+    // distinct: a corpus doc replayed through the stream carries its
+    // batch-equal key in BOTH sources (the parity contract), so the
+    // union can only duplicate equal rows — collapse them once here
+    spark.read.parquet(clustersDir)
+      .unionByName(keyDeltas(spark, s"$outDir/key_delta",
+          beforeEpoch = Long.MaxValue)
+        .select(col("doc_id"), col("split_key").as("cluster_id")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$newBaseDir/clusters")
+    graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$outDir/index_delta"), true)
+    fs.delete(new Path(s"$outDir/key_delta"), true)
+  }
+
   /** Base signature index ∪ strictly-earlier epoch deltas (the
     * [[CrawlDedup]] replay-safe union — a replayed epoch must not match
     * its own previously-appended rows).

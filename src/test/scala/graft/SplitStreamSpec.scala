@@ -105,4 +105,37 @@ class SplitStreamSpec extends SparkSpec {
     SplitStream.runBatch(b1, baseIndex, clusters, s"$base/out", epoch = 1L)
     assert(state() == before, "replay must be idempotent")
   }
+
+  test("compact folds the deltas into new bases; assignments on the folded " +
+    "bases are unchanged, and compact refuses under a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val (base, _) = fixture()
+    // a live stream holds the checkpoint: compact must refuse
+    val input = MemoryStream[(Long, String)]
+    val q = SplitStream.start(input.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/clusters", s"$base/out")
+    try {
+      input.addData((30L, text("delta")))
+      q.processAllAvailable()
+      intercept[IllegalStateException] {
+        SplitStream.compact(spark, s"$base/index", s"$base/clusters",
+          s"$base/out", s"$base/folded")
+      }
+    } finally q.stop()
+    SplitStream.compact(spark, s"$base/index", s"$base/clusters",
+      s"$base/out", s"$base/folded")
+    assert(graft.sources.SnapshotStore.ready(spark, s"$base/folded", "compact"))
+    // the stream doc's key is now a first-class cluster row, and its
+    // signature is in the folded index: a near-dup arriving against the
+    // FOLDED bases (empty deltas, fresh outDir) inherits the same key
+    val fIndex = spark.read.parquet(s"$base/folded/index")
+    val fClusters = spark.read.parquet(s"$base/folded/clusters")
+    SplitStream.runBatch(Seq((50L, near("delta"))).toDF("doc_id", "text"),
+      fIndex, fClusters, s"$base/out2", epoch = 0L)
+    val got = spark.read.parquet(s"$base/out2/assigned")
+      .select("doc_id", "split_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(50L -> 30L),
+      s"the folded bases must carry the stream doc's key forward: $got")
+  }
 }
