@@ -366,7 +366,8 @@ object SparkEntry {
   private def planesTable(s: SparkSession, d: String): DataFrame = {
     planesCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
-    val stamp = "planes-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v2: + max_band_bucket (the band-balance column)
+    val stamp = "planes-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
     planesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -5832,15 +5833,23 @@ object SparkEntry {
         |fam AS (SELECT family, count(*) AS n_candidates,
         |  count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_found
         |  FROM ver GROUP BY family),
+        |bal AS (SELECT family, max(c) AS max_band_bucket FROM (
+        |    SELECT 'quadratic-v2' AS family, count(*) AS c FROM cq
+        |      GROUP BY band, bb
+        |    UNION ALL
+        |    SELECT 'linear-v1', count(*) FROM cl GROUP BY band, bb)
+        |  GROUP BY family),
         |tr AS (SELECT count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_truth
         |  FROM (SELECT ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
         |    FROM d a JOIN d b2 ON a.vec_id < b2.vec_id)),
         |nr AS (SELECT count(*) AS n_reps FROM d)
-        |SELECT family, n_candidates, n_found, n_truth,
+        |SELECT fam.family, n_candidates, n_found, n_truth,
         |  CAST(n_found AS DOUBLE) / n_truth AS recall,
         |  CAST(n_candidates AS DOUBLE) / (n_reps * (n_reps - 1) / 2)
-        |    AS candidate_rate
-        |FROM fam CROSS JOIN tr CROSS JOIN nr ORDER BY family""".stripMargin)),
+        |    AS candidate_rate,
+        |  max_band_bucket
+        |FROM fam JOIN bal ON fam.family = bal.family
+        |CROSS JOIN tr CROSS JOIN nr ORDER BY fam.family""".stripMargin)),
 
     // SEMANTIC duplicate clusters (SemDeDup's grouping step — the
     // embedding-side twin of q_dup_clusters): exact min-label connected

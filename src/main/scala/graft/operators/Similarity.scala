@@ -1605,10 +1605,13 @@ object Similarity {
     * migration's EVIDENCE into the hash-checked surface — one row per
     * family (the retired `linear-v1`, the shipped `quadratic-v2`), each
     * carrying the banded near-dup candidate count, the exact-verified
-    * find count, the shared exact ground truth, and the derived
-    * recall / candidate-rate. Non-vacuous by measurement: the quadratic
-    * family's recall is HIGHER at a LOWER candidate rate (the r15
-    * measured result, now pinned per-snapshot by this card's oracle).
+    * find count, the shared exact ground truth, the derived
+    * recall / candidate-rate, and the band-balance metric (largest
+    * band-bucket population — the hot-key exposure of the candidate
+    * join, the axis the r15 fix improved 311 → 167). Non-vacuous by
+    * measurement: the quadratic family's recall is HIGHER at a LOWER
+    * candidate rate (the r15 measured result, now pinned per-snapshot
+    * by this card's oracle).
     *
     * Everything is computed over the duplicate-collapsed rep set (the
     * [[lshNearDupPairs]] discipline) so trivially-identical vectors
@@ -1628,8 +1631,9 @@ object Similarity {
       members.filter(col("rep") === col("vec_id")).select("vec_id"),
       Seq("vec_id"), "left_semi")
     val d = prepared(repEmb)
-    def armPairs(family: String, w: Array[Array[Double]]): DataFrame = {
-      val cand = bandExplode(lshBucketsWith(repEmb, w), bands, bandBits)
+    def bandTriples(w: Array[Array[Double]]): DataFrame =
+      bandExplode(lshBucketsWith(repEmb, w), bands, bandBits)
+    def armPairs(family: String, cand: DataFrame): DataFrame =
       cand.as("a")
         .join(cand.as("b"),
           col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
@@ -1637,9 +1641,19 @@ object Similarity {
         .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
         .distinct()
         .withColumn("family", lit(family))
-    }
-    val cands = armPairs("linear-v1", lshPlaneWeightsLinearV1(nbits, dim))
-      .unionByName(armPairs("quadratic-v2", lshPlaneWeights(nbits, dim)))
+    // band balance: the largest band-bucket population — the hot-bucket
+    // exposure that drives the candidate join's worst key (the r15
+    // measured 311 → 167 improvement, now pinned per snapshot)
+    def armBalance(family: String, cand: DataFrame): DataFrame =
+      cand.groupBy("band", "bb").agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_band_bucket"))
+        .withColumn("family", lit(family))
+    val linCand = bandTriples(lshPlaneWeightsLinearV1(nbits, dim))
+    val quadCand = bandTriples(lshPlaneWeights(nbits, dim))
+    val cands = armPairs("linear-v1", linCand)
+      .unionByName(armPairs("quadratic-v2", quadCand))
+    val balance = armBalance("linear-v1", linCand)
+      .unionByName(armBalance("quadratic-v2", quadCand))
     val verified = cands
       .join(d.select(col("vec_id").as("vec_id1"), col("v").as("v1"),
         col("nrm").as("nrm1")), Seq("vec_id1"))
@@ -1653,13 +1667,15 @@ object Similarity {
     val truth = cosineNearDupPairs(repEmb, threshold)
       .agg(count(lit(1)).as("n_truth"))
     val nRep = d.agg(count(lit(1)).as("n_reps"))
-    perFamily.crossJoin(truth).crossJoin(nRep)
+    perFamily.join(balance, Seq("family"))
+      .crossJoin(truth).crossJoin(nRep)
       .select(col("family"), col("n_candidates"), col("n_found"),
         col("n_truth"),
         (col("n_found").cast("double") / col("n_truth")).as("recall"),
         (col("n_candidates").cast("double")
           / (col("n_reps") * (col("n_reps") - lit(1L)) / lit(2L)))
-          .as("candidate_rate"))
+          .as("candidate_rate"),
+        col("max_band_bucket"))
       .orderBy("family")
   }
 

@@ -870,14 +870,15 @@ class SimilaritySpec extends SparkSpec {
     val card = graft.operators.Similarity
       .planeMigrationCard(Tables.embeddings(spark, sf)).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5))).toMap
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
     assert(card.keySet == Set("linear-v1", "quadratic-v2"))
     val (lin, quad) = (card("linear-v1"), card("quadratic-v2"))
     // internal consistency: found <= candidates, found <= shared truth,
-    // rates in [0, 1], same truth both rows
-    Seq(lin, quad).foreach { case (nc, nf, nt, rec, rate) =>
+    // rates in [0, 1], same truth both rows, the hottest band bucket is
+    // at least the pigeonhole floor of one band's population
+    Seq(lin, quad).foreach { case (nc, nf, nt, rec, rate, mbb) =>
       assert(nf <= nc && nf <= nt && rate >= 0.0 && rate <= 1.0 &&
-        rec == nf.toDouble / nt)
+        rec == nf.toDouble / nt && mbb >= 1L)
     }
     assert(lin._3 == quad._3, "ground truth is family-independent")
     // the r15 discovery, pinned: higher recall at a lower-or-equal
