@@ -262,6 +262,42 @@ object SparkEntry {
       })._2
   }
 
+  /** PERSISTED document-analysis cards (graft_cards): three cards that
+    * are each a pure function of the documents snapshot yet re-ran per
+    * call at a consistent ~0.9 s apiece (r16 profiling) — the PMI
+    * collocation top-k, the per-source preference pairs, and the
+    * per-source token-distribution divergence. One family builds all
+    * three once per snapshot (their stamps could only ever move
+    * together); each query serves one scan, and every oracle re-walks
+    * its full computation. The operators remain the any-frame paths.
+    */
+  private val cardsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (String, (DataFrame, DataFrame, DataFrame))]()
+  private def cardsTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    cardsCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val src = s"$d/documents.parquet"
+    val stamp = "cards-v1:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    cardsCache.compute((s, d), (_, cached) =>
+      if (cached != null && cached._1 == stamp) cached
+      else {
+        val dir = graft.sources.SnapshotStore.snapshotDir(s, src, "graft_cards")
+        if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
+          val docs = Tables.documents(s, d)
+          TextAnalysis.collocations(docs, minCount = 5, k = 50)
+            .write.mode("overwrite").parquet(s"$dir/collocations")
+          Corpus.preferencePairs(docs)
+            .write.mode("overwrite").parquet(s"$dir/preference_pairs")
+          Corpus.sourceDivergence(docs)
+            .write.mode("overwrite").parquet(s"$dir/source_divergence")
+          graft.sources.SnapshotStore.commit(s, dir, stamp)
+        }
+        (stamp, (s.read.parquet(s"$dir/collocations"),
+          s.read.parquet(s"$dir/preference_pairs"),
+          s.read.parquet(s"$dir/source_divergence")))
+      })._2
+  }
+
   /** PERSISTED curation-funnel card (graft_funnel): every stage flag was
     * already snapshot-served (round-11 verdict item 1 — quality keep
     * flags, decon collisions, pii counts, both pair tables), but the
@@ -3212,8 +3248,11 @@ object SparkEntry {
     // dropped (monotone, so ranking is identical and the arithmetic stays
     // one multiply + one divide on long-derived doubles, bit-identical
     // across engines — the keywordSearch idf precedent)
+    // Served from the persisted graft_cards family (r16); the oracle
+    // re-walks the full PMI computation.
     ("q_collocations",
-      (s, d) => TextAnalysis.collocations(Tables.documents(s, d), minCount = 5, k = 50),
+      (s, d) => cardsTables(s, d)._1
+        .orderBy(col("pmi_ratio").desc, col("tf_xy").desc, col("bigram")),
       Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT unnest(t) AS token FROM toks),
         |uc AS (SELECT token, count(*) AS tf FROM uni GROUP BY token),
@@ -5415,8 +5454,9 @@ object SparkEntry {
     // reward model from the gate's extremes. Within-source pairing keeps
     // the contrast about quality, not domain; per-source rank windows
     // (bounded), k-row positional join, degenerate same-doc pairs drop.
+    // Served from the persisted graft_cards family (r16).
     ("q_preference_pairs",
-      (s, d) => Corpus.preferencePairs(Tables.documents(s, d)),
+      (s, d) => cardsTables(s, d)._2.orderBy("source", "pair_rank"),
       Some(s"""WITH q AS (
         |  SELECT doc_id, source,
         |    ${TextAnalysis.Sql.stopHits} / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
@@ -5574,8 +5614,9 @@ object SparkEntry {
     // (the mixture-drift metric a curation run watches); ≤4096-row count
     // tables, bucket-order folds, the missing corpus mass folded in as
     // one closed-form ratio
+    // Served from the persisted graft_cards family (r16).
     ("q_source_divergence",
-      (s, d) => Corpus.sourceDivergence(Tables.documents(s, d)),
+      (s, d) => cardsTables(s, d)._3.orderBy("source"),
       Some(s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
         |th AS (SELECT source, ${TextAnalysis.Sql.fingerprintOf("tok")} % 4096 AS b FROM toks),
         |ps AS (SELECT source, b, count(*) AS c_s FROM th GROUP BY source, b),
