@@ -70,12 +70,20 @@ object Bench {
     // rounds of bench artifacts landed on a loaded host and the
     // round-over-round comparison leaned on a by-hand canary rule. The
     // canary is q_raw_events — a fixed-shape parquet scan+project whose
-    // quiet-host floor at sf0.1/local[32] is the documented 0.09 s
-    // (BASELINE.md); canary_s/canary_floor IS the run's host-noise
-    // factor, so every BENCH_rN self-adjudicates: uniform inflation
-    // matching the canary = host load, not a code regression.
+    // quiet-host floor IS the run's host-noise factor, so every BENCH_rN
+    // self-adjudicates: uniform inflation matching the canary = host
+    // load, not a code regression.
+    //
+    // Floor re-based 0.09 → 0.104 (r16 verdict 1 / what's-wrong 1): the
+    // 0.09 constant predates the current host — across 30+ r16 runs the
+    // canary never read below 0.104 (BASELINE.md records the measured
+    // distribution), so "quiet" adjudication against 0.09 was drifting
+    // into prose. 0.104 is the MEASURED practical floor of this host;
+    // the recorded current-registry anchor (58.6 s quiet median-of-five
+    // at 207 queries, BASELINE.md §Anchor) was taken at canary ≤ 0.107
+    // against this same floor.
     val canary = ok.collectFirst { case ("q_raw_events", t, _) => t }.getOrElse(-1.0)
-    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size},"canary_s":$canary,"canary_floor":0.09}""")
+    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size},"canary_s":$canary,"canary_floor":0.104}""")
     spark.stop()
   }
 }

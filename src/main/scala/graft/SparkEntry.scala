@@ -3000,8 +3000,12 @@ object SparkEntry {
           (2L, Seq("vector", "stream")),
           (3L, Seq("query")))
         import s.implicits._
+        // termsHint = the literal union of the request terms (r16
+        // verdict 4): turns the postings/lexicon scans into In-pruned
+        // reads — the endpoint serves all requests from ONE pruned pass
         TextAnalysis.keywordSearchForQueries(searchIndex(s, d),
-            reqs.toDF("query_id", "terms"), k = 5)
+            reqs.toDF("query_id", "terms"), k = 5,
+            termsHint = Some(reqs.flatMap(_._2).distinct))
           .withColumn("rank", col("rank").cast("long"))
       },
       Some("""WITH reqs AS (

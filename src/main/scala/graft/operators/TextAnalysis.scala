@@ -468,17 +468,48 @@ object TextAnalysis {
     * broadcast; postings are hit by one equi-join on `tok` (bucket-pruned
     * at cluster scale); per-query ranking windows are bounded by matched
     * postings, never the corpus.
+    *
+    * `termsHint` (r16 verdict 4): the broadcast-join form above cannot
+    * push a row-group filter into the postings SCAN — the request terms
+    * live in a frame, so every posting is read and non-matching toks die
+    * at the join. When the caller statically knows a SUPERSET of the
+    * request terms (a registered endpoint with literal requests, a
+    * bounded admission vocabulary), passing it turns both the postings
+    * and lexicon scans into `In`-pruned reads (`PushedFilters:
+    * In(tok, …)` — dictionary/row-group skipping at the parquet level),
+    * making per-call I/O ∝ matching postings instead of |index|.
+    * Semantics are unchanged by construction (the equi-join already
+    * drops every tok outside the hint; the hint must cover the request
+    * terms — a term outside the hint would silently score 0 matches, so
+    * callers pass exactly the union of their request terms).
+    *
+    * MEASURED (r16 verdict 4, BASELINE.md r17): at sf0.1/local[32] the
+    * hint is a TIE — per-call medians 0.82 s unpruned vs 0.80 s pruned
+    * across 5 interleaved iterations at matched canary (~0.2 s, a ~2×
+    * loaded host). At this scale the postings table is small enough
+    * that the scan is not the bottleneck; the per-call floor is the
+    * serving CONSTRUCTION (snapshot reads + two broadcast joins + the
+    * per-query rank window), not I/O. The hint ships anyway because it
+    * is free and is the right scan shape for the regime the engine
+    * targets — at 100 TB-class postings the unpruned form reads the
+    * whole index per request batch, the pruned form reads the matching
+    * row groups.
     */
   def keywordSearchForQueries(index: SearchIndex, queries: DataFrame,
-                              k: Int = 10): DataFrame = {
+                              k: Int = 10,
+                              termsHint: Option[Seq[String]] = None): DataFrame = {
+    val postings = termsHint.fold(index.postings)(h =>
+      index.postings.filter(col("tok").isin(h: _*)))
+    val lexicon = termsHint.fold(index.lexicon)(h =>
+      index.lexicon.filter(col("tok").isin(h: _*)))
     // explode_distinct: a request repeating a term must not double its
     // weight — [[keywordSearch]]'s isin filter dedups implicitly, and the
     // endpoint must score identically for the same term SET
     val qt = queries
       .select(col("query_id"), explode(array_distinct(col("terms"))).as("tok"))
-    val tf = index.postings.join(broadcast(qt), Seq("tok"))
+    val tf = postings.join(broadcast(qt), Seq("tok"))
     val scored = tf
-      .join(broadcast(index.lexicon.join(qt.select("tok").distinct(), Seq("tok"))), Seq("tok"))
+      .join(broadcast(lexicon.join(qt.select("tok").distinct(), Seq("tok"))), Seq("tok"))
       .withColumn("w",
         col("tf") * (lit(index.nTotal) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
       .groupBy("query_id", "doc_id")

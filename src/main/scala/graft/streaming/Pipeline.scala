@@ -389,6 +389,56 @@ class Pipeline(
 
   def indexStorePath: String = s"$storeRoot/index"
 
+  def chainSplitStorePath: String = s"$storeRoot/chainsplit"
+
+  /** CHAINED split assignment (r16 verdict 2): the [[SplitStream]]
+    * assigner wired DOWNSTREAM of [[CrawlDedup]] — it consumes the dedup
+    * survivors' store (`crawl/clean`, a file-source stream over the
+    * epoch-partitioned hand-off, tracked-file log = each survivor listed
+    * exactly once) instead of tapping the raw crawl like
+    * [[startSplitAssign]]. The deployment consequences, which are the
+    * point:
+    *
+    *  - a document DROPPED by dedup never consumes a split — it never
+    *    reaches the assigner at all (and loses nothing: had it been
+    *    assigned, co-location would have handed it its surviving
+    *    near-dup's key anyway — parity spec'd);
+    *  - a KEPT document's signature enters each store exactly once —
+    *    once into the dedup index growth (CrawlDedup's `index_delta`)
+    *    and once into the assigner's own match-universe growth
+    *    (SplitStream's `index_delta`), driven by the single hand-off
+    *    listing rather than two taps on one source racing each other.
+    *
+    * Assignments agree with the standalone assigner on every document
+    * both paths assign (same frozen artifacts, same
+    * [[graft.operators.Corpus.splitOfKey]] hash site — spec'd in
+    * ChainedCurationSpec).
+    */
+  def startChainedSplitAssign(baseIndexDir: String, clustersDir: String,
+                              trainPct: Int = 90, valPct: Int = 5,
+                              threshold: Double = 0.8): StreamingQuery = {
+    val hfs = new org.apache.hadoop.fs.Path(storeRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$crawlStorePath/clean"))
+    SplitStream.start(
+      spark.readStream.schema(cleanHandoffSchema)
+        .parquet(s"$crawlStorePath/clean")
+        .select("doc_id", "text"),
+      baseIndexDir, clustersDir, chainSplitStorePath, trainPct, valPct,
+      threshold, checkpointDir = Some(s"$checkpointRoot/chain-split"))
+  }
+
+  /** The dedup survivors' hand-off schema ([[CrawlDedup]] `clean/` —
+    * file sources need the schema declared).
+    */
+  private val cleanHandoffSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("epoch",
+      org.apache.spark.sql.types.LongType)))
+
   /** CHAINED curation — the stages wired the way a deployment actually
     * composes them, each consuming its PREDECESSOR'S store instead of
     * all tapping the raw source: raw crawl → [[ScrubStream]] (masks PII
@@ -408,8 +458,11 @@ class Pipeline(
     * the daily compactor ([[graft.operators.TextAnalysis
     * .persistSearchIndex]] over the grown corpus) rebuilds — the
     * standard at-least-once-plus-compaction contract for chained
-    * non-transactional stores. Returns the three queries in chain order
-    * (drive upstream first in tests).
+    * non-transactional stores. Returns the queries in chain order
+    * (drive upstream first in tests); with `splitClustersDir` set, a
+    * fourth stage — [[startChainedSplitAssign]], leakage-safe split
+    * assignment over the dedup survivors (r16 verdict 2) — joins the
+    * chain as a second consumer of the `clean/` hand-off.
     *
     * The raw email/phone shapes never reach the dedup index OR the
     * search postings — masking happens at the first hop, which is the
@@ -418,7 +471,8 @@ class Pipeline(
     */
   def startChainedCuration(rawDocs: DataFrame,
                            dedupBaseIndexDir: String,
-                           threshold: Double = 0.8): Seq[StreamingQuery] = {
+                           threshold: Double = 0.8,
+                           splitClustersDir: Option[String] = None): Seq[StreamingQuery] = {
     // the hand-off dirs must exist before the file sources first list
     val hfs = new org.apache.hadoop.fs.Path(storeRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -451,19 +505,16 @@ class Pipeline(
       dedupBaseIndexDir, crawlStorePath, threshold,
       checkpointDir = Some(s"$checkpointRoot/chain-dedup"))
     // stage 3 source: the dedup survivors
-    val cleanSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("epoch",
-        org.apache.spark.sql.types.LongType)))
     val ixQ = IndexStream.start(
-      spark.readStream.schema(cleanSchema).parquet(s"$crawlStorePath/clean")
+      spark.readStream.schema(cleanHandoffSchema).parquet(s"$crawlStorePath/clean")
         .select("doc_id", "text"),
       indexStorePath,
       checkpointDir = Some(s"$checkpointRoot/chain-indexer"))
-    Seq(scrubQ, dedupQ, ixQ)
+    // optional stage 4 (r16 verdict 2): split assignment over the SAME
+    // survivors' hand-off — a deduped doc never consumes a split
+    val splitQ = splitClustersDir.map(clusters =>
+      startChainedSplitAssign(dedupBaseIndexDir, clusters))
+    Seq(scrubQ, dedupQ, ixQ) ++ splitQ
   }
 
   /** Search-index growth as a topology member: the [[IndexStream]]

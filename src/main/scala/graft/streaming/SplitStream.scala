@@ -27,13 +27,29 @@ import graft.operators.{Corpus, Dedup}
   * [[Corpus.leakageSafeSplit]] share, so the stream can never disagree
   * with the batch split on where a key lands.
   *
-  * Matching is [[Dedup.dedupDelta]] (exact content-hash + LSH-banded
-  * near), per batch against base index ∪ earlier epochs' appended
-  * signature deltas — the [[CrawlDedup]] growth discipline, here so a
-  * near-dup PAIR OF NEW DOCUMENTS arriving in different batches also
-  * co-locates: the first keys by its own id, its signature and
-  * assigned key are appended, and the second inherits through the
-  * match. A matched corpus document's key resolves
+  * Matching runs at THREE granularities, so co-location holds no
+  * matter how a near-dup pair straddles the ingest timeline:
+  *
+  *  1. vs the corpus — [[Dedup.dedupDelta]] (exact content-hash +
+  *     LSH-banded near) against base index ∪ earlier epochs' appended
+  *     signature deltas (the [[CrawlDedup]] growth discipline);
+  *  2. ACROSS batches — the first arrival of a new pair keys by its
+  *     own id, its signature and assigned key are appended, and the
+  *     second inherits through the match;
+  *  3. WITHIN a batch (r16 ADVICE — previously a silent gap): two
+  *     near-duplicates arriving in the SAME micro-batch have no
+  *     appended delta to meet through, so the batch is additionally
+  *     matched against ITSELF ([[Dedup.dedupDelta]] with the batch's
+  *     own signature index — built once, reused as the epoch's
+  *     `index_delta` write), the resulting intra-batch pairs are
+  *     closed transitively ([[Dedup.clustersFromPairs]] — a chain
+  *     a~b~c inside one batch is one component), and every member of a
+  *     component takes the component-minimum RESOLVED key (each
+  *     member's corpus-inherited key where it has one, else its own
+  *     id). Without this arm the exact leakage this member exists to
+  *     prevent re-opened at micro-batch granularity.
+  *
+  * A matched corpus document's key resolves
   * `cluster_id → stream-assigned key → own id` (base clusters, then
   * key deltas, then identity — exactly [[Corpus.leakageSafeSplit]]'s
   * coalesce extended by the stream's own history); a document matching
@@ -42,19 +58,34 @@ import graft.operators.{Corpus, Dedup}
   * recompute would merge them, but an ingest assigner must never MOVE
   * already-assigned documents, so it co-locates with one — the frozen-
   * artifact stability-over-recompute tradeoff, same as
-  * [[Corpus.evalHoldout]] vs a re-split).
+  * [[Corpus.evalHoldout]] vs a re-split). The intra-batch component
+  * minimum is the same policy one level up: when a batch component
+  * bridges two already-keyed clusters, its members co-locate with the
+  * minimum — deterministic, and identical to what
+  * [[Corpus.leakageSafeSplit]]'s min-label clustering would pick for
+  * the keys it can see.
   *
   * Effectively-once: every per-epoch output lands in its own
   * `epoch=<N>` dir with mode=overwrite, and the index/key unions read
   * strictly-earlier epochs only, so a replayed micro-batch reproduces
   * its original assignment instead of matching its own half-written
-  * rows ([[CrawlDedup]]'s replay argument verbatim — spec'd).
+  * rows ([[CrawlDedup]]'s replay argument verbatim — spec'd). The
+  * intra-batch arm preserves this: it reads only the batch itself plus
+  * the strictly-earlier-derived inherited keys, so a replay recomputes
+  * the identical components and minima.
   *
   * Scale shape: per batch, corpus-side cost ∝ |index| signature rows
-  * (never corpus text), delta-side ∝ |batch|; the cluster table and key
-  * deltas join by equi-key. Nothing accumulates driver state; the
-  * appended deltas are the same compact-when-quiet maintenance surface
-  * as [[CrawlDedup.compact]].
+  * (never corpus text), delta-side ∝ |batch|; the intra-batch arm is
+  * |batch| vs |batch| through the SAME banded-LSH path (never
+  * all-pairs), and its transitive closure iterates over the batch's
+  * near-dup pair graph only — empty for the typical batch, and
+  * skipped entirely then (one cheap emptiness probe on the persisted
+  * pair frame). The cluster table and key deltas join by equi-key.
+  * Nothing accumulates driver state; the appended deltas are the same
+  * compact-when-quiet maintenance surface as [[CrawlDedup.compact]],
+  * with [[epochCounts]] surfacing the current delta-dir count (the
+  * when-to-compact signal) and the pre/post listing shape pinned by a
+  * files-read spec (r16 verdict 3).
   */
 object SplitStream {
 
@@ -64,12 +95,22 @@ object SplitStream {
     * `clustersDir`. Outputs under `outDir`: `assigned/` (doc_id,
     * split_key, split), `index_delta/`, `key_delta/` — all
     * epoch-partitioned.
+    *
+    * Fails fast (r16 ADVICE) if a [[compact]] of this `outDir` has
+    * recorded folded bases and the caller passes anything else: a
+    * restart against the STALE pre-compact bases would silently lose
+    * every stream-assigned signature and key (future near-dups of
+    * stream-assigned docs would key by their own ids and diverge from
+    * prior assignments — a quiet split-consistency break). The
+    * `_compacted` marker in `outDir` names the required dirs; deleting
+    * the marker is the explicit operator override.
     */
   def start(docs: DataFrame, baseIndexDir: String, clustersDir: String,
             outDir: String, trainPct: Int = 90, valPct: Int = 5,
             threshold: Double = 0.8,
             checkpointDir: Option[String] = None): StreamingQuery = {
     val spark = docs.sparkSession
+    requireCurrentBases(spark, baseIndexDir, clustersDir, outDir)
     val base = spark.read.parquet(baseIndexDir)
     val clusters = spark.read.parquet(clustersDir)
     docs.writeStream
@@ -83,8 +124,9 @@ object SplitStream {
   }
 
   /** One micro-batch (factored out so batch specs can drive it
-    * directly): match, resolve keys, assign, write the assignment and
-    * the batch's own signature/key deltas under `epoch=<N>` dirs.
+    * directly): match (corpus, cross-batch, and intra-batch), resolve
+    * keys, assign, write the assignment and the batch's own
+    * signature/key deltas under `epoch=<N>` dirs.
     */
   def runBatch(batch: DataFrame, baseIndex: DataFrame, clusters: DataFrame,
                outDir: String, epoch: Long, trainPct: Int = 90,
@@ -97,39 +139,69 @@ object SplitStream {
     // argument) so a real source is not re-read per consumer
     val delta = batch.persist()
     try {
-      // corpus key resolution: base cluster id, else the key this stream
-      // assigned the matched doc earlier, else the matched doc's own id
-      val corpusKeys = Dedup.dedupDelta(grown, delta, threshold)
-        .select(col("corpus_id"), col("delta_id"))
-        .join(clusters.select(col("doc_id").as("corpus_id"),
-          col("cluster_id")), Seq("corpus_id"), "left")
-        .join(streamKeys.select(col("doc_id").as("corpus_id"),
-          col("split_key").as("stream_key")), Seq("corpus_id"), "left")
-        .select(col("delta_id"),
-          coalesce(col("cluster_id"), col("stream_key"), col("corpus_id"))
-            .as("k"))
-        .groupBy("delta_id").agg(min("k").as("inherited_key"))
-      val carried = delta.columns.filter(_ != "text").map(col).toIndexedSeq
-      val assigned = delta
-        .join(corpusKeys.withColumnRenamed("delta_id", "doc_id"),
-          Seq("doc_id"), "left")
-        .select(carried :+
-          coalesce(col("inherited_key"), col("doc_id")).as("split_key"): _*)
-        .withColumn("split",
-          Corpus.splitOfKey(col("split_key"), trainPct, valPct))
-        .persist() // feeds the assignment write AND the key delta
+      // the batch's own signature index — built ONCE: feeds the
+      // intra-batch match here and the epoch's index_delta write below
+      val batchIdx = Dedup.buildDedupIndex(delta).persist()
       try {
-        assigned.write.mode("overwrite")
-          .parquet(s"$outDir/assigned/epoch=$epoch")
-        // the batch enters the match universe. Signatures need text,
-        // which the assignment output deliberately drops, so the sketch
-        // reads the persisted batch (not a read-back) — the one member
-        // where the staging source and the store schema differ
-        Dedup.buildDedupIndex(delta)
-          .write.mode("overwrite").parquet(s"$outDir/index_delta/epoch=$epoch")
-        assigned.select("doc_id", "split_key")
-          .write.mode("overwrite").parquet(s"$outDir/key_delta/epoch=$epoch")
-      } finally assigned.unpersist()
+        // corpus key resolution: base cluster id, else the key this stream
+        // assigned the matched doc earlier, else the matched doc's own id
+        val inherited = Dedup.dedupDelta(grown, delta, threshold)
+          .select(col("corpus_id"), col("delta_id"))
+          .join(clusters.select(col("doc_id").as("corpus_id"),
+            col("cluster_id")), Seq("corpus_id"), "left")
+          .join(streamKeys.select(col("doc_id").as("corpus_id"),
+            col("split_key").as("stream_key")), Seq("corpus_id"), "left")
+          .select(col("delta_id").as("doc_id"),
+            coalesce(col("cluster_id"), col("stream_key"), col("corpus_id"))
+              .as("k"))
+          .groupBy("doc_id").agg(min("k").as("inherited_key"))
+          .persist() // feeds the intra-batch resolution AND the assignment
+        try {
+          // intra-batch arm (r16 ADVICE): the batch matched against its
+          // own signature index — self-matches dropped, the symmetric
+          // pair graph closed transitively, each component keyed by the
+          // minimum RESOLVED member key
+          val intraPairs = Dedup.dedupDelta(batchIdx, delta, threshold)
+            .filter(col("corpus_id") =!= col("delta_id"))
+            .select(col("corpus_id").as("doc_id1"), col("delta_id").as("doc_id2"))
+            .persist()
+          val intraKeys = try {
+            if (intraPairs.isEmpty) emptyKeys(spark, "intra_key")
+            else Dedup.clustersFromPairs(intraPairs)
+              .join(inherited, Seq("doc_id"), "left")
+              .select(col("cluster_id"), col("doc_id"),
+                coalesce(col("inherited_key"), col("doc_id")).as("k"))
+              .withColumn("intra_key",
+                min(col("k")).over(org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("cluster_id"))))
+              .select(col("doc_id"), col("intra_key"))
+              // materialize before intraPairs unpersists under the plan
+              .localCheckpoint(eager = true)
+          } finally intraPairs.unpersist()
+          val carried = delta.columns.filter(_ != "text").map(col).toIndexedSeq
+          val assigned = delta
+            .join(inherited, Seq("doc_id"), "left")
+            .join(intraKeys, Seq("doc_id"), "left")
+            .select(carried :+
+              coalesce(col("intra_key"), col("inherited_key"), col("doc_id"))
+                .as("split_key"): _*)
+            .withColumn("split",
+              Corpus.splitOfKey(col("split_key"), trainPct, valPct))
+            .persist() // feeds the assignment write AND the key delta
+          try {
+            assigned.write.mode("overwrite")
+              .parquet(s"$outDir/assigned/epoch=$epoch")
+            // the batch enters the match universe. Signatures need text,
+            // which the assignment output deliberately drops — the sketch
+            // was built above from the persisted batch (not a read-back),
+            // the one member where staging source and store schema differ
+            batchIdx
+              .write.mode("overwrite").parquet(s"$outDir/index_delta/epoch=$epoch")
+            assigned.select("doc_id", "split_key")
+              .write.mode("overwrite").parquet(s"$outDir/key_delta/epoch=$epoch")
+          } finally assigned.unpersist()
+        } finally inherited.unpersist()
+      } finally batchIdx.unpersist()
     } finally delta.unpersist()
   }
 
@@ -146,7 +218,11 @@ object SplitStream {
     * any delta is removed, so a crash between the steps leaves both and
     * re-running compact restores the invariant. Restart with
     * `baseIndexDir = <newBaseDir>/index`,
-    * `clustersDir = <newBaseDir>/clusters`; assignments are unchanged
+    * `clustersDir = <newBaseDir>/clusters` — ENFORCED, not prose
+    * (r16 ADVICE): a `_compacted` marker naming the folded dirs is
+    * written into `outDir` (after the commit, before any delete, so a
+    * crash mid-compact still leaves the guard in place) and [[start]]
+    * refuses a restart against anything else; assignments are unchanged
     * by construction (spec'd).
     */
   def compact(spark: SparkSession, baseIndexDir: String, clustersDir: String,
@@ -169,16 +245,76 @@ object SplitStream {
     graft.sources.SnapshotStore.commit(spark, newBaseDir, stamp)
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeMarker(spark, outDir,
+      s"index=$newBaseDir/index\nclusters=$newBaseDir/clusters\n")
     fs.delete(new Path(s"$outDir/index_delta"), true)
     fs.delete(new Path(s"$outDir/key_delta"), true)
   }
 
+  /** Current appended delta-dir counts (`index_delta`, `key_delta`) —
+    * the when-to-compact signal (r16 verdict 3): each epoch dir listed
+    * here is re-listed by EVERY subsequent micro-batch until [[compact]]
+    * folds them (pre-compact read amplification is O(epochs); the
+    * files-read spec pins post-compact back to one base scan + zero
+    * deltas).
+    */
+  def epochCounts(spark: SparkSession, outDir: String): (Int, Int) = {
+    def n(dir: String): Int = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p)
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+      else 0
+    }
+    (n(s"$outDir/index_delta"), n(s"$outDir/key_delta"))
+  }
+
+  /** Fail unless `outDir`'s `_compacted` marker (absent = pass) names
+    * exactly the dirs the caller is about to match against (r16 ADVICE
+    * — see [[start]]).
+    */
+  private def requireCurrentBases(spark: SparkSession, baseIndexDir: String,
+                                  clustersDir: String, outDir: String): Unit = {
+    val marker = new Path(s"$outDir/_compacted")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.contains("=")).map(_.split("=", 2))
+          .map(a => a(0) -> a(1)).toMap
+        finally in.close()
+      def norm(p: String) = new Path(p).toString
+      val okIndex = recorded.get("index").forall(p => norm(p) == norm(baseIndexDir))
+      val okClusters = recorded.get("clusters").forall(p => norm(p) == norm(clustersDir))
+      if (!okIndex || !okClusters)
+        throw new IllegalStateException(
+          s"SplitStream.start: $outDir was compacted — its appended deltas were " +
+            s"folded into index=${recorded.getOrElse("index", "?")} " +
+            s"clusters=${recorded.getOrElse("clusters", "?")}; restarting against " +
+            s"($baseIndexDir, $clustersDir) would silently lose every " +
+            "stream-assigned signature and key. Pass the folded dirs " +
+            "(or delete the _compacted marker to override explicitly).")
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, outDir: String,
+                          contents: String): Unit = {
+    val marker = new Path(s"$outDir/_compacted")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(contents.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Base signature index ∪ strictly-earlier epoch deltas (the
     * [[CrawlDedup]] replay-safe union — a replayed epoch must not match
-    * its own previously-appended rows).
+    * its own previously-appended rows). `private[graft]` so the
+    * files-read spec can assert the pre/post-compact listing shape on
+    * the EXACT frame a batch reads (r16 verdict 3).
     */
-  private def unionDeltas(spark: SparkSession, base: DataFrame,
-                          deltaDir: String, beforeEpoch: Long): DataFrame = {
+  private[graft] def unionDeltas(spark: SparkSession, base: DataFrame,
+                                 deltaDir: String, beforeEpoch: Long): DataFrame = {
     val p = new Path(deltaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.isDirectory))
@@ -188,23 +324,26 @@ object SplitStream {
   }
 
   /** Stream-assigned (doc_id, split_key) rows of strictly-earlier
-    * epochs; empty on the first batch.
+    * epochs; empty on the first batch. `private[graft]`: see
+    * [[unionDeltas]].
     */
-  private def keyDeltas(spark: SparkSession, deltaDir: String,
-                        beforeEpoch: Long): DataFrame = {
+  private[graft] def keyDeltas(spark: SparkSession, deltaDir: String,
+                               beforeEpoch: Long): DataFrame = {
     val p = new Path(deltaDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.isDirectory))
       spark.read.parquet(deltaDir)
         .filter(col("epoch") < beforeEpoch)
         .select("doc_id", "split_key")
-    else
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("split_key",
-            org.apache.spark.sql.types.LongType))))
+    else emptyKeys(spark, "split_key")
   }
+
+  private def emptyKeys(spark: SparkSession, keyCol: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(keyCol,
+          org.apache.spark.sql.types.LongType))))
 }

@@ -169,7 +169,11 @@ object Stateful {
     // day naming uses the SAME captured zone as the timeout derivation
     // below (not date_format, which re-resolves the session timezone at
     // query start — r15 ADVICE): one ZoneId, captured here, feeds both.
-    val zone = java.time.ZoneId.of(sessionZone)
+    // SHORT_IDS (r16 ADVICE): Spark's own DateTimeUtils.getZoneId
+    // resolves three-letter session zones ("PST") via ZoneId.SHORT_IDS;
+    // plain ZoneId.of rejects them, which would make the gate THROW at
+    // build time on a session config date_format previously accepted.
+    val zone = java.time.ZoneId.of(sessionZone, java.time.ZoneId.SHORT_IDS)
     src
       .select(col("city"), col("event_type"), col("ts"), col("event_id"))
       .as[(String, String, Timestamp, Long)]
@@ -233,8 +237,12 @@ object Stateful {
           // date_format used to name the day — day end strictly bounds
           // every same-day timestamp in any configured zone.
           if (useTimeout && batch.nonEmpty) {
+            // SHORT_IDS: same resolution as the key-side zone capture
+            // (r16 ADVICE) — both sites MUST resolve identically or a
+            // short-ID session zone splits day naming from the timeout.
             val dayEndMs = java.time.LocalDate.parse(day).plusDays(1)
-              .atStartOfDay(java.time.ZoneId.of(sessionZone))
+              .atStartOfDay(
+                java.time.ZoneId.of(sessionZone, java.time.ZoneId.SHORT_IDS))
               .toInstant.toEpochMilli
             state.setTimeoutTimestamp(dayEndMs)
           }

@@ -81,6 +81,68 @@ class ChainedCurationSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("chained split assignment (r16 verdict 2): a doc dropped by dedup " +
+    "consumes no split, and chained ≡ standalone assignments on every doc " +
+    "both paths assign") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SplitStream
+    def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    def near(tag: String): String =
+      (text(tag).split(" ").dropRight(2) :+ "zz" :+ "qq").mkString(" ")
+    val base = tmp("chainsplitbase")
+    // corpus with near-dup cluster {1, 2} and singleton 3 — the same
+    // frozen artifact pair the standalone assigner and q_safe_split read
+    val corpus = Seq((1L, text("alpha")), (2L, near("alpha")),
+      (3L, text("gamma"))).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus).write.parquet(s"$base/index")
+    Dedup.clustersFromPairs(
+        Dedup.minhashPairs(corpus).select("doc_id1", "doc_id2"))
+      .write.parquet(s"$base/clusters")
+    val p = new Pipeline(spark, tmp("chainsplitstore"), tmp("chainsplitckpt"))
+    val input = MemoryStream[(Long, String)]
+    val wave1 = Seq((30L, near("alpha")), (31L, text("delta")), (32L, text("eps")))
+    val wave2 = Seq((40L, near("delta")))
+    val qs = p.startChainedCuration(
+      input.toDF().toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("crawl")),
+      s"$base/index", splitClustersDir = Some(s"$base/clusters"))
+    try {
+      assert(qs.length == 4, "scrub → dedup → index → split assignment")
+      // wave 1: a dup of corpus cluster {1,2} (dedup drops it) + two novel
+      // docs; wave 2: a near-dup of wave 1's survivor 31 — the GROWN dedup
+      // index drops it before it can reach the assigner
+      input.addData(wave1: _*); drain(qs)
+      input.addData(wave2: _*); drain(qs)
+      val chained = spark.read.parquet(s"${p.chainSplitStorePath}/assigned")
+        .select("doc_id", "split_key", "split").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(chained.keySet == Set(31L, 32L),
+        s"dropped docs (30: corpus dup, 40: cross-wave dup) must consume NO split: $chained")
+      // standalone assigner over the SAME raw waves
+      val baseIndex = spark.read.parquet(s"$base/index")
+      val clusters = spark.read.parquet(s"$base/clusters")
+      val saOut = tmp("chainsplitsa")
+      SplitStream.runBatch(wave1.toDF("doc_id", "text"), baseIndex, clusters,
+        saOut, epoch = 0L)
+      SplitStream.runBatch(wave2.toDF("doc_id", "text"), baseIndex, clusters,
+        saOut, epoch = 1L)
+      val standalone = spark.read.parquet(s"$saOut/assigned")
+        .select("doc_id", "split_key", "split").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      // parity: every doc both paths assign gets the identical assignment
+      chained.foreach { case (id, v) =>
+        assert(standalone(id) == v,
+          s"chained and standalone must agree on doc $id: $v vs ${standalone(id)}")
+      }
+      // and the chain's drops LOSE nothing: standalone would have handed
+      // each dropped doc its surviving near-dup's key anyway
+      assert(standalone(30L)._1 == 1L,
+        s"the corpus dup's standalone key is its cluster's: $standalone")
+      assert(standalone(40L) == standalone(31L),
+        s"the cross-wave dup's standalone assignment equals its survivor's: $standalone")
+    } finally qs.foreach(_.stop())
+  }
+
   /** An empty base search index (the chain starts indexing from zero). */
   private def indexedBaseFor(p: Pipeline): String = {
     val dir = tmp("chainemptyix")

@@ -434,6 +434,36 @@ class StatefulSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("k-anon gate accepts a short-ID session timezone (PST) like Spark itself (r16 ADVICE)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Spark's DateTimeUtils.getZoneId resolves "PST" via ZoneId.SHORT_IDS
+    // (→ America/Los_Angeles); the gate's captured-zone path must match —
+    // pre-fix, plain ZoneId.of("PST") threw ZoneRulesException at BUILD
+    // time even with quarantineTtl=None (no timeout path involved).
+    def e(id: Long, instant: String) =
+      EventRec(id, Timestamp.from(java.time.Instant.parse(instant)), 0,
+        "click", 50.0, s"""{"k": $id}""")
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "PST")
+    try {
+      val input = MemoryStream[EventRec]
+      val q = Stateful.kAnonymityGate(CityEvents.normalize(input.toDF()), k = 2,
+          quarantineTtl = None)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("kanon_pst").start()
+      try {
+        // 07:00Z Jan 2 = 23:00 Jan 1 in PST — day must be named 2024-01-01
+        input.addData(e(1, "2024-01-02T07:00:00Z"), e(2, "2024-01-02T07:10:00Z"))
+        q.processAllAvailable()
+        val rel = spark.table("kanon_pst").collect()
+        assert(rel.length == 2)
+        assert(rel.forall(_.getAs[String]("day") == "2024-01-01"),
+          "the class day must be named in the SHORT_IDS-resolved zone")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("k-anon gate: a 100k-row single-batch class processes in event-time order") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -616,15 +616,15 @@ class StreamingSpec extends SparkSpec {
       s"gate split must equal the batch kernel: clean=$gateClean rejected=$gateRejected kernel=$kernel")
   }
 
-  test("twenty-one-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
-    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion, drift monitoring, the k-anonymity release gate and the split assigner run concurrently against their frozen artifacts (T5 at deployment scale)") {
+  test("twenty-two-member topology: events, crawl curation + scrub + indexer + decon gate + chunk ingest, media ingest + search, " +
+    "embedding ingest + PQ encode + IVF growth, the tokenizer service, passage retrieval, takedown ingestion, drift monitoring, the k-anonymity release gate, the split assigner and the CHAINED split assigner (downstream of crawl dedup — r16 verdict 2) run concurrently against their frozen artifacts (T5 at deployment scale)") {
     fullTopology(stateStoreProvider = None)
   }
 
-  test("twenty-one-member topology under the RocksDB state store: the full " +
+  test("twenty-two-member topology under the RocksDB state store: the full " +
     "closed-loop run end-to-end off-heap, rocksdb metrics engaged (r14 verdict 5)") {
     // the per-shape RocksDB test proves each state encoder round-trips;
-    // this one proves the DEPLOYMENT story — all twenty-one members, every
+    // this one proves the DEPLOYMENT story — all twenty-two members, every
     // store and serving assertion of the default-provider run verbatim,
     // with the provider conf captured by each query at start
     val confKey = "spark.sql.streaming.stateStore.providerClass"
@@ -730,9 +730,14 @@ class StreamingSpec extends SparkSpec {
         s"$base/refshares"),
       p.startKAnonGate(events.toDF(), k = 5),
       p.startSplitAssign(splitDocs.toDF().toDF("doc_id", "text"),
-        s"$base/index", s"$base/clusters"))
+        s"$base/index", s"$base/clusters"),
+      // the CHAINED assigner (r16 verdict 2): downstream of crawl dedup,
+      // consuming the survivors' clean/ hand-off — listed LAST so the
+      // single processAllAvailable pass below drives it after dedup has
+      // written its epoch
+      p.startChainedSplitAssign(s"$base/index", s"$base/clusters"))
     try {
-      assert(queries.length == 21)
+      assert(queries.length == 22)
       // five same-class events (user 1, click, one day): exactly k for the
       // k-anonymity gate, so the class releases within the topology run
       events.addData(ev(10L, "2024-01-01 10:00:00"),
@@ -773,6 +778,13 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
     // every store root received its member's output
     assert(spark.read.parquet(s"${p.crawlStorePath}/clean").count() == 1)
+    // the CHAINED split assigner consumed exactly the dedup survivor —
+    // dropped docs never consume a split (r16 verdict 2)
+    val chainAssigned = spark.read.parquet(s"${p.chainSplitStorePath}/assigned")
+      .select("doc_id", "split_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chainAssigned == Set((10L, 10L)),
+      s"the chained assigner must assign the dedup survivor, keyed by its own id: $chainAssigned")
     assert(spark.read.parquet(s"${p.fluencyStorePath}/clean").count() == 1)
     val mediaClean = spark.read.parquet(s"${p.mediaStorePath}/clean")
       .select("media_id").collect().map(_.getLong(0)).toSet
