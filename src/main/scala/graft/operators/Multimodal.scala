@@ -22,14 +22,109 @@ case class MediaFeatures(
     mean_byte: Double,      // mean over the kind's sample set
     hist16: Array[Long])    // 16-bucket histogram over the kind's sample set
 
+/** The CODEC PLUGIN SEAM (r16 verdict 6) — the typed boundary between
+  * the Spark-side plumbing (schemas, `mapPartitions` batch shape,
+  * partitioning, frame sampling, featurize/resize/embed aggregation)
+  * and the per-modality kernels this container cannot run (no
+  * image/audio libraries ship here). A real deployment implements this
+  * trait over JNI/javacv/ffmpeg and passes it to
+  * [[Multimodal.features]]/[[Multimodal.resizeStub]]/
+  * [[Multimodal.embedStub]]; NO plan shape changes — the kernels run
+  * inside the same iterator-lazy per-partition map, so executors hold
+  * one decoded record at a time regardless of codec.
+  *
+  * Must be `Serializable`: instances ship to executors inside the
+  * mapPartitions closure. Implementations must be DETERMINISTIC per
+  * payload if their outputs feed oracle-checked or replayed surfaces.
+  *
+  * [[ClosedFormCodec]] is the first instance — the deterministic fake
+  * this container tests the plumbing with (and the one whose outputs
+  * the DuckDB oracles reproduce bit-exactly). MultimodalSpec
+  * instantiates a second toy codec to pin that the seam actually turns.
+  */
+trait MediaCodec extends Serializable {
+
+  /** Decode one record into its sample stream (values 0–255): pixels'
+    * luma for image, amplitude buckets for audio, sampled frames for
+    * video. Work SHOULD scale with the kind's sampling contract (e.g.
+    * video decodes n_frames samples, never the full payload).
+    */
+  def samples(m: MediaRecord): Array[Int]
+
+  /** 16-bucket histogram assignment for one decoded sample of `kind`
+    * (the featurizer aggregates `hist16` with this).
+    */
+  def bucket(kind: String, sample: Int): Int
+
+  /** Resample the payload toward a `w × h` target: at most w·h output
+    * samples (no upsampling).
+    */
+  def resample(m: MediaRecord, w: Int, h: Int): Array[Int]
+
+  /** Encoder tower: a fixed-`dims` embedding of the record (the
+    * CLIP-style media tower feeding [[Similarity]]).
+    */
+  def embedding(m: MediaRecord, dims: Int): Array[Double]
+}
+
+/** The deterministic closed-form codec — [[MediaCodec]]'s first
+  * instance and the container's default: every kernel is a pure
+  * function of the payload bytes that the DuckDB oracles reproduce
+  * bit-exactly, so the ENTIRE media pipeline (schema → decode →
+  * featurize/resize/embed → dedup/search) hash-checks end to end with
+  * zero native libraries. Kernel semantics (unchanged from the
+  * pre-trait stubs; their oracles pin them):
+  *
+  *  - image: every payload byte is a sample, high-nibble buckets;
+  *  - audio: every payload byte is a sample, LOW-nibble buckets (a
+  *    distinct per-kind path, so dispatch is non-vacuous);
+  *  - video: only the first byte of each 10-byte "frame" is decoded —
+  *    work ∝ n_frames (clamped to ceil(len/10); an inconsistent record
+  *    degrades instead of failing the task), high-nibble buckets;
+  *  - resample: every (len div target)-th byte, at most w·h samples;
+  *  - embedding: the payload's code-point polynomial fingerprint
+  *    ([[graft.functions.Fingerprint.ofUtf8Bytes]] — see the contract
+  *    note at [[Multimodal.embedStub]]) seeds dimension d as
+  *    ((fp·(2d+1) + d·40503) mod 2000001)/10⁶ − 1 ∈ [−1, 1]; all-Long
+  *    arithmetic plus one IEEE division, bit-identical on both engines.
+  */
+object ClosedFormCodec extends MediaCodec {
+  def samples(m: MediaRecord): Array[Int] = {
+    val bytes = m.payload
+    m.kind match {
+      case "video" =>
+        val frames = math.min(math.max(m.n_frames, 0), (bytes.length + 9) / 10)
+        Array.tabulate(frames)(f => bytes(f * 10) & 0xff)
+      case _ => Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
+    }
+  }
+  def bucket(kind: String, sample: Int): Int =
+    if (kind == "audio") sample & 15 else sample >> 4
+  def resample(m: MediaRecord, w: Int, h: Int): Array[Int] = {
+    val target = w * h
+    val n = math.min(target, m.payload.length)
+    if (n == 0) Array.empty
+    else {
+      val stride = m.payload.length / n
+      Array.tabulate(n)(i => m.payload(i * stride) & 0xff)
+    }
+  }
+  def embedding(m: MediaRecord, dims: Int): Array[Double] = {
+    val fp = graft.functions.Fingerprint.ofUtf8Bytes(m.payload)
+    Array.tabulate(dims)(d =>
+      ((fp * (2 * d + 1) + d.toLong * 40503L) % 2000001L) / 1000000.0 - 1.0)
+  }
+}
+
 /** Multimodal operators over binary media columns.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container has
-  * no image/audio codecs); everything Spark-side is real and load-bearing:
-  * the binary+metadata schema, `mapPartitions` batch shape (iterator-lazy,
-  * bounded memory — the Scala analog of `mapInPandas` batches), partitioning
-  * behavior (narrow, no shuffle), and the explode-based frame sampling.
-  * Swapping [[decodeStub]] for a JNI/javacv codec changes no plan shape.
+  * The per-modality kernels live behind the [[MediaCodec]] seam
+  * (default [[ClosedFormCodec]] — deterministic, oracle-comparable);
+  * everything Spark-side is real and load-bearing: the binary+metadata
+  * schema, `mapPartitions` batch shape (iterator-lazy, bounded memory —
+  * the Scala analog of `mapInPandas` batches), partitioning behavior
+  * (narrow, no shuffle), and the explode-based frame sampling. Swapping
+  * the codec for a JNI/javacv implementation changes no plan shape.
   */
 object Multimodal {
 
@@ -48,85 +143,61 @@ object Multimodal {
       floor(col("n_chars") / 10).cast("int").as("n_frames"),
       lit(64).as("width"), lit(64).as("height"))
 
-  /** STUB decode+featurize with per-kind kernel dispatch — the shape of a
-    * real codec layer (one decoder per modality behind one typed row
-    * contract), with deterministic fakes standing in for the codecs:
-    *
-    *  - `image`: 2-D path — histogram of the high nibble (a luma-bucket
-    *    stand-in) + mean over ALL payload bytes;
-    *  - `audio`: 1-D sample path — histogram of the LOW nibble (an
-    *    amplitude-bucket stand-in) + mean over all payload bytes;
-    *  - `video`: frame path — only the first byte of each 10-byte "frame"
-    *    is decoded (frame sampling: work scales with n_frames, never
-    *    payload size), high-nibble histogram + mean over sampled bytes.
-    *
-    * A real implementation would decode pixels/samples here; the
-    * iterator-per-partition shape, per-kind dispatch, and metadata-driven
-    * frame indexing are the real plumbing.
+  /** Decode+featurize with per-kind kernel dispatch — one decoder per
+    * modality behind the typed [[MediaCodec]] contract (default
+    * [[ClosedFormCodec]]; see its scaladoc for the per-kind sample
+    * semantics this container tests with). The iterator-per-partition
+    * shape, per-kind dispatch, metadata-driven frame indexing, and the
+    * histogram/mean aggregation are the codec-independent plumbing:
+    * `n_bytes` is the FULL payload size for every kind, `mean_byte` and
+    * `hist16` aggregate over the codec's sample set only.
     */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def decodeStub(media: Dataset[MediaRecord],
+                 codec: MediaCodec = ClosedFormCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        // ??? real per-kind codecs go here; deterministic fakes below
-        val bytes = m.payload
-        val samp: Array[Int] = m.kind match {
-          case "video" =>
-            // n_frames is caller metadata — clamp to the payload so an
-            // inconsistent record degrades instead of failing the task.
-            // The read pattern needs f*10 < length, so the tight bound is
-            // ceil(length/10): a floor would silently drop the final
-            // frame of any payload that is not a multiple of 10 bytes
-            val frames = math.min(math.max(m.n_frames, 0), (bytes.length + 9) / 10)
-            Array.tabulate(frames)(f => bytes(f * 10) & 0xff)
-          case _ => Array.tabulate(bytes.length)(i => bytes(i) & 0xff)
-        }
+        val samp = codec.samples(m)
         val hist = new Array[Long](16)
         var sum = 0L
         var i = 0
         while (i < samp.length) {
           val b = samp(i)
-          hist(if (m.kind == "audio") b & 15 else b >> 4) += 1
+          hist(codec.bucket(m.kind, b)) += 1
           sum += b
           i += 1
         }
-        MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
           if (samp.isEmpty) 0.0 else sum.toDouble / samp.length, hist)
       }
     }
   }
 
   /** Typed entry: DataFrame → Dataset[MediaRecord] → features. */
-  def features(media: DataFrame): DataFrame = {
+  def features(media: DataFrame,
+               codec: MediaCodec = ClosedFormCodec): DataFrame = {
     import media.sparkSession.implicits._
-    decodeStub(media.as[MediaRecord]).toDF()
+    decodeStub(media.as[MediaRecord], codec).toDF()
   }
 
-  /** STUB resize: downsample the payload to a `w × h` target by taking
-    * every `stride`-th byte (stride = len div target, no upsampling) — the
-    * per-partition batch shape of a real `cv2.resize`/`PIL.thumbnail`
-    * step, with a deterministic fake kernel. Emits the resized dimensions,
-    * output size, and a checksum of the sampled bytes so the plumbing is
-    * oracle-comparable end-to-end.
+  /** Resize: downsample toward a `w × h` target through the codec's
+    * [[MediaCodec.resample]] kernel (default [[ClosedFormCodec]]: every
+    * `len div target`-th byte, no upsampling) — the per-partition batch
+    * shape of a real `cv2.resize`/`PIL.thumbnail` step. Emits the
+    * resized dimensions, output size, and a checksum of the resampled
+    * bytes so the plumbing is oracle-comparable end-to-end.
     */
-  def resizeStub(mediaDf: DataFrame, w: Int, h: Int): DataFrame = {
+  def resizeStub(mediaDf: DataFrame, w: Int, h: Int,
+                 codec: MediaCodec = ClosedFormCodec): DataFrame = {
     import mediaDf.sparkSession.implicits._
     val media = mediaDf.as[MediaRecord]
     media.mapPartitions { it =>
       it.map { m =>
-        // ??? real resample kernel goes here; deterministic subsample below
-        val target = w * h
-        val n = math.min(target, m.payload.length)
+        val out = codec.resample(m, w, h)
         var sum = 0L
-        if (n > 0) {
-          val stride = m.payload.length / n
-          var i = 0
-          while (i < n) {
-            sum += (m.payload(i * stride) & 0xff)
-            i += 1
-          }
-        }
-        (m.media_id, w, h, n.toLong, sum)
+        var i = 0
+        while (i < out.length) { sum += out(i); i += 1 }
+        (m.media_id, w, h, out.length.toLong, sum)
       }
     }.toDF("media_id", "width", "height", "n_bytes", "byte_sum")
   }
@@ -165,21 +236,18 @@ object Multimodal {
     * real encoder replaces this whole kernel, so the caveat dies with the
     * stub.
     */
-  def embedStub(mediaDf: DataFrame, dims: Int = 16): DataFrame = {
+  def embedStub(mediaDf: DataFrame, dims: Int = 16,
+                codec: MediaCodec = ClosedFormCodec): DataFrame = {
     import mediaDf.sparkSession.implicits._
+    // the encoder kernel (a real CLIP-style image/audio tower, or the
+    // default closed-form fingerprint tower) lives behind the codec
+    // seam; [[ClosedFormCodec.embedding]]'s accumulator is the
+    // expression's shared code-point decoder, NOT a byte loop: a
+    // byte-wise fp agrees with fingerprintCol/the DuckDB oracle only
+    // on pure-ASCII payloads (round-8 ADVICE-1; non-ASCII parity is
+    // pinned in MultimodalSpec)
     mediaDf.as[MediaRecord].mapPartitions { it =>
-      it.map { m =>
-        // ??? real encoder (CLIP-style image/audio tower) goes here;
-        // deterministic fingerprint-seeded fake below. The accumulator is
-        // the expression's shared code-point decoder, NOT a byte loop: a
-        // byte-wise fp agrees with fingerprintCol/the DuckDB oracle only
-        // on pure-ASCII payloads (round-8 ADVICE-1; non-ASCII parity is
-        // pinned in MultimodalSpec)
-        val fp = graft.functions.Fingerprint.ofUtf8Bytes(m.payload)
-        val emb = Array.tabulate(dims)(d =>
-          ((fp * (2 * d + 1) + d.toLong * 40503L) % 2000001L) / 1000000.0 - 1.0)
-        (m.media_id, emb)
-      }
+      it.map(m => (m.media_id, codec.embedding(m, dims)))
     }.toDF("media_id", "embedding")
   }
 
