@@ -684,6 +684,12 @@ class Pipeline(
   def awaitAnyTermination(): Unit = spark.streams.awaitAnyTermination()
 }
 
+/** One stateful operator's state-store footprint inside one topology
+  * member — see [[Pipeline.stateFootprint]].
+  */
+case class StateFootprint(member: String, op_index: Int,
+                          n_state_rows: Long, state_bytes: Long)
+
 object Pipeline {
   /** Spark's RocksDB state store provider (in the stock Spark 4
     * distribution; rocksdbjni ships in its jars) — pass as
@@ -691,6 +697,33 @@ object Pipeline {
     */
   val RocksDbStateStore: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** STATE-STORE FOOTPRINT record (r16 verdict 7) — per named member,
+    * one row per stateful operator in its last progress: total state
+    * rows + state bytes. The first question a 100×-scale operator asks
+    * of a topology this wide is "whose state grows?", and the honest
+    * answer is per-member and empirical: bounded-by-keys members
+    * (streak/throttle/gate custom state — O(1) per key), horizon-bounded
+    * members (watermarked window aggs — open windows only, the watermark
+    * evicts closed ones), and the explicitly UNBOUNDED-BY-DESIGN
+    * complete-mode A2 counts (one row per distinct group, never evicted
+    * — the reference's own semantics; label it in `member` so the record
+    * reads honestly). StateFootprintSpec asserts each class's growth law
+    * over a replayed multi-epoch run; a deployment surfaces this same
+    * record from its monitoring loop.
+    *
+    * Stateless members report no rows (no state operators in progress);
+    * a member that has not yet completed a batch reports nothing —
+    * callers drive the topology before reading.
+    */
+  def stateFootprint(members: Seq[(String, StreamingQuery)]): Seq[StateFootprint] =
+    members.flatMap { case (name, q) =>
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq.zipWithIndex)
+        .map { case (so, i) =>
+          StateFootprint(name, i, so.numRowsTotal, so.memoryUsedBytes)
+        }
+    }
 
   /** Production entry: rate-source (or Kafka via [[EventStreamSource]])
     * pipeline with default trigger — batches fire as data arrives (T9).
