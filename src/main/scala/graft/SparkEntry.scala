@@ -387,23 +387,28 @@ object SparkEntry {
         "5, 'semantic_dedup', n4) AS (stage_id, stage, n_docs)"))
   }
 
-  /** PERSISTED plane-migration card (graft_planes):
-    * [[Similarity.planeMigrationCard]] is a pure function of the
-    * embeddings snapshot (both plane families are closed-form; the exact
-    * ground truth is deterministic), and its exact-truth arm costs a
-    * q_cosine_pairs-sized blocked all-pairs pass (~0.9 s at sf0.1) — so
-    * the card builds ONCE per snapshot and `q_plane_migration` serves a
-    * 2-row scan. Its build-time 1-row truth/rep-count crossJoins never
-    * reach a registry plan (the q_snapshot_diff precedent).
+  /** PERSISTED plane-migration + banding-geometry cards (graft_planes):
+    * [[Similarity.planeMigrationCard]] and
+    * [[Similarity.bandGeometryCard]] are pure functions of the
+    * embeddings snapshot (all plane families and band splits are
+    * closed-form; the exact ground truth is deterministic), and each
+    * exact-truth arm costs a q_cosine_pairs-sized blocked all-pairs pass
+    * (~0.9 s at sf0.1) — so both cards build ONCE per snapshot and
+    * `q_plane_migration`/`q_band_geometry` serve 2-row scans. Their
+    * build-time 1-row truth/rep-count crossJoins never reach a registry
+    * plan (the q_snapshot_diff precedent).
     */
   private val planesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, DataFrame)]()
-  private def planesTable(s: SparkSession, d: String): DataFrame = {
+      (String, DataFrame, DataFrame)]()
+  private def planesTables(s: SparkSession, d: String): (String, DataFrame, DataFrame) = {
     planesCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val src = s"$d/embeddings.parquet"
-    // v2: + max_band_bucket (the band-balance column)
-    val stamp = "planes-v2:" + graft.sources.SnapshotStore.fingerprint(s, src)
+    // v2: + max_band_bucket (the band-balance column); v3: + the
+    // banding-geometry card (a second table in the family — the stamp
+    // bump makes a fresh container build it; both cards' values under
+    // the old tables are unchanged)
+    val stamp = "planes-v3:" + graft.sources.SnapshotStore.fingerprint(s, src)
     planesCache.compute((s, d), (_, cached) =>
       if (cached != null && cached._1 == stamp) cached
       else {
@@ -411,11 +416,17 @@ object SparkEntry {
         if (!graft.sources.SnapshotStore.ready(s, dir, stamp)) {
           Similarity.planeMigrationCard(Tables.embeddings(s, d))
             .write.mode("overwrite").parquet(s"$dir/card")
+          Similarity.bandGeometryCard(Tables.embeddings(s, d))
+            .write.mode("overwrite").parquet(s"$dir/geometry")
           graft.sources.SnapshotStore.commit(s, dir, stamp)
         }
-        (stamp, s.read.parquet(s"$dir/card"))
-      })._2
+        (stamp, s.read.parquet(s"$dir/card"), s.read.parquet(s"$dir/geometry"))
+      })
   }
+  private def planesTable(s: SparkSession, d: String): DataFrame =
+    planesTables(s, d)._2
+  private def geometryTable(s: SparkSession, d: String): DataFrame =
+    planesTables(s, d)._3
 
   /** PERSISTED product-quantization family — per-subspace codebooks,
     * the PQ-encoded corpus, and the default-parameter rerank answer
@@ -5883,6 +5894,61 @@ object SparkEntry {
         |      GROUP BY band, bb
         |    UNION ALL
         |    SELECT 'linear-v1', count(*) FROM cl GROUP BY band, bb)
+        |  GROUP BY family),
+        |tr AS (SELECT count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_truth
+        |  FROM (SELECT ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |    FROM d a JOIN d b2 ON a.vec_id < b2.vec_id)),
+        |nr AS (SELECT count(*) AS n_reps FROM d)
+        |SELECT fam.family, n_candidates, n_found, n_truth,
+        |  CAST(n_found AS DOUBLE) / n_truth AS recall,
+        |  CAST(n_candidates AS DOUBLE) / (n_reps * (n_reps - 1) / 2)
+        |    AS candidate_rate,
+        |  max_band_bucket
+        |FROM fam JOIN bal ON fam.family = bal.family
+        |CROSS JOIN tr CROSS JOIN nr ORDER BY fam.family""".stripMargin)),
+
+    // BANDING-GEOMETRY sensitivity card — the second production
+    // MigrationCard instance (r16 verdict 5, exercised): the same
+    // quadratic bucket split two ways (4 bands × 4 bits vs 2 bands ×
+    // 8 bits), each arm's recall / candidate rate / hot-bucket exposure
+    // against the SAME exact cosine truth — the dial a deployment reads
+    // before re-keying a 100 TB candidate join. Finer bands are a
+    // structural candidate SUPERSET (an 8-bit collision implies both
+    // 4-bit collisions), so recall and rate are monotone in band count;
+    // the card pins where each geometry sits on that curve for THIS
+    // corpus. Served from the persisted graft_planes family; the oracle
+    // re-walks the bucketing, both band splits, the verification, and
+    // the shared truth end-to-end.
+    ("q_band_geometry",
+      (s, d) => geometryTable(s, d).orderBy("family"),
+      Some(s"""WITH g AS (SELECT embedding, min(vec_id) AS rep
+        |  FROM embeddings GROUP BY embedding),
+        |d AS (SELECT * FROM (${Similarity.Sql.prepared}) dp
+        |  WHERE vec_id IN (SELECT rep FROM g)),
+        |bq AS (SELECT vec_id, ${Similarity.Sql.lshBucket("v")} AS bucket FROM d),
+        |c4 AS (SELECT band, (bucket >> (band * 4)) & 15 AS bb, vec_id
+        |  FROM bq CROSS JOIN (SELECT unnest(range(0, 4)) AS band) u),
+        |c8 AS (SELECT band, (bucket >> (band * 8)) & 255 AS bb, vec_id
+        |  FROM bq CROSS JOIN (SELECT unnest(range(0, 2)) AS band) u),
+        |p4 AS (SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+        |  FROM c4 a JOIN c4 b ON a.band = b.band AND a.bb = b.bb
+        |    AND a.vec_id < b.vec_id),
+        |p8 AS (SELECT DISTINCT a.vec_id AS vec_id1, b.vec_id AS vec_id2
+        |  FROM c8 a JOIN c8 b ON a.band = b.band AND a.bb = b.bb
+        |    AND a.vec_id < b.vec_id),
+        |cand AS (SELECT '4bit-4band' AS family, vec_id1, vec_id2 FROM p4
+        |  UNION ALL SELECT '8bit-2band', vec_id1, vec_id2 FROM p8),
+        |ver AS (SELECT family, ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine
+        |  FROM cand JOIN d a ON cand.vec_id1 = a.vec_id
+        |            JOIN d b2 ON cand.vec_id2 = b2.vec_id),
+        |fam AS (SELECT family, count(*) AS n_candidates,
+        |  count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_found
+        |  FROM ver GROUP BY family),
+        |bal AS (SELECT family, max(c) AS max_band_bucket FROM (
+        |    SELECT '4bit-4band' AS family, count(*) AS c FROM c4
+        |      GROUP BY band, bb
+        |    UNION ALL
+        |    SELECT '8bit-2band', count(*) FROM c8 GROUP BY band, bb)
         |  GROUP BY family),
         |tr AS (SELECT count(CASE WHEN cosine >= 0.4 THEN 1 END) AS n_truth
         |  FROM (SELECT ${Similarity.Sql.cosine("a.v", "b2.v")} AS cosine

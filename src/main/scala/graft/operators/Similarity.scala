@@ -1681,6 +1681,77 @@ object Similarity {
       truth, universe)
   }
 
+  /** BANDING-GEOMETRY sensitivity card — the SECOND production instance
+    * of [[MigrationCard.build]] (r16 verdict 5's "next migration lands
+    * on the harness by default", exercised same-round): the sign-LSH
+    * banding knob (how the `nbits` bucket splits into bands) is the
+    * recall-vs-candidate-rate dial a deployment turns BEFORE re-keying
+    * a 100 TB candidate join, and this card pins each geometry's
+    * measured recall, candidate rate, and hot-bucket exposure per
+    * snapshot, against the same exact cosine truth the plane card uses.
+    *
+    * The arms share ONE bucketing pass (the shipped quadratic family —
+    * [[lshBuckets]]); they differ only in the band split of the same
+    * `nbits`-bit bucket, so the card isolates the GEOMETRY variable.
+    * Structural guarantee the spec pins: an `2k`-bit band collision
+    * implies collision in both constituent `k`-bit bands, so the finer
+    * split's candidates are a SUPERSET — recall and candidate rate are
+    * monotone in band count, and the card shows where on that curve
+    * each geometry sits for THIS corpus (the number that decides
+    * whether the extra recall is worth the extra rate).
+    *
+    * Family labels sort ascending by band width: `"4bit-4band"`,
+    * `"8bit-2band"` at the 16-bit default.
+    */
+  def bandGeometryCard(embeddings: DataFrame, threshold: Double = 0.4,
+                       nbits: Int = 16, bandBitsArms: Seq[Int] = Seq(4, 8),
+                       dim: Int = 64): DataFrame = {
+    require(bandBitsArms.nonEmpty && bandBitsArms.forall(b => nbits % b == 0),
+      s"every arm's band width must divide nbits=$nbits: $bandBitsArms")
+    val members = vecGroups(embeddings)
+    val repEmb = embeddings.join(
+      members.filter(col("rep") === col("vec_id")).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    val d = prepared(repEmb)
+    val buckets = lshBuckets(repEmb, nbits, dim)
+    def familyOf(bandBits: Int) = s"${bandBits}bit-${nbits / bandBits}band"
+    def triples(bandBits: Int): DataFrame =
+      bandExplode(buckets, nbits / bandBits, bandBits)
+    def armPairs(bandBits: Int): DataFrame = {
+      val cand = triples(bandBits)
+      cand.as("a")
+        .join(cand.as("b"),
+          col("a.band") === col("b.band") && col("a.bb") === col("b.bb") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id1"), col("b.vec_id").as("vec_id2"))
+        .distinct()
+        .withColumn("family", lit(familyOf(bandBits)))
+    }
+    def armBalance(bandBits: Int): DataFrame =
+      triples(bandBits).groupBy("band", "bb").agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_band_bucket"))
+    // one vector join verifies every arm's candidates (the plane card's
+    // shared-join discipline)
+    val verified = bandBitsArms.map(armPairs).reduce(_.unionByName(_))
+      .join(d.select(col("vec_id").as("vec_id1"), col("v").as("v1"),
+        col("nrm").as("nrm1")), Seq("vec_id1"))
+      .join(d.select(col("vec_id").as("vec_id2"), col("v").as("v2"),
+        col("nrm").as("nrm2")), Seq("vec_id2"))
+      .select(col("family"),
+        (dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")) >=
+          lit(threshold)).as("hit"))
+    val truth = cosineNearDupPairs(repEmb, threshold)
+      .agg(count(lit(1)).as("n_truth"))
+    val universe = d.agg(count(lit(1)).as("n_reps"))
+      .select((col("n_reps") * (col("n_reps") - lit(1L)) / lit(2L))
+        .as("n_universe"))
+    MigrationCard.build(
+      bandBitsArms.map(b =>
+        (familyOf(b), verified.filter(col("family") === familyOf(b)).drop("family"),
+          armBalance(b))),
+      truth, universe)
+  }
+
   /** (vec_id, band, bb) triples: each vector's `bucket` split into
     * `bands` sub-buckets of `bandBits` bits — static shifts unrolled via
     * `inline`, so the explode stays one narrow codegen'd projection.

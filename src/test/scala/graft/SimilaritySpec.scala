@@ -895,4 +895,32 @@ class SimilaritySpec extends SparkSpec {
       graft.operators.Similarity.lshPlaneWeights(65536, 65536)
     }
   }
+
+  test("banding-geometry card: finer bands are a structural candidate " +
+    "superset — recall and rate monotone in band count (r16 verdict 5, " +
+    "second harness instance)") {
+    val card = graft.operators.Similarity
+      .bandGeometryCard(Tables.embeddings(spark, sf)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(card.keySet == Set("4bit-4band", "8bit-2band"))
+    val (fine, coarse) = (card("4bit-4band"), card("8bit-2band"))
+    Seq(fine, coarse).foreach { case (nc, nf, nt, rec, rate, mbb) =>
+      assert(nf <= nc && nf <= nt && rate >= 0.0 && rate <= 1.0 &&
+        rec == nf.toDouble / nt && mbb >= 1L)
+    }
+    assert(fine._3 == coarse._3, "ground truth is geometry-independent")
+    // the structural law: an 8-bit band collision implies both 4-bit
+    // collisions, so the finer split can only ADD candidates and finds
+    assert(fine._1 >= coarse._1 && fine._2 >= coarse._2,
+      s"finer bands must be a candidate/find superset: $fine vs $coarse")
+    // non-vacuity on this corpus: the split genuinely separates — the
+    // fine arm pays a strictly higher candidate rate for its recall
+    assert(fine._1 > coarse._1,
+      s"fixture must exercise the geometry difference: $fine vs $coarse")
+    // hot-bucket exposure: 16-value sub-buckets concentrate harder than
+    // 256-value ones on any corpus big enough to fill them
+    assert(fine._6 >= coarse._6,
+      s"coarser sub-buckets cannot be hotter: $fine vs $coarse")
+  }
 }
