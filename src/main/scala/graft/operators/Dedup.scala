@@ -683,6 +683,76 @@ object Dedup {
     * "LSH S-curve margin" test pins (threshold, bands, rows) to the bound
     * so parameter drift cannot silently cross the recall cliff.
     */
+  /** All duplicate pairs WITHIN one [[buildDedupIndex]] signature index —
+    * the self-match twin of [[dedupDelta]], for callers that already hold
+    * the index of the frame they want matched against itself (the
+    * [[graft.streaming.SplitStream]] intra-batch arm: every micro-batch
+    * builds its index for the epoch's `index_delta` write anyway, so
+    * self-matching through the STORED sketches costs zero additional
+    * text shingling — `dedupDelta(batchIdx, batch)` would re-read and
+    * re-sketch the batch text a second time for the identical result).
+    *
+    * Same two branches as [[dedupDelta]], both sides served from the
+    * index: exact = within-content-hash-group pairs (the rep expansion
+    * the index already encodes); near = LSH band SELF-join of the stored
+    * rep sketches (`id1 < id2`, differing content — equality is the
+    * exact branch's), exact-Jaccard-verified, expanded through both
+    * reps' group memberships. Output is one row per unordered pair
+    * (doc_id1 < doc_id2), `(doc_id1, doc_id2, jaccard)`.
+    *
+    * EXACTNESS: identical recall contract to [[dedupDelta]] (the same
+    * banded S-curve bound — SketchSpec pins the parameters); a parity
+    * spec asserts selfPairs(index(c)) ≡ the symmetric closure of
+    * dedupDelta(index(c), c) minus self-matches.
+    */
+  def selfPairsFromIndex(index: DataFrame, threshold: Double = 0.8,
+                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // exact: every same-content pair, once — the group is (rep, members),
+    // so pair members within each content-hash group by id order
+    val m = index.select(col("content_hash"), col("doc_id"))
+    val exact = m.as("a").join(m.as("b"),
+        col("a.content_hash") === col("b.content_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+      .withColumn("jaccard", lit(1.0))
+    val sets = index.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("content_hash"), col("shh"))
+      .filter(col("shh").isNotNull && size(col("shh")) > 0)
+      .repartition(col("doc_id")) // barrier: shh feeds bands AND verify
+    val banded = sets.select(col("doc_id"),
+      posexplode(graft.functions.Sketches.minhashBands(
+        col("shh"), numHashes, bands, 42L)).as(Seq("band", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("r1"), col("b.doc_id").as("r2"))
+      .distinct()
+    val s1 = sets.select(col("doc_id").as("r1"), col("content_hash").as("ch1"),
+      col("shh").as("sh1"), size(col("shh")).as("n1"))
+    val s2 = sets.select(col("doc_id").as("r2"), col("content_hash").as("ch2"),
+      col("shh").as("sh2"), size(col("shh")).as("n2"))
+    val repPairs = candidates.join(s1, "r1").join(s2, "r2")
+      .groupBy("r1", "r2")
+      .agg(min(size(array_intersect(col("sh1"), col("sh2")))).as("n_common"),
+        min(col("n1")).as("n1"), min(col("n2")).as("n2"),
+        min(col("ch1")).as("ch1"), min(col("ch2")).as("ch2"))
+      .filter(col("ch1") =!= col("ch2")) // equality is the exact branch's
+      .select(col("r1"), col("r2"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // expand both rep endpoints through their duplicate-group memberships;
+    // re-orient so every pair is emitted once as (min, max)
+    val members = index.select(col("rep"), col("doc_id"))
+    val near = repPairs
+      .join(members.select(col("rep").as("r1"), col("doc_id").as("d1")), "r1")
+      .join(members.select(col("rep").as("r2"), col("doc_id").as("d2")), "r2")
+      .select(least(col("d1"), col("d2")).as("doc_id1"),
+        greatest(col("d1"), col("d2")).as("doc_id2"), col("jaccard"))
+    exact.unionByName(near).orderBy("doc_id1", "doc_id2")
+  }
+
   def dedupDelta(index: DataFrame, delta: DataFrame, threshold: Double = 0.8,
                  numHashes: Int = 128, bands: Int = 32, n: Int = 3,
                  stopHashesOpt: Option[DataFrame] = None): DataFrame = {

@@ -39,10 +39,11 @@ import graft.operators.{Corpus, Dedup}
   *  3. WITHIN a batch (r16 ADVICE — previously a silent gap): two
   *     near-duplicates arriving in the SAME micro-batch have no
   *     appended delta to meet through, so the batch is additionally
-  *     matched against ITSELF ([[Dedup.dedupDelta]] with the batch's
-  *     own signature index — built once, reused as the epoch's
-  *     `index_delta` write), the resulting intra-batch pairs are
-  *     closed transitively ([[Dedup.clustersFromPairs]] — a chain
+  *     matched against ITSELF ([[Dedup.selfPairsFromIndex]] over the
+  *     batch's own signature index — built once, self-matched through
+  *     its STORED sketches with zero re-shingling, then reused as the
+  *     epoch's `index_delta` write), the resulting intra-batch pairs
+  *     are closed transitively ([[Dedup.clustersFromPairs]] — a chain
   *     a~b~c inside one batch is one component), and every member of a
   *     component takes the component-minimum RESOLVED key (each
   *     member's corpus-inherited key where it has one, else its own
@@ -158,12 +159,11 @@ object SplitStream {
           .persist() // feeds the intra-batch resolution AND the assignment
         try {
           // intra-batch arm (r16 ADVICE): the batch matched against its
-          // own signature index — self-matches dropped, the symmetric
-          // pair graph closed transitively, each component keyed by the
-          // minimum RESOLVED member key
-          val intraPairs = Dedup.dedupDelta(batchIdx, delta, threshold)
-            .filter(col("corpus_id") =!= col("delta_id"))
-            .select(col("corpus_id").as("doc_id1"), col("delta_id").as("doc_id2"))
+          // own signature index via the stored sketches (no second text
+          // pass), the pair graph closed transitively, each component
+          // keyed by the minimum RESOLVED member key
+          val intraPairs = Dedup.selfPairsFromIndex(batchIdx, threshold)
+            .select("doc_id1", "doc_id2")
             .persist()
           val intraKeys = try {
             if (intraPairs.isEmpty) emptyKeys(spark, "intra_key")

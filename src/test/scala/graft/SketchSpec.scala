@@ -276,4 +276,36 @@ class SketchSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(ph(0) ^ ph(1)) <= 5,
       s"tail edit must stay within banding reach: hamming ${java.lang.Long.bitCount(ph(0) ^ ph(1))}")
   }
+
+  test("selfPairsFromIndex ≡ dedupDelta(index, corpus) minus self-matches " +
+    "(the SplitStream intra-batch arm's zero-reshingle twin)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
+    def repl(tag: String, k: Int, atEnd: Boolean): String = {
+      val t = text(tag).split(" ").toSeq
+      (if (atEnd) t.dropRight(k) ++ (1 to k).map(i => s"e$i")
+       else (1 to k).map(i => s"s$i") ++ t.drop(k)).mkString(" ")
+    }
+    // exact-dup group {1, 2}, near chain 3~4 and 3~5 (4 !~ 5), singleton 6
+    val corpus = Seq(
+      (1L, text("alpha")), (2L, text("alpha")),
+      (3L, text("beta")), (4L, repl("beta", 3, atEnd = true)),
+      (5L, repl("beta", 3, atEnd = false)),
+      (6L, text("gamma"))).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus)
+    val self = Dedup.selfPairsFromIndex(index).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // reference: the cross form self-matched, oriented, self-pairs dropped
+    val ref = Dedup.dedupDelta(index, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a != b }
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b)) -> j }
+      .toMap
+    assert(self == ref, s"self-pairs must equal the cross form: $self vs $ref")
+    // non-vacuity: the fixture exercises exact, near, and absent pairs
+    assert(self.keySet == Set((1L, 2L), (3L, 4L), (3L, 5L)),
+      s"expected the planted pair structure: ${self.keySet}")
+    assert(self((1L, 2L)) == 1.0 && self((3L, 4L)) < 1.0)
+  }
 }
