@@ -5760,6 +5760,44 @@ object SparkEntry {
         |    (v, i) -> struct_pack(v := v, i := i))) AS p FROM embeddings)
         |GROUP BY 1 ORDER BY dim""".stripMargin)),
 
+    // EMBEDDING SIGN-PROFILE DRIFT per source — the semantic-drift
+    // monitor beside the lexical q_source_divergence: per source, the
+    // mean/max per-dimension |positive-share − corpus positive-share|
+    // and the dimension that moved most. Sign profile is what sign-LSH
+    // buckets on, so this is the early warning for band-balance and ANN
+    // recall shifts. Count-based throughout (the q_embedding_stats rule
+    // — no cross-row float sums); shares are single double divisions;
+    // the mean folds the per-dim |Δ| terms in dim order.
+    ("q_embedding_drift",
+      (s, d) => Similarity.embeddingDrift(Tables.embeddings(s, d),
+        Tables.documents(s, d)),
+      Some("""WITH e AS (SELECT vec_id, CAST(p.i - 1 AS BIGINT) AS dim,
+        |    CAST(p.v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(list_transform(embedding,
+        |    (v, i) -> struct_pack(v := v, i := i))) AS p FROM embeddings)),
+        |c AS (SELECT d2.source, e.dim, count(*) AS n,
+        |    sum(CASE WHEN e.v > 0.0 THEN 1 ELSE 0 END) AS np
+        |  FROM e JOIN documents d2 ON e.vec_id = d2.doc_id GROUP BY 1, 2),
+        |corp AS (SELECT dim, sum(n) AS cn, sum(np) AS cnp FROM c GROUP BY dim),
+        |dd AS (SELECT source, c.dim, n,
+        |    abs(CAST(np AS DOUBLE) / n - CAST(cnp AS DOUBLE) / cn) AS diff
+        |  FROM c JOIN corp ON c.dim = corp.dim),
+        |ps AS (SELECT source, max(n) AS n_vectors, count(*) AS n_dims,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(list_sort(list(struct_pack(dim := dim,
+        |        diff := diff))), x -> x.diff)), (a, b) -> a + b) AS total_drift,
+        |    max(diff) AS max_sign_drift
+        |  FROM dd GROUP BY source),
+        |am AS (SELECT dd.source, min(dd.dim) AS drift_dim
+        |  FROM dd JOIN ps ON dd.source = ps.source
+        |    AND dd.diff = ps.max_sign_drift
+        |  GROUP BY dd.source)
+        |SELECT ps.source, CAST(n_vectors AS BIGINT) AS n_vectors,
+        |  total_drift / n_dims AS mean_sign_drift, max_sign_drift,
+        |  CAST(drift_dim AS BIGINT) AS drift_dim
+        |FROM ps JOIN am ON ps.source = am.source
+        |ORDER BY ps.source""".stripMargin)),
+
     // FILTERED vector search — top-k under a metadata predicate (the
     // "vector search WHERE label IN (...)" production shape): the
     // predicate restricts the corpus BEFORE distance work and pushes

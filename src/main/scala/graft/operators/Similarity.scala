@@ -2206,6 +2206,62 @@ object Similarity {
     * is order-insensitive (min/max/counts) — bit-exact on any engine —
     * and all of them fold map-side.
     */
+  /** EMBEDDING SIGN-PROFILE DRIFT per source — the semantic-drift axis
+    * of the data-quality monitors (the lexical side is
+    * [[Corpus.sourceDivergence]]/driftCard; this one watches the
+    * EMBEDDING distribution): per source, how far its per-dimension
+    * sign profile (share of positive values per dim — a 64-point
+    * Bernoulli profile) sits from the corpus's. Sign profile is exactly
+    * what sign-LSH buckets on, so a source drifting here is the early
+    * warning that band balance, candidate rates, and ANN recall are
+    * about to move — the embedding-stack counterpart of a source going
+    * lexically off-mix. Output per source: vector count, mean and max
+    * per-dim absolute profile difference, and the dimension that moved
+    * most (min dim on ties — deterministic).
+    *
+    * Everything is COUNT-based by design: per-dim cross-row float SUMS
+    * (centroids) have engine-dependent accumulation order and are
+    * excluded from the hashed surface (the q_embedding_stats rule);
+    * sign counts are exact, the profile shares are single double
+    * divisions, and the per-source mean folds the 64 |Δ| terms in dim
+    * order (sorted fold — the cross-engine sum discipline).
+    *
+    * Scale shape: the explode is |vectors|·dims rows but aggregates
+    * map-side to |sources|·dims; the corpus profile RE-AGGREGATES from
+    * the per-source counts (no second pass over vectors — the
+    * sourceDivergence discipline); the fold is row-local over dims.
+    * Shuffles carry |sources|·dims rows, never vector data.
+    */
+  def embeddingDrift(embeddings: DataFrame, documents: DataFrame): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .join(documents.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+      .groupBy("source", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").cast("double") > 0.0, 1L).otherwise(0L)).as("np"))
+    val corpus = c.groupBy("dim").agg(sum("n").as("cn"), sum("np").as("cnp"))
+    val diffs = c.join(corpus, Seq("dim"))
+      .select(col("source"), col("dim"), col("n"),
+        abs(col("np").cast("double") / col("n") -
+          col("cnp").cast("double") / col("cn")).as("diff"))
+    val perSource = diffs.groupBy("source").agg(
+      max(col("n")).as("n_vectors"), // n is constant across a source's dims
+      count(lit(1)).as("n_dims"),
+      aggregate(array_sort(collect_list(struct(col("dim"), col("diff")))),
+        lit(0.0), (acc, x) => acc + x.getField("diff")).as("total_drift"),
+      max(col("diff")).as("max_sign_drift"))
+    val argmax = diffs
+      .join(perSource.select(col("source"), col("max_sign_drift")), Seq("source"))
+      .filter(col("diff") === col("max_sign_drift"))
+      .groupBy("source").agg(min("dim").as("drift_dim"))
+    perSource.join(argmax, Seq("source"))
+      .select(col("source"), col("n_vectors"),
+        (col("total_drift") / col("n_dims")).as("mean_sign_drift"),
+        col("max_sign_drift"), col("drift_dim").cast("long").as("drift_dim"))
+      .orderBy("source")
+  }
+
   def embeddingStats(embeddings: DataFrame): DataFrame =
     embeddings
       .select(posexplode(col("embedding")).as(Seq("dim", "v")))

@@ -140,6 +140,18 @@ class ChainedCurationSpec extends SparkSpec {
         s"the corpus dup's standalone key is its cluster's: $standalone")
       assert(standalone(40L) == standalone(31L),
         s"the cross-wave dup's standalone assignment equals its survivor's: $standalone")
+      // a kept doc's signature enters EACH growth store exactly once —
+      // the single hand-off listing drives both, so neither double-feeds
+      def sigCounts(dir: String): Map[Long, Long] = spark.read.parquet(dir)
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val splitSigs = sigCounts(s"${p.chainSplitStorePath}/index_delta")
+      val dedupSigs = sigCounts(s"${p.crawlStorePath}/index_delta")
+      assert(splitSigs == Map(31L -> 1L, 32L -> 1L),
+        s"each survivor's signature enters the assigner's store ONCE: $splitSigs")
+      assert(dedupSigs.view.filterKeys(Set(31L, 32L)).toMap ==
+        Map(31L -> 1L, 32L -> 1L),
+        s"…and the dedup growth store once: $dedupSigs")
     } finally qs.foreach(_.stop())
   }
 

@@ -896,6 +896,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding sign-profile drift: hand-computed fixture, exact-zero " +
+    "identity on a single source, zero counted as non-positive, min-dim tie-break") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1f, -1f), 0), (2L, Array(1f, 0f), 0),    // source a: p=(1,0)
+      (3L, Array(-1f, 1f), 0), (4L, Array(0f, 1f), 0))    // source b: p=(0,1)
+      .toDF("vec_id", "embedding", "label")
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "source")
+    // corpus profile = (0.5, 0.5); every |Δ| = 0.5 in both dims → mean
+    // 0.5, max 0.5, and the TIE resolves to dim 0
+    val got = Similarity.embeddingDrift(emb, docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(got == Map("a" -> ((2L, 0.5, 0.5, 0L)), "b" -> ((2L, 0.5, 0.5, 0L))),
+      s"hand-computed drift card: $got")
+    // identity: one source IS the corpus — drift exactly 0.0
+    val solo = Similarity.embeddingDrift(
+      emb.filter(col("vec_id") <= 2), docs.filter(col("doc_id") <= 2)).collect()
+    assert(solo.length == 1 && solo.head.getDouble(2) == 0.0 &&
+      solo.head.getDouble(3) == 0.0,
+      s"a lone source cannot drift from itself: ${solo.toSeq}")
+    // corpus non-vacuity: real testdata sits strictly inside (0, max]
+    val real = Similarity.embeddingDrift(Tables.embeddings(spark, sf),
+      Tables.documents(spark, sf)).collect()
+    assert(real.nonEmpty && real.forall(r =>
+      r.getDouble(2) > 0.0 && r.getDouble(3) <= 1.0),
+      s"real corpus drift must be non-degenerate: ${real.toSeq}")
+  }
+
   test("banding-geometry card: finer bands are a structural candidate " +
     "superset — recall and rate monotone in band count (r16 verdict 5, " +
     "second harness instance)") {
