@@ -715,6 +715,47 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
       .withColumn("jaccard", lit(1.0))
+    // expand both rep endpoints through their duplicate-group memberships;
+    // re-orient so every pair is emitted once as (min, max)
+    val members = index.select(col("rep"), col("doc_id"))
+    val near = selfRepPairs(index, threshold, numHashes, bands)
+      .join(members.select(col("rep").as("r1"), col("doc_id").as("d1")), "r1")
+      .join(members.select(col("rep").as("r2"), col("doc_id").as("d2")), "r2")
+      .select(least(col("d1"), col("d2")).as("doc_id1"),
+        greatest(col("d1"), col("d2")).as("doc_id2"), col("jaccard"))
+    exact.unionByName(near).orderBy("doc_id1", "doc_id2")
+  }
+
+  /** CONNECTIVITY edges of the within-index duplicate graph — the SAME
+    * components as [[selfPairsFromIndex]] at O(|index| + |rep pairs|)
+    * output rows instead of O(Σ group²): exact duplicate groups
+    * contribute STAR edges (rep → member, k−1 rows for a k-copy group,
+    * never k²/2) and near-dup matches stay at REP level (each group's
+    * members reach the match through their star edges). This is the
+    * clustering-shaped form — [[clustersFromPairs]] needs connectivity,
+    * not the pair manifest — and the [[graft.streaming.SplitStream]]
+    * intra-batch arm's input: a micro-batch carrying 10k copies of one
+    * boilerplate page must cost 10k−1 edges, not 50M pair rows.
+    * (Components equal ⇒ identical component minima ⇒ identical split
+    * keys; the equivalence is spec'd.) Callers that need every pair
+    * with its jaccard (audits, pair stores) use [[selfPairsFromIndex]].
+    */
+  def selfEdgesFromIndex(index: DataFrame, threshold: Double = 0.8,
+                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val star = index.filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_id1"), col("doc_id").as("doc_id2"))
+    star.unionByName(
+      selfRepPairs(index, threshold, numHashes, bands)
+        .select(col("r1").as("doc_id1"), col("r2").as("doc_id2")))
+  }
+
+  /** Verified near-dup pairs among an index's REPS (r1 < r2, differing
+    * content, exact Jaccard ≥ threshold) — the shared core of
+    * [[selfPairsFromIndex]] (which expands through memberships) and
+    * [[selfEdgesFromIndex]] (which doesn't).
+    */
+  private def selfRepPairs(index: DataFrame, threshold: Double,
+                           numHashes: Int, bands: Int): DataFrame = {
     val sets = index.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("content_hash"), col("shh"))
       .filter(col("shh").isNotNull && size(col("shh")) > 0)
@@ -732,7 +773,7 @@ object Dedup {
       col("shh").as("sh1"), size(col("shh")).as("n1"))
     val s2 = sets.select(col("doc_id").as("r2"), col("content_hash").as("ch2"),
       col("shh").as("sh2"), size(col("shh")).as("n2"))
-    val repPairs = candidates.join(s1, "r1").join(s2, "r2")
+    candidates.join(s1, "r1").join(s2, "r2")
       .groupBy("r1", "r2")
       .agg(min(size(array_intersect(col("sh1"), col("sh2")))).as("n_common"),
         min(col("n1")).as("n1"), min(col("n2")).as("n2"),
@@ -742,15 +783,6 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // expand both rep endpoints through their duplicate-group memberships;
-    // re-orient so every pair is emitted once as (min, max)
-    val members = index.select(col("rep"), col("doc_id"))
-    val near = repPairs
-      .join(members.select(col("rep").as("r1"), col("doc_id").as("d1")), "r1")
-      .join(members.select(col("rep").as("r2"), col("doc_id").as("d2")), "r2")
-      .select(least(col("d1"), col("d2")).as("doc_id1"),
-        greatest(col("d1"), col("d2")).as("doc_id2"), col("jaccard"))
-    exact.unionByName(near).orderBy("doc_id1", "doc_id2")
   }
 
   def dedupDelta(index: DataFrame, delta: DataFrame, threshold: Double = 0.8,

@@ -39,12 +39,14 @@ import graft.operators.{Corpus, Dedup}
   *  3. WITHIN a batch (r16 ADVICE — previously a silent gap): two
   *     near-duplicates arriving in the SAME micro-batch have no
   *     appended delta to meet through, so the batch is additionally
-  *     matched against ITSELF ([[Dedup.selfPairsFromIndex]] over the
+  *     matched against ITSELF ([[Dedup.selfEdgesFromIndex]] over the
   *     batch's own signature index — built once, self-matched through
   *     its STORED sketches with zero re-shingling, then reused as the
-  *     epoch's `index_delta` write), the resulting intra-batch pairs
-  *     are closed transitively ([[Dedup.clustersFromPairs]] — a chain
-  *     a~b~c inside one batch is one component), and every member of a
+  *     epoch's `index_delta` write; star edges for exact groups, so a
+  *     batch of k copies costs k−1 edges, never k²/2), the resulting
+  *     intra-batch edges are closed transitively
+  *     ([[Dedup.clustersFromPairs]] — a chain a~b~c inside one batch is
+  *     one component), and every member of a
   *     component takes the component-minimum RESOLVED key (each
   *     member's corpus-inherited key where it has one, else its own
   *     id). Without this arm the exact leakage this member exists to
@@ -160,10 +162,9 @@ object SplitStream {
         try {
           // intra-batch arm (r16 ADVICE): the batch matched against its
           // own signature index via the stored sketches (no second text
-          // pass), the pair graph closed transitively, each component
-          // keyed by the minimum RESOLVED member key
-          val intraPairs = Dedup.selfPairsFromIndex(batchIdx, threshold)
-            .select("doc_id1", "doc_id2")
+          // pass), the CONNECTIVITY edges closed transitively, each
+          // component keyed by the minimum RESOLVED member key
+          val intraPairs = Dedup.selfEdgesFromIndex(batchIdx, threshold)
             .persist()
           val intraKeys = try {
             if (intraPairs.isEmpty) emptyKeys(spark, "intra_key")

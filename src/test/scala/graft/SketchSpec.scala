@@ -287,9 +287,11 @@ class SketchSpec extends SparkSpec {
       (if (atEnd) t.dropRight(k) ++ (1 to k).map(i => s"e$i")
        else (1 to k).map(i => s"s$i") ++ t.drop(k)).mkString(" ")
     }
-    // exact-dup group {1, 2}, near chain 3~4 and 3~5 (4 !~ 5), singleton 6
+    // exact-dup TRIPLE {1, 2, 7} with a near-dup 8 of it, near chain
+    // 3~4 and 3~5 (4 !~ 5), singleton 6
     val corpus = Seq(
-      (1L, text("alpha")), (2L, text("alpha")),
+      (1L, text("alpha")), (2L, text("alpha")), (7L, text("alpha")),
+      (8L, repl("alpha", 3, atEnd = true)),
       (3L, text("beta")), (4L, repl("beta", 3, atEnd = true)),
       (5L, repl("beta", 3, atEnd = false)),
       (6L, text("gamma"))).toDF("doc_id", "text")
@@ -303,9 +305,24 @@ class SketchSpec extends SparkSpec {
       .map { case (a, b, j) => (math.min(a, b), math.max(a, b)) -> j }
       .toMap
     assert(self == ref, s"self-pairs must equal the cross form: $self vs $ref")
-    // non-vacuity: the fixture exercises exact, near, and absent pairs
-    assert(self.keySet == Set((1L, 2L), (3L, 4L), (3L, 5L)),
+    // non-vacuity: exact triple (3 pairs), near-of-group expansion
+    // (8 pairs with ALL of {1,2,7}), the chain, and the absent pairs
+    assert(self.keySet == Set((1L, 2L), (1L, 7L), (2L, 7L),
+      (1L, 8L), (2L, 8L), (7L, 8L), (3L, 4L), (3L, 5L)),
       s"expected the planted pair structure: ${self.keySet}")
     assert(self((1L, 2L)) == 1.0 && self((3L, 4L)) < 1.0)
+
+    // the clustering-shaped form: SAME components at O(group) edges —
+    // the k-copy group costs k−1 star edges, never k(k−1)/2 pairs, and
+    // the near match stays at rep level
+    val edges = Dedup.selfEdgesFromIndex(index).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (1L, 7L), (1L, 8L), (3L, 4L), (3L, 5L)),
+      s"star edges + rep-level near matches only: $edges")
+    def components(prs: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.clustersFromPairs(prs.toDF("doc_id1", "doc_id2")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(components(edges.toSeq) == components(self.keySet.toSeq),
+      "edges and pairs must induce identical components (hence identical split keys)")
   }
 }
