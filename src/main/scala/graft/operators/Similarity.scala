@@ -2247,7 +2247,16 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(when(col("v").cast("double") > 0.0, 1L).otherwise(0L)).as("np"))
       .localCheckpoint(eager = false)
-    val corpus = c.groupBy("dim").agg(sum("n").as("cn"), sum("np").as("cnp"))
+    // every frame below c is |sources|·dims-bounded or smaller, but the
+    // checkpoint hides size statistics, so without explicit hints ALL
+    // FOUR joins planned as SortMergeJoin (r17 plan audit: 12 Exchange /
+    // 11 Sort / 5 SMJ at the registry call site). Broadcast the bounded
+    // side of each join (guide §3.1 — estimates are wrong after opaque
+    // nodes, hint what you know): corpus is exactly |dims| rows, the
+    // perSource slice and argmax are |sources| rows. Plan after: 0 SMJ,
+    // no sort anywhere before the final ORDER BY (5 Exchange total).
+    val corpus = broadcast(
+      c.groupBy("dim").agg(sum("n").as("cn"), sum("np").as("cnp")))
     val diffs = c.join(corpus, Seq("dim"))
       .select(col("source"), col("dim"), col("n"),
         abs(col("np").cast("double") / col("n") -
@@ -2259,10 +2268,11 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x.getField("diff")).as("total_drift"),
       max(col("diff")).as("max_sign_drift"))
     val argmax = diffs
-      .join(perSource.select(col("source"), col("max_sign_drift")), Seq("source"))
+      .join(broadcast(perSource.select(col("source"), col("max_sign_drift"))),
+        Seq("source"))
       .filter(col("diff") === col("max_sign_drift"))
       .groupBy("source").agg(min("dim").as("drift_dim"))
-    perSource.join(argmax, Seq("source"))
+    perSource.join(broadcast(argmax), Seq("source"))
       .select(col("source"), col("n_vectors"),
         (col("total_drift") / col("n_dims")).as("mean_sign_drift"),
         col("max_sign_drift"), col("drift_dim").cast("long").as("drift_dim"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference consumer's four analytical queries, as pure
@@ -40,16 +39,31 @@ object StreamAggregates {
     * ids from ever REACHING a non-idempotent sink, where this operator (and
     * the keyed store) resolve them at rest.
     *
-    * Scale: one shuffle on rec_id; row_number is evaluated per group with
-    * no global ordering anywhere.
+    * Scale: one shuffle on rec_id — as a MAX aggregate, not a window
+    * (r17 optimization, guide §2.3 "aggregate before you shuffle"): the
+    * winning row is max(struct(event_id, payload)) per rec_id, which
+    * partial-aggregates map-side (partial_max), so each map task ships
+    * ONE candidate row per rec_id it saw instead of every duplicate —
+    * under real collision rates the exchange carries |keys|, not |rows|.
+    * The struct-typed buffer keeps this a SortAggregate (struct is not a
+    * mutable UnsafeRow field type), so per-partition sorts remain — the
+    * win over the window form is the collapsed shuffle plus the dropped
+    * rn filter pass, not the sort. Equivalent to the former rn=1 window
+    * by construction — event_id is the high-order struct field, so max
+    * picks the highest event_id exactly as ORDER BY event_id DESC did
+    * (and on a hypothetical event_id tie the struct comparison stays
+    * deterministic where row_number was arbitrary). Parity with the
+    * window form (incl. forced collisions) is pinned in CityStreamSpec.
     */
-  def rawEventsDeduped(normalized: DataFrame): DataFrame = {
-    val w = Window.partitionBy("rec_id").orderBy(col("event_id").desc)
+  def rawEventsDeduped(normalized: DataFrame): DataFrame =
     normalized
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select("rec_id", "ts_str", "city", "event_type", "severity", "description")
-  }
+      .groupBy("rec_id")
+      .agg(max(struct(col("event_id"), col("ts_str"), col("city"),
+        col("event_type"), col("severity"), col("description"))).as("__w"))
+      .select(col("rec_id"), col("__w.ts_str").as("ts_str"),
+        col("__w.city").as("city"), col("__w.event_type").as("event_type"),
+        col("__w.severity").as("severity"),
+        col("__w.description").as("description"))
 
   /** A1 — the centerpiece: 5-minute tumbling window × city × event_type with
     * count / collect_list(severity) / max(ts), plus the composite

@@ -135,4 +135,30 @@ class CityStreamSpec extends SparkSpec {
     assert(r.length == 5)
     assert(r.forall(_.getAs[String]("city") == "SF"))
   }
+
+  test("rawEventsDeduped: max-struct aggregate ≡ rn=1 window, incl. forced collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // real fixture (organic rec_id collisions at sf0.001) + a forced
+    // 3-way collision whose winner is decided strictly by event_id
+    val forced = Seq(
+      (9001L, "2024-01-01T00:00:00Z", "SF", "view", "low", "a", "K"),
+      (9003L, "2024-01-01T00:00:00Z", "SF", "view", "high", "c", "K"),
+      (9002L, "2024-01-01T00:00:00Z", "SF", "view", "medium", "b", "K"))
+      .toDF("event_id", "ts_str", "city", "event_type", "severity", "description", "rec_id")
+    val in = norm.select("event_id", "ts_str", "city", "event_type",
+      "severity", "description", "rec_id").unionByName(forced)
+    // the pre-r17 window formulation, inlined as the reference semantics
+    val w = Window.partitionBy("rec_id").orderBy(col("event_id").desc)
+    val windowForm = in.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("rec_id", "ts_str", "city", "event_type", "severity", "description")
+    val aggForm = StreamAggregates.rawEventsDeduped(in)
+    assert(aggForm.count() == in.select("rec_id").distinct().count())
+    assert(aggForm.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(aggForm).isEmpty)
+    // the forced collision resolves to the highest event_id's payload
+    val kRow = aggForm.filter(col("rec_id") === "K").collect()
+    assert(kRow.length == 1 && kRow(0).getAs[String]("severity") == "high")
+  }
 }
