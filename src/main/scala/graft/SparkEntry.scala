@@ -2511,8 +2511,13 @@ object SparkEntry {
           .join(Corpus.dataSplit(Tables.documents(s, d))
             .select("doc_id", "split"), Seq("doc_id"))
           .groupBy("split", "bucket").agg(count(lit(1)).as("n_docs"))
-        val tot = b.groupBy("split").agg(sum("n_docs").as("split_docs"))
-        b.join(tot, Seq("split"))
+        // split totals as a window over the |splits|·|buckets| aggregate
+        // instead of a groupBy + self-join (r17): the join form re-ran
+        // the whole bucket/split subtree (ntile scoring over the corpus)
+        // once per branch — 2 passes and a SortMergeJoin for a 9-row
+        // stitch. Same exact integer sum, one pass.
+        b.withColumn("split_docs", sum("n_docs").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("split")))
           .select(col("split"), col("bucket"), col("n_docs"),
             (col("n_docs").cast("double") / col("split_docs")).as("share"))
           .orderBy("split", "bucket")

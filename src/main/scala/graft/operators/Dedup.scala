@@ -951,8 +951,16 @@ object Dedup {
     val candidates = members
       .join(broadcast(candidateReps), Seq("rep"))
       .select("doc_id")
+    // broadcast the candidate ids into the semi-join (r17): candidates
+    // are bounded by the phrase's posting-list intersection — tiny by
+    // construction — but they flow out of a corpus-scaled members join,
+    // so the planner saw an unbounded estimate and shuffled the ENTIRE
+    // documents table (text included) by doc_id for a SortMergeJoin
+    // LeftSemi, violating the "corpus touched only at candidate rows"
+    // contract above. With the hint the documents side is never
+    // exchanged: one scan + broadcast semi + residual verify.
     documents
-      .join(candidates, Seq("doc_id"), "left_semi")
+      .join(broadcast(candidates), Seq("doc_id"), "left_semi")
       .crossJoin(broadcast(phraseFrame.select("phrase")))
       .filter(contains(concat(lit(" "), col("text"), lit(" ")),
         concat(lit(" "), col("phrase"), lit(" "))))

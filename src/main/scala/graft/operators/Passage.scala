@@ -465,25 +465,38 @@ object Passage {
     */
   def ndcgCard(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
     val discArr = typedLit(ndcgDiscounts(k))
+    // ONE full-outer merge of the two k-bounded lists, then ONE
+    // aggregate computing idcg and dcg side by side (r17): the previous
+    // idcg-aggregate + dcg-join + final-stitch shape referenced the
+    // exact list twice, so the O(queries·chunks) brute-force pass
+    // upstream ran once per branch (the r17 plan audit caught the
+    // subtree twice in q_passage_ndcg's plan; a localCheckpoint barrier
+    // fixed the double pass but its extra job cost MORE at bench scale —
+    // measured 0.95 → 1.31 s — so the merge, not a barrier, is the fix).
+    // Element multisets are unchanged: collect_list skips nulls, so the
+    // idcg fold sees exactly the exact-side rows (ideal_disc is null on
+    // served-only rows) and the dcg fold sees exactly the served rows
+    // (disc is null on exact-only rows, and unmatched served rows
+    // contribute the same 0.0 the old left join's coalesce produced);
+    // sorted folds then add identical doubles in identical order. The
+    // n_rel > 0 filter reproduces the old output domain (queries present
+    // in the exact list).
     val rel = exact.select(col("query_id"), col("doc_id"), col("chunk_id"),
       (lit(k + 1L) - col("rank")).cast("double").as("rel"),
       element_at(discArr, col("rank").cast("int")).as("ideal_disc"))
-    val idcg = rel.groupBy("query_id").agg(
-      aggregate(sort_array(collect_list(col("rel") * col("ideal_disc"))),
-        lit(0.0), (a, x) => a + x).as("idcg"))
-    val dcg = approx
-      .select(col("query_id"), col("doc_id"), col("chunk_id"),
-        element_at(discArr, col("rank").cast("int")).as("disc"))
-      .join(rel.select("query_id", "doc_id", "chunk_id", "rel"),
-        Seq("query_id", "doc_id", "chunk_id"), "left")
+    val served = approx.select(col("query_id"), col("doc_id"), col("chunk_id"),
+      element_at(discArr, col("rank").cast("int")).as("disc"))
+    rel.join(served, Seq("query_id", "doc_id", "chunk_id"), "full_outer")
       .groupBy("query_id").agg(
+        aggregate(sort_array(collect_list(col("rel") * col("ideal_disc"))),
+          lit(0.0), (a, x) => a + x).as("idcg"),
         aggregate(sort_array(collect_list(
           coalesce(col("rel"), lit(0.0)) * col("disc"))),
-          lit(0.0), (a, x) => a + x).as("dcg"))
-    idcg.join(dcg, Seq("query_id"), "left")
-      .select(col("query_id"), coalesce(col("dcg"), lit(0.0)).as("dcg"),
-        col("idcg"),
-        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+          lit(0.0), (a, x) => a + x).as("dcg"),
+        count(col("ideal_disc")).as("n_rel"))
+      .filter(col("n_rel") > 0)
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
       .orderBy("query_id")
   }
 

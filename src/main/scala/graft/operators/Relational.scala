@@ -381,14 +381,23 @@ object Relational {
     // the flagged set would diverge from the no-overflow contract); the
     // BIGINT presentation cast below is exact at any scale the columns
     // themselves can represent
-    val stats = perWindow.groupBy("city").agg(
-      count(lit(1)).as("n_windows"),
-      sum(col("event_count").cast(dec)).as("sum_count_d"),
-      sum(col("event_count").cast(dec) * col("event_count")).as("sumsq_count_d"))
+    // per-city moments as WINDOW functions over perWindow instead of a
+    // second aggregate + broadcast self-join (r17): the join form
+    // computed the perWindow subtree twice — once for the probe side,
+    // once under the broadcast — so the persisted agg table was scanned
+    // and re-aggregated per branch. One window pass (all three moments
+    // share the one per-city partition spec) reads it once; the values
+    // are the identical exact integer/decimal sums. Rows per city are
+    // |windows in the time range| — bounded, never event-scaled.
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("city")
     val dev = col("event_count").cast(dec) * col("n_windows") - col("sum_count_d")
     val varN2 = col("n_windows").cast(dec) * col("sumsq_count_d") -
       col("sum_count_d") * col("sum_count_d")
-    perWindow.join(broadcast(stats), Seq("city"))
+    perWindow
+      .withColumn("n_windows", count(lit(1)).over(wc))
+      .withColumn("sum_count_d", sum(col("event_count").cast(dec)).over(wc))
+      .withColumn("sumsq_count_d",
+        sum(col("event_count").cast(dec) * col("event_count")).over(wc))
       .filter(col("n_windows") > 1 && dev * dev > lit(z * z) * varN2)
       .select(col("city"), col("window_start"), col("event_count"),
         col("n_windows"), col("sum_count_d").cast("long").as("sum_count"),
