@@ -3443,8 +3443,12 @@ object SparkEntry {
         val agg = sp.join(toks, Seq("doc_id"))
           .groupBy("split", "lang")
           .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-        val tot = agg.groupBy("lang").agg(sum("n_docs").as("lang_docs"))
-        agg.join(tot, Seq("lang"))
+        // lang totals as a window over the |splits|·|langs| aggregate
+        // instead of a groupBy + self-join (r17, the q_holdout_fit fix):
+        // the join form re-ran the doc-scan + split + token-count
+        // subtree once per branch for a ≤15-row stitch.
+        agg.withColumn("lang_docs", sum("n_docs").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("lang")))
           .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
             (col("n_docs").cast("double") / col("lang_docs")).as("doc_share"))
           .orderBy("split", "lang")

@@ -47,6 +47,16 @@ object CityEvents {
       .when(value < 400, "high")
       .otherwise("critical")
 
+  /** The raw-column boundary of the {high, critical} severity band —
+    * severityOf(value) ∈ {high, critical} ⟺ value >= this (or value IS
+    * NULL, which the CASE's ELSE maps to 'critical'). Kept next to
+    * [[severityOf]] so the thresholds can never drift apart; consumers
+    * use it to push an EQUIVALENT predicate into the parquet scan where
+    * the derived-column filter itself cannot go ([[StreamAggregates
+    * .alerts]]).
+    */
+  val HighSeverityMinValue: Double = 250.0
+
   /** Reference wire timestamp format (local time + literal 'Z', CityEvent.java:15). */
   def tsStrOf(ts: Column): Column = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 

@@ -123,9 +123,23 @@ object StreamAggregates {
         date_format(col("last_updated"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_updated"): _*)
   }
 
-  /** F1 — alert stream: severity ∈ {high, critical} (consumer/...:161-170). */
+  /** F1 — alert stream: severity ∈ {high, critical} (consumer/...:161-170).
+    *
+    * The severity predicate alone cannot reach the parquet scan — severity
+    * is DERIVED (the CASE over `value` in [[CityEvents.severityOf]]), and
+    * filters on computed columns don't push down (r17 scan audit: the
+    * q_alerts scan carried PushedFilters: []). So the filter also states
+    * its raw-column equivalent: severity ∈ {high, critical} ⟺
+    * `value >= 250 OR value IS NULL` by the quartile mapping (a NULL value
+    * falls through every WHEN to the ELSE 'critical' branch), and THAT
+    * conjunct pushes into the scan as row-group min/max pruning. The
+    * original predicate stays for exactness; the added one is implied, so
+    * the row set is unchanged (oracle-identical at every SF).
+    */
   def alerts(normalized: DataFrame): DataFrame =
     normalized
+      .filter(col("value") >= CityEvents.HighSeverityMinValue ||
+        col("value").isNull)
       .filter(col("severity").isin("high", "critical"))
       .select("event_id", "city", "ts", "ts_str", "event_type", "severity", "description", "rec_id")
 
