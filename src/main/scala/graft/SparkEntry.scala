@@ -3765,7 +3765,13 @@ object SparkEntry {
           .filter(col("bucket") =!= "tail").select("doc_id")
           .join(Corpus.tokenBudgetMix(docs).select("doc_id"),
             Seq("doc_id"), "left_semi")
-        Corpus.packSequences(docs.join(keeps, Seq("doc_id"), "left_semi"))
+        // semi-join the NARROW pack projection, not the raw documents
+        // (r17, guide §2.3): the keep filter is doc_id-level, so it
+        // commutes with the row-local token-count projection — the
+        // stratum exchange then moves four scalars per kept doc where it
+        // previously moved the text payload through a doc_id shuffle.
+        Corpus.packFromCounts(
+            Corpus.packTokenCounts(docs).join(keeps, Seq("doc_id"), "left_semi"))
           .orderBy("lang", "shard", "doc_id")
       },
       Some("""WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

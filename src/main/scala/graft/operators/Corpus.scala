@@ -182,15 +182,31 @@ object Corpus {
     * reducer, which is what makes the operator embarrassingly parallel.
     */
   def packSequences(documents: DataFrame, budget: Int = 512,
-                    shards: Int = 8): DataFrame = {
-    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+                    shards: Int = 8): DataFrame =
+    packFromCounts(packTokenCounts(documents, shards), budget)
+
+  /** [[packSequences]]'s row-local half: the narrow
+    * (doc_id, lang, shard, n_tokens) projection. Split out (r17) so a
+    * caller RESTRICTING the packed frame — q_mix_packing's keep
+    * semi-join — can apply its join to this projection instead of the
+    * raw documents: the projection commutes with any doc_id-level
+    * restriction (it is per-row), and the stratum exchange then carries
+    * four scalars per document instead of the text payload (guide §2.3,
+    * project before the exchange).
+    */
+  def packTokenCounts(documents: DataFrame, shards: Int = 8): DataFrame =
     documents
       .select(col("doc_id"), col("lang"),
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("pack_id",
-        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
+
+  /** [[packSequences]]'s stratum-window half over a
+    * [[packTokenCounts]]-shaped frame. */
+  def packFromCounts(counts: DataFrame, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.withColumn("pack_id",
+      floor(coalesce(sum("n_tokens").over(w), lit(0L)) / lit(budget)).cast("long"))
   }
 
   /** IN-CONTEXT packing (the "In-Context Pretraining" recipe, Shi et al.

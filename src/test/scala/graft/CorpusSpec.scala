@@ -49,6 +49,22 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("pack halves: a doc_id-level keep set applied to the narrow " +
+    "packTokenCounts projection packs identically to restricting the documents") {
+    // q_mix_packing's r17 shape: the semi-join moves to the four-scalar
+    // projection, so the stratum exchange never carries the text payload.
+    val keeps = docs.filter(col("doc_id") % 3 =!= 0).select("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val restrictedDocs =
+      rows(Corpus.packSequences(docs.join(keeps, Seq("doc_id"), "left_semi")))
+    val restrictedCounts = rows(Corpus.packFromCounts(
+      Corpus.packTokenCounts(docs).join(keeps, Seq("doc_id"), "left_semi")))
+    assert(restrictedCounts == restrictedDocs)
+    assert(restrictedDocs.nonEmpty)
+  }
+
   test("token-budget mix: greedy hash-order cut lands within one doc of each " +
     "stratum's share; planted fixture exact") {
     import spark.implicits._
