@@ -45,6 +45,9 @@ object Bench {
     // A failed query is recorded as an error, NOT as a fake timing — a
     // broken query must never look like a fast pass.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // label the jobs (guide §1.2) so a Spark-UI/event-log reading of a
+      // bench run attributes stages to queries without timestamp math
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
       catch { case e: Throwable =>

@@ -5051,8 +5051,14 @@ object SparkEntry {
           Seq("doc_id"), "left_semi")
         // persisted graft_decon collision table (per-doc property — see
         // deconCollisions — so the restriction equals decontaminating q)
+        // BARRIER (r17): decon feeds both drop semi-joins AND the final
+        // anti-join; without it each reference re-expands the whole
+        // quality→decon subtree (the r17 plan audit read the documents
+        // and flag scans three times over). The checkpointed frame is
+        // the narrow per-doc survivor projection.
         val decon = q.join(deconCollisions(s, d).select("doc_id"),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = false)
         val drop = nearDupPairs(s, d)
           .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
@@ -5112,13 +5118,18 @@ object SparkEntry {
         // contamination is a per-doc property (see deconCollisions), so
         // anti-joining the quality survivors against the persisted
         // corpus-wide collision table equals decontaminating them
+        // decon and lex are each read three times downstream; barrier
+        // both (r17, same rationale as q_pipeline_clean) so the funnel
+        // prefix computes once instead of once per reference.
         val decon = q.join(deconCollisions(s, d).select("doc_id"),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = false)
         val drop = nearDupPairs(s, d)
           .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
           .select(col("doc_id2").as("doc_id")).distinct()
         val lex = decon.join(drop, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = false)
         // exact semantic stage served from the persisted graft_exactpairs
         // table restricted to both-endpoint lexical survivors (r16):
         // a pair's cosine is pair-local, so pairs(lexEmb) ≡
@@ -5190,14 +5201,17 @@ object SparkEntry {
         val q = corpus.join(
           qualityFlags(s, d).filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
-        // persisted collision table, same identity as q_pipeline_full_clean
+        // persisted collision table, same identity as q_pipeline_full_clean;
+        // decon/lex barriered for the same three-reads-each reason
         val decon = q.join(deconCollisions(s, d).select("doc_id"),
           Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = false)
         val drop = nearDupPairs(s, d)
           .join(decon.select(col("doc_id").as("doc_id1")), Seq("doc_id1"), "left_semi")
           .join(decon.select(col("doc_id").as("doc_id2")), Seq("doc_id2"), "left_semi")
           .select(col("doc_id2").as("doc_id")).distinct()
         val lex = decon.join(drop, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = false)
         val sem = annServeTables(s, d).pairs
           .join(lex.select(col("doc_id").as("vec_id1")), Seq("vec_id1"), "left_semi")
           .join(lex.select(col("doc_id").as("vec_id2")), Seq("vec_id2"), "left_semi")

@@ -759,7 +759,13 @@ object Dedup {
     val sets = index.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("content_hash"), col("shh"))
       .filter(col("shh").isNotNull && size(col("shh")) > 0)
-      .repartition(col("doc_id")) // barrier: shh feeds bands AND verify
+      // NOT a barrier (column pruning re-expands this subtree per
+      // consumer — see dedupDelta's dSets note): the repartition only
+      // seeds parallelism for the ×bands explode when the index arrives
+      // as a single-partition persisted micro-batch (SplitStream's
+      // batchIdx). The re-reads behind it are cheap index scans — a
+      // checkpoint of corpus-wide shh arrays would cost more than they do.
+      .repartition(col("doc_id"))
     val banded = sets.select(col("doc_id"),
       posexplode(graft.functions.Sketches.minhashBands(
         col("shh"), numHashes, bands, 42L)).as(Seq("band", "bucket")))
@@ -813,11 +819,26 @@ object Dedup {
             array_except(col("shh"), col("__stop")).as("shh"))
       }
       .filter(size(col("shh")) > 0)
-      .repartition(col("doc_id")) // barrier: shh feeds bands AND verify join
+      // BARRIER (r17): shh feeds the banding explode AND the verify
+      // join. The previous repartition(doc_id) did NOT stop the
+      // re-computation — column pruning projects each consumer branch
+      // differently below the exchange, the two exchanges no longer
+      // canonicalize equal, ReuseExchange never fires, and the delta
+      // was re-sketched once per consumer (the r17 plan audit showed
+      // the full scan→rep-semi→shingle subtree twice, and SplitStream
+      // paid it once per micro-batch). localCheckpoint materializes
+      // the delta rep sets exactly once per call; downstream join
+      // sides lose their estimates, which AQE re-picks from actual
+      // shuffle sizes (the drift-card precedent, guide §3.1).
+      .localCheckpoint(eager = false)
+    // the corpus side stays UN-barriered on purpose: its two consumers
+    // prune to different index columns (bands: shh; verify: shh +
+    // content_hash), so each re-reads the persisted index as a cheap
+    // column-pruned parquet scan — materializing the full corpus rep
+    // sets per call would cost more than the second scan at any scale.
     val cSets = index.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("content_hash"), col("shh"))
       .filter(col("shh").isNotNull && size(col("shh")) > 0)
-      .repartition(col("doc_id"))
     def banded(sets: DataFrame) = sets.select(col("doc_id"),
       posexplode(graft.functions.Sketches.minhashBands(
         col("shh"), numHashes, bands, 42L)).as(Seq("band", "bucket")))
