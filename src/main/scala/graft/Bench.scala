@@ -81,12 +81,16 @@ object Bench {
     // 0.09 constant predates the current host — across 30+ r16 runs the
     // canary never read below 0.104 (BASELINE.md records the measured
     // distribution), so "quiet" adjudication against 0.09 was drifting
-    // into prose. 0.104 is the MEASURED practical floor of this host;
-    // the recorded current-registry anchor (58.6 s quiet median-of-five
-    // at 207 queries, BASELINE.md §Anchor) was taken at canary ≤ 0.107
-    // against this same floor.
+    // into prose. Re-based again 0.104 → 0.081 (r17): the r16 caveat
+    // ("if a genuinely quieter host returns, re-measure and tighten")
+    // fired — this round's host read 0.0813–0.091 canary minima across
+    // full bench runs (BASELINE.md §Round-17 close records the
+    // distribution), so 0.081 is the current measured practical floor.
+    // The r16 anchor
+    // (58.6 s at 207 queries) was taken against the 0.104-floor host;
+    // the r17 close records a same-host quiet series for the next round.
     val canary = ok.collectFirst { case ("q_raw_events", t, _) => t }.getOrElse(-1.0)
-    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size},"canary_s":$canary,"canary_floor":0.104}""")
+    println(s"""{"total_s":$total,"n_failed":${results.size - ok.size},"n_queries":${results.size},"canary_s":$canary,"canary_floor":0.081}""")
     spark.stop()
   }
 }
