@@ -5055,7 +5055,12 @@ object SparkEntry {
         // anti-join; without it each reference re-expands the whole
         // quality→decon subtree (the r17 plan audit read the documents
         // and flag scans three times over). The checkpointed frame is
-        // the narrow per-doc survivor projection.
+        // the narrow per-doc survivor projection. DEPLOYMENT CAVEAT
+        // (r17 verdict 9): localCheckpoint is not fault-tolerant — an
+        // executor loss on a real cluster fails the query instead of
+        // recomputing; swap for persist(DISK_ONLY) where lineage safety
+        // outweighs the extra job. This caveat covers every funnel
+        // barrier below (q_pipeline_full_clean / q_pipeline_scale_clean).
         val decon = q.join(deconCollisions(s, d).select("doc_id"),
           Seq("doc_id"), "left_anti")
           .localCheckpoint(eager = false)

@@ -791,9 +791,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** `deltaBarrier` (r18, r17 ADVICE): the internal delta-rep-sets frame
+    * must materialize ONCE (it feeds the banding explode AND the verify
+    * join — see the in-body note). The default barrier is
+    * `localCheckpoint(eager = false)`, right for one-shot batch callers —
+    * but its blocks are reclaimed only at driver GC, so PER-MICRO-BATCH
+    * callers ([[graft.streaming.CrawlDedup]]/[[graft.streaming.SplitStream]]
+    * `runBatch`) pass a persist-capturing barrier and unpersist it in
+    * their existing try/finally discipline instead of accumulating
+    * executor storage between driver GCs. Any barrier must be
+    * semantics-neutral (return a frame with identical rows).
+    */
   def dedupDelta(index: DataFrame, delta: DataFrame, threshold: Double = 0.8,
                  numHashes: Int = 128, bands: Int = 32, n: Int = 3,
-                 stopHashesOpt: Option[DataFrame] = None): DataFrame = {
+                 stopHashesOpt: Option[DataFrame] = None,
+                 deltaBarrier: DataFrame => DataFrame =
+                   _.localCheckpoint(eager = false)): DataFrame = {
     val dKeyed = delta.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"),
       col("text"))
     // exact cross-side matches: any corpus doc with identical content
@@ -812,13 +825,13 @@ object Dedup {
       .join(dReps.select(col("rep")).as("r"), col("k.doc_id") === col("r.rep"), "left_semi")
       .select(col("k.doc_id").as("doc_id"), col("k.content_hash").as("content_hash"),
         shingleHashes(col("k.text"), n).as("shh"))
-    val dSets = stopHashesOpt.fold(dSetsRaw) { stop =>
+    val dSets = deltaBarrier(stopHashesOpt.fold(dSetsRaw) { stop =>
         val stopArr = stop.agg(collect_set(col("h")).as("__stop"))
         dSetsRaw.crossJoin(broadcast(stopArr))
           .select(col("doc_id"), col("content_hash"),
             array_except(col("shh"), col("__stop")).as("shh"))
       }
-      .filter(size(col("shh")) > 0)
+      .filter(size(col("shh")) > 0))
       // BARRIER (r17): shh feeds the banding explode AND the verify
       // join. The previous repartition(doc_id) did NOT stop the
       // re-computation — column pruning projects each consumer branch
@@ -826,11 +839,15 @@ object Dedup {
       // canonicalize equal, ReuseExchange never fires, and the delta
       // was re-sketched once per consumer (the r17 plan audit showed
       // the full scan→rep-semi→shingle subtree twice, and SplitStream
-      // paid it once per micro-batch). localCheckpoint materializes
-      // the delta rep sets exactly once per call; downstream join
-      // sides lose their estimates, which AQE re-picks from actual
-      // shuffle sizes (the drift-card precedent, guide §3.1).
-      .localCheckpoint(eager = false)
+      // paid it once per micro-batch). The default deltaBarrier
+      // localCheckpoint materializes the delta rep sets exactly once
+      // per call; downstream join sides lose their estimates, which
+      // AQE re-picks from actual shuffle sizes (the drift-card
+      // precedent, guide §3.1). DEPLOYMENT CAVEAT (r17 verdict 9):
+      // localCheckpoint is NOT fault-tolerant — on a real cluster an
+      // executor loss kills the query instead of recomputing the lost
+      // blocks; a lineage-safe deployment swaps the barrier for
+      // persist(DISK_ONLY) at the cost of one extra job.
     // the corpus side stays UN-barriered on purpose: its two consumers
     // prune to different index columns (bands: shh; verify: shh +
     // content_hash), so each re-reads the persisted index as a cheap
@@ -955,10 +972,30 @@ object Dedup {
     * that is [[graft.operators.TextAnalysis.keywordSearch]]'s regime).
     * Hash collisions can only ADD candidates (removed by the verify),
     * never drop a match.
+    *
+    * `maxBroadcastCandidates` (r18, r17 ADVICE): the rep-level candidate
+    * set is bounded by the rarest posting list, but the members join
+    * expands each rep by its duplicate-cluster size — UNBOUNDED under
+    * heavy duplication (a phrase inside 10k-copy boilerplate). The
+    * broadcast of the expanded candidate ids is therefore gated on their
+    * ACTUAL count: the candidate subtree is collected ONCE under a
+    * `limit(cap+1)` (the only full-price pass — a lazy count probe was
+    * measured to re-run the subtree and double the query, 0.53 → 1.06 s
+    * at sf0.1; an eager-checkpoint-then-count variant still paid two
+    * extra jobs, +0.2 s), and when the cap holds, the collected ids feed
+    * the semi-join back as a broadcast LOCAL relation — the subtree
+    * never re-executes and the broadcast builds driver-side from rows
+    * already in hand. Over the cap the collect stops at cap+1 rows, the
+    * un-collected frame joins unhinted, and the planner/AQE picks the
+    * strategy from actual sizes (a shuffle semi-join is the correct
+    * shape when millions of candidate rows genuinely must be verified).
+    * The default cap (4M ids ≈ 32 MB on the driver) is far under the
+    * 8 GB broadcast hard limit yet far above any selective phrase's
+    * expansion.
     */
   def phraseSearch(documents: DataFrame, phraseFrame: DataFrame,
                    members: DataFrame, index: DataFrame,
-                   n: Int = 3): DataFrame = {
+                   n: Int = 3, maxBroadcastCandidates: Int = 4 << 20): DataFrame = {
     val checked = requireIndexWidth(index, n, "phraseSearch")
     val phraseGrams = phraseFrame
       .select(col("phrase"), explode(shingleHashes(col("phrase"), n)).as("h"))
@@ -972,16 +1009,26 @@ object Dedup {
     val candidates = members
       .join(broadcast(candidateReps), Seq("rep"))
       .select("doc_id")
-    // broadcast the candidate ids into the semi-join (r17): candidates
-    // are bounded by the phrase's posting-list intersection — tiny by
-    // construction — but they flow out of a corpus-scaled members join,
-    // so the planner saw an unbounded estimate and shuffled the ENTIRE
-    // documents table (text included) by doc_id for a SortMergeJoin
-    // LeftSemi, violating the "corpus touched only at candidate rows"
-    // contract above. With the hint the documents side is never
-    // exchanged: one scan + broadcast semi + residual verify.
+    // broadcast the candidate ids into the semi-join (r17): the rep-level
+    // candidates are bounded by the phrase's posting-list intersection,
+    // but they flow out of a corpus-scaled members join, so the planner
+    // saw an unbounded estimate and shuffled the ENTIRE documents table
+    // (text included) by doc_id for a SortMergeJoin LeftSemi, violating
+    // the "corpus touched only at candidate rows" contract above. With
+    // the hint the documents side is never exchanged: one scan +
+    // broadcast semi + residual verify. GATED (r18, see scaladoc): the
+    // members expansion is unbounded under heavy duplication, so the
+    // ids are collected once under a cap; under it they re-enter as a
+    // broadcast local relation, over it the frame joins unhinted.
+    // Results are gate-independent.
+    val firstRows = candidates.limit(maxBroadcastCandidates + 1).collect()
+    val candSide =
+      if (firstRows.length <= maxBroadcastCandidates)
+        broadcast(documents.sparkSession.createDataFrame(
+          java.util.Arrays.asList(firstRows: _*), candidates.schema))
+      else candidates
     documents
-      .join(broadcast(candidates), Seq("doc_id"), "left_semi")
+      .join(candSide, Seq("doc_id"), "left_semi")
       .crossJoin(broadcast(phraseFrame.select("phrase")))
       .filter(contains(concat(lit(" "), col("text"), lit(" ")),
         concat(lit(" "), col("phrase"), lit(" "))))

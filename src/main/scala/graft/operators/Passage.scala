@@ -462,6 +462,14 @@ object Passage {
     * Scale shape: [[mrrCard]]'s — two k-bounded rank lists join on
     * their id triple; constant work past the persisted snapshot and the
     * numQueries-bounded exact pass every witness already pays.
+    *
+    * PRECONDITION (r17 ADVICE): `(query_id, doc_id, chunk_id)` must be
+    * UNIQUE within each input — true of any rank list (row_number
+    * assigns one rank per key) and of every registry caller. The one-
+    * pass full-outer merge below relies on it: a duplicated key in
+    * `approx` would replicate its matching exact row and inflate idcg,
+    * where the old two-branch shape computed idcg from the exact list
+    * alone. A non-ranking caller feeding unkeyed lists must dedup first.
     */
   def ndcgCard(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
     val discArr = typedLit(ndcgDiscounts(k))

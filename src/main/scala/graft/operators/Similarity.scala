@@ -2237,7 +2237,11 @@ object Similarity {
     // |vectors|·dims one), and checkpoint the |sources|·dims count table
     // once — it feeds the corpus re-aggregation, the diff join, and the
     // argmax, and without the barrier every consumer re-runs the explode
-    // (measured 4.6–7.3 s/call at sf0.1 pre-barrier vs ~0.3 s after)
+    // (measured 4.6–7.3 s/call at sf0.1 pre-barrier vs ~0.3 s after).
+    // DEPLOYMENT CAVEAT (r17 verdict 9): localCheckpoint is not
+    // fault-tolerant — an executor loss on a real cluster fails the
+    // query instead of recomputing; persist(DISK_ONLY) is the
+    // lineage-safe swap at the cost of one extra job.
     val c = embeddings
       .select(col("vec_id"), col("embedding"))
       .join(documents.select(col("doc_id").as("vec_id"), col("source")),

@@ -494,13 +494,24 @@ object TextAnalysis {
     * targets — at 100 TB-class postings the unpruned form reads the
     * whole index per request batch, the pruned form reads the matching
     * row groups.
+    *
+    * CAPPED (r18, r17 verdict 4): a hint is a literal `In(tok, …)` list
+    * embedded in the plan — a caller passing a huge admission vocabulary
+    * would bloat analysis/planning and the pushed predicate itself
+    * instead of pruning anything (an In over most of the lexicon skips
+    * no row group). Past `maxPushdownTerms` the hint is IGNORED and the
+    * scans stay unpruned — semantics are hint-independent by
+    * construction (the equi-join already drops every tok outside the
+    * request set), so the cap is a pure planner guard.
     */
   def keywordSearchForQueries(index: SearchIndex, queries: DataFrame,
                               k: Int = 10,
-                              termsHint: Option[Seq[String]] = None): DataFrame = {
-    val postings = termsHint.fold(index.postings)(h =>
+                              termsHint: Option[Seq[String]] = None,
+                              maxPushdownTerms: Int = 1 << 12): DataFrame = {
+    val hint = termsHint.filter(_.size <= maxPushdownTerms)
+    val postings = hint.fold(index.postings)(h =>
       index.postings.filter(col("tok").isin(h: _*)))
-    val lexicon = termsHint.fold(index.lexicon)(h =>
+    val lexicon = hint.fold(index.lexicon)(h =>
       index.lexicon.filter(col("tok").isin(h: _*)))
     // explode_distinct: a request repeating a term must not double its
     // weight — [[keywordSearch]]'s isin filter dedups implicitly, and the

@@ -73,16 +73,27 @@ object CrawlDedup {
     // barrier: the micro-batch feeds the pair join AND the anti-join —
     // materialize once so a real source (kafka) is not re-read per consumer
     val delta = batch.localCheckpoint()
-    val pairs = Dedup.dedupDelta(grown, delta, threshold).localCheckpoint()
-    pairs.write.mode("overwrite").parquet(s"$outDir/pairs/epoch=$epoch")
-    val dupIds = pairs.select(col("delta_id").as("doc_id")).distinct()
-    delta.join(dupIds, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$outDir/clean/epoch=$epoch")
-    // the surviving docs enter the corpus: build their signature rows from
-    // the READ-BACK clean table (staging discipline — nothing re-sketches
-    // an upstream stage) so later batches dedup against this one
-    Dedup.buildDedupIndex(spark.read.parquet(s"$outDir/clean/epoch=$epoch"))
-      .write.mode("overwrite").parquet(s"$outDir/index_delta/epoch=$epoch")
+    // r18 (r17 ADVICE): dedupDelta's default delta-sets barrier is a
+    // localCheckpoint whose blocks wait on driver GC — exactly the
+    // storage-reclaim reason this topology's other per-batch frames use
+    // persist/unpersist (the DsirStream rule). A per-micro-batch caller
+    // passes a persist-capturing barrier and releases it deterministically
+    // once the EAGER checkpoint of `pairs` below has consumed it.
+    val deltaSets = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    try {
+      val pairs = Dedup.dedupDelta(grown, delta, threshold,
+          deltaBarrier = df => { val p = df.persist(); deltaSets += p; p })
+        .localCheckpoint()
+      pairs.write.mode("overwrite").parquet(s"$outDir/pairs/epoch=$epoch")
+      val dupIds = pairs.select(col("delta_id").as("doc_id")).distinct()
+      delta.join(dupIds, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outDir/clean/epoch=$epoch")
+      // the surviving docs enter the corpus: build their signature rows from
+      // the READ-BACK clean table (staging discipline — nothing re-sketches
+      // an upstream stage) so later batches dedup against this one
+      Dedup.buildDedupIndex(spark.read.parquet(s"$outDir/clean/epoch=$epoch"))
+        .write.mode("overwrite").parquet(s"$outDir/index_delta/epoch=$epoch")
+    } finally deltaSets.foreach(_.unpersist(false))
   }
 
   /** COMPACTION — fold the base signature index plus every appended

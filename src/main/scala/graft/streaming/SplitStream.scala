@@ -141,6 +141,12 @@ object SplitStream {
     // persist (not localCheckpoint: DsirStream's storage-reclaim
     // argument) so a real source is not re-read per consumer
     val delta = batch.persist()
+    // r18 (r17 ADVICE): pass dedupDelta a persist-capturing barrier for
+    // its internal delta-rep-sets frame instead of the default
+    // localCheckpoint (blocks wait on driver GC — the storage-reclaim
+    // rule every other per-batch frame here follows), and release it in
+    // the outermost finally once the batch's consumers have run.
+    val deltaSets = new scala.collection.mutable.ArrayBuffer[DataFrame]
     try {
       // the batch's own signature index — built ONCE: feeds the
       // intra-batch match here and the epoch's index_delta write below
@@ -148,7 +154,8 @@ object SplitStream {
       try {
         // corpus key resolution: base cluster id, else the key this stream
         // assigned the matched doc earlier, else the matched doc's own id
-        val inherited = Dedup.dedupDelta(grown, delta, threshold)
+        val inherited = Dedup.dedupDelta(grown, delta, threshold,
+            deltaBarrier = df => { val p = df.persist(); deltaSets += p; p })
           .select(col("corpus_id"), col("delta_id"))
           .join(clusters.select(col("doc_id").as("corpus_id"),
             col("cluster_id")), Seq("corpus_id"), "left")
@@ -203,7 +210,10 @@ object SplitStream {
           } finally assigned.unpersist()
         } finally inherited.unpersist()
       } finally batchIdx.unpersist()
-    } finally delta.unpersist()
+    } finally {
+      deltaSets.foreach(_.unpersist(false))
+      delta.unpersist()
+    }
   }
 
   /** COMPACTION — fold the base signature index plus the stream's

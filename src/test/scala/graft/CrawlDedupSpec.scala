@@ -17,6 +17,33 @@ class CrawlDedupSpec extends SparkSpec {
 
   private def text(tag: String): String = (1 to 40).map(i => s"$tag$i").mkString(" ")
 
+  test("dedupDelta deltaBarrier hook: invoked exactly once, semantics-neutral, releasable") {
+    // r18 (r17 ADVICE): streaming runBatch passes a persist-capturing
+    // barrier for dedupDelta's internal delta-rep-sets frame so its
+    // storage is released per batch instead of waiting on driver GC.
+    // This pins the hook's contract: one invocation per call, identical
+    // rows under any semantics-neutral barrier, unpersist leaves nothing.
+    val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus)
+    val nearBeta = (text("beta").split(" ").dropRight(2) :+ "zz" :+ "qq").mkString(" ")
+    val delta = Seq((10L, text("alpha")), (11L, nearBeta), (12L, text("novelA")))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val defaults = key(Dedup.dedupDelta(index, delta))
+    var calls = 0
+    val captured = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]
+    val viaPersist = try {
+      key(Dedup.dedupDelta(index, delta,
+        deltaBarrier = df => { calls += 1; val p = df.persist(); captured += p; p }))
+    } finally captured.foreach(_.unpersist(false))
+    assert(calls == 1, s"the delta rep sets materialize once per call, saw $calls")
+    assert(viaPersist == defaults,
+      s"persist barrier must be semantics-neutral: $viaPersist vs $defaults")
+    assert(defaults.map(p => (p._1, p._2)).toSet == Set((1L, 10L), (2L, 11L)),
+      s"fixture sanity (exact + near pair): $defaults")
+  }
+
   test("crawl batches dedup against the persisted index AND earlier batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("crawl").toString

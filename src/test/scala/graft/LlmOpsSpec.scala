@@ -971,6 +971,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(reg.count() >= 2, "the top shingle has df >= 2 by construction")
   }
 
+  test("phrase search broadcast gate: over-cap candidate expansion drops the hint, results identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    // ADVERSARIAL duplication (r17 ADVICE): the phrase lives inside a
+    // 64-copy boilerplate cluster, so the rep-level candidate set is 1
+    // but the members expansion is 64 — the unbounded-broadcast scenario
+    // the gate exists for.
+    val fixture = ((1 to 64).map(i => (i.toLong, "x a b c y")) ++
+      Seq((100L, "a b c z w"), (101L, "q r s t u"))).toDF("doc_id", "text")
+    val members = Dedup.dupGroups(fixture)
+    val index = Dedup.shingleIndex(fixture, members)
+    val phrase = Seq("a b c").toDF("phrase")
+    def semiBroadcastHinted(df: org.apache.spark.sql.DataFrame): Seq[Boolean] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftSemi =>
+          j.hint.rightHint.exists(_.strategy.contains(BROADCAST))
+      }
+    val hinted = Dedup.phraseSearch(fixture, phrase, members, index)
+    val fallback = Dedup.phraseSearch(fixture, phrase, members, index,
+      maxBroadcastCandidates = 8)
+    // under the cap the documents semi-join's right side is the collected
+    // broadcast local relation; over it the gate drops the hint
+    assert(semiBroadcastHinted(hinted).contains(true),
+      s"in-cap candidates must broadcast into the semi: ${semiBroadcastHinted(hinted)}")
+    assert(!semiBroadcastHinted(fallback).contains(true),
+      s"over-cap expansion must drop the broadcast hint: ${semiBroadcastHinted(fallback)}")
+    val a = hinted.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val b = fallback.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a == b, s"results are hint-independent: $a vs $b")
+    assert(a.map(_._1) == ((1L to 64L) :+ 100L),
+      s"all 64 copies and the distinct carrier match: ${a.map(_._1)}")
+  }
+
   test("fuzzy decontamination: edited benchmark copies flagged, single-gram overlap is not") {
     import spark.implicits._
     // bench doc; corpus holds a lightly-edited copy (fuzzy-grade), a doc

@@ -47,6 +47,30 @@ class SearchStreamSpec extends SparkSpec {
     assert(dup == multi, "duplicate request terms must not change scoring")
   }
 
+  test("termsHint past the pushdown cap is ignored: no In filter, identical results") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val (_, index) = indexDir()
+    val reqs = Seq((7L, Seq("hash", "join"))).toDF("query_id", "terms")
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double, Int)] =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSeq
+    def hasIn(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.find(e =>
+          e.isInstanceOf[In] || e.isInstanceOf[InSet]).isDefined => f
+      }.nonEmpty
+    val bare = TextAnalysis.keywordSearchForQueries(index, reqs, k = 5)
+    val hinted = TextAnalysis.keywordSearchForQueries(index, reqs, k = 5,
+      termsHint = Some(Seq("hash", "join")))
+    val capped = TextAnalysis.keywordSearchForQueries(index, reqs, k = 5,
+      termsHint = Some(Seq("hash", "join")), maxPushdownTerms = 1)
+    assert(hasIn(hinted), "an in-cap hint prunes the scans with In(tok, ...)")
+    assert(!hasIn(capped), "an over-cap hint must be ignored, not embedded")
+    assert(key(hinted) == key(bare) && key(capped) == key(bare),
+      "results are hint- and cap-independent by construction")
+  }
+
   test("streamed search batches answer from the index and equal the batch kernel per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val (base, index) = indexDir()
