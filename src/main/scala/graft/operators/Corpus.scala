@@ -1019,7 +1019,15 @@ object Corpus {
     */
   def evalHoldout(documents: DataFrame, pairs: DataFrame,
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val split = dataSplit(documents, trainPct, valPct)
+    // ADAPTIVE BARRIER (r18, r17 verdict 6): the split frame feeds the
+    // train-id side of BOTH contamination semi-joins and the final
+    // non-train filter — three documents-scan re-expansions without it.
+    // Same statistics-driven dispatch as userActivityQuartiles
+    // ([[Adaptive.barrierIfBig]]): no plan change at overhead-sized
+    // inputs, one narrow (doc_id, lang, source, split) materialization
+    // when the documents scan is big enough to dominate the fixed job.
+    val split = Adaptive.barrierIfBig(
+      dataSplit(documents, trainPct, valPct), documents)
     val train = split.filter(col("split") === "train").select("doc_id")
     val contaminated = pairs
       .join(train.withColumnRenamed("doc_id", "doc_id1"), Seq("doc_id1"), "left_semi")

@@ -853,6 +853,13 @@ object Dedup {
     // content_hash), so each re-reads the persisted index as a cheap
     // column-pruned parquet scan — materializing the full corpus rep
     // sets per call would cost more than the second scan at any scale.
+    // MEASURED at the r18 10× tier (r17 verdict 5): a localCheckpoint
+    // here A/B'd as a WASH against the un-barriered form at matched
+    // canary (q_dedup_incremental ~1.6 s both ways, 5 interleaved iters
+    // each; the checkpoint write of ~50 MB of shh arrays ≈ the saved
+    // column-pruned scan, and the ratio drifts slightly AGAINST the
+    // barrier). Decision: keep the two pruned scans — they also keep
+    // the plan fault-tolerant where a localCheckpoint would not be.
     val cSets = index.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("content_hash"), col("shh"))
       .filter(col("shh").isNotNull && size(col("shh")) > 0)

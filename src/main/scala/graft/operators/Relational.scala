@@ -470,7 +470,16 @@ object Relational {
     * single-window formulation, which stays the test oracle.
     */
   def userActivityQuartiles(events: DataFrame, rangeBuckets: Int = 32): DataFrame = {
-    val counts = events.groupBy("user_id").agg(count(lit(1)).as("event_count"))
+    // ADAPTIVE BARRIER (r18, r17 verdict 6): the per-user count frame
+    // feeds the split aggregate, the per-bucket offsets aggregate AND
+    // the final ranking — without a barrier each reference re-expands
+    // the events scan+aggregate (3 full passes). The barrier trade is a
+    // pure function of the events scan size (measured both ways at the
+    // r18 tiers), so it dispatches on the input statistic — see
+    // [[Adaptive.barrierIfBig]]. The materialized frame is one narrow
+    // row per user — linear in users, never in events.
+    val counts = Adaptive.barrierIfBig(
+      events.groupBy("user_id").agg(count(lit(1)).as("event_count")), events)
     val pcts = array((1 until rangeBuckets).map(i => lit(i.toDouble / rangeBuckets)): _*)
     val splits = counts.agg(
       percentile_approx(col("event_count"), pcts, lit(1000)).as("splits"))
