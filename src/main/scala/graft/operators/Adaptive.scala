@@ -18,8 +18,8 @@ import org.apache.spark.sql.DataFrame
   * the 10× tier (events ≈ 21 MB), with the gap growing linearly in input
   * size from there. So the barrier dispatches on the INPUT's size
   * statistic, exactly like a cost-based optimizer's materialization
-  * rule: under `graft.barrier.minInputBytes` (default 8 MB — between the
-  * two measured regimes with margin both ways) the plan is unchanged;
+  * rule: under `graft.barrier.minInputBytes` (default 4 MB — above every
+  * sf0.1 input, below every 10×-tier fact/corpus input) the plan is unchanged;
   * above it the shared frame checkpoints. At the 100 TB design point the
   * barrier is always on; the conf exists so the crossover is tunable per
   * deployment rather than baked to this host (the scale-dependent-
@@ -31,7 +31,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Adaptive {
   val MinInputBytesKey = "graft.barrier.minInputBytes"
-  val MinInputBytesDefault: Long = 8L << 20
+  val MinInputBytesDefault: Long = 4L << 20
 
   /** `shared` materializes iff `sizedOn`'s estimated scan size exceeds
     * the threshold. `sizedOn` is the INPUT the shared subtree re-scans

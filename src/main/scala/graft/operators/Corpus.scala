@@ -1019,15 +1019,16 @@ object Corpus {
     */
   def evalHoldout(documents: DataFrame, pairs: DataFrame,
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    // ADAPTIVE BARRIER (r18, r17 verdict 6): the split frame feeds the
-    // train-id side of BOTH contamination semi-joins and the final
-    // non-train filter — three documents-scan re-expansions without it.
-    // Same statistics-driven dispatch as userActivityQuartiles
-    // ([[Adaptive.barrierIfBig]]): no plan change at overhead-sized
-    // inputs, one narrow (doc_id, lang, source, split) materialization
-    // when the documents scan is big enough to dominate the fixed job.
-    val split = Adaptive.barrierIfBig(
-      dataSplit(documents, trainPct, valPct), documents)
+    // MEASURED, NOT barriered (r18, r17 verdict 6): the split frame
+    // feeds the train-id side of both contamination semi-joins and the
+    // final non-train filter — three documents-scan re-expansions. A
+    // localCheckpoint barrier here A/B'd UNFAVORABLY at the r18 10×
+    // tier (0.80 vs 0.74 s median at matched canary): each re-expansion
+    // is a narrow column-pruned scan of a well-compressed table plus a
+    // row-local hash, cheaper than the fixed checkpoint job + write —
+    // unlike q_user_quartiles, whose re-expansion repeats a full
+    // aggregation. Decision: keep the re-scans (also lineage-safe).
+    val split = dataSplit(documents, trainPct, valPct)
     val train = split.filter(col("split") === "train").select("doc_id")
     val contaminated = pairs
       .join(train.withColumnRenamed("doc_id", "doc_id1"), Seq("doc_id1"), "left_semi")

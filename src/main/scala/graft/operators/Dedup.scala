@@ -983,22 +983,27 @@ object Dedup {
     * `maxBroadcastCandidates` (r18, r17 ADVICE): the rep-level candidate
     * set is bounded by the rarest posting list, but the members join
     * expands each rep by its duplicate-cluster size — UNBOUNDED under
-    * heavy duplication (a phrase inside 10k-copy boilerplate). The
-    * broadcast of the expanded candidate ids is therefore gated on their
-    * ACTUAL count: the candidate subtree is collected ONCE under a
-    * `limit(cap+1)` (the only full-price pass — a lazy count probe was
-    * measured to re-run the subtree and double the query, 0.53 → 1.06 s
-    * at sf0.1; an eager-checkpoint-then-count variant still paid two
-    * extra jobs, +0.2 s), and when the cap holds, the collected ids feed
-    * the semi-join back as a broadcast LOCAL relation — the subtree
-    * never re-executes and the broadcast builds driver-side from rows
-    * already in hand. Over the cap the collect stops at cap+1 rows, the
-    * un-collected frame joins unhinted, and the planner/AQE picks the
-    * strategy from actual sizes (a shuffle semi-join is the correct
-    * shape when millions of candidate rows genuinely must be verified).
-    * The default cap (4M ids ≈ 32 MB on the driver) is far under the
-    * 8 GB broadcast hard limit yet far above any selective phrase's
-    * expansion.
+    * heavy duplication (a phrase inside 10k-copy boilerplate), so the
+    * r17 unconditional `broadcast(candidates)` risked the 8 GB broadcast
+    * cap / driver OOM. The broadcast is now gated on the ACTUAL count:
+    * the candidate ids materialize once (eager localCheckpoint), the
+    * count over the materialized partitions decides, and both the
+    * broadcast build and the over-cap fallback join read the same
+    * materialization — so the subtree never runs twice and the fallback
+    * (planner/AQE choosing from actual sizes; a shuffle semi-join is
+    * correct when millions of candidate rows genuinely must be verified)
+    * costs nothing extra. Gate-variant A/B at both r18 tiers, matched
+    * canary: a `limit(cap+1).collect()` probe re-entering the ids as a
+    * local relation was FREE at sf0.1 but doubled the query at the 10×
+    * tier (0.85 → 1.44 s — CollectLimit executes the heavy subtree
+    * incrementally); this checkpoint form costs ~+0.12 s at sf0.1 and is
+    * parity at the 10× tier with both the unsafe r17 hint (0.81 vs
+    * 0.73 s) and the hint-free AQE form (0.85 s), while keeping the
+    * zero-exchange broadcast plan whenever the cap holds — at 100 TB the
+    * difference between scanning the corpus once and also spilling it
+    * through a shuffle. The default cap (4M ids ≈ 32 MB framed) is far
+    * under the broadcast hard limit yet far above any selective phrase's
+    * expansion. Results are gate-independent by construction.
     */
   def phraseSearch(documents: DataFrame, phraseFrame: DataFrame,
                    members: DataFrame, index: DataFrame,
@@ -1025,15 +1030,10 @@ object Dedup {
     // the hint the documents side is never exchanged: one scan +
     // broadcast semi + residual verify. GATED (r18, see scaladoc): the
     // members expansion is unbounded under heavy duplication, so the
-    // ids are collected once under a cap; under it they re-enter as a
-    // broadcast local relation, over it the frame joins unhinted.
-    // Results are gate-independent.
-    val firstRows = candidates.limit(maxBroadcastCandidates + 1).collect()
+    // ids materialize once and the broadcast applies only under the cap.
+    val cands = candidates.localCheckpoint(eager = true)
     val candSide =
-      if (firstRows.length <= maxBroadcastCandidates)
-        broadcast(documents.sparkSession.createDataFrame(
-          java.util.Arrays.asList(firstRows: _*), candidates.schema))
-      else candidates
+      if (cands.count() <= maxBroadcastCandidates) broadcast(cands) else cands
     documents
       .join(candSide, Seq("doc_id"), "left_semi")
       .crossJoin(broadcast(phraseFrame.select("phrase")))

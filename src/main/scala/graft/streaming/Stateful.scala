@@ -406,58 +406,71 @@ object Stateful {
     val flagged = normalized.select(col("city"), col("ts"),
       when(col("severity").isin("high", "critical"), 1).otherwise(0).as("hi"))
       .withColumn("seg", window(col("ts"), segment).getField("start"))
-    // ONE exchange for the whole heavy phase: every window below clusters
-    // on a superset of (city, seg), which hash-partitioning on (city, seg)
-    // already satisfies — the finer (city, seg, island) windows re-sort
-    // locally but never reshuffle — and the summary groupBy keys on the
-    // same prefix, so its partial aggregation feeds straight through too.
-    val wSeg = Window.partitionBy("city", "seg")
-    val w = wSeg.orderBy(col("ts"), col("hi"))
-    val iw = Window.partitionBy("city", "seg", "island").orderBy(col("rn"))
-    val iwAll = Window.partitionBy("city", "seg", "island")
+    // ONE exchange AND one sort for the whole heavy phase (r18 — the
+    // previous formulation layered four Window operators over the rows:
+    // rn/hseq, a per-segment count, the per-island streak and the fused
+    // island_* trio — each re-sorting every row locally; the heavy-tier
+    // A/B read 2.5 s flat across core counts, i.e. plan-weight-bound).
+    // Everything past rn/hseq is now HIERARCHICAL AGGREGATION: island
+    // stats aggregate per (city, seg, island) and segment summaries per
+    // (city, seg) — both key supersets/prefixes of the window's
+    // (city, seg) hash partitioning, so neither adds an exchange, and
+    // aggregates never re-sort the rows.
+    val w = Window.partitionBy("city", "seg").orderBy(col("ts"), col("hi"))
     val ann = flagged
       .withColumn("rn", row_number().over(w))
       .withColumn("hseq", sum(col("hi")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", count(lit(1)).over(wSeg))
-      // null island for low rows: they share one throwaway window
-      // partition per segment whose island_* stats compute over zero
-      // non-null inputs — every consumer below guards on isNotNull
+      // null island for low rows: they collapse into one throwaway
+      // aggregate group per segment — every island-stat consumer below
+      // guards on isNotNull; the group still contributes max(rn) (= the
+      // segment row count) to the segment summary
       .withColumn("island", when(col("hi") === 1, col("rn") - col("hseq")))
-      // hoist the guarded rn so the three island_* aggregates below share
-      // one plain input column: with no projection interleaved between
-      // same-spec windows, CollapseWindow fuses them into a single
-      // Window operator (one pass, not three)
-      .withColumn("mrn", when(col("island").isNotNull, col("rn")))
-      .withColumn("streak", row_number().over(iw))
-      .withColumn("island_start", min(col("mrn")).over(iwAll))
-      .withColumn("island_end", max(col("mrn")).over(iwAll))
-      .withColumn("island_len", count(col("mrn")).over(iwAll))
-    // interior islands: decided entirely within their segment
-    val localEmits = ann
+    // per-island stats as ONE aggregate: length, first/last row number,
+    // and the first-k (rn, ts) rows (sorted fold — collect_list has no
+    // order; per-group memory is island-bounded, a subset of what the
+    // rn window's partition buffer already holds)
+    val islandAgg = ann.groupBy("city", "seg", "island").agg(
+      count(lit(1)).as("cnt"),
+      max(col("rn")).as("max_rn"),
+      min(col("rn")).as("island_start"),
+      max(col("rn")).as("island_end"),
+      slice(array_sort(collect_list(struct(col("rn"), col("ts")))), 1, k)
+        .as("first_k"))
+    // the island table feeds BOTH the interior emissions and the segment
+    // summaries; barrier it (statistics-dispatched) so the union's two
+    // branches don't each re-run the window + aggregate subtree
+    val islands = graft.operators.Adaptive.barrierIfBig(islandAgg, normalized)
+    // interior islands (not touching the segment's first row) decide
+    // locally: one emission at the k-th member, exactly the one-phase
+    // form's streak === k row
+    val localEmits = islands
       .filter(col("island").isNotNull && col("island_start") =!= 1 &&
-        col("streak") === k)
-      .select(col("city"), lit(k).as("streak"), col("ts").as("last_ts"))
-    // boundary summaries in the SAME one-exchange pipeline: head run
-    // (island at row 1), tail run (island ending at row n), segment-
-    // spanning run, and the head run's first k timestamps — conditional
-    // aggregates over the annotated rows; all-low segments (which must
-    // reset the carry) survive as rows with no qualifying islands
-    val summaries = ann.groupBy("city", "seg").agg(
+        col("cnt") >= k)
+      .select(col("city"), lit(k).as("streak"),
+        element_at(col("first_k"), k).getField("ts").as("last_ts"))
+    // boundary summaries from island-level rows: n = segment row count
+    // (max rn over ALL groups, lows included), head run = the island at
+    // row 1, tail run = the island with the maximal end iff it touches
+    // row n (struct max orders by island_end first; ends are unique per
+    // segment), all_high = the head island spans the whole segment.
+    // All-low segments (which must reset the carry) survive as rows
+    // with no qualifying islands.
+    val summaries = islands.groupBy("city", "seg").agg(
+        max(col("max_rn")).as("n"),
         max(when(col("island").isNotNull && col("island_start") === 1,
-          col("island_len"))).as("head_len_raw"),
-        max(when(col("island").isNotNull && col("island_start") === 1 &&
-          col("island_end") === col("n"), lit(1))).as("all_high_raw"),
-        max(when(col("island").isNotNull && col("island_end") === col("n"),
-          col("island_len"))).as("tail_len_raw"),
-        slice(array_sort(collect_list(when(
-          col("island").isNotNull && col("island_start") === 1 &&
-            col("streak") <= k,
-          struct(col("rn"), col("ts"))))), 1, k).as("head_struct"))
+          col("cnt"))).as("head_len_raw"),
+        max(when(col("island").isNotNull && col("island_start") === 1,
+          col("island_end"))).as("head_end"),
+        max(when(col("island").isNotNull,
+          struct(col("island_end"), col("cnt")))).as("tail_struct"),
+        max(when(col("island").isNotNull && col("island_start") === 1,
+          col("first_k"))).as("head_struct"))
       .select(col("city"), col("seg"),
         coalesce(col("head_len_raw"), lit(0L)).as("head_len"),
-        (coalesce(col("all_high_raw"), lit(0)) === 1).as("all_high"),
-        coalesce(col("tail_len_raw"), lit(0L)).as("tail_len"),
+        (col("head_end").isNotNull && col("head_end") === col("n")).as("all_high"),
+        coalesce(when(col("tail_struct").getField("island_end") === col("n"),
+          col("tail_struct").getField("cnt")), lit(0L)).as("tail_len"),
         expr("transform(head_struct, x -> x.ts)").as("head_ts"))
       .as[(String, Timestamp, Long, Boolean, Long, Seq[Timestamp])]
     val stitched = summaries.groupByKey(_._1).flatMapGroups { (city, it) =>
