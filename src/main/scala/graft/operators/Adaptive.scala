@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
 
 /** Statistics-driven plan decisions shared by operators (r18).
   *
@@ -44,5 +45,45 @@ object Adaptive {
     if (sizedOn.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
       shared.localCheckpoint(eager = false)
     else shared
+  }
+
+  /** Count-gated broadcast for a frame that is TINY by a structural
+    * argument the planner cannot see (a posting-list intersection, a
+    * band-probe candidate set) but UNBOUNDED in the adversarial case —
+    * the r18 phraseSearch mechanism, shared. Without a gate the
+    * alternatives are an unconditional hint (8 GB broadcast cap / driver
+    * OOM under the adversarial input — r17 ADVICE) or no hint (the big
+    * probe side of the join shuffles wholesale — measured as a
+    * SortMergeJoin over the full chunk-vector table in the passage serve
+    * plan). Two tiers:
+    *
+    *  - STRUCTURAL SHORTCUT (free): `df`'s row count is bounded by
+    *    `boundedBy`'s (candidates are a members/bands subset), so when
+    *    that table's size statistic is at most `cap` longs' worth of
+    *    bytes, even the degenerate expansion broadcasts at a small
+    *    multiple of a ~32 MB table — orders of magnitude under the
+    *    broadcast hard limit. The hint applies unconditionally and the
+    *    plan is the zero-extra-job r17 shape (this is every small-tier
+    *    call, so the driver bench pays nothing for the safety).
+    *  - COUNT GATE (two small jobs): past that, the frame materializes
+    *    once (eager localCheckpoint), the count over the materialized
+    *    partitions decides, and both the under-cap broadcast and the
+    *    over-cap fallback (planner/AQE choosing from actual sizes) read
+    *    the same materialization — the subtree never executes twice.
+    *    Measured parity with the unsafe unconditional hint at the r18
+    *    10× tier; the relative probe cost only shrinks from there.
+    *
+    * Results are gate-independent: a hint never changes rows. The
+    * default cap (4M rows) stays far under the broadcast hard limit for
+    * narrow id frames.
+    */
+  def broadcastGate(df: DataFrame, boundedBy: DataFrame,
+                    cap: Int = 4 << 20): DataFrame = {
+    if (boundedBy.queryExecution.optimizedPlan.stats.sizeInBytes <= cap.toLong * 8)
+      broadcast(df)
+    else {
+      val ck = df.localCheckpoint(eager = true)
+      if (ck.count() <= cap) broadcast(ck) else ck
+    }
   }
 }

@@ -1030,12 +1030,11 @@ object Dedup {
     // the hint the documents side is never exchanged: one scan +
     // broadcast semi + residual verify. GATED (r18, see scaladoc): the
     // members expansion is unbounded under heavy duplication, so the
-    // ids materialize once and the broadcast applies only under the cap.
-    val cands = candidates.localCheckpoint(eager = true)
-    val candSide =
-      if (cands.count() <= maxBroadcastCandidates) broadcast(cands) else cands
+    // ids materialize once and the broadcast applies only under the cap
+    // ([[Adaptive.broadcastGate]] — the shared mechanism).
     documents
-      .join(candSide, Seq("doc_id"), "left_semi")
+      .join(Adaptive.broadcastGate(candidates, boundedBy = members,
+        cap = maxBroadcastCandidates), Seq("doc_id"), "left_semi")
       .crossJoin(broadcast(phraseFrame.select("phrase")))
       .filter(contains(concat(lit(" "), col("text"), lit(" ")),
         concat(lit(" "), col("phrase"), lit(" "))))

@@ -153,7 +153,14 @@ object Passage {
         toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .filter(col("nrm") > 0.0)
-    val scored = p0
+    // candidate-vector fetch (r18): p0 is bounded by probe-bucket
+    // occupancy, but the planner's estimate is unbounded, so the fetch
+    // planned as a SortMergeJoin shuffling the WHOLE chunk-vector table
+    // (the r18 heavy-tier plan audit). Count-gated broadcast
+    // ([[Adaptive.broadcastGate]]): under the cap the vector table is
+    // scanned once and never exchanged; a degenerate band geometry
+    // falls back to the shuffle join.
+    val scored = Adaptive.broadcastGate(p0, boundedBy = bands)
       .join(v, Seq("pid"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("pid"), col("doc_id"), col("chunk_id"),
@@ -210,7 +217,9 @@ object Passage {
       .filter(shiftrightunsigned(col("pid"), ChunkIdBits) =!= col("query_id"))
       .select(col("query_id"), col("pid"))
       .distinct()
-    val scored = p0
+    // count-gated broadcast for the candidate-vector fetch — same
+    // rationale as [[passageTopKForQueries]] (r18)
+    val scored = Adaptive.broadcastGate(p0, boundedBy = bands)
       .join(v.filter(col("nrm") > 0.0), Seq("pid"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("pid"), col("doc_id"), col("chunk_id"),

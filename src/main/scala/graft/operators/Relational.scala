@@ -510,31 +510,54 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** (user, day) activity pairs for one event type — the granularity at
-    * which set operations over this corpus are non-trivial (every user
-    * eventually does every event type, but not every day).
+  /** User-days with `t1` activity but no `t2` activity — the (user, day)
+    * granularity is where set semantics over this corpus are non-trivial
+    * (every user eventually does every event type, but not every day).
+    *
+    * ONE-PASS form (r18, guide §2.1): the two-branch
+    * `userDaysOf(t1).except(userDaysOf(t2))` scanned events once per
+    * side and shuffled BOTH distinct sets into the EXCEPT — the r17
+    * window→aggregate precedent applies verbatim: a per-(user, day)
+    * presence flag per type over ONE `isin`-pruned scan, aggregated
+    * map-side, keeps rows with t1 and without t2. Output is the exact
+    * multiset EXCEPT DISTINCT produced (groupBy emits each key once;
+    * the flags reproduce the membership test), pinned by the unchanged
+    * DuckDB EXCEPT oracle. Heavy-tier A/B in OPTIMIZATION_r18.md.
     */
-  private def userDaysOf(events: DataFrame, eventType: String): DataFrame =
-    events.filter(col("event_type") === eventType)
-      .select(col("user_id"),
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
-      .distinct()
-
-  /** User-days with `t1` activity but no `t2` activity. */
   def userDaysExcept(events: DataFrame, t1: String, t2: String): DataFrame =
-    userDaysOf(events, t1).except(userDaysOf(events, t2))
+    events.filter(col("event_type").isin(t1, t2))
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(max(when(col("event_type") === t1, 1)).as("_h1"),
+        max(when(col("event_type") === t2, 1)).as("_h2"))
+      .filter(col("_h1") === 1 && col("_h2").isNull)
+      .select("user_id", "day")
       .orderBy("user_id", "day")
 
   private def usersOf(events: DataFrame, eventType: String): DataFrame =
     events.filter(col("event_type") === eventType).select("user_id").distinct()
 
-  /** Set operations (SURVEY.md §2.7: none in the reference). */
+  /** Set operations (SURVEY.md §2.7: none in the reference).
+    * `usersExcept` keeps the Dataset EXCEPT operator as the API-surface
+    * demo; the other three ship the one-pass aggregate forms (r18) —
+    * identical results (oracle-pinned), one `isin`-pruned scan instead
+    * of one per side, membership decided map-side.
+    */
   def usersIntersect(events: DataFrame, t1: String, t2: String): DataFrame =
-    usersOf(events, t1).intersect(usersOf(events, t2)).orderBy("user_id")
+    events.filter(col("event_type").isin(t1, t2))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === t1, 1)).as("_h1"),
+        max(when(col("event_type") === t2, 1)).as("_h2"))
+      .filter(col("_h1") === 1 && col("_h2") === 1)
+      .select("user_id")
+      .orderBy("user_id")
 
   def usersExcept(events: DataFrame, t1: String, t2: String): DataFrame =
     usersOf(events, t1).except(usersOf(events, t2)).orderBy("user_id")
 
   def usersUnion(events: DataFrame, t1: String, t2: String): DataFrame =
-    usersOf(events, t1).union(usersOf(events, t2)).distinct().orderBy("user_id")
+    events.filter(col("event_type").isin(t1, t2))
+      .select("user_id").distinct().orderBy("user_id")
 }

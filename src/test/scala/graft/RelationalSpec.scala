@@ -101,6 +101,33 @@ class RelationalSpec extends SparkSpec {
     assert(inter + exc == a)
   }
 
+  test("one-pass set-op forms ≡ the literal Dataset set operators (r18)") {
+    // the r18 rewrites replace two-scan INTERSECT/UNION/EXCEPT shapes with
+    // single-scan presence-flag aggregates; pin them against the literal
+    // operators on the real table, per pair order (asymmetric for except)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    def of(t: String) =
+      events.filter(col("event_type") === t).select("user_id").distinct()
+    for ((t1, t2) <- Seq(("purchase", "error"), ("signup", "click"))) {
+      assert(ids(Relational.usersIntersect(events, t1, t2)) ==
+        ids(of(t1).intersect(of(t2)).orderBy("user_id")),
+        s"intersect($t1, $t2)")
+      assert(ids(Relational.usersUnion(events, t1, t2)) ==
+        ids(of(t1).union(of(t2)).distinct().orderBy("user_id")),
+        s"union($t1, $t2)")
+    }
+    def days(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(key(Relational.userDaysExcept(events, "purchase", "view")) ==
+      key(days("purchase").except(days("view")).orderBy("user_id", "day")),
+      "userDaysExcept(purchase, view)")
+  }
+
   test("sliding windows double-count each event exactly twice") {
     val r = StreamAggregates.slidingCounts(norm)
     assert(r.agg(sum("event_count")).head().getLong(0) == 2 * events.count())
