@@ -36,7 +36,8 @@ class Pipeline(
     watermarkDelay: String = "10 minutes",
     processingTimeMode: Boolean = false,
     compactEvery: Int = 0,
-    stateStoreProvider: Option[String] = None) {
+    stateStoreProvider: Option[String] = None,
+    stateStoreConf: Map[String, String] = Map.empty) {
 
   // State-store backend for every stateful member this pipeline starts
   // (windowed/session aggregation state, dropDuplicates sets,
@@ -52,6 +53,13 @@ class Pipeline(
   // here scopes it to exactly this pipeline's members.
   stateStoreProvider.foreach(p =>
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+  // Provider tuning (r18, r17 verdict 8) — same session-conf scoping as
+  // the providerClass above; [[Pipeline.RocksDbTunedConf]] is the
+  // documented preset (bounded memory budget + changelog checkpointing),
+  // behavior-neutral by construction (StateFootprintSpec replays the
+  // same epochs under default and tuned stores and pins identical
+  // outputs + footprints).
+  stateStoreConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
   def rawStorePath: String      = s"$storeRoot/raw_events"
   def rawDedupStorePath: String = s"$storeRoot/raw_events_dedup"
@@ -697,6 +705,30 @@ object Pipeline {
     */
   val RocksDbStateStore: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** RocksDB provider TUNING preset (r18, r17 verdict 8) — pass as
+    * `stateStoreConf` alongside [[RocksDbStateStore]]:
+    *
+    *  - `boundedMemoryUsage` + `maxMemoryUsageMB`: one shared block-cache
+    *    / memtable budget across ALL RocksDB instances on the executor,
+    *    instead of each stateful operator's store growing its own native
+    *    allocation unboundedly — on the 21-member topology the stores
+    *    multiply per member × partition, and an uncapped native footprint
+    *    is the classic slow OOM of long-running streaming executors (the
+    *    memoryUsedBytes the footprint record reports is exactly what this
+    *    caps). 512 MB is a local-mode default; a deployment sizes it to
+    *    (executor overhead budget) − (shuffle/netty headroom).
+    *  - `changelogCheckpointing.enabled`: per-commit checkpoints upload
+    *    the batch's CHANGELOG instead of snapshotting the whole store —
+    *    commit latency stops scaling with accumulated state size and
+    *    scales with the batch's writes (snapshots still happen, async and
+    *    periodic). Behavior-neutral: replay/recovery semantics unchanged,
+    *    pinned by the StateFootprintSpec epoch replay.
+    */
+  val RocksDbTunedConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "512",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 
   /** STATE-STORE FOOTPRINT record (r16 verdict 7) — per named member,
     * one row per stateful operator in its last progress: total state
